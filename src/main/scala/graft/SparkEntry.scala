@@ -1,13 +1,326 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{ApplyChanges, Fixtures, Routing, SalaryPipeline}
+import graft.ops.Sessionize
+
+/** Driver contract — one `queries` entry + matching DuckDB `oracleSql`
+  * per implemented operator (SURVEY.md §2 inventory).
+  *
+  * Conventions that keep the DuckDB compare byte-stable:
+  *  - double aggregates are cast to DECIMAL before summing (parallel
+  *    double reduction is order-dependent; decimal is exact),
+  *  - constructed timestamps are TIMESTAMP_NTZ in UTC (DuckDB
+  *    timestamps are naive),
+  *  - every query ends in a total ORDER BY,
+  *  - column names are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full CDC pipeline (validate → DLQ split → apply-changes
+    * merge) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qCdcApplyChanges(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- CDC
+
+  /** A2/O1: latest event per key over the derived change log. */
+  private def qCdcLatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val log = Fixtures.employeeCdcLog(s, dir)
+    ApplyChanges.latestPerKey(log, Seq("emp_id"), col("last_updated_at"),
+        tieBreak = Seq(col("event_id")))
+      .select(col("emp_id"), col("event_id"), col("action"), col("emp_salary"),
+        col("last_updated_at").cast("timestamp_ntz").as("last_updated_at"))
+      .orderBy("emp_id")
+  }
+
+  /** F2+R1+A2+A3: the reference consumer's full apply path
+    * (consumer.py:40-102): drop invalid events, fold the remainder into
+    * the destination snapshot with last-write-wins + delete.
+    */
+  private def qCdcApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    val log = Fixtures.employeeCdcLog(s, dir)
+    val valid = Routing.validateSplit(log).valid
+    ApplyChanges.applyLog(valid, Seq("emp_id"), col("last_updated_at"),
+        tieBreak = Seq(col("event_id")))
+      .select(col("emp_id"), col("emp_FN"), col("emp_LN"), col("emp_dob"),
+        col("emp_city"), col("emp_salary"), col("action"),
+        col("last_updated_at").cast("timestamp_ntz").as("last_updated_at"))
+      .orderBy("emp_id")
+  }
+
+  /** R1: DLQ branch with per-rule reason flags. */
+  private def qCdcDlqSplit(s: SparkSession, dir: String): DataFrame = {
+    val log = Fixtures.employeeCdcLog(s, dir)
+    Routing.validateSplit(log).invalid
+      .select(col("emp_id"), col("event_id"), col("action"), col("emp_dob"),
+        col("emp_salary"), col("bad_dob"), col("bad_salary"), col("bad_id"))
+      .orderBy("emp_id", "event_id")
+  }
+
+  /** A1: first-writer-wins dedup of insert events (ON CONFLICT DO
+    * NOTHING, consumer.py:70-78). */
+  private def qCdcDedupFirst(s: SparkSession, dir: String): DataFrame = {
+    val inserts = Fixtures.employeeCdcLog(s, dir).where(col("action") === "insert")
+    ApplyChanges.firstPerKey(inserts, Seq("emp_id"), col("last_updated_at"),
+        tieBreak = Seq(col("event_id")))
+      .select(col("emp_id"), col("event_id"), col("emp_salary"),
+        col("last_updated_at").cast("timestamp_ntz").as("last_updated_at"))
+      .orderBy("emp_id")
+  }
+
+  /** A4: keyed running total over the applied snapshot (the aggregate
+    * table of project 1, maintained on the merged state so deletes
+    * retract naturally — SURVEY §7.5 risk 1). */
+  private def qCdcCityTotals(s: SparkSession, dir: String): DataFrame = {
+    val snap = {
+      val log = Fixtures.employeeCdcLog(s, dir)
+      val valid = Routing.validateSplit(log).valid
+      ApplyChanges.applyLog(valid, Seq("emp_id"), col("last_updated_at"),
+        tieBreak = Seq(col("event_id")))
+    }
+    snap.groupBy(col("emp_city"))
+      .agg(sum(col("emp_salary")).as("total_salary"), count(lit(1)).as("n_emps"))
+      .orderBy("emp_city")
+  }
+
+  /** Project-1 pipeline (F3/F4/P7/A4) on the `orders` fixture. */
+  private def qP1SalaryPipeline(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val filtered = SalaryPipeline.filterEmployees(o,
+      Seq("1-URGENT", "2-HIGH"), 1998,
+      dept = col("o_orderpriority"), hireDate = col("o_orderdate"))
+    SalaryPipeline.departmentTotals(filtered,
+        dept = col("o_orderpriority"), salary = col("o_totalprice"))
+      .orderBy("department")
+  }
+
+  // ------------------------------------------------------- TPC-H-style
+
+  private def decSum(c: Column, castTo: String, outTo: String, name: String): Column =
+    sum(c.cast(castTo)).cast(outTo).as(name)
+
+  private def qQ1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity"), "decimal(12,2)", "decimal(38,2)", "sum_qty"),
+        decSum(col("l_extendedprice"), "decimal(12,2)", "decimal(38,2)", "sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "decimal(18,4)", "decimal(38,4)", "sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qQ3TopkJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "decimal(18,4)", "decimal(38,4)", "revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private def qQ5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).where(col("r_regionkey") === 2)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+             col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "decimal(18,4)", "decimal(38,4)", "revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  // ----------------------------------------------------------- events
+
+  private def qEventsSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(Tables.events(s, dir),
+        key = col("user_id"), ts = col("ts"), gapMicros = 1800L * 1000000L,
+        valueCol = col("value"), tieBreak = Seq(col("event_id")))
+      .withColumnRenamed("key", "user_id")
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("total_value"))
+      .orderBy("user_id", "session_id")
+
+  private def qEventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value"), "decimal(18,2)", "decimal(38,2)", "total_value"))
+      .orderBy("hour", "event_type")
+
+  private def qEventsJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        expr("try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) as int)"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("k_bucket")
+
+  // --------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_latest_per_key" -> (qCdcLatestPerKey _),
+    "cdc_apply_changes" -> (qCdcApplyChanges _),
+    "cdc_dlq_split" -> (qCdcDlqSplit _),
+    "cdc_dedup_first" -> (qCdcDedupFirst _),
+    "cdc_city_totals" -> (qCdcCityTotals _),
+    "p1_salary_pipeline" -> (qP1SalaryPipeline _),
+    "q1_agg" -> (qQ1Agg _),
+    "q3_topk_join" -> (qQ3TopkJoin _),
+    "q5_multijoin" -> (qQ5MultiJoin _),
+    "events_sessionize" -> (qEventsSessionize _),
+    "events_hourly_agg" -> (qEventsHourlyAgg _),
+    "events_json_extract" -> (qEventsJsonExtract _),
+  )
+
+  private val L = Fixtures.cdcLogSql // WITH cdc_log AS (...) prefix
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_latest_per_key" -> (L +
+      """, r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
+        |     ORDER BY last_updated_at DESC, event_id DESC) AS rn FROM cdc_log)
+        |SELECT emp_id, event_id, action, emp_salary,
+        |       CAST(last_updated_at AS TIMESTAMP) AS last_updated_at
+        |FROM r WHERE rn = 1 ORDER BY emp_id""".stripMargin),
+
+    "cdc_apply_changes" -> (L +
+      """, valid AS (
+        |  SELECT * FROM cdc_log
+        |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |             OR emp_salary <= 100 OR emp_id < 0)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
+        |     ORDER BY last_updated_at DESC, event_id DESC) AS rn FROM valid)
+        |SELECT emp_id, emp_FN, emp_LN, emp_dob, emp_city, emp_salary, action,
+        |       CAST(last_updated_at AS TIMESTAMP) AS last_updated_at
+        |FROM r WHERE rn = 1 AND action <> 'delete' ORDER BY emp_id""".stripMargin),
+
+    "cdc_dlq_split" -> (L +
+      """SELECT emp_id, event_id, action, emp_dob, emp_salary,
+        |       COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007 AS bad_dob,
+        |       emp_salary <= 100 AS bad_salary,
+        |       emp_id < 0 AS bad_id
+        |FROM cdc_log
+        |WHERE COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |      OR emp_salary <= 100 OR emp_id < 0
+        |ORDER BY emp_id, event_id""".stripMargin),
+
+    "cdc_dedup_first" -> (L +
+      """, r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
+        |     ORDER BY last_updated_at ASC, event_id ASC) AS rn
+        |     FROM cdc_log WHERE action = 'insert')
+        |SELECT emp_id, event_id, emp_salary,
+        |       CAST(last_updated_at AS TIMESTAMP) AS last_updated_at
+        |FROM r WHERE rn = 1 ORDER BY emp_id""".stripMargin),
+
+    "cdc_city_totals" -> (L +
+      """, valid AS (
+        |  SELECT * FROM cdc_log
+        |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |             OR emp_salary <= 100 OR emp_id < 0)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
+        |     ORDER BY last_updated_at DESC, event_id DESC) AS rn FROM valid),
+        |snap AS (SELECT * FROM r WHERE rn = 1 AND action <> 'delete')
+        |SELECT emp_city, CAST(SUM(emp_salary) AS BIGINT) AS total_salary, COUNT(*) AS n_emps
+        |FROM snap GROUP BY emp_city ORDER BY emp_city""".stripMargin),
+
+    "p1_salary_pipeline" ->
+      """SELECT o_orderpriority AS department,
+        |       CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total_salary
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND year(o_orderdate) >= 1998
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_topk_join" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_regionkey = 2
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events),
+        |b AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |       (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |       > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |       ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM b)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_hourly_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json_extract" ->
+      """WITH e AS (
+        |  SELECT TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |  FROM events)
+        |SELECT k % 10 AS k_bucket, COUNT(*) AS n, MIN(k) AS min_k,
+        |       MAX(k) AS max_k, CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM e GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+  )
 }

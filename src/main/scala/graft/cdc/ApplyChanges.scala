@@ -1,0 +1,82 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The heart of the CDC engine: keyed merge semantics (SURVEY §2.5).
+  *
+  * The reference applies change events one at a time in `last_updated_at`
+  * order with per-action SQL (consumer.py:70-91). Re-expressed for a
+  * shuffle-based engine: reduce each key to its latest event with one
+  * window (only per-key order matters — a global sort would be a useless
+  * all-to-one bottleneck at 100 TB), then apply action semantics
+  * declaratively. All operators are pure DataFrame→DataFrame functions;
+  * nothing collects to the driver, and every shuffle is keyed by the CDC
+  * key so AQE can coalesce/skew-split partitions freely.
+  */
+object ApplyChanges {
+
+  /** Latest event per key (last-write-wins). `tieBreak` columns make the
+    * ordering total — the reference relies on strictly-increasing
+    * timestamps (producer.py:34), which real logs violate.
+    */
+  def latestPerKey(log: DataFrame, keys: Seq[String], ts: Column,
+                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((ts.desc +: tieBreak.map(_.desc)): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** A1: first-writer-wins keyed dedup — `INSERT ... ON CONFLICT DO
+    * NOTHING` (consumer.py:70-78).
+    */
+  def firstPerKey(log: DataFrame, keys: Seq[String], ts: Column,
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((ts.asc +: tieBreak.map(_.asc)): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** A2 (log form): fold a whole change log into the final snapshot.
+    * Latest event per key wins; a final `delete` removes the key
+    * (consumer.py:70-91 applied transitively). One shuffle on the key.
+    */
+  def applyLog(log: DataFrame, keys: Seq[String], ts: Column,
+               actionCol: Column = col("action"),
+               tieBreak: Seq[Column] = Nil): DataFrame =
+    latestPerKey(log, keys, ts, tieBreak)
+      .where(lower(actionCol) =!= "delete")
+
+  /** A2 (incremental form): merge a batch of changes into an existing
+    * snapshot — the `foreachBatch` body of the streaming pipeline.
+    * Full-outer join on the key: change row wins when present unless its
+    * action is `delete`; otherwise the snapshot row survives. Changes
+    * must already be reduced to one row per key (use [[latestPerKey]]).
+    * The join shuffles both sides by the key only; with a bucketed
+    * snapshot the snapshot-side shuffle disappears.
+    */
+  def mergeIntoSnapshot(snapshot: DataFrame, changes: DataFrame,
+                        keys: Seq[String], actionCol: String = "action"): DataFrame = {
+    val dataCols = snapshot.columns.filterNot(keys.contains)
+    val c = changes.select((keys ++ dataCols :+ actionCol).distinct.map(col): _*)
+    val joined = snapshot.as("t").join(c.as("c"), keys, "full_outer")
+    val isDelete = lower(col(s"c.$actionCol")) === "delete"
+    val useChange = col(s"c.$actionCol").isNotNull && !isDelete
+    val projected = keys.map(col) ++ dataCols.map { d =>
+      when(useChange, col(s"c.$d")).otherwise(col(s"t.$d")).as(d)
+    }
+    joined
+      .where(col(s"c.$actionCol").isNull || !isDelete) // A3: delete drops the key
+      .select(projected: _*)
+  }
+
+  /** A3 standalone: hard delete by key, anti-join formulation
+    * (consumer.py:90-91). */
+  def deleteKeys(snapshot: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
+    snapshot.join(deletes.select(keys.map(col): _*).distinct, keys, "left_anti")
+}
