@@ -79,4 +79,34 @@ object ApplyChanges {
     * (consumer.py:90-91). */
   def deleteKeys(snapshot: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
     snapshot.join(deletes.select(keys.map(col): _*).distinct, keys, "left_anti")
+
+  /** A2 (strict dispatch form): fold a change log with the reference's
+    * *procedural* action semantics (consumer.py:70-91) — insert only if
+    * absent (ON CONFLICT DO NOTHING), update only if present, delete
+    * removes, unknown actions silently no-op (F5 fall-through).
+    *
+    * [[applyLog]]'s latest-event-wins is equivalent on well-formed logs
+    * (trigger-generated, where an update can only follow existence);
+    * this form also matches the reference on ill-formed logs, e.g.
+    * update-after-delete is dropped rather than resurrected.
+    *
+    * Per key (one shuffle, three whole-partition window aggregates over
+    * the same partitioning): let d = last delete position, i = first
+    * insert after d, u = last update after i; survivor = row at
+    * coalesce(u, i), or nothing if no insert after the last delete.
+    * `ord` must totally order events per key (e.g. a log sequence id).
+    */
+  def applyLogDispatch(log: DataFrame, keys: Seq[String], ord: Column,
+                       actionCol: Column = col("action")): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val a = lower(actionCol)
+    val step1 = log.withColumn("_d", max(when(a === "delete", ord)).over(w))
+    val afterDel = step1("_d").isNull || ord > step1("_d")
+    val step2 = step1.withColumn("_i",
+      min(when(a === "insert" && afterDel, ord)).over(w))
+    val step3 = step2.withColumn("_u",
+      max(when(a === "update" && step2("_i").isNotNull && ord > step2("_i"), ord)).over(w))
+    step3.where(ord === coalesce(step3("_u"), step3("_i")))
+      .drop("_d", "_i", "_u")
+  }
 }

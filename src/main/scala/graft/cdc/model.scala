@@ -87,7 +87,11 @@ object CdcWire {
       col("_j.emp_salary").cast(LongType).as("emp_salary"),
       lower(col("_j.action")).as("action"), // P5: lowercased before dispatch (consumer.py:44)
       col("_j.last_updated_at").cast(TimestampType).as("last_updated_at"),
-      col("_j").isNull.as("corrupt"))
+      // PERMISSIVE from_json yields an all-null struct (not a null
+      // struct) for garbage input — a real message always carries
+      // emp_id and action, so both-null means undecodable.
+      (col("_j").isNull ||
+        (col("_j.emp_id").isNull && col("_j.action").isNull)).as("corrupt"))
   }
 }
 

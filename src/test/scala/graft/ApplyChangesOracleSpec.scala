@@ -1,0 +1,82 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.cdc.ApplyChanges
+
+/** Property-style tests: the distributed apply operators must equal a
+  * row-at-a-time fold in event order — the reference's execution model
+  * (consumer.py:70-91), implemented here as a plain Scala Map oracle.
+  */
+case class Ev(emp_id: Long, seq: Long, action: String, payload: Long)
+
+class ApplyChangesOracleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference-procedural fold: insert-if-absent, update-if-present,
+    * delete, unknown no-op. */
+  private def foldOracle(events: Seq[Ev]): Map[Long, Ev] = {
+    val state = mutable.Map[Long, Ev]()
+    events.sortBy(_.seq).foreach { e =>
+      e.action match {
+        case "insert" => if (!state.contains(e.emp_id)) state(e.emp_id) = e
+        case "update" => if (state.contains(e.emp_id)) state(e.emp_id) = e
+        case "delete" => state.remove(e.emp_id)
+        case _ => ()
+      }
+    }
+    state.toMap
+  }
+
+  test("applyLogDispatch == procedural fold on random ill-formed logs") {
+    val rnd = new Random(42)
+    val actions = Seq("insert", "update", "delete", "insert", "update", "REORG")
+    for (trial <- 1 to 3) {
+      val events = (0 until 2000).map { i =>
+        Ev(rnd.nextInt(40).toLong, i.toLong, actions(rnd.nextInt(actions.size)), rnd.nextLong(1000000))
+      }
+      val expected = foldOracle(events).map { case (k, e) => k -> e.seq }
+      val got = ApplyChanges.applyLogDispatch(events.toDF(), Seq("emp_id"), col("seq"))
+        .select("emp_id", "seq").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("applyLog (latest-wins) == fold on well-formed (trigger-shaped) logs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val alive = mutable.Set[Long]()
+      val events = (0 until 2000).map { i =>
+        val k = rnd.nextInt(40).toLong
+        val action =
+          if (!alive(k)) { alive += k; "insert" }
+          else if (rnd.nextInt(4) == 0) { alive -= k; "delete" }
+          else "update"
+        Ev(k, i.toLong, action, rnd.nextLong(1000000))
+      }
+      val expected = foldOracle(events).map { case (k, e) => k -> e.seq }
+      val got = ApplyChanges.applyLog(events.toDF(), Seq("emp_id"), col("seq"))
+        .select("emp_id", "seq").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial")
+      val gotDispatch = ApplyChanges.applyLogDispatch(events.toDF(), Seq("emp_id"), col("seq"))
+        .select("emp_id", "seq").as[(Long, Long)].collect().toMap
+      assert(gotDispatch === expected, s"dispatch trial $trial")
+    }
+  }
+
+  test("firstPerKey keeps the earliest event per key") {
+    val events = Seq(Ev(1, 5, "insert", 10), Ev(1, 2, "insert", 20), Ev(2, 9, "insert", 30))
+    val got = ApplyChanges.firstPerKey(events.toDF(), Seq("emp_id"), col("seq"))
+      .select("emp_id", "seq").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 9L))
+  }
+
+  test("deleteKeys anti-join removes exactly the listed keys") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("emp_id", "v")
+    val dels = Seq(Tuple1(2L), Tuple1(99L)).toDF("emp_id")
+    val got = ApplyChanges.deleteKeys(snap, dels, Seq("emp_id"))
+      .select("emp_id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+}
