@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{ApplyChanges, Fixtures, Routing}
+import graft.ops.{Dedup, Multimodal, Similarity, Text, Vectors}
+
+/** Extension-operator queries (SURVEY §7.4): training-data-pipeline ops
+  * over `documents`/`embeddings`, plus the strict CDC dispatch form and
+  * snapshot+stream union. Same oracle-parity conventions as SparkEntry.
+  */
+object ExtensionQueries {
+
+  private val EMB_DIM = 64
+
+  // --------------------------------------------------------------- CDC
+
+  private def validLog(s: SparkSession, dir: String): DataFrame =
+    Routing.validateSplit(Fixtures.employeeCdcLog(s, dir)).valid
+
+  private def qCdcApplyDispatch(s: SparkSession, dir: String): DataFrame =
+    ApplyChanges.applyLogDispatch(validLog(s, dir), Seq("emp_id"), col("event_id"))
+      .select(col("emp_id"), col("event_id"), col("action"), col("emp_salary"),
+        col("last_updated_at").cast("timestamp_ntz").as("last_updated_at"))
+      .orderBy("emp_id")
+
+  /** S5: initial snapshot (customer) + CDC stream, unified latest-wins. */
+  private def qSnapshotPlusStream(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(s, dir).select(
+      col("c_custkey").as("emp_id"), col("c_name").as("name"),
+      floor(col("c_acctbal")).cast("long").as("val"),
+      lit("2020-01-01 00:00:00").cast("timestamp_ntz").as("ts"),
+      lit(-1L).as("ord"), lit("insert").as("action"), lit("snapshot").as("src"))
+    val delta = Fixtures.employeeCdcLog(s, dir).select(
+      col("emp_id"), col("emp_FN").as("name"), col("emp_salary").as("val"),
+      col("last_updated_at").cast("timestamp_ntz").as("ts"),
+      col("event_id").as("ord"), col("action"), lit("stream").as("src"))
+    ApplyChanges.latestPerKey(snap.unionAll(delta), Seq("emp_id"), col("ts"),
+        tieBreak = Seq(col("ord")))
+      .where(lower(col("action")) =!= "delete")
+      .select(col("emp_id"), col("name"), col("val"), col("ts"), col("src"))
+      .orderBy("emp_id")
+  }
+
+  // -------------------------------------------------------------- text
+
+  private def qTextTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((col("doc_id") +: Text.qualitySignals(col("text"))): _*)
+      .orderBy("doc_id")
+
+  private def qTextLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((Seq(col("doc_id"), col("lang")) ++ Text.langScores("text")): _*)
+      .withColumn("lang_guess", Text.langGuess)
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------- dedup
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("fingerprint")
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("doc_a", "doc_b")
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("doc_id")
+
+  private def qDedupNgramBlocked(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccard(Tables.documents(s, dir), col("text"), col("doc_id"),
+        Seq(), num = 1, den = 2)
+      .orderBy("doc_a", "doc_b")
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("embedding"),
+        col("vec_id"), bucketBits = 8, num = 40, den = 100)
+      .orderBy("vec_a", "vec_b")
+
+  // -------------------------------------------------------- similarity
+
+  private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKBruteForce(emb.where(col("vec_id") >= 8),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  private def qSimTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKLsh(emb.where(col("vec_id") >= 8),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+        k = 5, bits = 8)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((col("doc_id") +:
+        Multimodal.envelopeFeatures(encode(col("text"), "UTF-8"), col("n_chars"))): _*)
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply_dispatch" -> (qCdcApplyDispatch _),
+    "snapshot_plus_stream" -> (qSnapshotPlusStream _),
+    "text_token_stats" -> (qTextTokenStats _),
+    "text_quality" -> (qTextQuality _),
+    "text_langid" -> (qTextLangid _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_ngram_blocked" -> (qDedupNgramBlocked _),
+    "dedup_embedding_cos" -> (qDedupEmbedding _),
+    "sim_topk_bruteforce" -> (qSimTopkBrute _),
+    "sim_topk_lsh" -> (qSimTopkLsh _),
+    "multimodal_features" -> (qMultimodalFeatures _),
+  )
+
+  // ------------------------------------------------------- oracle SQL
+
+  private val L = Fixtures.cdcLogSql
+  private val TK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val VALID_WHERE =
+    """WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+      |             OR emp_salary <= 100 OR emp_id < 0)""".stripMargin
+
+  private val SHINGLE3 =
+    s"""t AS (SELECT doc_id, $TK AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+       |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) g
+       |       WHERE len(tk) >= 3),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def jaccardTail(num: Int, den: Int): String =
+    s"""inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter, ca.n_sh + cb.n_sh - i.inter AS union_sz
+       |FROM inter i
+       |JOIN cnt ca ON ca.doc_id = i.doc_a
+       |JOIN cnt cb ON cb.doc_id = i.doc_b
+       |WHERE $den * i.inter >= $num * (ca.n_sh + cb.n_sh - i.inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val stopList = Text.stopwords.map(s => s"'$s'").mkString(", ")
+
+  private val langScoreSql = Text.langMarkers.map { case (lang, ms) =>
+    val list = ms.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_filter(tk, t -> t IN ($list))) AS BIGINT) AS s_$lang"
+  }.mkString(",\n       ")
+
+  private val langGuessSql = {
+    val langs = Text.langMarkers.map(_._1)
+    val cases = langs.map { lang =>
+      val others = langs.filterNot(_ == lang).map(o => s"s_$o").mkString(", ")
+      s"WHEN s_$lang > 0 AND s_$lang >= greatest($others) THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  private val (simhashBitSumsSql, simhashFpSql) = Dedup.simhashSql()
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_apply_dispatch" -> (L +
+      s""", v AS (SELECT * FROM cdc_log $VALID_WHERE),
+         |d AS (SELECT *, max(CASE WHEN action = 'delete' THEN event_id END)
+         |        OVER (PARTITION BY emp_id) AS _d FROM v),
+         |i AS (SELECT *, min(CASE WHEN action = 'insert' AND (_d IS NULL OR event_id > _d)
+         |        THEN event_id END) OVER (PARTITION BY emp_id) AS _i FROM d),
+         |u AS (SELECT *, max(CASE WHEN action = 'update' AND _i IS NOT NULL AND event_id > _i
+         |        THEN event_id END) OVER (PARTITION BY emp_id) AS _u FROM i)
+         |SELECT emp_id, event_id, action, emp_salary,
+         |       CAST(last_updated_at AS TIMESTAMP) AS last_updated_at
+         |FROM u WHERE event_id = COALESCE(_u, _i) ORDER BY emp_id""".stripMargin),
+
+    "snapshot_plus_stream" -> (L +
+      """, snap AS (SELECT c_custkey AS emp_id, c_name AS name,
+        |    CAST(floor(c_acctbal) AS BIGINT) AS val,
+        |    TIMESTAMP '2020-01-01 00:00:00' AS ts,
+        |    CAST(-1 AS BIGINT) AS ord, 'insert' AS action, 'snapshot' AS src
+        |  FROM customer),
+        |delta AS (SELECT emp_id, emp_FN AS name, emp_salary AS val,
+        |    CAST(last_updated_at AS TIMESTAMP) AS ts, event_id AS ord, action,
+        |    'stream' AS src FROM cdc_log),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM delta),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
+        |    ORDER BY ts DESC, ord DESC) AS rn FROM u)
+        |SELECT emp_id, name, val, ts, src FROM r
+        |WHERE rn = 1 AND action <> 'delete' ORDER BY emp_id""".stripMargin),
+
+    "text_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(tk, t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_filter(tk, t -> length(t) <= 2)) AS BIGINT) AS n_short,
+         |  CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+         |  (len(tk) < 10 OR
+         |   100 * len(list_filter(tk, t -> t IN ($stopList))) > 60 * len(tk)) AS is_low_quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $TK AS tk FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |       $langScoreSql
+         |  FROM t)
+         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+         |       $langGuessSql AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $SHINGLE3,
+         |sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '#' || shingle)) AS mh
+         |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) s
+         |        GROUP BY doc_id, h),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM sig x JOIN sig y
+         |         ON x.h = y.h AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |${jaccardTail(1, 2)}""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |tok AS (SELECT doc_id, md5(u.t) AS h
+         |        FROM t, LATERAL (SELECT unnest(tk) AS t) u),
+         |bits AS (SELECT doc_id, $simhashBitSumsSql FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_blocked" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |k AS (SELECT doc_id, tk[1] AS _f, tk[-1] AS _l FROM t),
+         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM k x JOIN k y ON x._f = y._f
+         |          AND x._l = y._l AND x.doc_id < y.doc_id),
+         |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS shingle
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+         |       WHERE len(tk) >= 2),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |${jaccardTail(1, 2)}""".stripMargin,
+
+    "dedup_embedding_cos" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${Vectors.intNorm2Sql("q", EMB_DIM)} AS n2,
+         |       ${Vectors.signBucketSql("q", 8)} AS bucket FROM q),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${Vectors.intDotSql("a.q", "b.q", EMB_DIM)} AS dot,
+         |       a.n2 AS n2a, b.n2 AS n2b
+         |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, dot FROM p
+         |WHERE dot > 0 AND 10000 * CAST(dot AS HUGEINT) * dot >= 1600 * CAST(n2a AS HUGEINT) * n2b
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM q c CROSS JOIN q s WHERE c.vec_id >= 8 AND s.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
+         |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${Vectors.signBucketSql("q", 8)} AS bucket FROM q),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM n c JOIN n s ON c.bucket = s.bucket
+         |      WHERE c.vec_id >= 8 AND s.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
+         |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(16 + n_chars % 64 AS BIGINT) AS width,
+        |       CAST(16 + (n_chars * 7) % 64 AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -183,7 +183,9 @@ object SparkEntry {
 
   // --------------------------------------------------------- registry
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtensionQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest_per_key" -> (qCdcLatestPerKey _),
     "cdc_apply_changes" -> (qCdcApplyChanges _),
     "cdc_dlq_split" -> (qCdcDlqSplit _),
@@ -200,7 +202,9 @@ object SparkEntry {
 
   private val L = Fixtures.cdcLogSql // WITH cdc_log AS (...) prefix
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtensionQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "cdc_latest_per_key" -> (L +
       """, r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
         |     ORDER BY last_updated_at DESC, event_id DESC) AS rn FROM cdc_log)

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (SURVEY §7.4):
+  * exact, MinHash-LSH, SimHash, blocked n-gram Jaccard, embedding
+  * cosine. Every operator is a keyed-shuffle pipeline — candidate
+  * generation always goes through a bucket/band join (never an
+  * all-pairs product), which is what survives 100 TB: cost is
+  * O(docs × signature) + O(true-ish candidate pairs), not O(docs²).
+  */
+object Dedup {
+
+  /** Exact dedup groups by content fingerprint: one hash-shuffle.
+    * `rep_doc_id` = min id is the canonical survivor (first-writer-wins
+    * like A1).
+    */
+  def exactGroups(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.select(Text.fingerprint(textCol).as("fingerprint"), idCol.as("doc_id"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
+
+  /** MinHash signatures: for each salt h, min over the doc's shingles of
+    * md5(h # shingle). b bands of r=1 row each → collision probability
+    * 1-(1-J)^b: J=0.5 → 99.6% at b=8.
+    */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
+    shingles
+      .select(col("doc_id"), col("shingle"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(md5(concat(col("h").cast("string"), lit("#"), col("shingle")))).as("mh"))
+
+  /** Band-bucket join → distinct candidate pairs (a < b). */
+  def lshCandidates(sig: DataFrame): DataFrame =
+    sig.as("x").join(sig.as("y"),
+        col("x.h") === col("y.h") && col("x.mh") === col("y.mh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Exact Jaccard verification of candidate pairs against the true
+    * shingle sets; keeps pairs with J >= num/den (integer
+    * cross-multiplication — exact). Cost is proportional to candidate
+    * pairs only.
+    */
+  def jaccardVerify(candidates: DataFrame, shingles: DataFrame,
+                    num: Int, den: Int): DataFrame = {
+    val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(shingles.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shingles.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("ca.n_sh") + col("cb.n_sh") - col("inter")).as("union_sz"))
+      .where(lit(den) * col("inter") >= lit(num) * col("union_sz"))
+  }
+
+  /** End-to-end MinHash-LSH near-dup detection on word `n`-shingles. */
+  def minhashNearDups(docs: DataFrame, textCol: Column, idCol: Column,
+                      shingleN: Int = 3, numHashes: Int = 8,
+                      num: Int = 1, den: Int = 2): DataFrame = {
+    val sh = Text.distinctShingles(docs, textCol, idCol, shingleN)
+    jaccardVerify(lshCandidates(minhashSignatures(sh, numHashes)), sh, num, den)
+  }
+
+  /** 16-bit SimHash over the token multiset: per bit j, sign of
+    * Σ_tokens (high-bit of md5 nibble j ? +1 : -1). Identical simhash →
+    * near-dup bucket. One explode + one keyed aggregation.
+    */
+  val simhashBits = 16
+
+  def simhash(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"), explode(Text.tokens(textCol)).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums = (0 until simhashBits).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until simhashBits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** DuckDB mirror of [[simhash]]'s bit expressions. */
+  def simhashSql(): (String, String) = {
+    val bitSums = (0 until simhashBits).map { j =>
+      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val fp = (0 until simhashBits).map { j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    (bitSums, fp)
+  }
+
+  /** Blocked n-gram-Jaccard dedup: candidates share a cheap blocking
+    * key (first + last token, plus any caller-supplied columns) —
+    * O(block²) only within small blocks — then exact bigram-Jaccard
+    * verification.
+    */
+  def blockedJaccard(docs: DataFrame, textCol: Column, idCol: Column,
+                     blockCols: Seq[String], num: Int, den: Int): DataFrame = {
+    val base = docs.select(
+      (Seq(idCol.as("doc_id"), Text.tokens(textCol).as("tk")) ++ blockCols.map(col)): _*)
+    val keyed = base.select(col("doc_id"),
+      struct((blockCols.map(col) ++ Seq(
+        element_at(col("tk"), 1).as("_f"),
+        element_at(col("tk"), -1).as("_l"))): _*).as("bk"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val sh = Text.distinctShingles(docs, textCol, idCol, 2)
+    jaccardVerify(cand, sh, num, den)
+  }
+
+  /** Embedding near-dup: sign-bucket LSH + exact integer-dot cosine
+    * threshold num/den (cross-multiplied, no floats).
+    */
+  def embeddingNearDups(emb: DataFrame, vecCol: Column, idCol: Column,
+                        bucketBits: Int, num: Int, den: Int): DataFrame = {
+    val q = emb.select(idCol.as("vec_id"), Vectors.quantize(vecCol).as("q"))
+      .withColumn("n2", Vectors.intNorm2(col("q")))
+      .withColumn("bucket", Vectors.signBucket(col("q"), bucketBits))
+    val dot = Vectors.intDot(col("a.q"), col("b.q"))
+    q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dot.as("dot"), col("a.n2").as("n2a"), col("b.n2").as("n2b"))
+      // decimal(38,0): exact integer cross-multiplication without long
+      // overflow (dot² alone can exceed 2^63 for high-norm vectors)
+      .where(col("dot") > 0 &&
+        lit(den.toLong * den).cast("decimal(38,0)") *
+          col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") >=
+        lit(num.toLong * num).cast("decimal(38,0)") *
+          col("n2a").cast("decimal(38,0)") * col("n2b").cast("decimal(38,0)"))
+      .select(col("vec_a"), col("vec_b"), col("dot"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §7.4): treat image/audio/video as
+  * opaque `binary` payloads with typed metadata, and run decode /
+  * feature-extraction as batched per-partition transforms.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[DecodeStub.decode]] produces deterministic fake
+  * pixels from the payload bytes. Everything around it — schema, the
+  * partition-batched execution shape, feature schema, frame sampling —
+  * is real and tested; swapping in a real decoder changes only the stub
+  * body.
+  *
+  * Scale notes: decode is per-row work inside `mapPartitions` (no
+  * shuffle); payloads never pass through the driver; partition sizing
+  * for 100 TB of blobs is governed by `spark.sql.files.maxPartitionBytes`
+  * on the scan, not anything here.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + envelope metadata. */
+  case class MediaRecord(media_id: Long, mime: String, payload: Array[Byte])
+
+  /** Decoded-media features (what a real image decoder would emit). */
+  case class MediaFeatures(media_id: Long, mime: String, byte_len: Long,
+                           width: Int, height: Int, channels: Int,
+                           feature: Array[Float])
+
+  object DecodeStub {
+    /** STUB — stands in for an image/audio decode (e.g. JPEG → pixels).
+      * Deterministic on the payload so tests are stable: "dimensions"
+      * derive from the byte length, the "feature vector" from a
+      * rolling hash of the bytes.
+      */
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.payload.length
+      var h = 1125899906842597L // deterministic FNV-ish rolling hash
+      var i = 0
+      while (i < n) { h = h * 31 + (r.payload(i) & 0xff); i += 1 }
+      val feature = Array.tabulate(8) { j =>
+        (((h >>> (j * 8)) & 0xff).toInt - 128) / 128.0f
+      }
+      MediaFeatures(r.media_id, r.mime, n.toLong,
+        width = 16 + (n % 64), height = 16 + ((n * 7) % 64), channels = 3,
+        feature = feature)
+    }
+  }
+
+  /** Batched decode over partitions — the Scala analog of a pandas UDF
+    * over `mapInPandas`: one iterator per partition, rows processed in
+    * batch without per-row task overhead or driver involvement.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(DecodeStub.decode))
+  }
+
+  /** Pseudo-frame sampling for video-shaped payloads: `n` evenly spaced
+    * (frame_idx, byte_offset) rows per media row — the partition-local
+    * explode a real frame sampler would do.
+    */
+  def sampleFrames(media: DataFrame, n: Int,
+                   idCol: Column = col("media_id"),
+                   payloadCol: Column = col("payload")): DataFrame =
+    media.select(idCol.as("media_id"), octet_length(payloadCol).as("byte_len"))
+      .select(col("media_id"), col("byte_len"),
+        explode(expr(s"sequence(0, ${n - 1})")).as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * (col("byte_len") / lit(n)).cast("long"))
+
+  /** Columnar feature extraction used by the oracle-checked query:
+    * envelope features computable without the codec (byte length,
+    * content hash, stub dimensions) as pure expressions.
+    */
+  def envelopeFeatures(payload: Column, nChars: Column): Seq[Column] = Seq(
+    octet_length(payload).cast("long").as("byte_len"),
+    sha2(payload, 256).as("sha"),
+    (lit(16) + nChars % 64).cast("long").as("width"),
+    (lit(16) + (nChars * 7) % 64).cast("long").as("height"),
+    lit(3L).as("channels"))
+}

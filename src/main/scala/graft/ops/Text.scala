@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §7.4):
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * All pure column expressions (whole-stage-codegen friendly, no UDFs):
+  * at 100 TB these run embedded in the scan stage with zero extra
+  * shuffles — per-row work only.
+  */
+object Text {
+
+  /** Whitespace-collapsed lowercase normal form — the canonical text for
+    * fingerprints and shingles. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** MD5 fingerprint of the normal form — exact-dup key (content
+    * addressing; md5 is fine for dedup, not security). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word n-gram shingles (1-based element_at, so the SQL mirror is
+    * index-identical). Empty array when the doc has < n tokens. */
+  def shingleExpr(n: Int, toksCol: String = "tk"): Column = {
+    val parts = (0 until n).map(o => s"element_at($toksCol, i + $o)").mkString(", ' ', ")
+    expr(s"CASE WHEN size($toksCol) >= $n THEN " +
+      s"transform(sequence(1, size($toksCol) - ${n - 1}), i -> concat($parts)) " +
+      "ELSE array() END")
+  }
+
+  /** One row per distinct shingle per doc: (idCol, shingle). The
+    * explode happens map-side; downstream joins shuffle on `shingle`.
+    */
+  def distinctShingles(docs: DataFrame, textCol: Column, idCol: Column, n: Int): DataFrame =
+    docs.select(idCol.as("doc_id"), tokens(textCol).as("tk"))
+      .select(col("doc_id"), explode(shingleExpr(n)).as("shingle"))
+      .distinct()
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality signals (length, stopword ratio, punctuation)
+    * in pure integer arithmetic — ratios via cross-multiplication so
+    * the result is engine-exact. `is_low_quality` flags docs that are
+    * very short or > 60% stopwords.
+    */
+  def qualitySignals(text: Column): Seq[Column] = {
+    val tk = tokens(text)
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    val nTokens = size(tk).cast("long").as("n_tokens")
+    val nStop = expr(s"CAST(size(filter(${tkSql("text")}, t -> t IN ($stopList))) AS BIGINT)").as("n_stop")
+    val nShort = expr(s"CAST(size(filter(${tkSql("text")}, t -> length(t) <= 2)) AS BIGINT)").as("n_short")
+    val norm = normalized(text)
+    val nPunct = (length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("long").as("n_punct")
+    val lowq = (size(tk) < 10) ||
+      (lit(100) * expr(s"size(filter(${tkSql("text")}, t -> t IN ($stopList)))") > lit(60) * size(tk))
+    Seq(nTokens, nStop, nShort, nPunct, lowq.as("is_low_quality"))
+  }
+
+  private def tkSql(textCol: String): String =
+    s"split(lower(trim($textCol)), '\\\\s+')"
+
+  /** Language-marker token lists for the n-gram-style language-ID
+    * heuristic. Deterministic scores with a fixed priority tiebreak.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "des", "une"))
+
+  /** Marker-count score columns (s_en, s_es, ...). */
+  def langScores(textCol: String): Seq[Column] =
+    langMarkers.map { case (lang, markers) =>
+      val list = markers.map(m => s"'$m'").mkString(", ")
+      expr(s"CAST(size(filter(${tkSql(textCol)}, t -> t IN ($list))) AS BIGINT)").as(s"s_$lang")
+    }
+
+  /** Argmax over the s_* score columns with declaration-order tiebreak
+    * (apply after [[langScores]] are in scope). */
+  def langGuess: Column =
+    langMarkers.foldRight(lit("und")) { case ((lang, _), els) =>
+      val others = langMarkers.filter(_._1 != lang)
+        .map(o => col(s"s_${o._1}")).reduce((a, b) => greatest(a, b))
+      when(col(s"s_$lang") > 0 && col(s"s_$lang") >= others, lang).otherwise(els)
+    }
+}

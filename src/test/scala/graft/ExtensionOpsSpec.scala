@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Extension operators against planted synthetic fixtures: known
+  * near-dups must be found, known non-dups must not. */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val docs = Seq(
+    (1L, base, "s0"),
+    (2L, base.replace("kappa", "kappa2"), "s1"),       // near-dup of 1
+    (3L, "completely different words entirely here now today maybe sometimes never always", "s0"),
+    (4L, "  " + base.toUpperCase + "  ", "s1"),        // exact dup of 1 after normalization
+    (5L, base.split(" ").reverse.mkString(" "), "s0")  // same tokens, different order
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups normalize case and whitespace") {
+    val groups = Dedup.exactGroups(docs, col("text"), col("doc_id"))
+    val g = groups.where(col("n_docs") > 1).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n_docs") === 2L)
+    assert(g.head.getAs[Long]("rep_doc_id") === 1L)
+  }
+
+  test("minhash-LSH finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // 17/23 shared 3-shingles > 0.5
+    assert(pairs.contains((1L, 4L)))  // identical after normalization
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.contains((1L, 5L))) // same tokens, no shared shingles
+  }
+
+  test("simhash: identical docs collide, dissimilar docs differ") {
+    val sh = Dedup.simhash(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(4L))
+    assert(sh(1L) === sh(5L)) // simhash is order-insensitive by design
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("embedding near-dup finds the planted perturbed vector") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val vNear = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
+    val vOpp = v.map(x => -x)
+    val vOther = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((1L, v.toSeq), (2L, vNear.toSeq), (3L, vOpp.toSeq), (4L, vOther.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, col("embedding"), col("vec_id"),
+        bucketBits = 8, num = 90, den = 100)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks the planted nearest first; LSH agrees on scores") {
+    val rnd = new scala.util.Random(1)
+    val q = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val near = q.map(_ * 1.01f)
+    val rows = (0 until 50).map { i =>
+      (100L + i, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq)
+    } :+ (999L, near.toSeq)
+    val cands = rows.toDF("vec_id", "embedding")
+    val queries = Seq((1L, q.toSeq)).toDF("vec_id", "embedding")
+    val brute = Similarity.topKBruteForce(cands, queries, col("embedding"), col("vec_id"), 5)
+      .orderBy("rnk").select("vec_id", "dot").as[(Long, Long)].collect()
+    assert(brute.head._1 === 999L)
+    val lsh = Similarity.topKLsh(cands, queries, col("embedding"), col("vec_id"), 5, bits = 6)
+      .select("vec_id", "dot").as[(Long, Long)].collect().toMap
+    val bruteMap = brute.toMap
+    lsh.foreach { case (id, dot) =>
+      if (bruteMap.contains(id)) assert(bruteMap(id) === dot)
+    }
+    assert(lsh.contains(999L)) // planted near vector shares all sign bits
+  }
+
+  test("multimodal decode stub is deterministic and batch-shaped") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/fake", "payload-one".getBytes),
+      Multimodal.MediaRecord(2L, "image/fake", "payload-two-longer".getBytes)
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(feats.head.byte_len === 11L)
+    assert(feats.head.feature.length === 8)
+    val again = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.head.feature.toSeq === again.head.feature.toSeq)
+    assert(feats.head.width === 16 + 11 % 64)
+  }
+
+  test("frame sampling explodes n frames with monotone offsets") {
+    val media = Seq((1L, "0123456789".getBytes)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, 4).orderBy("frame_idx").collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getAs[Long]("byte_offset")).toSeq === Seq(0L, 2L, 4L, 6L))
+  }
+
+  test("language scores + quality signals compute known values") {
+    val d = Seq((1L, "the cat and the dog of a house!!")).toDF("doc_id", "text")
+    val q = d.select((col("doc_id") +: Text.qualitySignals(col("text"))): _*).collect().head
+    assert(q.getAs[Long]("n_tokens") === 8L)
+    assert(q.getAs[Long]("n_stop") === 5L)   // the, and, the, of, a
+    assert(q.getAs[Long]("n_punct") === 2L)
+    val l = d.select((col("doc_id") +: Text.langScores("text")): _*)
+      .withColumn("g", Text.langGuess).collect().head
+    assert(l.getAs[String]("g") === "en")
+  }
+}
