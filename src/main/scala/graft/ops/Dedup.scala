@@ -62,11 +62,25 @@ object Dedup {
       .where(lit(den) * col("inter") >= lit(num) * col("union_sz"))
   }
 
-  /** End-to-end MinHash-LSH near-dup detection on word `n`-shingles. */
+  /** End-to-end MinHash-LSH near-dup detection on word `n`-shingles.
+    *
+    * The shingle table feeds four consumers (signatures, both sides of
+    * the verify join, the size counts). Spark's ReuseExchange dedups the
+    * repeated shuffle at execution; `persistShingles` additionally
+    * caches the materialized rows — measured *slower* at fixture scale
+    * (extra materialization beats 3 cheap recomputes) but the right
+    * call on a 100 TB corpus, where you'd persist — or write the
+    * shingle table out bucketed by shingle once per corpus — rather
+    * than re-scan the raw text four times.
+    */
   def minhashNearDups(docs: DataFrame, textCol: Column, idCol: Column,
                       shingleN: Int = 3, numHashes: Int = 8,
-                      num: Int = 1, den: Int = 2): DataFrame = {
-    val sh = Text.distinctShingles(docs, textCol, idCol, shingleN)
+                      num: Int = 1, den: Int = 2,
+                      persistShingles: Boolean = false): DataFrame = {
+    val base = Text.distinctShingles(docs, textCol, idCol, shingleN)
+    val sh = if (persistShingles)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base
     jaccardVerify(lshCandidates(minhashSignatures(sh, numHashes)), sh, num, den)
   }
 

@@ -11,7 +11,14 @@ import graft.sinks.Sinks.ParquetSnapshotStore
   * snapshot merge].
   *
   * One `foreachBatch` handles both branches so the source is read once
-  * per micro-batch (the persist/unpersist pair). Each batch is one
+  * per micro-batch (the persist/unpersist pair).
+  *
+  * Note: validation runs on EVERY message including deletes
+  * (reference-faithful, consumer.py:47-48) — a delete event whose row
+  * image fails F2 goes to the DLQ and does not delete. Real
+  * trigger-produced deletes carry the OLD row image
+  * (project2_dag.py:45-72), which passes validation for rows that were
+  * valid at insert time. Each batch is one
   * atomic merge into the snapshot — replacing the reference's
   * per-message autocommit (consumer.py:60-91) and its
   * commit-before-write loss window (§2.9): with checkpointing, a
@@ -35,19 +42,27 @@ object CdcStream {
     *                  restart — SURVEY §2.9)
     */
   def start(wire: DataFrame, store: ParquetSnapshotStore, dlqPath: String,
-            checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+            totalsPath: Option[String] = None): StreamingQuery =
     wire.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, store, dlqPath)
+        applyBatch(batch, store, dlqPath, totalsPath)
       }
       .start()
 
   /** One micro-batch: decode, split, route. Factored out so batch
     * replays and tests hit the identical code path.
+    *
+    * `totalsPath` maintains the D2 aggregate table (per-city salary
+    * totals, the project-1 A4 analog): recomputed from the merged
+    * snapshot each batch rather than accumulated from the raw stream,
+    * so deletes and updates retract correctly (SURVEY §7.5 risk 1 —
+    * plain streaming groupBy cannot retract).
     */
-  def applyBatch(batch: DataFrame, store: ParquetSnapshotStore, dlqPath: String): Unit = {
+  def applyBatch(batch: DataFrame, store: ParquetSnapshotStore, dlqPath: String,
+                 totalsPath: Option[String] = None): Unit = {
     val decoded = CdcWire.fromWire(batch).persist()
     try {
       val corrupt = decoded.where(col("corrupt"))
@@ -60,8 +75,17 @@ object CdcStream {
         corrupt.select(col("emp_id"), col("action"), col("last_updated_at"))
           .write.mode("append").parquet(dlqPath + "_corrupt")
       val valid = split.valid.drop("corrupt")
-      if (!valid.isEmpty)
+      if (!valid.isEmpty) {
         store.merge(valid, tsCol = "last_updated_at", tieBreak = Seq("action_id"))
+        totalsPath.foreach { tp =>
+          store.load().foreach { snap =>
+            val totals = snap.groupBy(col("emp_city"))
+              .agg(sum(col("emp_salary")).as("total_salary"),
+                count(lit(1)).as("n_emps"))
+            totals.write.mode("overwrite").parquet(tp)
+          }
+        }
+      }
     } finally decoded.unpersist()
   }
 }

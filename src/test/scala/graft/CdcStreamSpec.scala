@@ -47,7 +47,8 @@ class CdcStreamSpec extends SparkSpec {
 
     val store = new ParquetSnapshotStore(spark, s"$root/snapshot", Seq("emp_id"))
     val wire = graft.sources.CdcSources.wireJsonStream(spark, wireDir, maxFilesPerTrigger = 1)
-    val q = CdcStream.start(wire, store, s"$root/dlq", s"$root/ckpt")
+    val q = CdcStream.start(wire, store, s"$root/dlq", s"$root/ckpt",
+      totalsPath = Some(s"$root/totals"))
     q.awaitTermination(120000)
 
     val snap = store.load().get
@@ -57,6 +58,11 @@ class CdcStreamSpec extends SparkSpec {
     val dlq = spark.read.parquet(s"$root/dlq")
     assert(dlq.count() === 3)
     assert(dlq.select("emp_id").as[Long].collect().toSet === Set(3L, 4L, -100L))
+    // D2 aggregate table tracked the snapshot: only Emma's city remains
+    val totals = spark.read.parquet(s"$root/totals").collect()
+    assert(totals.length === 1)
+    assert(totals.head.getAs[String]("emp_city") === "Boston")
+    assert(totals.head.getAs[Long]("total_salary") === 72000L)
   }
 
   test("corrupt wire messages are quarantined, not dropped") {
