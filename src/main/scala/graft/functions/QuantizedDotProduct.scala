@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Codegen'd fused quantize-and-dot over two `array<float>` columns:
+  * Σ round(aᵢ·1000)·round(bᵢ·1000) as a single long accumulator loop.
+  *
+  * Semantically identical to the composable form
+  * `aggregate(zip_with(quantize(a), quantize(b), _*_), 0L, _+_)`
+  * ([[graft.ops.Vectors]]), but with no intermediate quantized arrays
+  * or lambda dispatch — the hot path of ANN scoring evaluates this
+  * once per (query, candidate) pair, so allocation per pair matters.
+  * `q_dot(v, v)` doubles as the squared norm.
+  *
+  * Rounding is half-away-from-zero (explicit floor/ceil formulation),
+  * matching both Spark's `round()` and DuckDB's `round()` so the
+  * DuckDB oracle stays exact.
+  */
+case class QuantizedDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "q_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"q_dot requires two array<float> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+
+  @inline private def q(x: Float): Long = {
+    val v = x.toDouble * 1000.0
+    if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += q(a.getFloat(i)) * q(b.getFloat(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val vx = ctx.freshName("vx")
+      val vy = ctx.freshName("vy")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $vx = ((double) $a.getFloat($i)) * 1000.0;
+         |    double $vy = ((double) $b.getFloat($i)) * 1000.0;
+         |    $acc += (long)($vx >= 0 ? Math.floor($vx + 0.5) : Math.ceil($vx - 0.5))
+         |          * (long)($vy >= 0 ? Math.floor($vy + 0.5) : Math.ceil($vy - 0.5));
+         |  }
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Idempotently register the custom expressions with a session and
+    * return a Column builder for `q_dot`. */
+  def registerQDot(spark: SparkSession): (Column, Column) => Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "q_dot", exprs => QuantizedDotProduct(exprs(0), exprs(1)), "built-in")
+    (a: Column, b: Column) => org.apache.spark.sql.functions.call_function("q_dot", a, b)
+  }
+}

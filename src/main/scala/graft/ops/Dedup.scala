@@ -140,10 +140,11 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, vecCol: Column, idCol: Column,
                         bucketBits: Int, num: Int, den: Int): DataFrame = {
-    val q = emb.select(idCol.as("vec_id"), Vectors.quantize(vecCol).as("q"))
-      .withColumn("n2", Vectors.intNorm2(col("q")))
-      .withColumn("bucket", Vectors.signBucket(col("q"), bucketBits))
-    val dot = Vectors.intDot(col("a.q"), col("b.q"))
+    val qdot = graft.functions.GraftFunctions.registerQDot(emb.sparkSession)
+    val q = emb.select(idCol.as("vec_id"), vecCol.as("v"))
+      .withColumn("n2", qdot(col("v"), col("v")))
+      .withColumn("bucket", Vectors.signBucket(Vectors.quantize(col("v")), bucketBits))
+    val dot = qdot(col("a.v"), col("b.v"))
     q.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY §7.4).
@@ -17,9 +18,10 @@ import org.apache.spark.sql.functions._
   *    (an IVF-style inverted-list probe). Cost drops by ~2^bits; recall
   *    trades off with `bits`.
   *
-  * Similarity = exact integer dot product of quantized vectors
-  * ([[Vectors.quantize]]): deterministic, order-independent, and
-  * rank-equivalent to float cosine down to the quantization floor.
+  * Scoring uses [[graft.functions.QuantizedDotProduct]] — a fused
+  * codegen'd quantize+dot (exact integer arithmetic, no per-pair array
+  * allocation). Results are bit-identical to the composable
+  * `Vectors.intDot(quantize(a), quantize(b))` form.
   */
 object Similarity {
 
@@ -31,25 +33,26 @@ object Similarity {
   /** Exact top-k: every (query, candidate) pair scored. */
   def topKBruteForce(candidates: DataFrame, queries: DataFrame,
                      vecCol: Column, idCol: Column, k: Int): DataFrame = {
-    val cand = candidates.select(idCol.as("vec_id"), Vectors.quantize(vecCol).as("q"))
-    val qs = queries.select(idCol.as("q_vec_id"), Vectors.quantize(vecCol).as("qq"))
+    val qdot = GraftFunctions.registerQDot(candidates.sparkSession)
+    val cand = candidates.select(idCol.as("vec_id"), vecCol.as("v"))
+    val qs = queries.select(idCol.as("q_vec_id"), vecCol.as("qv"))
     val scored = cand.crossJoin(broadcast(qs))
-      .select(col("q_vec_id"), col("vec_id"),
-        Vectors.intDot(col("q"), col("qq")).as("dot"))
+      .select(col("q_vec_id"), col("vec_id"), qdot(col("v"), col("qv")).as("dot"))
     ranked(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: score only candidates in the
-    * query's sign bucket. */
+    * query's sign bucket (bucketing is on the quantized components so
+    * the SQL oracle mirrors exactly). */
   def topKLsh(candidates: DataFrame, queries: DataFrame,
               vecCol: Column, idCol: Column, k: Int, bits: Int): DataFrame = {
-    val cand = candidates.select(idCol.as("vec_id"), Vectors.quantize(vecCol).as("q"))
-      .withColumn("bucket", Vectors.signBucket(col("q"), bits))
-    val qs = queries.select(idCol.as("q_vec_id"), Vectors.quantize(vecCol).as("qq"))
-      .withColumn("qbucket", Vectors.signBucket(col("qq"), bits))
+    val qdot = GraftFunctions.registerQDot(candidates.sparkSession)
+    val cand = candidates.select(idCol.as("vec_id"), vecCol.as("v"))
+      .withColumn("bucket", Vectors.signBucket(Vectors.quantize(col("v")), bits))
+    val qs = queries.select(idCol.as("q_vec_id"), vecCol.as("qv"))
+      .withColumn("qbucket", Vectors.signBucket(Vectors.quantize(col("qv")), bits))
     val scored = cand.join(broadcast(qs), col("bucket") === col("qbucket"))
-      .select(col("q_vec_id"), col("vec_id"),
-        Vectors.intDot(col("q"), col("qq")).as("dot"))
+      .select(col("q_vec_id"), col("vec_id"), qdot(col("v"), col("qv")).as("dot"))
     ranked(scored, k)
   }
 }

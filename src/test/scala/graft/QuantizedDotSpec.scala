@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.Vectors
+
+/** The fused codegen expression must be bit-identical to the
+  * composable quantize+zip_with+aggregate form, interpreted and
+  * codegen'd, across sign/magnitude ranges.
+  */
+class QuantizedDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_dot == compositional intDot on 1000 random vectors") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 1000).map { i =>
+      (i.toLong,
+        Array.fill(64)((rnd.nextFloat() - 0.5f) * rnd.nextInt(5).toFloat).toSeq,
+        Array.fill(64)((rnd.nextFloat() - 0.5f) * rnd.nextInt(5).toFloat).toSeq)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val qdot = GraftFunctions.registerQDot(spark)
+    val cmp = df.select(
+      qdot(col("a"), col("b")).as("fused"),
+      Vectors.intDot(Vectors.quantize(col("a")), Vectors.quantize(col("b"))).as("composed"))
+    assert(cmp.where(col("fused") =!= col("composed")).count() === 0)
+  }
+
+  test("q_dot(v, v) is the squared norm; empty and null-element arrays behave") {
+    val qdot = GraftFunctions.registerQDot(spark)
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f), Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq.empty[Float], Seq.empty[Float])
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), qdot(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round(1000)^2 + round(-2000)^2 + round(500)^2
+    assert(out(1L) === 1000L * 1000 + 2000L * 2000 + 500L * 500)
+    assert(out(2L) === 0L)
+  }
+
+  test("SQL surface: q_dot callable from spark.sql") {
+    GraftFunctions.registerQDot(spark)
+    val r = spark.sql(
+      "SELECT q_dot(array(cast(0.1 as float)), array(cast(0.2 as float))) AS d")
+      .collect().head.getLong(0)
+    assert(r === 100L * 200L)
+  }
+}
