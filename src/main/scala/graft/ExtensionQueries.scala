@@ -62,6 +62,14 @@ object ExtensionQueries {
       .withColumn("lang_guess", Text.langGuess)
       .orderBy("doc_id")
 
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"),
+        Text.rollingHash(col("text")).as("rolling_hash"),
+        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------- dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -121,6 +129,7 @@ object ExtensionQueries {
     "text_token_stats" -> (qTextTokenStats _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
+    "text_fingerprint" -> (qTextFingerprint _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -232,6 +241,17 @@ object ExtensionQueries {
          |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
          |       $langGuessSql AS lang_guess
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS lt,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents)
+         |SELECT doc_id, md5(norm) AS fingerprint,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
+         |  CAST(len(regexp_extract_all(lt, '${Text.bpeTokenPattern}', 0)) AS BIGINT) AS n_bpe_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -24,6 +24,24 @@ object Text {
     * addressing; md5 is fine for dedup, not security). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** BPE-ish subword segmentation: letter runs, digit runs, and single
+    * punctuation marks — the pre-tokenization regex shape BPE
+    * tokenizers apply before merges. Count = size of the match list.
+    */
+  val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(trim(text)), lit(bpeTokenPattern), lit(0))).cast("long")
+
+  /** Polynomial rolling hash of the normal form's characters
+    * (h = (h·31 + codepoint) mod 1e9+7) — an order-sensitive document
+    * fingerprint, cheap to compare and exactly reproducible in SQL.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(normalized(text), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
   /** Word n-gram shingles (1-based element_at, so the SQL mirror is
     * index-identical). Empty array when the doc has < n tokens. */
   def shingleExpr(n: Int, toksCol: String = "tk"): Column = {
