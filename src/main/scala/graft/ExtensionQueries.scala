@@ -62,6 +62,25 @@ object ExtensionQueries {
       .withColumn("lang_guess", Text.langGuess)
       .orderBy("doc_id")
 
+  /** Skew-safe distinct users per event type (low-cardinality group key
+    * → classic distinct-agg hotspot; two-stage form spreads it). */
+  private def qEventsDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.distinctCount(Tables.events(s, dir),
+        Seq(col("event_type")), col("user_id"), as = "n_distinct_users")
+      .orderBy("event_type")
+
+  /** Sliding-window aggregation (1h windows every 30min) — the batch
+    * mirror of the streaming `window()` operator. */
+  private def qEventsSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("window.end").cast("timestamp_ntz").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("w_start", "event_type")
+
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -130,6 +149,8 @@ object ExtensionQueries {
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "events_distinct_users" -> (qEventsDistinctUsers _),
+    "events_sliding_window" -> (qEventsSlidingWindow _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -241,6 +262,21 @@ object ExtensionQueries {
          |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
          |       $langGuessSql AS lang_guess
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "events_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (SELECT event_type, value,
+        |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+        |                   - k * 1800000000) AS w_start
+        |  FROM e, LATERAL (SELECT unnest([0, 1]) AS k) s)
+        |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS lt,
