@@ -132,6 +132,19 @@ object ExtensionQueries {
       .orderBy("q_vec_id", "rnk")
   }
 
+  /** IVF ANN (k-means cells, 2-probe). No SQL oracle — iterative
+    * training isn't expressible in DuckDB; driver records a rows-only
+    * check, recall is tested against brute force in ExtensionOpsSpec.
+    */
+  private def qSimTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val index = graft.ops.Ivf.build(emb.where(col("vec_id") >= 8),
+      col("embedding"), col("vec_id"), k = 16)
+    graft.ops.Ivf.topK(index, emb.where(col("vec_id") < 8),
+        col("embedding"), col("vec_id"), k = 10, nProbe = 2)
+      .orderBy("q_vec_id", "rnk")
+  }
+
   // -------------------------------------------------------- multimodal
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -158,6 +171,7 @@ object ExtensionQueries {
     "dedup_embedding_cos" -> (qDedupEmbedding _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
     "sim_topk_lsh" -> (qSimTopkLsh _),
+    "sim_topk_ivf" -> (qSimTopkIvf _),
     "multimodal_features" -> (qMultimodalFeatures _),
   )
 

@@ -24,13 +24,22 @@ object Dedup {
   /** MinHash signatures: for each salt h, min over the doc's shingles of
     * md5(h # shingle). b bands of r=1 row each → collision probability
     * 1-(1-J)^b: J=0.5 → 99.6% at b=8.
+    *
+    * Computed as one wide aggregation (numHashes min-columns over the
+    * shingle rows — map-side partial, one keyed shuffle) followed by a
+    * per-doc unpivot, instead of exploding shingles × salts through the
+    * shuffle: the md5 work is identical but the shuffled row count
+    * drops from |shingles|·b to |docs|.
     */
-  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
-    shingles
-      .select(col("doc_id"), col("shingle"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit("#"), col("shingle")))).as("mh"))
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { h =>
+      min(md5(concat(lit(s"$h#"), col("shingle")))).as(s"mh$h")
+    }
+    val stackExpr = (0 until numHashes)
+      .map(h => s"$h, mh$h").mkString(s"stack($numHashes, ", ", ", ") as (h, mh)")
+    shingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), expr(stackExpr))
+  }
 
   /** Band-bucket join → distinct candidate pairs (a < b). */
   def lshCandidates(sig: DataFrame): DataFrame =

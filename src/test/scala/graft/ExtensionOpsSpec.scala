@@ -77,6 +77,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(lsh.contains(999L)) // planted near vector shares all sign bits
   }
 
+  test("IVF top-k recalls the planted near vector with 2-probe") {
+    val rnd = new scala.util.Random(3)
+    val q = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val near = q.map(_ * 1.02f)
+    val rows = (0 until 200).map { i =>
+      (100L + i, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq)
+    } :+ (999L, near.toSeq)
+    val cands = rows.toDF("vec_id", "embedding")
+    val queries = Seq((1L, q.toSeq)).toDF("vec_id", "embedding")
+    val index = Ivf.build(cands, col("embedding"), col("vec_id"), k = 8)
+    val got = Ivf.topK(index, queries, col("embedding"), col("vec_id"), k = 5, nProbe = 2)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(got.head === 999L) // query's own cell contains its scaled copy
+    // determinism: same seed → same result
+    val again = Ivf.topK(Ivf.build(cands, col("embedding"), col("vec_id"), k = 8),
+      queries, col("embedding"), col("vec_id"), k = 5, nProbe = 2)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("multimodal decode stub is deterministic and batch-shaped") {
     val media = Seq(
       Multimodal.MediaRecord(1L, "image/fake", "payload-one".getBytes),
