@@ -65,6 +65,31 @@ class ApplyChangesOracleSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge over k batches == one-shot fold (any batch split)") {
+    val rnd = new Random(11)
+    val alive = mutable.Set[Long]()
+    val events = (0 until 1500).map { i =>
+      val k = rnd.nextInt(30).toLong
+      val action =
+        if (!alive(k)) { alive += k; "insert" }
+        else if (rnd.nextInt(4) == 0) { alive -= k; "delete" }
+        else "update"
+      Ev(k, i.toLong, action, rnd.nextLong(1000000))
+    }
+    val expected = foldOracle(events).map { case (k, e) => k -> e.seq }
+    for (nBatches <- Seq(2, 5)) {
+      val batches = events.grouped(math.ceil(events.size.toDouble / nBatches).toInt).toSeq
+      var snap = ApplyChanges.latestPerKey(batches.head.toDF(), Seq("emp_id"), col("seq"))
+        .where(lower(col("action")) =!= "delete")
+      batches.tail.foreach { b =>
+        val reduced = ApplyChanges.latestPerKey(b.toDF(), Seq("emp_id"), col("seq"))
+        snap = ApplyChanges.mergeIntoSnapshot(snap, reduced, Seq("emp_id"))
+      }
+      val got = snap.select("emp_id", "seq").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"nBatches=$nBatches")
+    }
+  }
+
   test("firstPerKey keeps the earliest event per key") {
     val events = Seq(Ev(1, 5, "insert", 10), Ev(1, 2, "insert", 20), Ev(2, 9, "insert", 30))
     val got = ApplyChanges.firstPerKey(events.toDF(), Seq("emp_id"), col("seq"))

@@ -41,4 +41,28 @@ class StreamingWindowSpec extends SparkSpec {
     // only the closed 10:00-11:00 window was appended, without the late 100.0
     assert(rows.toSeq === Seq(("2024-01-01 10:00:00.0", 2L, 3L)))
   }
+
+  test("session_window merges events within gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    def t(s: String) = Timestamp.valueOf(s)
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("user_id"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+    // one 3-event session (gaps < 30min), then a separate session 2h later
+    input.addData((t("2024-01-01 09:00:00"), 1L), (t("2024-01-01 09:20:00"), 1L),
+      (t("2024-01-01 09:45:00"), 1L), (t("2024-01-01 12:00:00"), 1L))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 15:00:00"), 1L)) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").orderBy("s").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(3)))
+    assert(rows.toSeq === Seq(("2024-01-01 09:00:00.0", 3L), ("2024-01-01 12:00:00.0", 1L)))
+  }
 }
