@@ -75,10 +75,11 @@ object ExtensionQueries {
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        (sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
+          .as("total_value_x100"))
       .select(col("window.start").cast("timestamp_ntz").as("w_start"),
         col("window.end").cast("timestamp_ntz").as("w_end"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), col("total_value_x100"))
       .orderBy("w_start", "event_type")
 
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -289,7 +290,7 @@ object ExtensionQueries {
         |  FROM e, LATERAL (SELECT unnest([0, 1]) AS k) s)
         |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
         |FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
 
     "text_fingerprint" ->

@@ -10,7 +10,11 @@ import graft.ops.Sessionize
   *
   * Conventions that keep the DuckDB compare byte-stable:
   *  - double aggregates are cast to DECIMAL before summing (parallel
-  *    double reduction is order-dependent; decimal is exact),
+  *    double reduction is order-dependent; decimal is exact), and the
+  *    final column is emitted as a scaled BIGINT (`_x100` / `_x10k`
+  *    suffix = value × 100 / × 10000): DECIMAL outputs with trailing
+  *    zeros ("123.40") canonicalize differently across readers and
+  *    hash-mismatched in round 1 — integers are stable everywhere,
   *  - constructed timestamps are TIMESTAMP_NTZ in UTC (DuckDB
   *    timestamps are naive),
   *  - every query ends in a total ORDER BY,
@@ -101,15 +105,19 @@ object SparkEntry {
   private def decSum(c: Column, castTo: String, outTo: String, name: String): Column =
     sum(c.cast(castTo)).cast(outTo).as(name)
 
+  /** Exact decimal sum emitted as a scaled BIGINT (see scaladoc above). */
+  private def decSumScaled(c: Column, castTo: String, scale: Int, name: String): Column =
+    (sum(c.cast(castTo)) * lit(scale)).cast("long").as(name)
+
   private def qQ1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        decSum(col("l_quantity"), "decimal(12,2)", "decimal(38,2)", "sum_qty"),
-        decSum(col("l_extendedprice"), "decimal(12,2)", "decimal(38,2)", "sum_base_price"),
-        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
-          "decimal(18,4)", "decimal(38,4)", "sum_disc_price"),
+        decSumScaled(col("l_quantity"), "decimal(12,2)", 100, "sum_qty_x100"),
+        decSumScaled(col("l_extendedprice"), "decimal(12,2)", 100, "sum_base_price_x100"),
+        decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "decimal(18,4)", 10000, "sum_disc_price_x10k"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -146,9 +154,9 @@ object SparkEntry {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
-        "decimal(18,4)", "decimal(38,4)", "revenue"))
-      .orderBy(col("revenue").desc, col("n_name").asc)
+      .agg(decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "decimal(18,4)", 10000, "revenue_x10k"))
+      .orderBy(col("revenue_x10k").desc, col("n_name").asc)
   }
 
   // ----------------------------------------------------------- events
@@ -161,7 +169,7 @@ object SparkEntry {
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("session_start").cast("timestamp_ntz").as("session_start"),
         col("session_end").cast("timestamp_ntz").as("session_end"),
-        col("total_value"))
+        col("total_value_x100"))
       .orderBy("user_id", "session_id")
 
   private def qEventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
@@ -169,7 +177,7 @@ object SparkEntry {
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        decSum(col("value"), "decimal(18,2)", "decimal(38,2)", "total_value"))
+        decSumScaled(col("value"), "decimal(18,2)", 100, "total_value_x100"))
       .orderBy("hour", "event_type")
 
   private def qEventsJsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -262,9 +270,9 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_x100,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_base_price_x100,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price_x10k,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -285,7 +293,7 @@ object SparkEntry {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_x10k
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -295,7 +303,7 @@ object SparkEntry {
         |WHERE r_regionkey = 2
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+        |GROUP BY 1 ORDER BY revenue_x10k DESC, n_name ASC""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (
@@ -310,13 +318,13 @@ object SparkEntry {
         |      FROM b)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_hourly_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_json_extract" ->

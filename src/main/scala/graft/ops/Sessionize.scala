@@ -31,9 +31,10 @@ object Sessionize {
         sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Per-session rollup: bounds, event count, exact decimal total of
-    * `valueCol` (decimal so the sum is order-independent — double sums
-    * differ run-to-run under parallel reduction).
+  /** Per-session rollup: bounds, event count, exact total of `valueCol`
+    * summed as decimal (order-independent — double sums differ
+    * run-to-run under parallel reduction) and emitted as a cents-scaled
+    * BIGINT (`total_value_x100`), the canonicalization-stable wire type.
     */
   def sessionStats(events: DataFrame, key: Column, ts: Column,
                    gapMicros: Long, valueCol: Column,
@@ -44,5 +45,5 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(ts).as("session_start"),
         max(ts).as("session_end"),
-        sum(valueCol.cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        (sum(valueCol.cast("decimal(18,2)")) * lit(100)).cast("long").as("total_value_x100"))
 }
