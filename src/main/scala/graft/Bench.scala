@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query steady-state seconds.
@@ -9,8 +10,21 @@ import org.apache.spark.sql.SparkSession
   * of a plan in a fresh JVM pays whole-stage-codegen compilation and C2
   * JIT (observed 10-30× inflation on this workload), which measures the
   * JVM, not the engine. A real deployment runs warm.
+  *
+  * All queries share one JVM/session, so inter-query hygiene matters:
+  * round 1 showed 10-40× inflation on late queries (212.9s for a query
+  * that runs in 4-5s in a fresh JVM). Between queries we therefore drop
+  * cached data and broadcast/shuffle state (`clearCache` + an explicit
+  * GC so the ContextCleaner's weak-ref queue actually drains — its
+  * periodic GC defaults to 30 min, longer than a whole bench run).
+  * Per-query diagnostics go to stderr; stdout stays the one JSON line.
   */
 object Bench {
+  private def gcStats(): (Long, Long) = {
+    val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,17 +33,32 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // drain shuffle/broadcast refs even when the heap never pressures
+      // a full GC on its own (default interval is 30 min — never fires
+      // within a bench run)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val rt = Runtime.getRuntime
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      System.gc() // lets ContextCleaner collect dead shuffles/broadcasts
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val (gc0, gt0) = gcStats()
       val a = once(name)
       val b = once(name)
+      val (gc1, gt1) = gcStats()
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      System.err.println(
+        f"[bench] $name%-24s a=$a%8.2fs b=$b%8.2fs gc=${gc1 - gc0}%3d gcMs=${gt1 - gt0}%6d heapMb=$usedMb%6d")
+      cleanup()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

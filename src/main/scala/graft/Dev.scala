@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc dev scratch main (not part of the library surface). */
+/** Ad-hoc dev scratch main (not part of the library surface):
+  * `runMain graft.Dev q1 q2 ...` times each named query `n` times in a
+  * fresh JVM — the uncontaminated ground truth for bench numbers.
+  */
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -11,11 +14,12 @@ object Dev {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    for (i <- 1 to 4) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
+    for (name <- names; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries("dedup_minhash_lsh")(spark, dir).count()
-      println(f"== dedup_minhash_lsh run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"== $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -311,12 +311,13 @@ object ExtensionQueries {
 
     "dedup_minhash_lsh" ->
       s"""WITH $SHINGLE3,
-         |sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '#' || shingle)) AS mh
-         |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS h) s
-         |        GROUP BY doc_id, h),
+         |${Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM sig x JOIN sig y
-         |         ON x.h = y.h AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
          |${jaccardTail(1, 2)}""".stripMargin,
 
     "dedup_simhash" ->

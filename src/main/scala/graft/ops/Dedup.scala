@@ -21,33 +21,98 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
 
-  /** MinHash signatures: for each salt h, min over the doc's shingles of
-    * md5(h # shingle). b bands of r=1 row each → collision probability
-    * 1-(1-J)^b: J=0.5 → 99.6% at b=8.
+  /** Banded MinHash signatures: `bands` keys per doc, each the
+    * concatenation of `rowsPerBand` minhashes. Collision probability is
+    * the proper LSH s-curve 1-(1-J^r)^b — r≥2 is what keeps the
+    * candidate set sub-quadratic at scale: with r=1 every doc pair
+    * sharing ONE common-shingle minhash collides (P=1-(1-J)^b ≈ 0.57 at
+    * J=0.1 for b=8), which degenerates toward all-pairs on a 100 TB
+    * corpus.
     *
-    * Computed as one wide aggregation (numHashes min-columns over the
-    * shingle rows — map-side partial, one keyed shuffle) followed by a
-    * per-doc unpivot, instead of exploding shingles × salts through the
-    * shuffle: the md5 work is identical but the shuffled row count
-    * drops from |shingles|·b to |docs|.
+    * Minhash family: one [[Text.polyHash]] digest `d` per shingle, then
+    * h_i(d) = (a_i·d + b_i) mod p (universal hashing) — all codegen'd
+    * integer arithmetic. One digest per shingle row, b·r cheap
+    * multiply-adds on top; no per-row crypto (see polyHash scaladoc for
+    * why md5 here serialized the whole stage). a_i·d < 1e18.1 < 2^63,
+    * so the arithmetic never overflows.
+    *
+    * Computed as one wide aggregation (b·r min-columns over the shingle
+    * rows — map-side partial, one keyed shuffle) followed by a per-doc
+    * unpivot to (doc_id, band, bk), so the shuffled row count is
+    * |docs|·b, not |shingles|·b·r.
     */
-  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+  private val P = graft.ops.Text.polyHashMod
+  /** Deterministic universal-hash constants (a_i ≠ 0, both < p). */
+  private[ops] def hashConsts(i: Int): (Long, Long) = {
+    val a = (1103515245L * (i + 1) + 12345L) % P
+    val b = (69069L * (i + 1) + 1L) % P
+    (if (a == 0L) 1L else a, b)
+  }
+
+  def minhashBandKeys(shingles: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val hashed = shingles.select(col("doc_id"), Text.polyHash(col("shingle")).as("d"))
     val mins = (0 until numHashes).map { h =>
-      min(md5(concat(lit(s"$h#"), col("shingle")))).as(s"mh$h")
+      val (a, b) = hashConsts(h)
+      min((col("d") * lit(a) + lit(b)) % lit(P)).as(s"mh$h")
     }
-    val stackExpr = (0 until numHashes)
-      .map(h => s"$h, mh$h").mkString(s"stack($numHashes, ", ", ", ") as (h, mh)")
-    shingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandRows = (0 until bands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      s"$b, concat_ws('|', ${ms.mkString(", ")})"
+    }
+    val stackExpr = bandRows.mkString(s"stack($bands, ", ", ", ") as (band, bk)")
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), expr(stackExpr))
   }
 
-  /** Band-bucket join → distinct candidate pairs (a < b). */
-  def lshCandidates(sig: DataFrame): DataFrame =
-    sig.as("x").join(sig.as("y"),
-        col("x.h") === col("y.h") && col("x.mh") === col("y.mh") &&
+  /** DuckDB mirror of [[minhashBandKeys]]: CTEs `hsh`, `sig`, `band`
+    * over an existing `sh(doc_id, shingle)` CTE — generated from the
+    * same constants so the two sides can never drift.
+    */
+  def minhashBandSqlCtes(bands: Int, rowsPerBand: Int): String = {
+    val minExprs = (0 until bands * rowsPerBand).map { h =>
+      val (a, b) = hashConsts(h)
+      s"min(($a * d + $b) % $P) AS mh$h"
+    }.mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('|', $ms) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""hsh AS (SELECT doc_id, ${Text.polyHashSql("shingle")} AS d FROM sh),
+       |sig AS (SELECT doc_id, $minExprs FROM hsh GROUP BY doc_id),
+       |band AS ($bandSelects)""".stripMargin
+  }
+
+  /** Band-bucket join → distinct candidate pairs (a < b).
+    *
+    * Buckets larger than `maxBucket` are dropped before the self-join —
+    * a hot band key (e.g. the signature shared by thousands of
+    * boilerplate docs) would otherwise go quadratic inside its bucket.
+    * Exact dedup (one keyed shuffle, no join) already covers identical
+    * docs, which is what giant buckets are. Use [[oversizedBuckets]]
+    * to count/log what a cap drops.
+    */
+  def lshCandidates(banded: DataFrame, maxBucket: Int = 100): DataFrame = {
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))))
+      .where(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("band"), col("bk"))
+    sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The (band, bk, size) buckets a `maxBucket` cap would drop —
+    * callers log/monitor this count rather than the operator collecting
+    * anything to the driver on the hot path.
+    */
+  def oversizedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
 
   /** Exact Jaccard verification of candidate pairs against the true
     * shingle sets; keeps pairs with J >= num/den (integer
@@ -83,14 +148,16 @@ object Dedup {
     * than re-scan the raw text four times.
     */
   def minhashNearDups(docs: DataFrame, textCol: Column, idCol: Column,
-                      shingleN: Int = 3, numHashes: Int = 8,
-                      num: Int = 1, den: Int = 2,
+                      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                      num: Int = 1, den: Int = 2, maxBucket: Int = 100,
                       persistShingles: Boolean = false): DataFrame = {
     val base = Text.distinctShingles(docs, textCol, idCol, shingleN)
     val sh = if (persistShingles)
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base
-    jaccardVerify(lshCandidates(minhashSignatures(sh, numHashes)), sh, num, den)
+    jaccardVerify(
+      lshCandidates(minhashBandKeys(sh, bands, rowsPerBand), maxBucket),
+      sh, num, den)
   }
 
   /** 16-bit SimHash over the token multiset: per bit j, sign of
@@ -150,9 +217,11 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, vecCol: Column, idCol: Column,
                         bucketBits: Int, num: Int, den: Int): DataFrame = {
     val qdot = graft.functions.GraftFunctions.registerQDot(emb.sparkSession)
-    val q = emb.select(idCol.as("vec_id"), vecCol.as("v"))
+    val q = emb.select(idCol.as("vec_id"), vecCol.as("v"),
+        Vectors.quantize(vecCol).as("qz"))
       .withColumn("n2", qdot(col("v"), col("v")))
-      .withColumn("bucket", Vectors.signBucket(Vectors.quantize(col("v")), bucketBits))
+      .withColumn("bucket", Vectors.signBucket(col("qz"), bucketBits))
+      .drop("qz")
     val dot = qdot(col("a.v"), col("b.v"))
     q.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

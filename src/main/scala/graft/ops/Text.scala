@@ -32,15 +32,30 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(trim(text)), lit(bpeTokenPattern), lit(0))).cast("long")
 
-  /** Polynomial rolling hash of the normal form's characters
-    * (h = (h·31 + codepoint) mod 1e9+7) — an order-sensitive document
-    * fingerprint, cheap to compare and exactly reproducible in SQL.
+  /** Polynomial hash of a string column's characters
+    * (h = (h·31 + codepoint) mod 1e9+7) — pure integer arithmetic,
+    * exactly reproducible in SQL, and crucially NOT a crypto digest:
+    * Spark's `md5()` calls `MessageDigest.getInstance` per row, whose
+    * JDK-17 algorithm-constraint check is a contended lock that
+    * serializes 32-thread executors (measured: a 38M-call minhash
+    * stage ran one task at 100% for minutes while 31 threads parked).
     */
-  def rollingHash(text: Column): Column =
+  val polyHashMod = 1000000007L
+  def polyHash(c: Column): Column =
     aggregate(
-      transform(split(normalized(text), ""), c => ascii(c).cast("long")),
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L),
-      (acc, c) => (acc * 31L + c) % 1000000007L)
+      (acc, x) => (acc * 31L + x) % polyHashMod)
+
+  /** DuckDB mirror of [[polyHash]]. */
+  def polyHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $polyHashMod)"
+
+  /** Order-sensitive document fingerprint: [[polyHash]] of the normal
+    * form. */
+  def rollingHash(text: Column): Column = polyHash(normalized(text))
 
   /** Word n-gram shingles (1-based element_at, so the SQL mirror is
     * index-identical). Empty array when the doc has < n tokens. */
@@ -65,17 +80,22 @@ object Text {
     * in pure integer arithmetic — ratios via cross-multiplication so
     * the result is engine-exact. `is_low_quality` flags docs that are
     * very short or > 60% stopwords.
+    *
+    * Built entirely from the passed Column (works for any column, not
+    * just one literally named `text`). The repeated `tokens(text)`
+    * subtree is shared at runtime by Spark's subexpression elimination —
+    * the text is tokenized once per row, not once per signal.
     */
   def qualitySignals(text: Column): Seq[Column] = {
     val tk = tokens(text)
-    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    val isStop = (t: Column) => t.isin(stopwords: _*)
+    val nStopC = size(filter(tk, isStop))
     val nTokens = size(tk).cast("long").as("n_tokens")
-    val nStop = expr(s"CAST(size(filter(${tkSql("text")}, t -> t IN ($stopList))) AS BIGINT)").as("n_stop")
-    val nShort = expr(s"CAST(size(filter(${tkSql("text")}, t -> length(t) <= 2)) AS BIGINT)").as("n_short")
+    val nStop = nStopC.cast("long").as("n_stop")
+    val nShort = size(filter(tk, t => length(t) <= 2)).cast("long").as("n_short")
     val norm = normalized(text)
     val nPunct = (length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("long").as("n_punct")
-    val lowq = (size(tk) < 10) ||
-      (lit(100) * expr(s"size(filter(${tkSql("text")}, t -> t IN ($stopList)))") > lit(60) * size(tk))
+    val lowq = (size(tk) < 10) || (lit(100) * nStopC > lit(60) * size(tk))
     Seq(nTokens, nStop, nShort, nPunct, lowq.as("is_low_quality"))
   }
 

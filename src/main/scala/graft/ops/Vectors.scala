@@ -29,21 +29,40 @@ object Vectors {
   def intNorm2(a: Column): Column =
     aggregate(a, lit(0L), (acc, x) => acc + x * x)
 
-  /** Sign-bit LSH bucket over the first `bits` components (1-based
-    * element_at, mirroring SQL list indexing). Random-hyperplane LSH
-    * with axis-aligned planes: vectors with cos near 1 agree on almost
-    * all signs, so true near-dups share a bucket w.h.p.
+  /** Deterministic ±1 hyperplane matrix (planes × dim), fixed seed —
+    * shared by the Spark expression and its SQL mirror so buckets are
+    * engine-identical. Sign-random projections are a proper LSH family
+    * for cosine (P[signs agree] = 1 − θ/π per plane); the previous
+    * dimension-prefix variant hashed only the first `bits` components,
+    * an arbitrary and weaker family.
     */
-  def signBucket(v: Column, bits: Int): Column =
-    (1 to bits).map { i =>
-      when(element_at(v, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L))
+  def hyperplanes(planes: Int, dim: Int): Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(0x5eed5L)
+    Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** Random-hyperplane LSH bucket of a quantized vector: bit j = sign
+    * of the dot product with ±1 plane j. Integer arithmetic end-to-end.
+    * Callers should materialize `quantize(v)` into a column first so
+    * the quantization runs once per row, not once per plane.
+    */
+  def signBucket(v: Column, bits: Int, dim: Int = 64): Column = {
+    val hp = hyperplanes(bits, dim)
+    (0 until bits).map { j =>
+      val w = array(hp(j).map(lit): _*)
+      val proj = aggregate(zip_with(v, w, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** SQL mirror of [[signBucket]] for the DuckDB oracle. */
-  def signBucketSql(vCol: String, bits: Int): String =
-    (1 to bits).map { i =>
-      s"(CASE WHEN $vCol[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)"
+  def signBucketSql(vCol: String, bits: Int, dim: Int = 64): String = {
+    val hp = hyperplanes(bits, dim)
+    (0 until bits).map { j =>
+      val w = hp(j).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $dim), i -> $vCol[i] * ($w)[i])) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+  }
 
   /** SQL mirrors (DuckDB) of quantize / dot / norm2 over list columns. */
   def quantizeSql(vCol: String): String =
