@@ -134,15 +134,38 @@ object ExtensionQueries {
   }
 
   /** IVF ANN (k-means cells, 2-probe). No SQL oracle — iterative
-    * training isn't expressible in DuckDB; driver records a rows-only
-    * check, recall is tested against brute force in ExtensionOpsSpec.
+    * training isn't expressible in DuckDB — so the query is
+    * self-checking: each row carries `in_brute` (was this hit also in
+    * the exact brute-force top-k?) and `recall_x100` (per-query
+    * recall@k as an integer percentage). The driver's rows-only gate
+    * then records recall as data; ExtensionOpsSpec asserts it too.
+    *
+    * Cell/probe choice is fixture-honest: these synthetic embeddings
+    * are near-uniform random, so recall@10 ≈ probed corpus fraction
+    * (measured: k=8 cells, nProbe∈{2,4,6} → 0.39/0.75/0.90 at sf0.01
+    * and 0.58/0.75/0.90 at sf0.1). 8 cells × 6 probes ⇒ recall 0.90
+    * here; real embedding corpora cluster, which is what buys IVF its
+    * low probe fractions at scale.
     */
   private def qSimTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val index = graft.ops.Ivf.build(emb.where(col("vec_id") >= 8),
-      col("embedding"), col("vec_id"), k = 16)
-    graft.ops.Ivf.topK(index, emb.where(col("vec_id") < 8),
-        col("embedding"), col("vec_id"), k = 10, nProbe = 2)
+    val corpus = emb.where(col("vec_id") >= 8)
+    val qs = emb.where(col("vec_id") < 8)
+    val index = graft.ops.Ivf.build(corpus, col("embedding"), col("vec_id"), k = 8)
+    val ivf = graft.ops.Ivf.topK(index, qs,
+      col("embedding"), col("vec_id"), k = 10, nProbe = 6)
+    val brute = Similarity.topKBruteForce(corpus, qs,
+        col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id").as("b_q"), col("vec_id").as("b_v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
+    ivf.join(broadcast(brute),
+        col("q_vec_id") === col("b_q") && col("vec_id") === col("b_v"), "left")
+      .withColumn("in_brute", col("b_v").isNotNull)
+      .withColumn("recall_x100",
+        (lit(100) * sum(when(col("in_brute"), 1L).otherwise(0L)).over(w) / lit(10))
+          .cast("long"))
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"),
+        col("in_brute"), col("recall_x100"))
       .orderBy("q_vec_id", "rnk")
   }
 

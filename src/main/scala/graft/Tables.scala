@@ -27,11 +27,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Session conf the library needs; our mains and the test harness set
+    * it at session build. */
+  val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** `events` with `ts` as a proper TimestampType (µs), truncated from the
     * stored nanoseconds exactly like DuckDB truncates on read.
+    *
+    * Defensive conf guard: reading TIMESTAMP(NANOS) parquet requires
+    * [[nanosConf]]. Entry points set it at session creation (no
+    * mid-query conf mutation); the guard only fires for ad-hoc sessions
+    * that skipped setup, and is a no-op when already set.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(nanosConf).forall(_ != "true"))
+      spark.conf.set(nanosConf, "true")
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

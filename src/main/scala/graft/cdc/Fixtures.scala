@@ -11,7 +11,7 @@ import graft.Tables
   * the DuckDB oracle can reproduce it exactly (see
   * [[graft.SparkEntry.oracleSql]] — the SQL mirror of this transform).
   *
-  * Mapping: `user_id` → employee key (shifted by −15 so negative ids
+  * Mapping: `user_id` → employee key (shifted by −2 so negative ids
   * exist for the F2 check), `ts` → event time, `event_type` →
   * insert/update/delete action, `value`/`event_id` → salary and dob with
   * ranges that exercise every validation predicate.

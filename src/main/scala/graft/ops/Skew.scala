@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** COUNT(DISTINCT value) per group, two-stage skew-safe form. */
+  /** COUNT(DISTINCT value) per group, two-stage skew-safe form. NULLs
+    * are excluded, matching SQL `COUNT(DISTINCT v)` (a bare
+    * distinct+count would count NULL as a value). */
   def distinctCount(df: DataFrame, groupCols: Seq[Column], value: Column,
                     as: String = "n_distinct"): DataFrame =
-    df.select((groupCols :+ value.as("_v")): _*)
+    df.where(value.isNotNull)
+      .select((groupCols :+ value.as("_v")): _*)
       .distinct() // shuffle on (group, value): hot groups spread by value
       .groupBy(groupCols: _*)
       .agg(count(lit(1)).as(as))
@@ -32,7 +35,10 @@ object Skew {
     */
   def saltedSum(df: DataFrame, groupCols: Seq[Column], value: Column,
                 salts: Int, as: String = "total"): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // salt = hash of the value: deterministic under task retries
+    // (monotonically_increasing_id/spark_partition_id are not), spreads
+    // a hot group across `salts` reducers whenever its values vary
+    df.withColumn("_salt", pmod(hash(value), lit(salts)))
       .groupBy((groupCols :+ col("_salt")): _*)
       .agg(sum(value).as("_partial"))
       .groupBy(groupCols: _*)

@@ -97,6 +97,14 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("registered IVF query self-reports recall >= 0.8 on the fixture") {
+    val df = ExtensionQueries.queries("sim_topk_ivf")(spark, "/root/testdata/sf0.001")
+    val recalls = df.select("recall_x100").as[Long].collect()
+    assert(recalls.nonEmpty)
+    assert(recalls.sum.toDouble / recalls.length >= 80.0,
+      s"mean recall ${recalls.sum.toDouble / recalls.length} below envelope")
+  }
+
   test("multimodal decode stub is deterministic and batch-shaped") {
     val media = Seq(
       Multimodal.MediaRecord(1L, "image/fake", "payload-one".getBytes),
