@@ -35,6 +35,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 5L))) // same tokens, no shared shingles
   }
 
+  test("banded LSH (8x4) cuts candidate pairs vs r=1 at equal recall") {
+    // corpus of template mutations: pairwise shingle-Jaccard ~0.2-0.3
+    // (below the 0.5 dup threshold) — exactly the regime where r=1
+    // banding floods candidates and r=4 banding does not
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val template = (0 until 60).map(_ => vocab(rnd.nextInt(400)))
+    def mutate(p: Double, r: scala.util.Random) =
+      template.map(t => if (r.nextDouble() < p) vocab(r.nextInt(400)) else t).mkString(" ")
+    val base = (0 until 60).map(i => (i.toLong, mutate(0.2, new scala.util.Random(i))))
+    val planted = Seq( // J >= 0.8 true near-dups of docs 0 and 1
+      (1000L, mutate(0.2, new scala.util.Random(0)).replaceFirst("w", "x")),
+      (1001L, mutate(0.2, new scala.util.Random(1)).replaceFirst("w", "x")))
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val sh = Text.distinctShingles(corpus, col("text"), col("doc_id"), 3)
+    val candBanded = Dedup.lshCandidates(Dedup.minhashBandKeys(sh, 8, 4), 100)
+    val candR1 = Dedup.lshCandidates(Dedup.minhashBandKeys(sh, 32, 1), 100)
+    val nBanded = candBanded.count(); val nR1 = candR1.count()
+    assert(nBanded * 5 < nR1, s"banded=$nBanded r1=$nR1 — expected >5x reduction")
+    val verify = (c: org.apache.spark.sql.DataFrame) =>
+      Dedup.jaccardVerify(c, sh, 1, 2).select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+    val got = verify(candBanded)
+    assert(got === verify(candR1), "equal recall: same verified pairs")
+    assert(got.contains((0L, 1000L)) && got.contains((1L, 1001L)))
+  }
+
   test("simhash: identical docs collide, dissimilar docs differ") {
     val sh = Dedup.simhash(docs, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
