@@ -126,9 +126,12 @@ object Sinks {
     private def bucketExpr: org.apache.spark.sql.Column =
       pmod(hash(keys.map(col): _*), lit(numBuckets))
 
-    /** Touched buckets of the most recent merge (test/monitoring
-      * hook; also drives incremental totals). */
+    /** Touched buckets of the most recent merge (test/monitoring hook). */
     @volatile private[graft] var lastTouched: Seq[Int] = Nil
+    /** Buckets touched since the last totals refresh — accumulates
+      * across merges so totals stay exact when several batches land
+      * between writeTotals calls. */
+    @volatile private var staleSinceTotals: Set[Int] = Set.empty
 
     def exists: Boolean = Files.exists(root) && existingBuckets.nonEmpty
 
@@ -169,14 +172,16 @@ object Sinks {
         val cols = next.columns.filterNot(c => c == "_b" || c == "action").map(col)
         writePartitioned(next.select((cols :+ col("_b")): _*), root, touched)
         lastTouched = touched
+        staleSinceTotals ++= touched
       } finally reduced.unpersist()
     }
 
     def writeTotals(totalsPath: String, groupCol: String, valueCol: String): Unit = {
-      // refresh partials for buckets the last merge touched (all
-      // existing buckets when partials don't exist yet, e.g. restart)
+      // refresh partials for every bucket touched since the last
+      // totals write (all existing buckets when partials don't exist
+      // yet, e.g. restart)
       val stale =
-        if (Files.exists(partsRoot)) lastTouched
+        if (Files.exists(partsRoot)) staleSinceTotals.toSeq.sorted
         else existingBuckets
       if (stale.nonEmpty) {
         val parts = loadBuckets(stale.filter(b => Files.exists(bucketDir(b)))) match {
@@ -187,6 +192,7 @@ object Sinks {
         }
         if (!parts.isEmpty) writePartitioned(parts, partsRoot, stale)
         else stale.foreach(b => deleteRecursive(partDir(b)))
+        staleSinceTotals = Set.empty
       }
       // final totals: |buckets|×|groups| partial rows, never the snapshot
       val dirs = existingBuckets.map(partDir).filter(Files.exists(_)).map(_.toString)

@@ -92,7 +92,10 @@ class BucketedStoreSpec extends SparkSpec {
     check()
     store.merge(batch((3, "c1", 5000L, "update"), (4, "c0", 5000L, "delete")), "ts")
     check()
+    // two merges with no totals write in between: staleness must
+    // accumulate across both, not just the latest merge
     store.merge(batch((11, "c9", 7L, "insert")), "ts")
+    store.merge(batch((5, "c1", 9999L, "update")), "ts")
     check()
   }
 
