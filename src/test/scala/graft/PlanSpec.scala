@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan regression guards for the properties that matter at
+  * 100 TB: filters reaching the parquet scan, column pruning, bounded
+  * sides broadcast, and shared shuffles. These are the plan shapes the
+  * scale design (SCALE.md) promises — a refactor that silently loses a
+  * pushdown or adds an exchange should fail here, not in production.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.count() // finalize AQE so the executed plan is the real one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: shipdate filter pushed to the scan, columns pruned") {
+    val p = planOf("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed to parquet")
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+  }
+
+  test("q3_topk_join: dimension filters pushed, dims broadcast") {
+    val p = planOf("q3_topk_join")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "dim filter not pushed")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, "no broadcast join")
+  }
+
+  test("q5_multijoin: small sides broadcast, no cartesian") {
+    val p = planOf("q5_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_sessionize: both windows and the rollup share ONE keyed shuffle") {
+    val p = planOf("events_sessionize")
+    val keyedExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(keyedExchanges === 1,
+      s"expected 1 shared user_id exchange, found $keyedExchanges")
+  }
+}
