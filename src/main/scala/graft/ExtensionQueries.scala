@@ -114,6 +114,30 @@ object ExtensionQueries {
         col("vec_id"), bucketBits = 8, num = 40, den = 100)
       .orderBy("vec_a", "vec_b")
 
+  /** Capstone composition — the realistic corpus-cleaning pass a
+    * training-data pipeline runs end to end: quality gate (drop short /
+    * stopword-heavy docs) → exact dedup (canonical min-id survivor per
+    * fingerprint) → MinHash-LSH near-dup removal (drop the non-canonical
+    * side of every verified J≥0.5 pair) → token counts for the clean
+    * corpus. Every stage is one of the already-oracle-checked operators;
+    * this query gates their composition.
+    */
+  private def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = docs.select(col("doc_id"), col("text"))
+      .withColumn("_lq", Text.qualitySignals(col("text")).last)
+      .where(!col("_lq")).drop("_lq")
+    val keep = quality.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val base = quality.join(keep, "doc_id")
+    val dupIds = Dedup.minhashNearDups(base, col("text"), col("doc_id"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    base.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -188,6 +212,7 @@ object ExtensionQueries {
     "text_fingerprint" -> (qTextFingerprint _),
     "events_distinct_users" -> (qEventsDistinctUsers _),
     "events_sliding_window" -> (qEventsSlidingWindow _),
+    "corpus_clean" -> (qCorpusClean _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -326,6 +351,41 @@ object ExtensionQueries {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
          |  CAST(len(regexp_extract_all(lt, '${Text.bpeTokenPattern}', 0)) AS BIGINT) AS n_bpe_tokens
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_clean" ->
+      s"""WITH q0 AS (SELECT doc_id, text, $TK AS tk0 FROM documents),
+         |ok0 AS (SELECT doc_id, text FROM q0
+         |        WHERE NOT (len(tk0) < 10
+         |                   OR 100 * len(list_filter(tk0, t -> t IN ($stopList))) > 60 * len(tk0))),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM (
+         |           SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |           FROM ok0) GROUP BY fp),
+         |base AS (SELECT o.doc_id, o.text FROM ok0 o JOIN keep k ON o.doc_id = k.doc_id),
+         |t AS (SELECT doc_id, $TK AS tk FROM base),
+         |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) g
+         |       WHERE len(tk) >= 3),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |${Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |dups AS (SELECT DISTINCT i.doc_b
+         |  FROM inter i
+         |  JOIN cnt ca ON ca.doc_id = i.doc_a
+         |  JOIN cnt cb ON cb.doc_id = i.doc_b
+         |  WHERE 2 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter))
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+         |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
