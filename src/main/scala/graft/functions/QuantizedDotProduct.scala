@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd fused quantize-and-dot over two `array<float>` columns:
   * Σ round(aᵢ·1000)·round(bᵢ·1000) as a single long accumulator loop.
@@ -81,6 +82,61 @@ case class QuantizedDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd polynomial character hash:
+  * h = fold(codepoints, 0)((h, cp) => (h·31 + cp) mod 1e9+7).
+  *
+  * Semantically identical to the composable HOF form
+  * `aggregate(transform(split(c, ""), ascii), 0, ...)`
+  * ([[graft.ops.Text.polyHashHof]], equivalence property-tested), but
+  * one tight codepoint loop instead of materializing an array of
+  * single-character strings per row — this is the per-shingle inner
+  * loop of the whole MinHash family, so the allocation matters.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |String $s = $in.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % 1000000007L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Idempotently register the custom expressions with a session and
     * return a Column builder for `q_dot`. */
@@ -89,4 +145,9 @@ object GraftFunctions {
       "q_dot", exprs => QuantizedDotProduct(exprs(0), exprs(1)), "built-in")
     (a: Column, b: Column) => org.apache.spark.sql.functions.call_function("q_dot", a, b)
   }
+
+  /** Idempotently register `poly_hash` on the session (no-op if done). */
+  def registerPolyHash(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "built-in")
 }

@@ -41,7 +41,18 @@ object Text {
     * stage ran one task at 100% for minutes while 31 threads parked).
     */
   val polyHashMod = 1000000007L
-  def polyHash(c: Column): Column =
+
+  /** Fast path: the codegen'd [[graft.functions.PolyHash]] expression
+    * (registered idempotently on the active session). */
+  def polyHash(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.registerPolyHash)
+    call_function("poly_hash", c)
+  }
+
+  /** Reference formulation via built-in higher-order functions —
+    * kept for the equivalence property test of [[polyHash]]. */
+  def polyHashHof(c: Column): Column =
     aggregate(
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L),

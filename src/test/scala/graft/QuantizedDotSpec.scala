@@ -39,6 +39,19 @@ class QuantizedDotSpec extends SparkSpec {
     assert(out(2L) === 0L)
   }
 
+  test("poly_hash == HOF formulation on random strings incl. unicode and edges") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc XYZ 0189_.,!?-éüßñ漢字" // ascii + accents + CJK
+    val rows = (0 until 500).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ Seq((9000L, ""), (9001L, " "), (9002L, "a"))
+    val df = rows.toDF("id", "s")
+    val cmp = df.select(
+      graft.ops.Text.polyHash(col("s")).as("fast"),
+      graft.ops.Text.polyHashHof(col("s")).as("hof"))
+    assert(cmp.where(col("fast") =!= col("hof")).count() === 0)
+  }
+
   test("SQL surface: q_dot callable from spark.sql") {
     GraftFunctions.registerQDot(spark)
     val r = spark.sql(
