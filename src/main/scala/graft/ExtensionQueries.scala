@@ -413,7 +413,10 @@ object ExtensionQueries {
 
     "dedup_ngram_blocked" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
-         |k AS (SELECT doc_id, tk[1] AS _f, tk[-1] AS _l FROM t),
+         |k0 AS (SELECT doc_id, tk[1] AS _f, tk[-1] AS _l FROM t),
+         |k AS (SELECT doc_id, _f, _l FROM (
+         |        SELECT *, COUNT(*) OVER (PARTITION BY _f, _l) AS bsz FROM k0)
+         |      WHERE bsz <= 200),
          |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM k x JOIN k y ON x._f = y._f
          |          AND x._l = y._l AND x.doc_id < y.doc_id),

@@ -194,16 +194,24 @@ object Dedup {
   /** Blocked n-gram-Jaccard dedup: candidates share a cheap blocking
     * key (first + last token, plus any caller-supplied columns) —
     * O(block²) only within small blocks — then exact bigram-Jaccard
-    * verification.
+    * verification. Blocks larger than `maxBlock` are dropped before
+    * the self-join (same rationale as [[lshCandidates]]'s cap: a hot
+    * key, e.g. boilerplate docs all starting and ending with the same
+    * word, would otherwise go quadratic inside its block).
     */
   def blockedJaccard(docs: DataFrame, textCol: Column, idCol: Column,
-                     blockCols: Seq[String], num: Int, den: Int): DataFrame = {
+                     blockCols: Seq[String], num: Int, den: Int,
+                     maxBlock: Int = 200): DataFrame = {
     val base = docs.select(
       (Seq(idCol.as("doc_id"), Text.tokens(textCol).as("tk")) ++ blockCols.map(col)): _*)
     val keyed = base.select(col("doc_id"),
-      struct((blockCols.map(col) ++ Seq(
-        element_at(col("tk"), 1).as("_f"),
-        element_at(col("tk"), -1).as("_l"))): _*).as("bk"))
+        struct((blockCols.map(col) ++ Seq(
+          element_at(col("tk"), 1).as("_f"),
+          element_at(col("tk"), -1).as("_l"))): _*).as("bk"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .where(col("bsz") <= maxBlock)
+      .select(col("doc_id"), col("bk"))
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
