@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{PolyHash, QuantizedDotProduct}
+
+/** Session-extension entry point: registers the library's custom
+  * Catalyst expressions as SQL functions at session build time —
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`). The operators also
+  * self-register idempotently ([[graft.functions.GraftFunctions]]), so
+  * the extension is for users who want `q_dot` / `poly_hash` available
+  * in plain `spark.sql` from the first query.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("q_dot"),
+      new ExpressionInfo(classOf[QuantizedDotProduct].getName, "q_dot"),
+      (exprs: Seq[Expression]) => QuantizedDotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+}

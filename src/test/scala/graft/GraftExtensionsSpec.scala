@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{PolyHash, QuantizedDotProduct}
+
+/** The session-extension entry point registers exactly the library's
+  * custom expressions with working builders. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension applies cleanly and describes both functions") {
+    new GraftExtensions()(new SparkSessionExtensions) // must not throw
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
+      Seq("poly_hash", "q_dot"))
+  }
+
+  test("injected builders construct the custom expressions") {
+    val byName = GraftExtensions.functions.map(f => f._1.funcName -> f._3).toMap
+    val ph = byName("poly_hash")(Seq(Literal("abc")))
+    assert(ph.isInstanceOf[PolyHash])
+    assert(ph.eval() === ("abc".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)))
+    val qd = byName("q_dot")(Seq(Literal(null), Literal(null)))
+    assert(qd.isInstanceOf[QuantizedDotProduct])
+  }
+}
