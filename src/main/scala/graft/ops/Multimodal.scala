@@ -58,6 +58,32 @@ object Multimodal {
     media.mapPartitions(_.map(DecodeStub.decode))
   }
 
+  /** A resized media row: fixed target dimensions + pixel buffer. */
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                          channels: Int, pixels: Array[Byte])
+
+  /** Batched resize to (w, h) — same `mapPartitions` execution shape as
+    * [[decodeFeatures]]. The resample itself is a STUB (no imaging
+    * library here): it emits a correctly-sized w·h·channels buffer
+    * filled deterministically from the source envelope, so buffer
+    * shape, schema, and batch behavior are all real and testable;
+    * a real bilinear/area resampler changes only the fill loop.
+    */
+  def resize(decoded: Dataset[MediaFeatures], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { m =>
+      val px = new Array[Byte](w * h * m.channels)
+      var hsh = m.byte_len * 31L + m.width * 7L + m.height
+      var i = 0
+      while (i < px.length) {
+        hsh = hsh * 6364136223846793005L + 1442695040888963407L
+        px(i) = (hsh >>> 56).toByte
+        i += 1
+      }
+      ResizedMedia(m.media_id, w, h, m.channels, px)
+    })
+  }
+
   /** Pseudo-frame sampling for video-shaped payloads: `n` evenly spaced
     * (frame_idx, byte_offset) rows per media row — the partition-local
     * explode a real frame sampler would do.

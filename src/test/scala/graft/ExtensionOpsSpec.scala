@@ -146,6 +146,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(feats.head.width === 16 + 11 % 64)
   }
 
+  test("resize emits correctly-shaped deterministic buffers per row") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/fake", "payload-one".getBytes),
+      Multimodal.MediaRecord(2L, "image/fake", "two".getBytes)).toDS()
+    val out = Multimodal.resize(Multimodal.decodeFeatures(media), 32, 24)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(out.forall(r => r.width === 32 && r.height === 24))
+    assert(out.forall(r => r.pixels.length === 32 * 24 * r.channels))
+    val again = Multimodal.resize(Multimodal.decodeFeatures(media), 32, 24)
+      .collect().sortBy(_.media_id)
+    assert(out.head.pixels.toSeq === again.head.pixels.toSeq)
+    assert(out(0).pixels.toSeq !== out(1).pixels.toSeq)
+  }
+
   test("frame sampling explodes n frames with monotone offsets") {
     val media = Seq((1L, "0123456789".getBytes)).toDF("media_id", "payload")
     val frames = Multimodal.sampleFrames(media, 4).orderBy("frame_idx").collect()
