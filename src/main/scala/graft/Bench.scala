@@ -53,14 +53,17 @@ object Bench {
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val (gc0, gt0) = gcStats()
-      val a = once(name)
-      val b = once(name)
+      // min of 3: the first run pays codegen/JIT, and this host has
+      // noisy neighbors (observed 2-5x wall-time swings) — one slow
+      // run must not pollute the steady-state number
+      val runs = Seq.fill(3)(once(name))
       val (gc1, gt1) = gcStats()
       val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       System.err.println(
-        f"[bench] $name%-24s a=$a%8.2fs b=$b%8.2fs gc=${gc1 - gc0}%3d gcMs=${gt1 - gt0}%6d heapMb=$usedMb%6d")
+        f"[bench] $name%-24s ${runs.map(r => f"$r%7.2f").mkString(" ")}s " +
+          f"gc=${gc1 - gc0}%3d gcMs=${gt1 - gt0}%6d heapMb=$usedMb%6d")
       cleanup()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
