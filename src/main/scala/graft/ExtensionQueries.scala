@@ -138,6 +138,27 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** As-of join over events: every click picks up the latest signup of
+    * the same user at-or-before its timestamp (right side deduped to
+    * one row per (user, ts) so the match is deterministic). Oracle uses
+    * DuckDB's native ASOF JOIN — an independent implementation of the
+    * same semantics. */
+  private def qEventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("signup_event_id"))
+    graft.ops.AsOf.asOfJoin(clicks, signups, Seq("user_id"), "ts", "ts",
+        Map("signup_event_id" -> "signup_event_id"))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
+        col("signup_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -213,6 +234,7 @@ object ExtensionQueries {
     "events_distinct_users" -> (qEventsDistinctUsers _),
     "events_sliding_window" -> (qEventsSlidingWindow _),
     "corpus_clean" -> (qCorpusClean _),
+    "events_asof_join" -> (qEventsAsofJoin _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -351,6 +373,17 @@ object ExtensionQueries {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
          |  CAST(len(regexp_extract_all(lt, '${Text.bpeTokenPattern}', 0)) AS BIGINT) AS n_bpe_tokens
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |signups AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    max(event_id) AS signup_event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.ts, s.ts AS asof_ts, s.signup_event_id
+        |FROM clicks c ASOF JOIN signups s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "corpus_clean" ->
       s"""WITH q0 AS (SELECT doc_id, text, $TK AS tk0 FROM documents),
