@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{ApplyChanges, Fixtures, Routing}
-import graft.ops.{Dedup, Multimodal, Similarity, Text, Vectors}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, Text, Vectors}
 
 /** Extension-operator queries (SURVEY §7.4): training-data-pipeline ops
   * over `documents`/`embeddings`, plus the strict CDC dispatch form and
@@ -159,6 +159,31 @@ object ExtensionQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Range join composed with sessionization: click-sessions become
+    * intervals; every purchase is matched to the session of the same
+    * user whose [start, end] contains it, where end = last click +
+    * the 30 min session gap (session-window close semantics — a bare
+    * MIN..MAX of clicks is a near-degenerate interval). Bucketed
+    * interval join (30min buckets = the gap), oracle = plain BETWEEN
+    * join over the same session CTEs. */
+  private def qEventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sessions = Sessionize.sessionStats(ev.where(col("event_type") === "click"),
+        key = col("user_id"), ts = col("ts"), gapMicros = 1800L * 1000000L,
+        valueCol = col("value"), tieBreak = Seq(col("event_id")))
+      .select(col("key").as("user_id"), col("session_id"), col("session_start"),
+        (col("session_end") + expr("INTERVAL 30 MINUTES")).as("session_end"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.ops.RangeJoin.pointInInterval(purchases, sessions, Seq("user_id"),
+        "ts", "session_start", "session_end", bucketMicros = 1800L * 1000000L)
+      .select(col("user_id"), col("session_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"))
+      .orderBy("user_id", "session_id", "event_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -235,6 +260,7 @@ object ExtensionQueries {
     "events_sliding_window" -> (qEventsSlidingWindow _),
     "corpus_clean" -> (qCorpusClean _),
     "events_asof_join" -> (qEventsAsofJoin _),
+    "events_range_join" -> (qEventsRangeJoin _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -384,6 +410,27 @@ object ExtensionQueries {
         |FROM clicks c ASOF JOIN signups s
         |  ON c.user_id = s.user_id AND c.ts >= s.ts
         |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "events_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |     (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |     > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |     ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM b),
+        |sess AS (SELECT user_id, session_id, MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM s GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, sess.session_id, p.event_id, p.ts,
+        |       sess.session_start, sess.session_end
+        |FROM p JOIN sess ON p.user_id = sess.user_id
+        | AND p.ts BETWEEN sess.session_start AND sess.session_end
+        |ORDER BY p.user_id, sess.session_id, p.event_id""".stripMargin,
 
     "corpus_clean" ->
       s"""WITH q0 AS (SELECT doc_id, text, $TK AS tk0 FROM documents),
