@@ -184,6 +184,19 @@ object ExtensionQueries {
       .orderBy("user_id", "session_id", "event_id")
   }
 
+  /** Deterministic train/val/test split (90/5/5 by id-hash basis
+    * points) with per-split-per-language corpus stats — the
+    * reproducible-split primitive every training pipeline needs; the
+    * oracle recomputes the identical assignment from the same
+    * constants. */
+  private def qCorpusSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("split", graft.ops.Sampling.assignSplit(col("doc_id")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy("split", "lang")
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -261,6 +274,7 @@ object ExtensionQueries {
     "corpus_clean" -> (qCorpusClean _),
     "events_asof_join" -> (qEventsAsofJoin _),
     "events_range_join" -> (qEventsRangeJoin _),
+    "corpus_split" -> (qCorpusSplit _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -399,6 +413,12 @@ object ExtensionQueries {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
          |  CAST(len(regexp_extract_all(lt, '${Text.bpeTokenPattern}', 0)) AS BIGINT) AS n_bpe_tokens
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      s"""SELECT ${graft.ops.Sampling.assignSplitSql("doc_id")} AS split, lang,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(len($TK)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

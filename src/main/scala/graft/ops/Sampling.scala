@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splits for training pipelines.
+  *
+  * Everything is keyed on a hash of the row's id — NOT an RNG: the
+  * sample is reproducible across runs, engines, partitionings, and
+  * retries (Bernoulli `sample()` is none of those), rows keep their
+  * assignment when the corpus grows, and the exact same split is
+  * computable in plain SQL (the DuckDB oracle uses the same constants,
+  * generated from this object).
+  *
+  * Bucket = ((id·a + b) mod p) mod 10000 — basis points, so rates are
+  * exact integers. One scan, zero shuffles; the predicate is a pure
+  * codegen'd expression that pushes into the scan stage.
+  */
+object Sampling {
+
+  val P = 1000000007L
+  // a < 2^63 / p so (id mod p)·a + b never overflows int64 — DuckDB
+  // errors on BIGINT overflow and Spark silently wraps; both are fatal
+  // to cross-engine determinism
+  val A = 2862933555L % P
+  val B = 1442695040888963L % P
+  val Buckets = 10000L
+
+  /** Stable per-id bucket in [0, 10000) basis points. */
+  def bucket(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(P)) * lit(A) + lit(B), lit(P)) % lit(Buckets)
+
+  /** SQL mirror of [[bucket]] (the +p/%p dance normalizes DuckDB's
+    * signed % to Spark's non-negative pmod). */
+  def bucketSql(idExpr: String): String =
+    s"(((CAST($idExpr AS BIGINT) % $P + $P) % $P * $A + $B) % $P) % $Buckets"
+
+  /** Keep ~rateBp/10000 of rows, deterministically by id. */
+  def hashSample(id: Column, rateBp: Int): Column = bucket(id) < rateBp
+
+  /** Train/val/test assignment by basis-point thresholds
+    * (e.g. 9000/500 → 90% train, 5% val, 5% test). */
+  def assignSplit(id: Column, trainBp: Int = 9000, valBp: Int = 500): Column = {
+    val b = bucket(id)
+    when(b < trainBp, "train")
+      .when(b < trainBp + valBp, "val")
+      .otherwise("test")
+  }
+
+  /** SQL mirror of [[assignSplit]]. */
+  def assignSplitSql(idExpr: String, trainBp: Int = 9000, valBp: Int = 500): String =
+    s"CASE WHEN ${bucketSql(idExpr)} < $trainBp THEN 'train' " +
+      s"WHEN ${bucketSql(idExpr)} < ${trainBp + valBp} THEN 'val' ELSE 'test' END"
+
+  /** Per-stratum rates (basis points): keep a row iff its bucket is
+    * below its stratum's rate; strata absent from `rates` are dropped. */
+  def stratifiedSample(id: Column, stratum: Column, rates: Map[String, Int]): Column =
+    rates.foldLeft(lit(false)) { case (acc, (st, bp)) =>
+      acc || (stratum === st && bucket(id) < bp)
+    }
+}

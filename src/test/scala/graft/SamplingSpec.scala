@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+/** Deterministic hash sampling: stable across runs, proportions near
+  * the requested rates, splits exhaustive and disjoint, stratified
+  * filter honors per-stratum rates. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 20000L).toDF("id")
+
+  test("bucket matches a driver-side recomputation and is stable") {
+    val got = ids.select($"id", Sampling.bucket($"id").as("b"))
+      .as[(Long, Long)].collect().toMap
+    def ref(id: Long) =
+      (((id % Sampling.P + Sampling.P) % Sampling.P * Sampling.A + Sampling.B)
+        % Sampling.P) % Sampling.Buckets
+    assert(got.forall { case (id, b) => b === ref(id) })
+    assert((-5L to -1L).forall { id => // negative ids normalize too
+      val b = Seq(id).toDF("id").select(Sampling.bucket($"id")).as[Long].head()
+      b === ref(id) && b >= 0
+    })
+  }
+
+  test("split proportions are near 90/5/5 and assignment is exhaustive") {
+    val counts = ids.select(Sampling.assignSplit($"id").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 20000L)
+    assert(math.abs(counts("train") - 18000L) < 400)
+    assert(math.abs(counts("val") - 1000L) < 200)
+    assert(math.abs(counts("test") - 1000L) < 200)
+  }
+
+  test("hashSample rate and subset-stability under rate increase") {
+    val at10 = ids.where(Sampling.hashSample($"id", 1000)).as[Long].collect().toSet
+    val at20 = ids.where(Sampling.hashSample($"id", 2000)).as[Long].collect().toSet
+    assert(math.abs(at10.size - 2000) < 300)
+    assert(at10.subsetOf(at20), "raising the rate must only add rows")
+  }
+
+  test("stratified sample keeps per-stratum rates and drops unknown strata") {
+    val df = (0L until 9000L).map(i => (i, s"s${i % 3}")).toDF("id", "st")
+    val kept = df.where(Sampling.stratifiedSample($"id", $"st",
+        Map("s0" -> 10000, "s1" -> 5000)))
+      .groupBy("st").count().as[(String, Long)].collect().toMap
+    assert(kept("s0") === 3000L)         // 100%
+    assert(math.abs(kept("s1") - 1500L) < 200) // ~50%
+    assert(!kept.contains("s2"))         // absent stratum dropped
+  }
+}
