@@ -197,6 +197,35 @@ object ExtensionQueries {
         sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
       .orderBy("split", "lang")
 
+  /** Vocabulary heavy hitters: top-100 tokens by corpus frequency
+    * (explode → one keyed agg with map-side partials → global top-k;
+    * ties broken by token so the result is total-order deterministic). */
+  private def qTextVocabTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
+  /** Decontamination check: near-duplicate pairs (MinHash-LSH, J≥0.5)
+    * whose two documents land in DIFFERENT train/val/test splits (the
+    * [[Sampling.assignSplit]] assignment) — i.e. eval-set leakage. A
+    * training pipeline runs exactly this before shipping a split. */
+  private def qSplitContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"))
+    val splits = docs.select(col("doc_id"),
+      graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    pairs
+      .join(splits.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(splits.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(col("sa.split") =!= col("sb.split"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sa.split").as("split_a"), col("sb.split").as("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -275,6 +304,8 @@ object ExtensionQueries {
     "events_asof_join" -> (qEventsAsofJoin _),
     "events_range_join" -> (qEventsRangeJoin _),
     "corpus_split" -> (qCorpusSplit _),
+    "text_vocab_topk" -> (qTextVocabTopk _),
+    "split_contamination" -> (qSplitContamination _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -419,6 +450,39 @@ object ExtensionQueries {
          |       COUNT(*) AS n_docs,
          |       CAST(SUM(len($TK)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_vocab_topk" ->
+      s"""WITH t AS (SELECT unnest($TK) AS token FROM documents)
+         |SELECT token, COUNT(*) AS n FROM t
+         |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    "split_contamination" ->
+      s"""WITH $SHINGLE3,
+         |${Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN cnt ca ON ca.doc_id = i.doc_a
+         |  JOIN cnt cb ON cb.doc_id = i.doc_b
+         |  WHERE 2 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)),
+         |sp AS (SELECT doc_id, ${graft.ops.Sampling.assignSplitSql("doc_id")} AS split
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p
+         |JOIN sp sa ON p.doc_a = sa.doc_id
+         |JOIN sp sb ON p.doc_b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "events_asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
