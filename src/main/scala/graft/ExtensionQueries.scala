@@ -197,6 +197,31 @@ object ExtensionQueries {
         sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
       .orderBy("split", "lang")
 
+  /** Funnel analysis: per user, first signup → first click at-or-after
+    * it → first purchase at-or-after that; one row per funnel stage
+    * with the user count that reached it. Three keyed aggregations
+    * (conditional mins), no self-joins over raw events. */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("t_signup"),
+        col("ts"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+        col("ts"))).as("t_purchase"))
+    s3.agg(
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_click").isNotNull, 1)).as("n_click_after"),
+        count(when(col("t_purchase").isNotNull, 1)).as("n_purchase_after"))
+      .select(expr("stack(3, 'signup', n_signup, 'click_after', n_click_after, " +
+        "'purchase_after', n_purchase_after) as (stage, n_users)"))
+      .orderBy("stage")
+  }
+
   /** Vocabulary heavy hitters: top-100 tokens by corpus frequency
     * (explode → one keyed agg with map-side partials → global top-k;
     * ties broken by token so the result is total-order deterministic). */
@@ -305,6 +330,7 @@ object ExtensionQueries {
     "events_range_join" -> (qEventsRangeJoin _),
     "corpus_split" -> (qCorpusSplit _),
     "text_vocab_topk" -> (qTextVocabTopk _),
+    "events_funnel" -> (qEventsFunnel _),
     "split_contamination" -> (qSplitContamination _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
@@ -450,6 +476,30 @@ object ExtensionQueries {
          |       COUNT(*) AS n_docs,
          |       CAST(SUM(len($TK)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM ev GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t_signup,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_signup
+        |        THEN e.ts END) AS t_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |        THEN e.ts END) AS t_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1, 2, 3),
+        |agg AS (SELECT
+        |    COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        |    COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click_after,
+        |    COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase_after
+        |  FROM s3)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'signup' AS stage, n_signup AS n_users FROM agg
+        |  UNION ALL SELECT 'click_after', n_click_after FROM agg
+        |  UNION ALL SELECT 'purchase_after', n_purchase_after FROM agg)
+        |ORDER BY stage""".stripMargin,
 
     "text_vocab_topk" ->
       s"""WITH t AS (SELECT unnest($TK) AS token FROM documents)
