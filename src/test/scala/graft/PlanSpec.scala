@@ -40,4 +40,20 @@ class PlanSpec extends SparkSpec {
     assert(keyedExchanges === 1,
       s"expected 1 shared user_id exchange, found $keyedExchanges")
   }
+
+  test("events_asof_join: one keyed shuffle, no range/cartesian join") {
+    val p = planOf("events_asof_join")
+    // exactly one exchange partitioned on user_id ALONE (the shared
+    // window); the (user_id, ts) exchange is the right side's dedup
+    assert("hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).length === 1,
+      "as-of join must be the union + single-window shape")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join must not fall back to a nested-loop/range join")
+  }
+
+  test("events_range_join: bucketed equi-join, no nested-loop range join") {
+    val p = planOf("events_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval containment must stay an equi-join on (key, bucket)")
+  }
 }
