@@ -18,6 +18,17 @@ class CdcStreamSpec extends SparkSpec {
   private def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:0$i")
 
   test("two-batch streaming run reaches the golden end-state") {
+    goldenStreamingRun(root => new ParquetSnapshotStore(spark, s"$root/snapshot", Seq("emp_id")))
+  }
+
+  test("golden streaming run against the bucketed snapshot store") {
+    goldenStreamingRun(root =>
+      new graft.sinks.Sinks.BucketedSnapshotStore(spark, s"$root/snapshot",
+        Seq("emp_id"), numBuckets = 4))
+  }
+
+  private def goldenStreamingRun(
+      mkStore: String => graft.sinks.Sinks.SnapshotStore): Unit = {
     val root = Files.createTempDirectory("cdcstream").toString
     val wireDir = s"$root/wire"
     Files.createDirectories(java.nio.file.Paths.get(wireDir))
@@ -45,7 +56,7 @@ class CdcStreamSpec extends SparkSpec {
     Thread.sleep(1100)
     writeWire(batch2, "b2.json")
 
-    val store = new ParquetSnapshotStore(spark, s"$root/snapshot", Seq("emp_id"))
+    val store = mkStore(root)
     val wire = graft.sources.CdcSources.wireJsonStream(spark, wireDir, maxFilesPerTrigger = 1)
     val q = CdcStream.start(wire, store, s"$root/dlq", s"$root/ckpt",
       totalsPath = Some(s"$root/totals"))
