@@ -159,6 +159,28 @@ object SparkEntry {
       .orderBy(col("revenue_x10k").desc, col("n_name").asc)
   }
 
+  /** Q14-style promo revenue: lineitem ⋈ part by partkey, revenue split
+    * by promo parts vs total per month. Both revenue columns scaled
+    * BIGINT (the division of the classic Q14 would reintroduce float
+    * canonicalization; emitting numerator + denominator is exact and
+    * lets the reader divide). */
+  private def qQ14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") < lit("1998-07-01").cast("timestamp_ntz"))
+    val p = Tables.part(s, dir)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("timestamp_ntz").as("month"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))) * lit(10000)).cast("long")
+          .as("promo_revenue_x10k"),
+        decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "decimal(18,4)", 10000, "total_revenue_x10k"))
+      .orderBy("month")
+  }
+
   // ----------------------------------------------------------- events
 
   private def qEventsSessionize(s: SparkSession, dir: String): DataFrame =
@@ -203,6 +225,7 @@ object SparkEntry {
     "q1_agg" -> (qQ1Agg _),
     "q3_topk_join" -> (qQ3TopkJoin _),
     "q5_multijoin" -> (qQ5MultiJoin _),
+    "q14_promo" -> (qQ14Promo _),
     "events_sessionize" -> (qEventsSessionize _),
     "events_hourly_agg" -> (qEventsHourlyAgg _),
     "events_json_extract" -> (qEventsJsonExtract _),
@@ -304,6 +327,17 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue_x10k DESC, n_name ASC""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |       CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS promo_revenue_x10k,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_revenue_x10k
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (
