@@ -60,6 +60,11 @@ class ExtensionOpsSpec extends SparkSpec {
     val got = verify(candBanded)
     assert(got === verify(candR1), "equal recall: same verified pairs")
     assert(got.contains((0L, 1000L)) && got.contains((1L, 1001L)))
+    // the cap monitor reports what a tiny cap would drop, and capping
+    // to 1 kills every candidate (no bucket can pair)
+    val banded = Dedup.minhashBandKeys(sh, 8, 4)
+    assert(Dedup.oversizedBuckets(banded, 1).count() > 0)
+    assert(Dedup.lshCandidates(banded, 1).count() === 0)
   }
 
   test("simhash: identical docs collide, dissimilar docs differ") {
