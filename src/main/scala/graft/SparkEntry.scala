@@ -159,6 +159,24 @@ object SparkEntry {
       .orderBy(col("revenue_x10k").desc, col("n_name").asc)
   }
 
+  /** Rollup aggregation (grouping sets): per-(flag, status) subtotals,
+    * per-flag totals, and the grand total in one pass — labels via
+    * GROUPING() instead of NULL indicators so the oracle compare never
+    * depends on engine NULL-ordering. */
+  private def qQ1Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        decSumScaled(col("l_quantity"), "decimal(12,2)", 100, "sum_qty_x100"),
+        grouping(col("l_returnflag")).as("_gf"),
+        grouping(col("l_linestatus")).as("_gs"))
+      .select(
+        when(col("_gf") === 1, "ALL").otherwise(col("l_returnflag")).as("returnflag"),
+        when(col("_gs") === 1, "ALL").otherwise(col("l_linestatus")).as("linestatus"),
+        col("n"), col("sum_qty_x100"))
+      .orderBy("returnflag", "linestatus")
+
   /** Q14-style promo revenue: lineitem ⋈ part by partkey, revenue split
     * by promo parts vs total per month. Both revenue columns scaled
     * BIGINT (the division of the classic Q14 would reintroduce float
@@ -226,6 +244,7 @@ object SparkEntry {
     "q3_topk_join" -> (qQ3TopkJoin _),
     "q5_multijoin" -> (qQ5MultiJoin _),
     "q14_promo" -> (qQ14Promo _),
+    "q1_rollup" -> (qQ1Rollup _),
     "events_sessionize" -> (qEventsSessionize _),
     "events_hourly_agg" -> (qEventsHourlyAgg _),
     "events_json_extract" -> (qEventsJsonExtract _),
@@ -327,6 +346,16 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue_x10k DESC, n_name ASC""".stripMargin,
+
+    "q1_rollup" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_x100
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q14_promo" ->
       """SELECT date_trunc('month', l_shipdate) AS month,
