@@ -76,6 +76,42 @@ class CdcStreamSpec extends SparkSpec {
     assert(totals.head.getAs[Long]("total_salary") === 72000L)
   }
 
+  test("checkpoint restart resumes at the committed offset without re-applying") {
+    val root = Files.createTempDirectory("cdcrestart").toString
+    val wireDir = s"$root/wire"
+    Files.createDirectories(java.nio.file.Paths.get(wireDir))
+    val store = new ParquetSnapshotStore(spark, s"$root/snap", Seq("emp_id"))
+
+    def writeWire(events: Seq[CdcEvent], name: String): Unit = {
+      val lines = CdcWire.toWire(events.toDF())
+        .select(to_json(struct(col("key"), col("value")))).as[String].collect()
+      Files.write(java.nio.file.Paths.get(s"$wireDir/$name"),
+        String.join("\n", lines: _*).getBytes)
+    }
+    def run(): Unit = {
+      val wire = graft.sources.CdcSources.wireJsonStream(spark, wireDir, maxFilesPerTrigger = 1)
+      val q = CdcStream.start(wire, store, s"$root/dlq", s"$root/ckpt")
+      q.awaitTermination(120000)
+    }
+
+    writeWire(Seq(
+      CdcEvent(0, 1L, "Ann", "A", "2012-01-01", "SF", 50000L, "insert", ts(1)),
+      CdcEvent(0, 9L, "Bad", "Dob", "1900-01-01", "LA", 50000L, "insert", ts(2))), "b1.json")
+    run() // first process: applies 1, routes 9 to DLQ; commits offsets
+    assert(store.load().get.select("emp_id").as[Long].collect().toSeq === Seq(1L))
+    assert(spark.read.parquet(s"$root/dlq").count() === 1)
+
+    Thread.sleep(1100)
+    writeWire(Seq(
+      CdcEvent(0, 1L, "Ann", "A", "2012-01-01", "SF", 60000L, "update", ts(3))), "b2.json")
+    run() // RESTART with the same checkpoint: only b2 is processed
+    val snap = store.load().get.select("emp_id", "emp_salary").as[(Long, Long)]
+      .collect().toMap
+    assert(snap === Map(1L -> 60000L))
+    // b1's invalid row was NOT replayed: still exactly one DLQ record
+    assert(spark.read.parquet(s"$root/dlq").count() === 1)
+  }
+
   test("corrupt wire messages are quarantined, not dropped") {
     val root = Files.createTempDirectory("cdccorrupt").toString
     val store = new ParquetSnapshotStore(spark, s"$root/snap", Seq("emp_id"))
