@@ -619,7 +619,7 @@ object ExtensionQueries {
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
-         |tok AS (SELECT doc_id, md5(u.t) AS h
+         |tok AS (SELECT doc_id, ${Text.polyHashSql("u.t")} AS d
          |        FROM t, LATERAL (SELECT unnest(tk) AS t) u),
          |bits AS (SELECT doc_id, $simhashBitSumsSql FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS simhash

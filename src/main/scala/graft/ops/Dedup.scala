@@ -161,17 +161,21 @@ object Dedup {
   }
 
   /** 16-bit SimHash over the token multiset: per bit j, sign of
-    * Σ_tokens (high-bit of md5 nibble j ? +1 : -1). Identical simhash →
-    * near-dup bucket. One explode + one keyed aggregation.
+    * Σ_tokens (parity of h_j(polyHash(token)) ? +1 : -1) with h_j from
+    * the same universal family as the minhashes (offset so the two
+    * operators' bits are uncorrelated). Identical simhash → near-dup
+    * bucket. One explode + one keyed aggregation; pure integer
+    * arithmetic per token — no per-row crypto (see [[Text.polyHash]]).
     */
   val simhashBits = 16
+  private val simhashSalt = 1000 // constant-family offset vs minhash
 
   def simhash(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val tok = docs.select(idCol.as("doc_id"), explode(Text.tokens(textCol)).as("t"))
-      .withColumn("h", md5(col("t")))
+      .withColumn("d", Text.polyHash(col("t")))
     val bitSums = (0 until simhashBits).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"b$j")
+      val (a, b) = hashConsts(simhashSalt + j)
+      sum(when((col("d") * lit(a) + lit(b)) % lit(P) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val fp = (0 until simhashBits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
@@ -180,10 +184,12 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** DuckDB mirror of [[simhash]]'s bit expressions. */
+  /** DuckDB mirror of [[simhash]]'s bit expressions (over a column `d`
+    * = polyHash of the token — generated from the same constants). */
   def simhashSql(): (String, String) = {
     val bitSums = (0 until simhashBits).map { j =>
-      s"SUM(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+      val (a, b) = hashConsts(simhashSalt + j)
+      s"SUM(CASE WHEN (d * $a + $b) % $P % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(", ")
     val fp = (0 until simhashBits).map { j =>
       s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
