@@ -229,12 +229,13 @@ object Dedup {
     * threshold num/den (cross-multiplied, no floats).
     */
   def embeddingNearDups(emb: DataFrame, vecCol: Column, idCol: Column,
-                        bucketBits: Int, num: Int, den: Int): DataFrame = {
+                        bucketBits: Int, num: Int, den: Int,
+                        dim: Int = 64): DataFrame = {
     val qdot = graft.functions.GraftFunctions.registerQDot(emb.sparkSession)
     val q = emb.select(idCol.as("vec_id"), vecCol.as("v"),
         Vectors.quantize(vecCol).as("qz"))
       .withColumn("n2", qdot(col("v"), col("v")))
-      .withColumn("bucket", Vectors.signBucket(col("qz"), bucketBits))
+      .withColumn("bucket", Vectors.signBucket(col("qz"), bucketBits, dim))
       .drop("qz")
     val dot = qdot(col("a.v"), col("b.v"))
     q.as("a").join(q.as("b"),

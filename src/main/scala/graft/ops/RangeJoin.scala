@@ -27,6 +27,10 @@ object RangeJoin {
     val p = points.withColumn("_b",
       floor(unix_micros(col(ptTs).cast("timestamp")) / bucketMicros).cast("long"))
     val iv = intervals
+      // corrupt rows guard: end < start would explode to a DESCENDING
+      // bucket sequence (sequence(5,3) counts down), and an extreme
+      // span could exceed Spark's array-length limit and fail the job
+      .where(col(start) <= col(end))
       .withColumn("_bs",
         floor(unix_micros(col(start).cast("timestamp")) / bucketMicros).cast("long"))
       .withColumn("_be",

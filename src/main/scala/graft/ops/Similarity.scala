@@ -45,16 +45,17 @@ object Similarity {
     * query's sign bucket (bucketing is on the quantized components so
     * the SQL oracle mirrors exactly). */
   def topKLsh(candidates: DataFrame, queries: DataFrame,
-              vecCol: Column, idCol: Column, k: Int, bits: Int): DataFrame = {
+              vecCol: Column, idCol: Column, k: Int, bits: Int,
+              dim: Int = 64): DataFrame = {
     val qdot = GraftFunctions.registerQDot(candidates.sparkSession)
     // quantize materialized once per row; the bucket expression then
     // reads the stored array instead of re-quantizing per plane
     val cand = candidates.select(idCol.as("vec_id"), vecCol.as("v"),
         Vectors.quantize(vecCol).as("qz"))
-      .withColumn("bucket", Vectors.signBucket(col("qz"), bits)).drop("qz")
+      .withColumn("bucket", Vectors.signBucket(col("qz"), bits, dim)).drop("qz")
     val qs = queries.select(idCol.as("q_vec_id"), vecCol.as("qv"),
         Vectors.quantize(vecCol).as("qz"))
-      .withColumn("qbucket", Vectors.signBucket(col("qz"), bits)).drop("qz")
+      .withColumn("qbucket", Vectors.signBucket(col("qz"), bits, dim)).drop("qz")
     val scored = cand.join(broadcast(qs), col("bucket") === col("qbucket"))
       .select(col("q_vec_id"), col("vec_id"), qdot(col("v"), col("qv")).as("dot"))
     ranked(scored, k)

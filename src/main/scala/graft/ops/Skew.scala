@@ -15,16 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** COUNT(DISTINCT value) per group, two-stage skew-safe form. NULLs
-    * are excluded, matching SQL `COUNT(DISTINCT v)` (a bare
-    * distinct+count would count NULL as a value). */
+  /** COUNT(DISTINCT value) per group, two-stage skew-safe form with
+    * full SQL semantics: NULL values are not counted, but a group whose
+    * values are ALL null still appears with count 0 (a naive
+    * not-null-filter-first would drop the group entirely). */
   def distinctCount(df: DataFrame, groupCols: Seq[Column], value: Column,
-                    as: String = "n_distinct"): DataFrame =
-    df.where(value.isNotNull)
-      .select((groupCols :+ value.as("_v")): _*)
+                    as: String = "n_distinct"): DataFrame = {
+    val names = df.select(groupCols: _*).columns.toSeq
+    val base = df.select((groupCols.zip(names).map { case (c, n) => c.as(n) } :+
+      value.as("_v")): _*)
+    val groups = base.select(names.map(col): _*).distinct()
+    val counts = base.where(col("_v").isNotNull)
       .distinct() // shuffle on (group, value): hot groups spread by value
-      .groupBy(groupCols: _*)
+      .groupBy(names.map(col): _*)
       .agg(count(lit(1)).as(as))
+    groups.join(counts, names, "left").na.fill(0L, Seq(as))
+  }
 
   /** Salted two-stage aggregation for additive aggregates whose payload
     * per group is heavy (e.g. building large per-group structures):
@@ -35,10 +41,13 @@ object Skew {
     */
   def saltedSum(df: DataFrame, groupCols: Seq[Column], value: Column,
                 salts: Int, as: String = "total"): DataFrame =
-    // salt = hash of the value: deterministic under task retries
-    // (monotonically_increasing_id/spark_partition_id are not), spreads
-    // a hot group across `salts` reducers whenever its values vary
-    df.withColumn("_salt", pmod(hash(value), lit(salts)))
+    // salt = hash(value) + partition id: the value hash spreads hot
+    // groups with varying payloads, the partition id spreads the
+    // constant-value hot group (the canonical skew case — hash(value)
+    // alone maps it to ONE reducer). Both inputs are stable under task
+    // retry (a retried task re-reads the same split), and the sum is
+    // salt-invariant regardless.
+    df.withColumn("_salt", pmod(hash(value) + spark_partition_id(), lit(salts)))
       .groupBy((groupCols :+ col("_salt")): _*)
       .agg(sum(value).as("_partial"))
       .groupBy(groupCols: _*)

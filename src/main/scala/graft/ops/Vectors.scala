@@ -45,12 +45,19 @@ object Vectors {
     * of the dot product with ±1 plane j. Integer arithmetic end-to-end.
     * Callers should materialize `quantize(v)` into a column first so
     * the quantization runs once per row, not once per plane.
+    *
+    * Dimension-mismatch safety: `zip_with` null-pads the shorter side,
+    * and a null term is coalesced to 0 — a vector shorter or longer
+    * than `dim` hashes on the overlapping prefix instead of collapsing
+    * every vector into bucket 0 (null projection). The SQL mirror has
+    * the same semantics (list_sum skips the null terms).
     */
   def signBucket(v: Column, bits: Int, dim: Int = 64): Column = {
     val hp = hyperplanes(bits, dim)
     (0 until bits).map { j =>
       val w = array(hp(j).map(lit): _*)
-      val proj = aggregate(zip_with(v, w, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val proj = aggregate(zip_with(v, w, (x, y) => coalesce(x * y, lit(0L))),
+        lit(0L), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

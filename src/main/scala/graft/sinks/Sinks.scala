@@ -31,9 +31,11 @@ object Sinks {
   }
 
   private def deleteRecursive(dir: Path): Unit =
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   /** Atomic dir swap: write-new → move-old-away → rename — crash-safe
     * enough for a single writer (streaming guarantees one foreachBatch
@@ -130,21 +132,29 @@ object Sinks {
     @volatile private[graft] var lastTouched: Seq[Int] = Nil
     /** Buckets touched since the last totals refresh — accumulates
       * across merges so totals stay exact when several batches land
-      * between writeTotals calls. */
+      * between writeTotals calls. `partialsKnownFresh` is false until
+      * THIS instance has written totals: a fresh instance over existing
+      * dirs cannot know which on-disk partials are stale (another
+      * process may have merged with totals disabled), so it refreshes
+      * every bucket once. */
     @volatile private var staleSinceTotals: Set[Int] = Set.empty
+    @volatile private var partialsKnownFresh: Boolean = false
 
     def exists: Boolean = Files.exists(root) && existingBuckets.nonEmpty
 
     private def existingBuckets: Seq[Int] =
       if (!Files.exists(root)) Nil
       else {
-        val it = Files.list(root).iterator()
-        val bs = scala.collection.mutable.ArrayBuffer[Int]()
-        while (it.hasNext) {
-          val name = it.next().getFileName.toString
-          if (name.matches("b=\\d+")) bs += name.drop(2).toInt
-        }
-        bs.toSeq.sorted
+        val stream = Files.list(root)
+        try {
+          val it = stream.iterator()
+          val bs = scala.collection.mutable.ArrayBuffer[Int]()
+          while (it.hasNext) {
+            val name = it.next().getFileName.toString
+            if (name.matches("b=\\d+")) bs += name.drop(2).toInt
+          }
+          bs.toSeq.sorted
+        } finally stream.close()
       }
 
     def load(): Option[DataFrame] = loadBuckets(existingBuckets)
@@ -178,10 +188,11 @@ object Sinks {
 
     def writeTotals(totalsPath: String, groupCol: String, valueCol: String): Unit = {
       // refresh partials for every bucket touched since the last
-      // totals write (all existing buckets when partials don't exist
-      // yet, e.g. restart)
+      // totals write; a fresh instance (or missing partials) refreshes
+      // everything — on-disk partials of unknown provenance are not
+      // trusted
       val stale =
-        if (Files.exists(partsRoot)) staleSinceTotals.toSeq.sorted
+        if (Files.exists(partsRoot) && partialsKnownFresh) staleSinceTotals.toSeq.sorted
         else existingBuckets
       if (stale.nonEmpty) {
         val parts = loadBuckets(stale.filter(b => Files.exists(bucketDir(b)))) match {
@@ -193,6 +204,7 @@ object Sinks {
         if (!parts.isEmpty) writePartitioned(parts, partsRoot, stale)
         else stale.foreach(b => deleteRecursive(partDir(b)))
         staleSinceTotals = Set.empty
+        partialsKnownFresh = true
       }
       // final totals: |buckets|×|groups| partial rows, never the snapshot
       val dirs = existingBuckets.map(partDir).filter(Files.exists(_)).map(_.toString)

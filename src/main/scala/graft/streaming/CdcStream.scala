@@ -62,9 +62,15 @@ object CdcStream {
     * groupBy cannot retract). How much work that takes is the store's
     * choice: the simple store re-aggregates, the bucketed store updates
     * per-bucket partials for touched buckets only.
+    *
+    * `batchId` must be unique per batch (streaming supplies the
+    * checkpointed epoch): the DLQ write is `overwrite` into a
+    * batchId-keyed subdir, so reusing an id replaces that batch's DLQ
+    * slice — which is exactly right for a REPLAY of the same batch and
+    * exactly wrong for two different batches.
     */
   def applyBatch(batch: DataFrame, store: SnapshotStore, dlqPath: String,
-                 totalsPath: Option[String] = None, batchId: Long = 0L): Unit = {
+                 totalsPath: Option[String], batchId: Long): Unit = {
     val decoded = CdcWire.fromWire(batch).persist()
     try {
       val corrupt = decoded.where(col("corrupt"))

@@ -119,7 +119,7 @@ class CdcStreamSpec extends SparkSpec {
       ("1", """{"action_id":"0","emp_id":"1","emp_FN":"A","emp_LN":"B","emp_dob":"2012-04-10","emp_city":"SF","emp_salary":"80000","action":"insert","last_updated_at":"2024-01-01 00:00:01"}"""),
       ("2", "this is not json at all"))
       .toDF("key", "value")
-    CdcStream.applyBatch(batch, store, s"$root/dlq")
+    CdcStream.applyBatch(batch, store, s"$root/dlq", None, batchId = 0L)
     assert(store.load().get.select("emp_id").as[Long].collect().toSeq === Seq(1L))
     assert(spark.read.parquet(s"$root/dlq_corrupt").count() === 1)
   }

@@ -173,6 +173,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("byte_offset")).toSeq === Seq(0L, 2L, 4L, 6L))
   }
 
+  test("distinctCount: NULLs not counted, all-null groups kept at 0") {
+    val df = Seq(("a", Some(1L)), ("a", Some(1L)), ("a", None),
+      ("b", None), ("b", None)).toDF("g", "v")
+    val got = Skew.distinctCount(df, Seq(col("g")), col("v"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1L, "b" -> 0L))
+  }
+
+  test("signBucket hashes the overlapping prefix for off-dim vectors") {
+    val v64 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val emb = Seq((1L, v64.toSeq), (2L, v64.take(32).toSeq),
+      (3L, (v64 ++ v64.take(8)).toSeq)).toDF("vec_id", "embedding")
+    val b = emb.select($"vec_id",
+        Vectors.signBucket(Vectors.quantize($"embedding"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // a short vector must not collapse into the all-zero bucket
+    assert((b(2L) != 0L) || (b(1L) == 0L))
+    // extra dims beyond the plane width are ignored
+    assert(b(3L) === b(1L))
+  }
+
   test("saltedSum equals plain grouped sum and is deterministic") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 2000).map(i => (s"g${i % 3}", rnd.nextInt(1000).toLong))
