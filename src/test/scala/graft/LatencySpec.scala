@@ -24,6 +24,15 @@ class LatencySpec extends SparkSpec {
 
   test("change to snapshot visibility < 1 s with ProcessingTime trigger") {
     import spark.implicits._
+    // host calibration: this shared box shows 2-5x wall-clock swings
+    // under noisy neighbors. A wall-clock envelope can only be judged
+    // on a sane host — cancel (not fail) when even a trivial job is
+    // pathologically slow, so a degraded host doesn't read as a
+    // pipeline regression.
+    val t0 = System.nanoTime()
+    (1 to 3).foreach(_ => spark.range(1000).count())
+    val calib = (System.nanoTime() - t0) / 1e9 / 3
+    assume(calib < 0.5, f"host degraded: trivial job took $calib%.2f s")
     val root = Files.createTempDirectory("latency").toString
     val store = new ParquetSnapshotStore(spark, s"$root/snap", Seq("emp_id"))
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
