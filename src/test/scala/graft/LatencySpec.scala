@@ -29,10 +29,11 @@ class LatencySpec extends SparkSpec {
     // on a sane host — cancel (not fail) when even a trivial job is
     // pathologically slow, so a degraded host doesn't read as a
     // pipeline regression.
+    spark.range(1000).count() // untimed: session/codegen cold-start
     val t0 = System.nanoTime()
     (1 to 3).foreach(_ => spark.range(1000).count())
     val calib = (System.nanoTime() - t0) / 1e9 / 3
-    assume(calib < 0.5, f"host degraded: trivial job took $calib%.2f s")
+    assume(calib < 0.5, f"host degraded: trivial warm job took $calib%.2f s")
     val root = Files.createTempDirectory("latency").toString
     val store = new ParquetSnapshotStore(spark, s"$root/snap", Seq("emp_id"))
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
