@@ -41,6 +41,14 @@ class AsOfSpec extends SparkSpec {
     assert(out.isNullAt(1), "must carry the matched row's NULL")
   }
 
+  test("composite keys: match requires every key column to agree") {
+    val l = Seq((1L, "x", 100L), (1L, "y", 100L)).toDF("k1", "k2", "ts")
+    val r = Seq((1L, "x", 10L, "vx")).toDF("k1", "k2", "ts", "v")
+    val out = AsOf.asOfJoin(l, r, Seq("k1", "k2"), "ts", "ts", Map("v" -> "v"))
+      .select("k2", "v").as[(String, String)].collect().toMap
+    assert(out === Map("x" -> "vx")) // (1, "y") has no right row
+  }
+
   test("no prior right row -> left row dropped (inner as-of)") {
     val l = Seq((1L, 5L), (1L, 50L)).toDF("k", "ts")
     val r = Seq((1L, 10L, "x")).toDF("k", "ts", "v")
