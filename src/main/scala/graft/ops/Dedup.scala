@@ -21,9 +21,11 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
 
-  /** Banded MinHash signatures: `bands` keys per doc, each the
-    * concatenation of `rowsPerBand` minhashes. Collision probability is
-    * the proper LSH s-curve 1-(1-J^r)^b — r≥2 is what keeps the
+  /** Banded MinHash signatures (Broder, "On the resemblance and
+    * containment of documents", 1997; banding analysis per Leskovec/
+    * Rajaraman/Ullman, Mining of Massive Datasets ch. 3): `bands` keys
+    * per doc, each the concatenation of `rowsPerBand` minhashes.
+    * Collision probability is the proper LSH s-curve 1-(1-J^r)^b — r≥2 is what keeps the
     * candidate set sub-quadratic at scale: with r=1 every doc pair
     * sharing ONE common-shingle minhash collides (P=1-(1-J)^b ≈ 0.57 at
     * J=0.1 for b=8), which degenerates toward all-pairs on a 100 TB
@@ -160,7 +162,9 @@ object Dedup {
       sh, num, den)
   }
 
-  /** 16-bit SimHash over the token multiset: per bit j, sign of
+  /** 16-bit SimHash (Charikar, "Similarity estimation techniques
+    * from rounding algorithms", STOC 2002) over the token multiset:
+    * per bit j, sign of
     * Σ_tokens (parity of h_j(polyHash(token)) ? +1 : -1) with h_j from
     * the same universal family as the minhashes (offset so the two
     * operators' bits are uncorrelated). Identical simhash → near-dup

@@ -8,10 +8,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
-/** IVF (inverted-file) approximate nearest neighbor: k-means centroids
-  * partition the corpus into cells; a query probes only its `nProbe`
-  * nearest cells (SURVEY §7.4 "IVF or LSH-bucketed variant as the
-  * scale path").
+/** IVF (inverted-file) approximate nearest neighbor, the coarse
+  * quantizer of Jégou/Douze/Schmid, "Product quantization for nearest
+  * neighbor search", TPAMI 2011: k-means centroids partition the
+  * corpus into cells; a query probes only its `nProbe` nearest cells
+  * (SURVEY §7.4 "IVF or LSH-bucketed variant as the scale path").
   *
   * Scale shape: training samples the corpus (k-means on a bounded
   * sample, centroids broadcast via the model); assignment is one pass;

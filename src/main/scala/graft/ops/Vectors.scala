@@ -32,7 +32,8 @@ object Vectors {
   /** Deterministic ±1 hyperplane matrix (planes × dim), fixed seed —
     * shared by the Spark expression and its SQL mirror so buckets are
     * engine-identical. Sign-random projections are a proper LSH family
-    * for cosine (P[signs agree] = 1 − θ/π per plane); the previous
+    * for cosine (Charikar, STOC 2002: P[signs agree] = 1 − θ/π per
+    * plane); the previous
     * dimension-prefix variant hashed only the first `bits` components,
     * an arbitrary and weaker family.
     */

@@ -6,7 +6,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.cdc.{CdcWire, Routing}
 import graft.sinks.Sinks.SnapshotStore
 
-/** The streaming assembly (SURVEY §3.2 restated for Spark):
+/** The streaming assembly (SURVEY §3.2 restated for Spark; the
+  * foreachBatch/incremental-execution model follows "Structured
+  * Streaming: A Declarative API for Real-Time Applications in Apache
+  * Spark", SIGMOD 2018):
   * wire stream → decode → validate-split → [DLQ sink | latest-per-key →
   * snapshot merge].
   *
