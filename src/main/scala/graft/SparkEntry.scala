@@ -159,6 +159,23 @@ object SparkEntry {
       .orderBy(col("revenue_x10k").desc, col("n_name").asc)
   }
 
+  /** Month-over-month revenue deltas: monthly totals then lag() over
+    * the month sequence. The unpartitioned window is safe here BECAUSE
+    * it runs over the already-aggregated month table (|months| rows,
+    * not |orders|) — the aggregation shuffles keyed, and only the tiny
+    * rollup passes through the single-partition window. */
+  private def qOrdersMonthlyMom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("revenue"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(Window.orderBy(col("month"))))
+      .select(col("month"), col("revenue"),
+        (col("revenue") - coalesce(col("prev_revenue"), lit(0L))).as("delta"))
+      .orderBy("month")
+  }
+
   /** Rollup aggregation (grouping sets): per-(flag, status) subtotals,
     * per-flag totals, and the grand total in one pass — labels via
     * GROUPING() instead of NULL indicators so the oracle compare never
@@ -245,6 +262,7 @@ object SparkEntry {
     "q5_multijoin" -> (qQ5MultiJoin _),
     "q14_promo" -> (qQ14Promo _),
     "q1_rollup" -> (qQ1Rollup _),
+    "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "events_sessionize" -> (qEventsSessionize _),
     "events_hourly_agg" -> (qEventsHourlyAgg _),
     "events_json_extract" -> (qEventsJsonExtract _),
@@ -346,6 +364,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue_x10k DESC, n_name ASC""".stripMargin,
+
+    "orders_monthly_mom" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |         CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |       revenue - COALESCE(lag(revenue, 1) OVER (ORDER BY month), 0) AS delta
+        |FROM m ORDER BY month""".stripMargin,
 
     "q1_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
