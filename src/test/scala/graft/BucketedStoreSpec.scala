@@ -99,6 +99,20 @@ class BucketedStoreSpec extends SparkSpec {
     check()
   }
 
+  test("a fresh instance does not trust stale on-disk totals partials") {
+    val path = tmpdir(); val totals = path + "_totals"
+    val a = new BucketedSnapshotStore(spark, path, Seq("emp_id"), numBuckets = 4)
+    a.merge(batch((1, "c0", 100L, "insert"), (2, "c1", 200L, "insert")), "ts")
+    a.writeTotals(totals, "emp_city", "ts") // partials on disk reflect this state
+    a.merge(batch((3, "c0", 700L, "insert")), "ts") // partials now stale on disk
+    // restart: a NEW instance with no in-memory staleness knowledge
+    val b = new BucketedSnapshotStore(spark, path, Seq("emp_id"), numBuckets = 4)
+    b.writeTotals(totals, "emp_city", "ts")
+    val got = spark.read.parquet(totals).select("emp_city", "total_salary")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("c0" -> 800L, "c1" -> 200L))
+  }
+
   test("bucketed and simple stores converge to the same snapshot") {
     val pathB = tmpdir(); val pathS = tmpdir()
     val b = new BucketedSnapshotStore(spark, pathB, Seq("emp_id"), numBuckets = 8)
