@@ -222,6 +222,26 @@ object ExtensionQueries {
       .orderBy("stage")
   }
 
+  /** Cohort retention: users grouped by signup week, counted in each
+    * later week they were active (any event type). Two keyed
+    * aggregations + one keyed join — the classic retention matrix with
+    * no per-user driver work. `week_offset` = whole weeks since the
+    * cohort week. */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .where(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Vocabulary heavy hitters: top-100 tokens by corpus frequency
     * (explode → one keyed agg with map-side partials → global top-k;
     * ties broken by token so the result is total-order deterministic). */
@@ -331,6 +351,7 @@ object ExtensionQueries {
     "corpus_split" -> (qCorpusSplit _),
     "text_vocab_topk" -> (qTextVocabTopk _),
     "events_funnel" -> (qEventsFunnel _),
+    "events_retention" -> (qEventsRetention _),
     "split_contamination" -> (qSplitContamination _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
@@ -500,6 +521,17 @@ object ExtensionQueries {
         |  UNION ALL SELECT 'click_after', n_click_after FROM agg
         |  UNION ALL SELECT 'purchase_after', n_purchase_after FROM agg)
         |ORDER BY stage""".stripMargin,
+
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |cohort AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM ev)
+        |SELECT c.cohort_week, CAST(floor(date_diff('day', c.cohort_week, a.week) / 7) AS BIGINT) AS week_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |WHERE a.week >= c.cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_vocab_topk" ->
       s"""WITH t AS (SELECT unnest($TK) AS token FROM documents)
