@@ -159,6 +159,20 @@ object SparkEntry {
       .orderBy(col("revenue_x10k").desc, col("n_name").asc)
   }
 
+  /** Q22 flavor: positive-balance customers with no RECENT order —
+    * the NOT EXISTS decorrelation, expressed as a left-anti join (the
+    * plan Catalyst produces for the subquery form). */
+  private def qCustomersNoOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).where(col("c_acctbal") > 0)
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1998-06-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_x100"))
+      .orderBy("c_custkey")
+  }
+
   /** Month-over-month revenue deltas: monthly totals then lag() over
     * the month sequence. The unpartitioned window is safe here BECAUSE
     * it runs over the already-aggregated month table (|months| rows,
@@ -263,6 +277,7 @@ object SparkEntry {
     "q14_promo" -> (qQ14Promo _),
     "q1_rollup" -> (qQ1Rollup _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
+    "customers_no_orders" -> (qCustomersNoOrders _),
     "events_sessionize" -> (qEventsSessionize _),
     "events_hourly_agg" -> (qEventsHourlyAgg _),
     "events_json_extract" -> (qEventsJsonExtract _),
@@ -364,6 +379,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue_x10k DESC, n_name ASC""".stripMargin,
+
+    "customers_no_orders" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_x100
+        |FROM customer c
+        |WHERE c_acctbal > 0
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
 
     "orders_monthly_mom" ->
       """WITH m AS (
