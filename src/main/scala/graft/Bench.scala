@@ -43,8 +43,11 @@ object Bench {
     val rt = Runtime.getRuntime
     def once(name: String): Double = {
       val t0 = System.nanoTime()
+      // NonFatal only: a dying JVM (OOM, stack overflow) must crash the
+      // bench loudly, not masquerade as one failed query and pollute
+      // every later measurement in the shared session.
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case scala.util.control.NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     def cleanup(): Unit = {

@@ -105,9 +105,21 @@ object SparkEntry {
   private def decSum(c: Column, castTo: String, outTo: String, name: String): Column =
     sum(c.cast(castTo)).cast(outTo).as(name)
 
+  /** Narrow a scaled decimal to BIGINT, raising on overflow: non-ANSI
+    * Spark would silently emit NULL where DuckDB raises, and the two
+    * engines would diverge quietly near the int64 edge at large SF.
+    */
+  private def checkedLong(scaled: Column, name: String): Column =
+    when(scaled.isNull ||
+        (scaled >= lit(Long.MinValue) && scaled <= lit(Long.MaxValue)),
+      scaled.cast("long"))
+      .otherwise(raise_error(concat(lit(s"$name overflows BIGINT: "),
+        scaled.cast("string"))))
+      .as(name)
+
   /** Exact decimal sum emitted as a scaled BIGINT (see scaladoc above). */
   private def decSumScaled(c: Column, castTo: String, scale: Int, name: String): Column =
-    (sum(c.cast(castTo)) * lit(scale)).cast("long").as(name)
+    checkedLong(sum(c.cast(castTo)) * lit(scale), name)
 
   private def qQ1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -221,10 +233,10 @@ object SparkEntry {
     li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(date_trunc("month", col("l_shipdate")).cast("timestamp_ntz").as("month"))
       .agg(
-        (sum(when(col("p_type") === "PROMO",
+        checkedLong(sum(when(col("p_type") === "PROMO",
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-          .otherwise(lit(0).cast("decimal(18,4)"))) * lit(10000)).cast("long")
-          .as("promo_revenue_x10k"),
+          .otherwise(lit(0).cast("decimal(18,4)"))) * lit(10000),
+          "promo_revenue_x10k"),
         decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
           "decimal(18,4)", 10000, "total_revenue_x10k"))
       .orderBy("month")

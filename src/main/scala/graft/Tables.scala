@@ -37,10 +37,13 @@ object Tables {
     * Defensive conf guard: reading TIMESTAMP(NANOS) parquet requires
     * [[nanosConf]]. Entry points set it at session creation (no
     * mid-query conf mutation); the guard only fires for ad-hoc sessions
-    * that skipped setup, and is a no-op when already set.
+    * that skipped setup entirely. A session that explicitly set the conf
+    * — either way — is left untouched: an explicit "false" means the
+    * caller opted out, and the scan will fail with Spark's own clear
+    * TIMESTAMP(NANOS) error rather than us silently overriding them.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.getOption(nanosConf).forall(_ != "true"))
+    if (spark.conf.getOption(nanosConf).isEmpty)
       spark.conf.set(nanosConf, "true")
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -18,18 +18,26 @@ object Skew {
   /** COUNT(DISTINCT value) per group, two-stage skew-safe form with
     * full SQL semantics: NULL values are not counted, but a group whose
     * values are ALL null still appears with count 0 (a naive
-    * not-null-filter-first would drop the group entirely). */
+    * not-null-filter-first would drop the group entirely).
+    *
+    * Group columns are aliased to generated unique names internally
+    * (two expression-valued columns can render to the SAME
+    * auto-generated name, which would corrupt the distinct/join on
+    * names) and restored to their caller-visible names on output. */
   def distinctCount(df: DataFrame, groupCols: Seq[Column], value: Column,
                     as: String = "n_distinct"): DataFrame = {
-    val names = df.select(groupCols: _*).columns.toSeq
-    val base = df.select((groupCols.zip(names).map { case (c, n) => c.as(n) } :+
+    val outNames = df.select(groupCols: _*).columns.toSeq
+    val gNames = groupCols.indices.map(i => s"_g$i")
+    val base = df.select((groupCols.zip(gNames).map { case (c, n) => c.as(n) } :+
       value.as("_v")): _*)
-    val groups = base.select(names.map(col): _*).distinct()
+    val groups = base.select(gNames.map(col): _*).distinct()
     val counts = base.where(col("_v").isNotNull)
       .distinct() // shuffle on (group, value): hot groups spread by value
-      .groupBy(names.map(col): _*)
+      .groupBy(gNames.map(col): _*)
       .agg(count(lit(1)).as(as))
-    groups.join(counts, names, "left").na.fill(0L, Seq(as))
+    groups.join(counts, gNames, "left").na.fill(0L, Seq(as))
+      .select((gNames.zip(outNames).map { case (g, n) => col(g).as(n) } :+
+        col(as)): _*)
   }
 
   /** Salted two-stage aggregation for additive aggregates whose payload

@@ -51,7 +51,9 @@ object Vectors {
     * and a null term is coalesced to 0 — a vector shorter or longer
     * than `dim` hashes on the overlapping prefix instead of collapsing
     * every vector into bucket 0 (null projection). The SQL mirror has
-    * the same semantics (list_sum skips the null terms).
+    * the same semantics: list_sum skips null terms, and a fully-null
+    * projection (empty vector / zero overlap) is coalesced to 0 so both
+    * engines put the degenerate vector in the same all-bits bucket.
     */
   def signBucket(v: Column, bits: Int, dim: Int = 64): Column = {
     val hp = hyperplanes(bits, dim)
@@ -68,7 +70,7 @@ object Vectors {
     val hp = hyperplanes(bits, dim)
     (0 until bits).map { j =>
       val w = hp(j).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(generate_series(1, $dim), i -> $vCol[i] * ($w)[i])) >= 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN COALESCE(list_sum(list_transform(generate_series(1, $dim), i -> $vCol[i] * ($w)[i])), 0) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
   }
 
