@@ -130,8 +130,15 @@ object ExtensionQueries {
     val keep = quality.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+    // The cleaned base feeds five consumers (the shingle pipeline's
+    // four + the final anti-join): without a persist, each one re-runs
+    // the scan → quality gate → fingerprint-groupBy → join chain
+    // (measured 9.5s vs 3.5s warm at sf0.1). At 100 TB the equivalent
+    // move is writing the cleaned corpus out once between stages.
     val base = quality.join(keep, "doc_id")
-    val dupIds = Dedup.minhashNearDups(base, col("text"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupIds = Dedup.minhashNearDups(base, col("text"), col("doc_id"),
+        persistShingles = true)
       .select(col("doc_b").as("doc_id")).distinct()
     base.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))

@@ -28,13 +28,23 @@ object Ivf {
   final case class Index(assigned: DataFrame, centroids: Array[MlVector])
 
   /** Train centroids (seeded → deterministic) and assign each vector to
-    * its cell. */
+    * its cell.
+    *
+    * `maxIter` defaults well below Spark ML's 20: a coarse quantizer
+    * only needs cells of roughly balanced population, not converged
+    * Lloyd's — recall is governed by the probed corpus fraction, and
+    * each extra iteration is a full pass over the training set (on a
+    * real corpus you also bound `sampleFraction`; the centroids are a
+    * sketch, not a model).
+    */
   def build(corpus: DataFrame, vecCol: Column, idCol: Column,
-            k: Int, seed: Long = 42L, sampleFraction: Double = 1.0): Index = {
+            k: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
+            maxIter: Int = 8): Index = {
     val feats = corpus.select(idCol.as("vec_id"), vecCol.as("v"))
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
     val train = if (sampleFraction < 1.0) feats.sample(sampleFraction, seed) else feats
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setMaxIter(maxIter)
       .fit(train)
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))
