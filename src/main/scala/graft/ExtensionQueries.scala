@@ -278,6 +278,68 @@ object ExtensionQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Gopher-style repetition quality signals per document (bigram
+    * duplicate/top fractions in basis points). */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    Text.repetitionStats(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("doc_id")
+
+  /** Per-language deterministic down/up-weighting — the data-mixture
+    * primitive (e.g. downsample English, keep all French). Strata
+    * absent from the rate map (here: zh) are dropped entirely. */
+  private val strataRates = Map("de" -> 5000, "en" -> 2500, "es" -> 5000, "fr" -> 10000)
+  private def qCorpusStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(graft.ops.Sampling.stratifiedSample(col("doc_id"), col("lang"), strataRates))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+
+  /** Concat-and-chunk sequence packing into 2048-token context windows,
+    * sharded by language; per-pack doc/token/straddler counts. */
+  private def qCorpusPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.ops.Pack.packStats(docs, col("lang"), col("doc_id"), col("n_tokens"),
+        budget = 2048L)
+      .select(col("grp").as("lang"), col("pack_id"), col("n_docs"),
+        col("n_tokens"), col("n_straddling"))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** Term-weighting inputs: per-doc term frequency (docs 0-24) × corpus
+    * document frequency, restricted to the top-30 vocabulary. The float
+    * tf-idf weight itself ([[Text.tfIdf]]) is equivalence-tested in
+    * ScalaTest, not oracle-hashed — the oracle gates the exact integer
+    * inputs. */
+  private def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(30).select("token")
+    val tf = toks.where(col("doc_id") < 25)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(vocab), "token").join(dfreq, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** Exact per-language document-length percentiles (linear
+    * interpolation, ×100 as BIGINT) — the length-distribution summary a
+    * cleaning pass reports before/after filtering. */
+  private def qTextLengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), size(Text.tokens(col("text"))).cast("double").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(round(percentile(n, 0.5) * 100) as long)").as("p50_x100"),
+        expr("cast(round(percentile(n, 0.9) * 100) as long)").as("p90_x100"),
+        expr("cast(round(percentile(n, 0.99) * 100) as long)").as("p99_x100"))
+      .orderBy("lang")
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -360,6 +422,11 @@ object ExtensionQueries {
     "events_funnel" -> (qEventsFunnel _),
     "events_retention" -> (qEventsRetention _),
     "split_contamination" -> (qSplitContamination _),
+    "text_repetition" -> (qTextRepetition _),
+    "corpus_stratified_sample" -> (qCorpusStratified _),
+    "corpus_pack" -> (qCorpusPack _),
+    "text_tfidf" -> (qTextTfidf _),
+    "text_length_quantiles" -> (qTextLengthQuantiles _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -572,6 +639,64 @@ object ExtensionQueries {
          |JOIN sp sb ON p.doc_b = sb.doc_id
          |WHERE sa.split <> sb.split
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |gr AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) u
+         |       WHERE len(tk) >= 2),
+         |per AS (SELECT doc_id, g, COUNT(*) AS cnt FROM gr GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+         |               CAST(MAX(cnt) AS BIGINT) AS top_gram_n
+         |        FROM per GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_grams, 0) AS n_grams,
+         |  COALESCE(a.n_distinct_grams, 0) AS n_distinct_grams,
+         |  COALESCE(a.top_gram_n, 0) AS top_gram_n,
+         |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+         |       THEN (10000 * (a.n_grams - a.n_distinct_grams)) // a.n_grams
+         |       ELSE 0 END AS dup_gram_bp,
+         |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+         |       THEN (10000 * a.top_gram_n) // a.n_grams
+         |       ELSE 0 END AS top_gram_bp
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_stratified_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len($TK)) AS BIGINT) AS n_tokens
+         |FROM documents
+         |WHERE ${graft.ops.Sampling.stratifiedSampleSql("doc_id", "lang", strataRates)}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($TK) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+         |SELECT lang, (cum - n) // 2048 AS pack_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(CASE WHEN (cum - n) // 2048 <> (cum - 1) // 2048
+         |                       THEN 1 END) AS BIGINT) AS n_straddling
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TK) AS token FROM documents),
+         |vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+         |          ORDER BY cnt DESC, token ASC LIMIT 30),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks WHERE doc_id < 25 GROUP BY 1, 2),
+         |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |          FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1)
+         |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df
+         |FROM tf JOIN vocab USING (token) JOIN dfreq USING (token)
+         |ORDER BY doc_id, token""".stripMargin,
+
+    "text_length_quantiles" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(round(quantile_cont(len($TK), 0.5) * 100) AS BIGINT) AS p50_x100,
+         |  CAST(round(quantile_cont(len($TK), 0.9) * 100) AS BIGINT) AS p90_x100,
+         |  CAST(round(quantile_cont(len($TK), 0.99) * 100) AS BIGINT) AS p99_x100
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

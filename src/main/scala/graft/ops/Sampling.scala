@@ -58,4 +58,12 @@ object Sampling {
     rates.foldLeft(lit(false)) { case (acc, (st, bp)) =>
       acc || (stratum === st && bucket(id) < bp)
     }
+
+  /** SQL mirror of [[stratifiedSample]] (strata sorted so the generated
+    * text is deterministic; OR is commutative so order can't matter). */
+  def stratifiedSampleSql(idExpr: String, stratumExpr: String,
+                          rates: Map[String, Int]): String =
+    rates.toSeq.sorted.map { case (st, bp) =>
+      s"($stratumExpr = '$st' AND ${bucketSql(idExpr)} < $bp)"
+    }.mkString("(", " OR ", ")")
 }

@@ -110,6 +110,50 @@ object Text {
     Seq(nTokens, nStop, nShort, nPunct, lowq.as("is_low_quality"))
   }
 
+  /** Per-doc n-gram repetition signals — the Gopher-style repetition
+    * quality filters (Rae et al., "Scaling Language Models: ... Gopher",
+    * 2021, §A1.1: duplicate-n-gram and top-n-gram fractions flag
+    * machine-generated / boilerplate text). Integer basis points via
+    * floor division, so the numbers are engine-exact:
+    *  - `dup_gram_bp`: fraction of n-gram occurrences that are repeats
+    *    of an earlier one ((total − distinct) / total),
+    *  - `top_gram_bp`: share of occurrences held by the single most
+    *    frequent n-gram.
+    * Docs with fewer than `n` tokens emit all-zero signals (no grams).
+    *
+    * Shape: one explode + two keyed aggregations with map-side
+    * partials; per-group size is bounded by document length, so there
+    * is no skew risk at corpus scale.
+    */
+  def repetitionStats(docs: DataFrame, textCol: Column, idCol: Column,
+                      n: Int = 2): DataFrame = {
+    val t = docs.select(idCol.as("doc_id"), tokens(textCol).as("tk"))
+    val grams = t.select(col("doc_id"), explode(shingleExpr(n)).as("g"))
+    val per = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val agg = per.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).cast("long").as("n_grams"),
+      count(lit(1)).cast("long").as("n_distinct_grams"),
+      max(col("cnt")).cast("long").as("top_gram_n"))
+    docs.select(idCol.as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_distinct_grams", "top_gram_n"))
+      .withColumn("dup_gram_bp",
+        when(col("n_grams") > 0,
+          expr("(10000 * (n_grams - n_distinct_grams)) div n_grams"))
+          .otherwise(0L))
+      .withColumn("top_gram_bp",
+        when(col("n_grams") > 0, expr("(10000 * top_gram_n) div n_grams"))
+          .otherwise(0L))
+  }
+
+  /** Smoothed tf-idf weight (Salton/Buckley term weighting; the
+    * +1-smoothed idf of scikit-learn): tf · ln((1+N)/(1+df)). Floating
+    * point, so it is NOT part of any oracle-hashed query output —
+    * oracle queries emit the integer tf/df inputs and the weight is
+    * equivalence-tested in ScalaTest instead. */
+  def tfIdf(tf: Column, df: Column, nDocs: Column): Column =
+    tf.cast("double") *
+      log((nDocs.cast("double") + 1) / (df.cast("double") + 1))
+
   private def tkSql(textCol: String): String =
     s"split(lower(trim($textCol)), '\\\\s+')"
 

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Pack, Text}
+
+/** Concat-and-chunk sequence packing: pack ids follow the cumulative
+  * token stream, straddlers are exactly the docs crossing a cut, and
+  * the assignment is partitioning-invariant. */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one group, budget 10: docs of 4+4 tokens fill [0,8); the 5-token doc
+  // spans [8,13) crossing the cut at 10; then 7 spans [13,20) ending at
+  // the boundary (NOT a straddler: token 19 < 20); 1 starts pack 2.
+  private val docs = Seq(
+    ("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 5L), ("g", 4L, 7L), ("g", 5L, 1L)
+  ).toDF("grp0", "ord0", "n0")
+
+  test("pack ids, straddlers, and boundary-exact spans") {
+    val got = Pack.assign(docs, $"grp0", $"ord0", $"n0", budget = 10L)
+      .select($"ord", $"pack_id", $"straddles")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got === Seq((1L, 0L, false), (2L, 0L, false), (3L, 0L, true),
+      (4L, 1L, false), (5L, 2L, false)))
+  }
+
+  test("groups pack independently and stats roll up") {
+    val two = docs.union(Seq(("h", 1L, 25L), ("h", 2L, 3L)).toDF("g", "o", "n"))
+    val stats = Pack.packStats(two, $"grp0", $"ord0", $"n0", budget = 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(stats === Set(
+      ("g", 0L, 3L, 13L, 1L), ("g", 1L, 1L, 7L, 0L), ("g", 2L, 1L, 1L, 0L),
+      ("h", 0L, 1L, 25L, 1L), ("h", 2L, 1L, 3L, 0L)))
+  }
+
+  test("assignment is invariant under input partitioning") {
+    val base = Pack.assign(docs, $"grp0", $"ord0", $"n0", 10L)
+      .select($"ord", $"pack_id").as[(Long, Long)].collect().toSet
+    val shuffled = Pack.assign(docs.repartition(7), $"grp0", $"ord0", $"n0", 10L)
+      .select($"ord", $"pack_id").as[(Long, Long)].collect().toSet
+    assert(base === shuffled)
+  }
+}
