@@ -242,6 +242,76 @@ object SparkEntry {
       .orderBy("month")
   }
 
+  /** Q6: the pure filter-aggregate — no join, one scan; every predicate
+    * pushes into the parquet reader (PushedFilters), the projection
+    * prunes to three columns, and the single partial-aggregated sum is
+    * the cheapest possible distributed plan. */
+  private def qQ6FilterAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz") &&
+             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+             col("l_quantity") < 24)
+      .agg(decSumScaled(col("l_extendedprice") * col("l_discount"),
+          "decimal(18,4)", 10000, "revenue_x10k"),
+        count(lit(1)).as("n_items"))
+
+  /** Q4 flavor: orders having at least one line shipped more than 90
+    * days after the order date — EXISTS as a left-semi join (one keyed
+    * shuffle, lineitem deduped by the semi-join itself, no distinct). */
+  private def qQ4ExistsPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q7-style nation-pair trade volume: revenue between each (supplier
+    * nation, customer nation) pair per ship year. Fact-fact joins
+    * shuffle on their keys; the nation dimension broadcasts twice
+    * under different aliases. */
+  private def qQ7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "decimal(18,4)", 10000, "volume_x10k"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q10: returned-item revenue per customer for one quarter, top 20 —
+    * order-date filter pushed to the orders scan, returnflag filter to
+    * the lineitem scan, nation broadcast, keyed agg before the top-k. */
+  private def qQ10ReturnedTopk(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+             col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "decimal(18,4)", 10000, "revenue_x10k"))
+      .orderBy(col("revenue_x10k").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   // ----------------------------------------------------------- events
 
   private def qEventsSessionize(s: SparkSession, dir: String): DataFrame =
@@ -288,6 +358,10 @@ object SparkEntry {
     "q5_multijoin" -> (qQ5MultiJoin _),
     "q14_promo" -> (qQ14Promo _),
     "q1_rollup" -> (qQ1Rollup _),
+    "q6_filter_agg" -> (qQ6FilterAgg _),
+    "q4_exists_priority" -> (qQ4ExistsPriority _),
+    "q7_nation_volume" -> (qQ7NationVolume _),
+    "q10_returned_topk" -> (qQ10ReturnedTopk _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
     "events_sessionize" -> (qEventsSessionize _),
@@ -400,6 +474,49 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_x10k,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q4_exists_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS volume_x10k
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_topk" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_x10k
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_x10k DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "orders_monthly_mom" ->
       """WITH m AS (

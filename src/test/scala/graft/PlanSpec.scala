@@ -34,6 +34,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q6_filter_agg: predicates pushed, 4-column read schema") {
+    val p = planOf("q6_filter_agg")
+    // PushedFilters truncates in toString; the leading entries plus the
+    // exact pruned ReadSchema pin the scan shape
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q6 predicates not pushed to parquet")
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      "q6 must read only quantity/extendedprice/discount/shipdate")
+  }
+
+  test("q4_exists_priority: EXISTS stays a semi join, no distinct") {
+    val p = planOf("q4_exists_priority")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q7/q10: nation broadcast, order-date filter pushed") {
+    val p7 = planOf("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p7).length >= 2,
+      "both nation aliases must broadcast")
+    val p10 = planOf("q10_returned_topk")
+    assert(p10.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date filter must reach the orders scan")
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must reach the lineitem scan")
+  }
+
   test("events_sessionize: both windows and the rollup share ONE keyed shuffle") {
     val p = planOf("events_sessionize")
     val keyedExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
