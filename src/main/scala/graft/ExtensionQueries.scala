@@ -327,6 +327,28 @@ object ExtensionQueries {
       .orderBy("doc_id", "token")
   }
 
+  /** PII scrub gate: deterministic synthetic contact strings are
+    * appended to a subset of docs (derived from doc_id on BOTH engines
+    * — the fixture corpus itself contains no PII, and an all-zero
+    * detector output would gate nothing), then counted and masked;
+    * the md5 of the redacted text proves the transformation identical
+    * byte-for-byte. */
+  private def qTextPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-01"), col("doc_id")))
+          .otherwise(lit(""))).as("text"))
+    withPii.select(col("doc_id"),
+        graft.ops.Redact.countEmails(col("text")).as("n_emails"),
+        graft.ops.Redact.countPhones(col("text")).as("n_phones"),
+        md5(graft.ops.Redact.redact(col("text"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Exact per-language document-length percentiles (linear
     * interpolation, ×100 as BIGINT) — the length-distribution summary a
     * cleaning pass reports before/after filtering. */
@@ -427,6 +449,7 @@ object ExtensionQueries {
     "corpus_pack" -> (qCorpusPack _),
     "text_tfidf" -> (qTextTfidf _),
     "text_length_quantiles" -> (qTextLengthQuantiles _),
+    "text_pii_redact" -> (qTextPiiRedact _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -690,6 +713,20 @@ object ExtensionQueries {
          |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df
          |FROM tf JOIN vocab USING (token) JOIN dfreq USING (token)
          |ORDER BY doc_id, token""".stripMargin,
+
+    "text_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN ' call +1-555-01' || doc_id ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${graft.ops.Redact.countEmailsSql("text")} AS n_emails,
+         |  ${graft.ops.Redact.countPhonesSql("text")} AS n_phones,
+         |  md5(${graft.ops.Redact.redactSql("text")}) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_length_quantiles" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
