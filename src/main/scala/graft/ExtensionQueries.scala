@@ -104,6 +104,12 @@ object ExtensionQueries {
     Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
       .orderBy("doc_id")
 
+  /** Manku-style simhash near-dup pairs (banded 60-bit fingerprints,
+    * Hamming ≤ 3 verified by exact popcount). */
+  private def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("doc_a", "doc_b")
+
   private def qDedupNgramBlocked(s: SparkSession, dir: String): DataFrame =
     Dedup.blockedJaccard(Tables.documents(s, dir), col("text"), col("doc_id"),
         Seq(), num = 1, den = 2)
@@ -453,6 +459,7 @@ object ExtensionQueries {
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "dedup_ngram_blocked" -> (qDedupNgramBlocked _),
     "dedup_embedding_cos" -> (qDedupEmbedding _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
@@ -506,6 +513,8 @@ object ExtensionQueries {
   }
 
   private val (simhashBitSumsSql, simhashFpSql) = Dedup.simhashSql()
+  private val (simhashWideSumsSql, simhashWideFpSql) =
+    Dedup.simhashSqlN(Dedup.simhashPairBits)
 
   def oracleSql: Map[String, String] = Map(
     "cdc_apply_dispatch" -> (L +
@@ -825,6 +834,28 @@ object ExtensionQueries {
          |bits AS (SELECT doc_id, $simhashBitSumsSql FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" -> {
+      val bandW = Dedup.simhashPairBits / Dedup.simhashPairBands
+      val bandList = (0 until Dedup.simhashPairBands).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |tok AS (SELECT doc_id, ${Text.polyHashSql("u.t")} AS d
+         |        FROM t, LATERAL (SELECT unnest(tk) AS t) u),
+         |bits AS (SELECT doc_id, $simhashWideSumsSql FROM tok GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashWideFpSql AS BIGINT) AS simhash FROM bits),
+         |banded AS (SELECT doc_id, simhash, b.band,
+         |        (simhash >> (b.band * $bandW)) % ${1L << bandW} AS bv
+         |        FROM fp, LATERAL (SELECT unnest($bandList) AS band) b),
+         |ok AS (SELECT doc_id, simhash, band, bv FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bv) AS bsz FROM banded)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dedup_ngram_blocked" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),

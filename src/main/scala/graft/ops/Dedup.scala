@@ -174,31 +174,82 @@ object Dedup {
   val simhashBits = 16
   private val simhashSalt = 1000 // constant-family offset vs minhash
 
-  def simhash(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+  /** Width-parameterized simhash (bits ≤ 62 so the fingerprint stays a
+    * positive long and band arithmetic is sign-free on both engines). */
+  def simhashN(docs: DataFrame, textCol: Column, idCol: Column,
+               bits: Int): DataFrame = {
     val tok = docs.select(idCol.as("doc_id"), explode(Text.tokens(textCol)).as("t"))
       .withColumn("d", Text.polyHash(col("t")))
-    val bitSums = (0 until simhashBits).map { j =>
+    val bitSums = (0 until bits).map { j =>
       val (a, b) = hashConsts(simhashSalt + j)
       sum(when((col("d") * lit(a) + lit(b)) % lit(P) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val fp = (0 until simhashBits).map { j =>
+    val fp = (0 until bits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** DuckDB mirror of [[simhash]]'s bit expressions (over a column `d`
+  def simhash(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    simhashN(docs, textCol, idCol, simhashBits)
+
+  /** DuckDB mirror of [[simhashN]]'s bit expressions (over a column `d`
     * = polyHash of the token — generated from the same constants). */
-  def simhashSql(): (String, String) = {
-    val bitSums = (0 until simhashBits).map { j =>
+  def simhashSqlN(bits: Int): (String, String) = {
+    val bitSums = (0 until bits).map { j =>
       val (a, b) = hashConsts(simhashSalt + j)
       s"SUM(CASE WHEN (d * $a + $b) % $P % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(", ")
-    val fp = (0 until simhashBits).map { j =>
+    val fp = (0 until bits).map { j =>
       s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     (bitSums, fp)
+  }
+
+  def simhashSql(): (String, String) = simhashSqlN(simhashBits)
+
+  /** SimHash near-duplicate PAIRS at corpus scale — the Manku/Jain/
+    * Sarma web-dedup construction ("Detecting near-duplicates for web
+    * crawling", WWW 2007): a `simhashPairBits`-bit fingerprint cut
+    * into `simhashPairBands` bands; any pair within Hamming distance
+    * `maxHamming` < bands leaves at least one band intact (pigeonhole),
+    * so an equi-join on (band, band-value) finds every such pair
+    * without an all-pairs product. Candidates are then verified with
+    * an exact popcount of the XOR.
+    *
+    * Oversized band buckets (≥ maxBucket docs sharing 15 identical
+    * bits — boilerplate clusters) are dropped before the self-join,
+    * same rationale and trade as [[lshCandidates]]: exact dedup
+    * already covers identical docs, and a hot bucket would go
+    * quadratic. Cost: one fingerprint aggregation + a bucketed
+    * self-join ∝ true near-dup density.
+    */
+  val simhashPairBits = 60
+  val simhashPairBands = 4
+
+  def simhashNearDups(docs: DataFrame, textCol: Column, idCol: Column,
+                      maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxHamming < simhashPairBands, "pigeonhole needs hamming < bands")
+    val bandW = simhashPairBits / simhashPairBands
+    val fp = simhashN(docs, textCol, idCol, simhashPairBits)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until simhashPairBands).map(b =>
+        shiftright(col("simhash"), b * bandW) % lit(1L << bandW)): _*))
+        .as(Seq("band", "bv")))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bv"))))
+      .where(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("simhash"), col("band"), col("bv"))
+    sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Blocked n-gram-Jaccard dedup: candidates share a cheap blocking
