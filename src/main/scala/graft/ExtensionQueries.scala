@@ -707,7 +707,7 @@ object ExtensionQueries {
          |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
          |SELECT lang, (cum - n) // 2048 AS pack_id, COUNT(*) AS n_docs,
          |       CAST(SUM(n) AS BIGINT) AS n_tokens,
-         |       CAST(COUNT(CASE WHEN (cum - n) // 2048 <> (cum - 1) // 2048
+         |       CAST(COUNT(CASE WHEN n > 0 AND (cum - n) // 2048 <> (cum - 1) // 2048
          |                       THEN 1 END) AS BIGINT) AS n_straddling
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

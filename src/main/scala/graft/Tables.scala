@@ -36,14 +36,17 @@ object Tables {
     *
     * Defensive conf guard: reading TIMESTAMP(NANOS) parquet requires
     * [[nanosConf]]. Entry points set it at session creation (no
-    * mid-query conf mutation); the guard only fires for ad-hoc sessions
-    * that skipped setup entirely. A session that explicitly set the conf
-    * — either way — is left untouched: an explicit "false" means the
-    * caller opted out, and the scan will fail with Spark's own clear
-    * TIMESTAMP(NANOS) error rather than us silently overriding them.
+    * mid-query conf mutation); the guard fires for ad-hoc sessions that
+    * skipped setup. Note it also overrides a conf explicitly set to
+    * "false": [[nanosConf]] is a registered SQLConf entry, so an unset
+    * conf and an explicit false are indistinguishable through
+    * `RuntimeConfig` (both read as the default "false") — and this
+    * loader cannot produce the `ts` column at all without the flag, so
+    * setting it is strictly better than the PARQUET_TYPE_ILLEGAL crash
+    * the "respect false" alternative yields.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.getOption(nanosConf).isEmpty)
+    if (spark.conf.get(nanosConf, "false") != "true")
       spark.conf.set(nanosConf, "true")
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

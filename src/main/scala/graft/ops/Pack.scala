@@ -25,7 +25,11 @@ object Pack {
     *
     * `pack_id` = floor(tokens-before-this-doc / budget) within the
     * group; `straddles` = the doc's span crosses a multiple of
-    * `budget` (its tokens land in ≥ 2 context windows).
+    * `budget` (its tokens land in ≥ 2 context windows). A zero-token
+    * doc occupies no span, so it can never straddle — the n > 0 guard
+    * also keeps the last-token index `cum - 1` out of the negative
+    * range where Spark's truncating `div` and SQL's flooring `//`
+    * disagree.
     */
   def assign(df: DataFrame, group: Column, order: Column, nTokens: Column,
              budget: Long): DataFrame = {
@@ -33,7 +37,7 @@ object Pack {
     df.select(group.as("grp"), order.as("ord"), nTokens.cast("long").as("n"))
       .withColumn("cum", sum(col("n")).over(w))
       .withColumn("pack_id", expr(s"(cum - n) div ${budget}L"))
-      .withColumn("straddles",
+      .withColumn("straddles", col("n") > 0 &&
         expr(s"(cum - n) div ${budget}L") =!= expr(s"(cum - 1) div ${budget}L"))
   }
 

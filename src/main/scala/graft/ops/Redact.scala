@@ -30,8 +30,14 @@ object Redact {
   def countEmails(text: Column): Column =
     size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long")
 
+  /** Phone count on the email-masked text, so the count always equals
+    * the number of `<PHONE>` tokens [[redact]] emits — a phone-shaped
+    * digit run INSIDE an email address is the email's, not a phone
+    * (counting the raw text would report a phone that the masking
+    * pass, which runs email-first, never replaces). */
   def countPhones(text: Column): Column =
-    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long")
+    size(regexp_extract_all(regexp_replace(text, emailRe, emailToken),
+      lit(phoneRe), lit(0))).cast("long")
 
   /** Mask emails first, then phones (emails contain digit runs a phone
     * pattern could partially claim; fixing the order makes the result
@@ -47,7 +53,9 @@ object Redact {
   def countEmailsSql(e: String): String =
     s"CAST(len(regexp_extract_all($e, '$emailRe')) AS BIGINT)"
   def countPhonesSql(e: String): String =
-    s"CAST(len(regexp_extract_all($e, '$phoneRe')) AS BIGINT)"
+    s"CAST(len(regexp_extract_all(" +
+      s"regexp_replace($e, '$emailRe', '$emailToken', 'g'), " +
+      s"'$phoneRe')) AS BIGINT)"
   def redactSql(e: String): String =
     s"regexp_replace(regexp_replace($e, '$emailRe', '$emailToken', 'g'), " +
       s"'$phoneRe', '$phoneToken', 'g')"

@@ -33,6 +33,16 @@ class PackSpec extends SparkSpec {
       ("h", 0L, 1L, 25L, 1L), ("h", 2L, 1L, 3L, 0L)))
   }
 
+  test("zero-token doc on a pack boundary is not a straddler") {
+    val z = Seq(("g", 1L, 10L), ("g", 2L, 0L), ("g", 3L, 2L))
+      .toDF("grp0", "ord0", "n0")
+    val got = Pack.assign(z, $"grp0", $"ord0", $"n0", budget = 10L)
+      .select($"ord", $"pack_id", $"straddles")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // the empty doc sits exactly at cum=10: pack 1, no span, no straddle
+    assert(got === Seq((1L, 0L, false), (2L, 1L, false), (3L, 1L, false)))
+  }
+
   test("assignment is invariant under input partitioning") {
     val base = Pack.assign(docs, $"grp0", $"ord0", $"n0", 10L)
       .select($"ord", $"pack_id").as[(Long, Long)].collect().toSet

@@ -29,6 +29,14 @@ class RedactSpec extends SparkSpec {
       ((0L, 0L, "no contact info here 12345")))
   }
 
+  test("phone-shaped digits inside an email are the email's, not a phone") {
+    // phoneRe alone would match '+1-5551234' inside the address; the
+    // count must agree with the redacted output, which masks the whole
+    // address email-first and emits zero <PHONE> tokens
+    assert(run("reach a+1-5551234@b.co now") ===
+      ((1L, 0L, "reach <EMAIL> now")))
+  }
+
   test("two of a kind, all masked (global replace)") {
     assert(run("x@y.de then z@w.fr") === ((2L, 0L, "<EMAIL> then <EMAIL>")))
   }
