@@ -368,6 +368,32 @@ object ExtensionQueries {
         expr("cast(round(percentile(n, 0.99) * 100) as long)").as("p99_x100"))
       .orderBy("lang")
 
+  /** Exact n-gram decontamination (the GPT-3 appendix-C method: flag
+    * eval documents sharing a verbatim n-gram with train): per val/test
+    * doc, how many of its distinct 5-gram shingles also occur in any
+    * train doc. Complements [[qSplitContamination]] (near-dup leakage)
+    * with verbatim-overlap leakage. One shingle-keyed semi-join — at
+    * corpus scale the train shingle set stays distributed (never
+    * broadcast/collected); a bloom filter on train shingles is the
+    * cheaper pre-filter when eval ≪ train. */
+  private def qSplitNgramLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val splits = docs.select(col("doc_id"),
+      graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 5)
+      .join(splits, "doc_id")
+    val trainSh = sh.where(col("split") === "train").select("shingle").distinct()
+    val evalSh = sh.where(col("split") =!= "train")
+    val leaked = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    evalSh.groupBy(col("doc_id"), col("split")).agg(count(lit(1)).as("n_shingles"))
+      .join(leaked, Seq("doc_id"), "left").na.fill(0L, Seq("n_leaked"))
+      .withColumn("leak_bp", expr("(10000 * n_leaked) div n_shingles"))
+      .select(col("doc_id"), col("split"), col("n_shingles"), col("n_leaked"),
+        col("leak_bp"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -456,6 +482,7 @@ object ExtensionQueries {
     "text_tfidf" -> (qTextTfidf _),
     "text_length_quantiles" -> (qTextLengthQuantiles _),
     "text_pii_redact" -> (qTextPiiRedact _),
+    "split_ngram_leakage" -> (qSplitNgramLeakage _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -736,6 +763,27 @@ object ExtensionQueries {
          |  ${graft.ops.Redact.countPhonesSql("text")} AS n_phones,
          |  md5(${graft.ops.Redact.redactSql("text")}) AS redacted_md5
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "split_ngram_leakage" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS shingle
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-4)) AS i) g
+         |       WHERE len(tk) >= 5),
+         |sp AS (SELECT doc_id, ${graft.ops.Sampling.assignSplitSql("doc_id")} AS split
+         |       FROM documents),
+         |shs AS (SELECT sh.doc_id, sh.shingle, sp.split FROM sh JOIN sp ON sh.doc_id = sp.doc_id),
+         |tr AS (SELECT DISTINCT shingle FROM shs WHERE split = 'train'),
+         |ev AS (SELECT * FROM shs WHERE split <> 'train'),
+         |lk AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked FROM ev
+         |       WHERE shingle IN (SELECT shingle FROM tr) GROUP BY 1),
+         |ec AS (SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |       FROM ev GROUP BY 1, 2)
+         |SELECT ec.doc_id, ec.split, ec.n_shingles,
+         |       COALESCE(lk.n_leaked, 0) AS n_leaked,
+         |       (10000 * COALESCE(lk.n_leaked, 0)) // ec.n_shingles AS leak_bp
+         |FROM ec LEFT JOIN lk ON ec.doc_id = lk.doc_id
+         |ORDER BY ec.doc_id""".stripMargin,
 
     "text_length_quantiles" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
