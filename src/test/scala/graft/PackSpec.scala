@@ -43,6 +43,24 @@ class PackSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, false), (2L, 1L, false), (3L, 1L, false)))
   }
 
+  test("invariants hold on a random corpus (seeded driver-side replay)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map(i => (s"g${i % 3}", i.toLong, rnd.nextInt(30).toLong))
+    val got = Pack.assign(rows.toDF("grp0", "ord0", "n0"),
+        $"grp0", $"ord0", $"n0", budget = 64L)
+      .select($"grp", $"ord", $"n", $"cum", $"pack_id", $"straddles")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    for ((_, inGroup) <- got.groupBy(_._1)) {
+      var start = 0L
+      for ((_, _, n, cum, pack, straddles) <- inGroup.sortBy(_._2)) {
+        assert(cum === start + n)
+        assert(pack === start / 64)
+        assert(straddles === (n > 0 && start / 64 != (start + n - 1) / 64))
+        start += n
+      }
+    }
+  }
+
   test("assignment is invariant under input partitioning") {
     val base = Pack.assign(docs, $"grp0", $"ord0", $"n0", 10L)
       .select($"ord", $"pack_id").as[(Long, Long)].collect().toSet
