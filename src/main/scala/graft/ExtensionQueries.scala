@@ -131,8 +131,7 @@ object ExtensionQueries {
   private def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val quality = docs.select(col("doc_id"), col("text"))
-      .withColumn("_lq", Text.qualitySignals(col("text")).last)
-      .where(!col("_lq")).drop("_lq")
+      .where(!Text.isLowQuality(col("text")))
     val keep = quality.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")

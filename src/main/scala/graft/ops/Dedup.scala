@@ -85,27 +85,36 @@ object Dedup {
        |band AS ($bandSelects)""".stripMargin
   }
 
+  /** Shared bucketed self-join core: cap hot buckets (strictly larger
+    * than `maxBucket` are dropped before the join — a hot band key,
+    * e.g. the signature shared by thousands of boilerplate docs, would
+    * otherwise go quadratic inside its bucket), then pair each bucket's
+    * docs (a < b), carrying optional per-doc `payload` columns through
+    * for the verify step. */
+  private def cappedPairJoin(keyed: DataFrame, keyCols: Seq[String],
+                             maxBucket: Int, payload: Seq[String] = Nil): DataFrame = {
+    val sized = keyed
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
+      .where(col("bsz") <= maxBucket)
+      .select((("doc_id" +: keyCols) ++ payload).map(col): _*)
+    sized.as("x").join(sized.as("y"),
+      keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+        col("x.doc_id") < col("y.doc_id"))
+  }
+
   /** Band-bucket join → distinct candidate pairs (a < b).
     *
-    * Buckets larger than `maxBucket` are dropped before the self-join —
-    * a hot band key (e.g. the signature shared by thousands of
-    * boilerplate docs) would otherwise go quadratic inside its bucket.
-    * Exact dedup (one keyed shuffle, no join) already covers identical
-    * docs, which is what giant buckets are. Use [[oversizedBuckets]]
-    * to count/log what a cap drops.
+    * Buckets with more than `maxBucket` docs are dropped before the
+    * self-join (see [[cappedPairJoin]]). Exact dedup (one keyed
+    * shuffle, no join) already covers identical docs, which is what
+    * giant buckets are. Use [[oversizedBuckets]] to count/log what a
+    * cap drops.
     */
-  def lshCandidates(banded: DataFrame, maxBucket: Int = 100): DataFrame = {
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))))
-      .where(col("bsz") <= maxBucket)
-      .select(col("doc_id"), col("band"), col("bk"))
-    sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-        col("x.doc_id") < col("y.doc_id"))
+  def lshCandidates(banded: DataFrame, maxBucket: Int = 100): DataFrame =
+    cappedPairJoin(banded, Seq("band", "bk"), maxBucket)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** The (band, bk, size) buckets a `maxBucket` cap would drop —
     * callers log/monitor this count rather than the operator collecting
@@ -178,6 +187,7 @@ object Dedup {
     * positive long and band arithmetic is sign-free on both engines). */
   def simhashN(docs: DataFrame, textCol: Column, idCol: Column,
                bits: Int): DataFrame = {
+    require(bits > 0 && bits <= 62, s"simhash width must be in 1..62, got $bits")
     val tok = docs.select(idCol.as("doc_id"), explode(Text.tokens(textCol)).as("t"))
       .withColumn("d", Text.polyHash(col("t")))
     val bitSums = (0 until bits).map { j =>
@@ -197,6 +207,7 @@ object Dedup {
   /** DuckDB mirror of [[simhashN]]'s bit expressions (over a column `d`
     * = polyHash of the token — generated from the same constants). */
   def simhashSqlN(bits: Int): (String, String) = {
+    require(bits > 0 && bits <= 62, s"simhash width must be in 1..62, got $bits")
     val bitSums = (0 until bits).map { j =>
       val (a, b) = hashConsts(simhashSalt + j)
       s"SUM(CASE WHEN (d * $a + $b) % $P % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
@@ -218,8 +229,8 @@ object Dedup {
     * without an all-pairs product. Candidates are then verified with
     * an exact popcount of the XOR.
     *
-    * Oversized band buckets (≥ maxBucket docs sharing 15 identical
-    * bits — boilerplate clusters) are dropped before the self-join,
+    * Band buckets with more than `maxBucket` docs sharing 15 identical
+    * bits (boilerplate clusters) are dropped before the self-join,
     * same rationale and trade as [[lshCandidates]]: exact dedup
     * already covers identical docs, and a hot bucket would go
     * quadratic. Cost: one fingerprint aggregation + a bucketed
@@ -237,14 +248,7 @@ object Dedup {
       posexplode(array((0 until simhashPairBands).map(b =>
         shiftright(col("simhash"), b * bandW) % lit(1L << bandW)): _*))
         .as(Seq("band", "bv")))
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bv"))))
-      .where(col("bsz") <= maxBucket)
-      .select(col("doc_id"), col("simhash"), col("band"), col("bv"))
-    sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-        col("x.doc_id") < col("y.doc_id"))
+    cappedPairJoin(banded, Seq("band", "bv"), maxBucket, payload = Seq("simhash"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
           .as("hamming"))

@@ -106,8 +106,18 @@ object Text {
     val nShort = size(filter(tk, t => length(t) <= 2)).cast("long").as("n_short")
     val norm = normalized(text)
     val nPunct = (length(norm) - length(regexp_replace(norm, "[^a-z0-9 ]", ""))).cast("long").as("n_punct")
-    val lowq = (size(tk) < 10) || (lit(100) * nStopC > lit(60) * size(tk))
-    Seq(nTokens, nStop, nShort, nPunct, lowq.as("is_low_quality"))
+    Seq(nTokens, nStop, nShort, nPunct, isLowQuality(text).as("is_low_quality"))
+  }
+
+  /** The quality-gate predicate on its own — callers filter on THIS,
+    * not on a positional column of [[qualitySignals]] (selecting the
+    * flag by Seq position would silently rebind if a signal is ever
+    * appended). Same expression the signals emit, so the two can't
+    * drift. */
+  def isLowQuality(text: Column): Column = {
+    val tk = tokens(text)
+    val nStopC = size(filter(tk, t => t.isin(stopwords: _*)))
+    (size(tk) < 10) || (lit(100) * nStopC > lit(60) * size(tk))
   }
 
   /** Per-doc n-gram repetition signals — the Gopher-style repetition

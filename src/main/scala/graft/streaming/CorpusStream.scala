@@ -22,8 +22,7 @@ object CorpusStream {
     * Works on a streaming or batch DataFrame with (doc_id, text). */
   def ingest(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_lq", Text.qualitySignals(col("text")).last)
-      .where(!col("_lq")).drop("_lq")
+      .where(!Text.isLowQuality(col("text")))
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .dropDuplicates("fingerprint")
