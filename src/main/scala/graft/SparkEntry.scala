@@ -314,6 +314,32 @@ object SparkEntry {
 
   // ----------------------------------------------------------- events
 
+  /** σ-threshold anomaly detection over hourly totals, in EXACT integer
+    * arithmetic: an hour is anomalous for its event type when
+    * (n·t − s)² > k²·(n·q − s²), the cross-multiplied form of
+    * |t − mean| > k·σ (population σ, n·n cancelled) — no float mean or
+    * sqrt, so the flags are engine- and partitioning-exact. DECIMAL(38)
+    * products: n·t and s² exceed int64 at large scale factors. Two
+    * keyed aggregations + one broadcast-sized join (|event types|). */
+  private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val k = 2 // flag beyond 2σ
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
+        .as("t_x100"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t_x100")).as("s"),
+        sum(d38(col("t_x100")) * d38(col("t_x100"))).cast("decimal(38,0)").as("q"))
+    val dev = d38(col("n")) * d38(col("t_x100")) - d38(col("s"))
+    hourly.join(broadcast(stats), "event_type")
+      .where(dev * dev >
+        lit(k.toLong * k) * (d38(col("n")) * col("q") - d38(col("s")) * d38(col("s"))))
+      .select(col("event_type"), col("hour"), col("t_x100"))
+      .orderBy("event_type", "hour")
+  }
+
   private def qEventsSessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize.sessionStats(Tables.events(s, dir),
         key = col("user_id"), ts = col("ts"), gapMicros = 1800L * 1000000L,
@@ -365,6 +391,7 @@ object SparkEntry {
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
     "events_sessionize" -> (qEventsSessionize _),
+    "events_anomaly" -> (qEventsAnomaly _),
     "events_hourly_agg" -> (qEventsHourlyAgg _),
     "events_json_extract" -> (qEventsJsonExtract _),
   )
@@ -563,6 +590,21 @@ object SparkEntry {
         |       MIN(ts) AS session_start, MAX(ts) AS session_end,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS t_x100
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(t_x100) AS BIGINT) AS s,
+        |         CAST(SUM(CAST(t_x100 AS HUGEINT) * t_x100) AS HUGEINT) AS q
+        |       FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.t_x100
+        |FROM hourly h JOIN st ON h.event_type = st.event_type
+        |WHERE (CAST(n AS HUGEINT) * t_x100 - s) * (CAST(n AS HUGEINT) * t_x100 - s)
+        |      > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |ORDER BY h.event_type, h.hour""".stripMargin,
 
     "events_hourly_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
