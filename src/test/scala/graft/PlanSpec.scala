@@ -62,6 +62,14 @@ class PlanSpec extends SparkSpec {
       "returnflag filter must reach the lineitem scan")
   }
 
+  test("events_anomaly: per-type stats broadcast back onto the hourly rollup") {
+    val p = planOf("events_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |event types|-row stats side must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "joining hourly against stats must not shuffle the rollup again")
+  }
+
   test("events_sessionize: both windows and the rollup share ONE keyed shuffle") {
     val p = planOf("events_sessionize")
     val keyedExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
