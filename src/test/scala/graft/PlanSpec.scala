@@ -62,6 +62,16 @@ class PlanSpec extends SparkSpec {
       "returnflag filter must reach the lineitem scan")
   }
 
+  test("top-k plans pre-reduce map-side (WindowGroupLimit / TakeOrdered)") {
+    // per-group rank filter → WindowGroupLimit below the exchange;
+    // global ORDER BY + LIMIT → TakeOrderedAndProject. Both cut each
+    // map task's output to k rows before any shuffle — losing either
+    // shape turns a top-k into a full sort at 100 TB.
+    assert(planOf("sim_topk_bruteforce").contains("WindowGroupLimit"))
+    assert(planOf("q10_returned_topk").contains("TakeOrderedAndProject"))
+    assert(planOf("q3_topk_join").contains("TakeOrderedAndProject"))
+  }
+
   test("events_anomaly: per-type stats broadcast back onto the hourly rollup") {
     val p = planOf("events_anomaly")
     assert(p.contains("BroadcastHashJoin"),
