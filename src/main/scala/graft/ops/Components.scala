@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair list — the step that turns
+  * near-dup PAIRS into dedup CLUSTERS (keep one doc per component,
+  * drop the rest). Min-label propagation: every node repeatedly
+  * adopts the smallest label among itself and its neighbors until no
+  * label changes; the fixpoint labels each node with the smallest doc
+  * id in its component, which is also the canonical survivor under
+  * the repo's first-writer-wins convention.
+  *
+  * Scale shape: this is the simple-union-find-free formulation of the
+  * iterative-join family (Kiveris et al., "Connected components in
+  * MapReduce and beyond", SoCC 2014 — Large-Star/Small-Star are the
+  * optimization when components are deep). Near-dup graphs are
+  * shallow (clusters of boilerplate variants), so iterations ≈
+  * component diameter ≈ 2-4; each iteration is one keyed join + one
+  * keyed aggregation, and convergence is checked with an aggregate
+  * count, never a collect of the labels.
+  */
+object Components {
+
+  /** (id, comp) for every node appearing in `pairs` (columns
+    * doc_a/doc_b); comp = min id of the node's component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = labels.select(col("id"), col("comp").as("prev_comp"))
+      val stable = next.join(prev, "id")
+        .where(col("comp") =!= col("prev_comp")).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = stable
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}
