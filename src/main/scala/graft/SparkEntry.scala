@@ -324,18 +324,24 @@ object SparkEntry {
   private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
     val k = 2 // flag beyond 2σ
     val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // Non-ANSI Spark nulls a DECIMAL(38,0) product on overflow where
+    // DuckDB's HUGEINT computes on — a silent row drop. Inputs here are
+    // never null (aggregates over non-null), so null = overflow: raise.
+    val nn = (c: Column, name: String) =>
+      when(c.isNotNull, c).otherwise(raise_error(
+        lit(s"events_anomaly: $name overflows DECIMAL(38,0)")))
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
         col("event_type"))
-      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
-        .as("t_x100"))
+      .agg(decSumScaled(col("value"), "decimal(18,2)", 100, "t_x100"))
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("t_x100")).as("s"),
         sum(d38(col("t_x100")) * d38(col("t_x100"))).cast("decimal(38,0)").as("q"))
     val dev = d38(col("n")) * d38(col("t_x100")) - d38(col("s"))
     hourly.join(broadcast(stats), "event_type")
-      .where(dev * dev >
-        lit(k.toLong * k) * (d38(col("n")) * col("q") - d38(col("s")) * d38(col("s"))))
+      .where(nn(dev * dev, "dev^2") >
+        nn(lit(k.toLong * k) * (d38(col("n")) * col("q") - d38(col("s")) * d38(col("s"))),
+          "k^2*(n*q - s^2)"))
       .select(col("event_type"), col("hour"), col("t_x100"))
       .orderBy("event_type", "hour")
   }

@@ -50,6 +50,16 @@ object Components {
       i += 1
     }
     edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations; " +
+          "labels would be split mid-propagation. Raise maxIter (component " +
+          "diameter exceeds it).")
+    // Truncate the iterative lineage and release the loop's cache so
+    // library callers don't leak a persisted DataFrame they never got
+    // a handle to unpersist.
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 }

@@ -30,10 +30,18 @@ object Pack {
     * also keeps the last-token index `cum - 1` out of the negative
     * range where Spark's truncating `div` and SQL's flooring `//`
     * disagree.
+    *
+    * `order` must be unique within a group (doc ids are). The frame is
+    * pinned to ROWS UNBOUNDED PRECEDING..CURRENT ROW: Spark's default
+    * for an ordered window is a RANGE frame, which sums WHOLE tie
+    * groups — a non-unique order column would silently assign every
+    * tied doc the same cum (wrong pack_id/straddles) while a
+    * ROWS-framed oracle counts them one by one.
     */
   def assign(df: DataFrame, group: Column, order: Column, nTokens: Column,
              budget: Long): DataFrame = {
     val w = Window.partitionBy(col("grp")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(group.as("grp"), order.as("ord"), nTokens.cast("long").as("n"))
       .withColumn("cum", sum(col("n")).over(w))
       .withColumn("pack_id", expr(s"(cum - n) div ${budget}L"))

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Redact {
 
-  /** Email addresses (pragmatic RFC-lite shape). */
-  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** Email addresses (pragmatic RFC-lite shape). `(?i)` — parsed
+    * identically by Java regex and RE2 — so Bob@Example.COM is caught;
+    * the input text is NOT lowercased by this operator. */
+  val emailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 
   /** International-ish phone numbers: leading +, 8+ digits with
     * optional separators. Anchored on digits at both ends so trailing

@@ -24,6 +24,11 @@ class RedactSpec extends SparkSpec {
       ((1L, 1L, "<EMAIL> or <PHONE>.")))
   }
 
+  test("mixed-case emails are caught (patterns are case-insensitive)") {
+    assert(run("write Bob@Example.COM today") ===
+      ((1L, 0L, "write <EMAIL> today")))
+  }
+
   test("clean text passes through byte-identical") {
     assert(run("no contact info here 12345") ===
       ((0L, 0L, "no contact info here 12345")))
