@@ -26,11 +26,22 @@ object Components {
   /** (id, comp) for every node appearing in `pairs` (columns
     * doc_a/doc_b); comp = min id of the node's component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both edge directions in ONE pass over `pairs` (explode of a
+    // 2-struct array): a union of two selects would execute the whole
+    // upstream pair pipeline twice before the persist materializes —
+    // for dedup clusters that upstream is the full MinHash
+    // candidate+verify computation.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed each node with its 1-hop minimum — the first propagation
+    // step folded into the same keyed shuffle a node-distinct would
+    // cost anyway, saving one loop iteration.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
