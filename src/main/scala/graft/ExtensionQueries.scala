@@ -132,6 +132,47 @@ object ExtensionQueries {
         Seq(), num = 1, den = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** Containment near-dups: the near-SUBSET pairs (quoted/embedded
+    * docs) a Jaccard threshold drops — inter/min(|A|,|B|) ≥ 0.8 over
+    * the same LSH candidate channel. */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashContainmentDups(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-event-type top-5 users by total value: keyed aggregation with
+    * map-side partials first, then a rank window over the (already
+    * reduced) per-user totals — WindowGroupLimit caps each partition's
+    * sort at k, so no group ever globally sorts. */
+  private def qEventsUserTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("total_x100").desc, col("user_id").asc)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
+          .as("total_x100"),
+        count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("user_id"),
+        col("total_x100"), col("n_events"))
+      .orderBy("event_type", "rk")
+  }
+
+  /** Per-label embedding norm statistics over the quantized integer
+    * norms — the corpus-health check before ANN indexing (a label whose
+    * norms collapse or explode poisons cosine buckets). Quantization
+    * makes the sums exact and order-independent; one scan, one keyed
+    * shuffle of 4-value partials. */
+  private def qEmbNormStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        graft.ops.Vectors.intNorm2(graft.ops.Vectors.quantize(col("embedding"))).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("sum_norm2"),
+        min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"))
+      .orderBy("label")
+
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("embedding"),
         col("vec_id"), bucketBits = 8, num = 40, den = 100)
@@ -506,6 +547,9 @@ object ExtensionQueries {
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_ngram_blocked" -> (qDedupNgramBlocked _),
     "dedup_embedding_cos" -> (qDedupEmbedding _),
+    "dedup_containment" -> (qDedupContainment _),
+    "events_user_topk" -> (qEventsUserTopk _),
+    "emb_norm_stats" -> (qEmbNormStats _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
     "sim_topk_lsh" -> (qSimTopkLsh _),
     "sim_topk_ivf" -> (qSimTopkIvf _),
@@ -538,6 +582,19 @@ object ExtensionQueries {
        |JOIN cnt ca ON ca.doc_id = i.doc_a
        |JOIN cnt cb ON cb.doc_id = i.doc_b
        |WHERE $den * i.inter >= $num * (ca.n_sh + cb.n_sh - i.inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def containmentTail(num: Int, den: Int): String =
+    s"""inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter, least(ca.n_sh, cb.n_sh) AS min_sz
+       |FROM inter i
+       |JOIN cnt ca ON ca.doc_id = i.doc_a
+       |JOIN cnt cb ON cb.doc_id = i.doc_b
+       |WHERE $den * i.inter >= $num * least(ca.n_sh, cb.n_sh)
        |ORDER BY doc_a, doc_b""".stripMargin
 
   private val stopList = Text.stopwords.map(s => s"'$s'").mkString(", ")
@@ -891,6 +948,34 @@ object ExtensionQueries {
          |         FROM ok x JOIN ok y
          |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
          |${jaccardTail(1, 2)}""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $SHINGLE3,
+         |${Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |${containmentTail(8, 10)}""".stripMargin,
+
+    "events_user_topk" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_x100,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY total_x100 DESC, user_id ASC) AS rk FROM t)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, total_x100, n_events
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+
+    "emb_norm_stats" ->
+      s"""WITH q AS (SELECT label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |n AS (SELECT label, ${Vectors.intNorm2Sql("q", EMB_DIM)} AS n2 FROM q)
+         |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(n2) AS BIGINT) AS sum_norm2,
+         |       MIN(n2) AS min_norm2, MAX(n2) AS max_norm2
+         |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),

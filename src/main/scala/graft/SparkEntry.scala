@@ -312,6 +312,142 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Q13-style customer order-count distribution. The orders fact
+    * pre-aggregates by custkey FIRST (map-side partials; the keyed
+    * shuffle carries one count per customer, not raw orders), then a
+    * left join against customer fills in the zero-order customers and
+    * the second aggregation runs over |customers| rows.
+    */
+  private def qQ13OrderDist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("n_custs"))
+      .orderBy("c_count")
+  }
+
+  /** Q15-style top supplier: quarterly revenue per supplier, keep the
+    * max. The scalar max broadcasts back against the per-supplier
+    * aggregate (no window over a global sort), and the surviving
+    * handful of rows broadcast into the supplier dimension join.
+    */
+  private def qQ15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-10-01").cast("timestamp_ntz") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "decimal(18,4)", 10000, "total_revenue_x10k"))
+    val mx = rev.agg(max(col("total_revenue_x10k")).as("max_rev"))
+    val top = rev.join(broadcast(mx), col("total_revenue_x10k") === col("max_rev"))
+      .select(col("l_suppkey"), col("total_revenue_x10k"))
+    Tables.supplier(s, dir)
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_x10k"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17-style small-quantity revenue: lineitems of one brand's parts
+    * whose quantity is below 20% of that part's average. The brand's
+    * part keys broadcast into the lineitem scan (the only full-fact
+    * pass), the per-part stats aggregate over the already-pruned rows
+    * and broadcast back, and the avg comparison is integer
+    * cross-multiplied (5·q·n < Σq — no float division on either
+    * engine).
+    */
+  private def qQ17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(s, dir)
+      .where(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val base = Tables.lineitem(s, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val stats = base.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_li"),
+        checkedLong(sum(col("l_quantity").cast("decimal(12,2)")) * lit(100),
+          "sum_q_x100"))
+    val qx100 = (col("l_quantity").cast("decimal(12,2)") * lit(100)).cast("long")
+    base.join(broadcast(stats), col("l_partkey") === col("pk"))
+      .where(lit(5L) * qx100 * col("n_li") < col("sum_q_x100"))
+      .agg(decSumScaled(col("l_extendedprice"), "decimal(18,4)", 10000,
+          "sum_price_x10k"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q18-style large-volume orders: orders whose total quantity tops
+    * 300, with customer context, top 100. The HAVING runs on the
+    * lineitem-side aggregate before any join (map-side partials, one
+    * keyed shuffle), so both joins see only the few hundred surviving
+    * keys — AQE broadcasts them at runtime.
+    */
+  private def qQ18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(decSumScaled(col("l_quantity"), "decimal(12,2)", 100, "sum_qty_x100"))
+      .where(col("sum_qty_x100") > lit(300L * 100))
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("totalprice_x100"),
+        col("sum_qty_x100"))
+      .orderBy(col("sum_qty_x100").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Q19-style disjunctive predicate scan: three (brand, size,
+    * quantity) branches OR'd together. The single-column envelopes of
+    * the disjunction (quantity ∈ [1,40]; brand ∈ {1,2,3} ∧ size ∈
+    * [1,40]) are applied explicitly on each scan so they PUSH DOWN to
+    * parquet — Catalyst does not factor common ranges out of an OR —
+    * and the residual OR evaluates only on rows that survive the
+    * pruned scans. Part broadcasts.
+    */
+  private def qQ19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+    val p = Tables.part(s, dir)
+      .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+             col("p_size") >= 1 && col("p_size") <= 40)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("p_size").between(5, 25) && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("p_size").between(10, 40) && col("l_quantity").between(20, 40)))
+      .agg(decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "decimal(18,4)", 10000, "revenue_x10k"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q22-style idle high-balance customers: balance above the positive
+    * mean AND no recent order, grouped by nation. The mean never
+    * materializes as a float: the two-value (n, Σ) aggregate broadcasts
+    * and the comparison cross-multiplies in exact decimal
+    * (bal·n > Σ ⟺ bal > Σ/n). Anti-join prunes to idle customers
+    * before the broadcast nation join.
+    */
+  private def qQ22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val pos = c.where(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_pos"))
+    val recent = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1998-06-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(pos))
+      .where(col("c_acctbal").cast("decimal(18,2)") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        decSumScaled(col("c_acctbal"), "decimal(18,2)", 100, "sum_acctbal_x100"))
+      .orderBy("n_name")
+  }
+
   // ----------------------------------------------------------- events
 
   /** σ-threshold anomaly detection over hourly totals, in EXACT integer
@@ -394,6 +530,12 @@ object SparkEntry {
     "q4_exists_priority" -> (qQ4ExistsPriority _),
     "q7_nation_volume" -> (qQ7NationVolume _),
     "q10_returned_topk" -> (qQ10ReturnedTopk _),
+    "q13_order_dist" -> (qQ13OrderDist _),
+    "q15_top_supplier" -> (qQ15TopSupplier _),
+    "q17_small_qty" -> (qQ17SmallQty _),
+    "q18_big_orders" -> (qQ18BigOrders _),
+    "q19_disjunctive" -> (qQ19Disjunctive _),
+    "q22_idle_customers" -> (qQ22IdleCustomers _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
     "events_sessionize" -> (qEventsSessionize _),
@@ -550,6 +692,73 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_x10k DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q13_order_dist" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT COALESCE(n, 0) AS c_count, COUNT(*) AS n_custs
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_revenue_x10k
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_x10k
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue_x10k = (SELECT MAX(total_revenue_x10k) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |base AS (SELECT l.* FROM lineitem l JOIN bp ON l_partkey = p_partkey),
+        |st AS (SELECT l_partkey AS pk, COUNT(*) AS n_li,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_q_x100
+        |       FROM base GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_x10k,
+        |       COUNT(*) AS n_items
+        |FROM base JOIN st ON l_partkey = pk
+        |WHERE 5 * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) * n_li < sum_q_x100""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_x100
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) > 30000)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_x100,
+        |       sum_qty_x100
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty_x100 DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_x10k,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH pos AS (SELECT COUNT(*) AS n_pos,
+        |                    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+        |             FROM customer WHERE c_acctbal > 0),
+        |idle AS (
+        |  SELECT c.* FROM customer c, pos
+        |  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'))
+        |SELECT n_name, COUNT(*) AS n_custs,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_acctbal_x100
+        |FROM idle JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "orders_monthly_mom" ->
       """WITH m AS (

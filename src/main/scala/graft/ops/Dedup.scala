@@ -131,7 +131,30 @@ object Dedup {
     * pairs only.
     */
   def jaccardVerify(candidates: DataFrame, shingles: DataFrame,
-                    num: Int, den: Int): DataFrame = {
+                    num: Int, den: Int): DataFrame =
+    pairOverlap(candidates, shingles)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_sz"))
+      .where(lit(den) * col("inter") >= lit(num) * col("union_sz"))
+
+  /** Containment verification: keeps pairs with
+    * inter / min(|A|,|B|) >= num/den — the near-SUBSET test Jaccard
+    * misses (a short doc embedded verbatim in a long one has
+    * containment ≈ 1 but Jaccard ≈ |short|/|long|). Same integer
+    * cross-multiplication, same candidate-pairs-only cost shape as
+    * [[jaccardVerify]].
+    */
+  def containmentVerify(candidates: DataFrame, shingles: DataFrame,
+                        num: Int, den: Int): DataFrame =
+    pairOverlap(candidates, shingles)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        least(col("n_a"), col("n_b")).as("min_sz"))
+      .where(lit(den) * col("inter") >= lit(num) * col("min_sz"))
+
+  /** Shared verify core: exact shingle-intersection size plus both set
+    * sizes per candidate pair. Cost is proportional to candidate pairs
+    * (the shingle-equijoin groups by pair). */
+  private def pairOverlap(candidates: DataFrame, shingles: DataFrame): DataFrame = {
     val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(shingles.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -143,8 +166,7 @@ object Dedup {
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("ca.n_sh") + col("cb.n_sh") - col("inter")).as("union_sz"))
-      .where(lit(den) * col("inter") >= lit(num) * col("union_sz"))
+        col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"))
   }
 
   /** End-to-end MinHash-LSH near-dup detection on word `n`-shingles.
@@ -167,6 +189,29 @@ object Dedup {
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base
     jaccardVerify(
+      lshCandidates(minhashBandKeys(sh, bands, rowsPerBand), maxBucket),
+      sh, num, den)
+  }
+
+  /** End-to-end containment near-dup detection: MinHash-LSH candidate
+    * pairs verified by shingle CONTAINMENT instead of Jaccard. Catches
+    * the near-subset duplicates (quoted/embedded docs) a Jaccard
+    * threshold drops.
+    *
+    * Recall caveat, by construction: candidates come from Jaccard-tuned
+    * MinHash bands, so a subset pair is surfaced only if it also
+    * collides in some band — high-containment/low-Jaccard pairs with
+    * extreme length skew may not. At 100 TB the fix is a second
+    * candidate channel keyed on the SHORT doc's signature (or suffix
+    * arrays); the verify stage here is agnostic to where candidates
+    * come from.
+    */
+  def minhashContainmentDups(docs: DataFrame, textCol: Column, idCol: Column,
+                             shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                             num: Int = 8, den: Int = 10,
+                             maxBucket: Int = 100): DataFrame = {
+    val sh = Text.distinctShingles(docs, textCol, idCol, shingleN)
+    containmentVerify(
       lshCandidates(minhashBandKeys(sh, bands, rowsPerBand), maxBucket),
       sh, num, den)
   }

@@ -72,6 +72,51 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q3_topk_join").contains("TakeOrderedAndProject"))
   }
 
+  test("q13_order_dist: orders pre-aggregate by custkey before the customer join") {
+    val p = planOf("q13_order_dist")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>") ||
+           p.contains("ReadSchema: struct<o_custkey:long>"),
+      "orders scan must prune to the single join/group column")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q15_top_supplier: scalar max and survivors broadcast, no global sort") {
+    val p = planOf("q15_top_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "the 1-row max and the handful of top suppliers must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q17_small_qty: brand part keys and per-part stats broadcast into the fact scan") {
+    val p = planOf("q17_small_qty")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "both bounded sides must broadcast — the lineitem fact is scanned, never shuffled")
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), "brand filter not pushed to part scan")
+  }
+
+  test("q18_big_orders: HAVING runs on the lineitem aggregate before any join") {
+    val p = planOf("q18_big_orders")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must map-side pre-reduce")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q19_disjunctive: single-column envelopes of the OR pushed to both scans") {
+    val p = planOf("q19_disjunctive")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      "quantity envelope must reach the lineitem parquet scan")
+    assert(p.contains("In(p_brand"), "brand set must reach the part parquet scan")
+  }
+
+  test("q22_idle_customers: anti join prunes before broadcast nation join") {
+    val p = planOf("q22_idle_customers")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+  }
+
+  test("events_user_topk: rank filter becomes WindowGroupLimit below the exchange") {
+    assert(planOf("events_user_topk").contains("WindowGroupLimit"))
+  }
+
   test("events_anomaly: per-type stats broadcast back onto the hourly rollup") {
     val p = planOf("events_anomaly")
     assert(p.contains("BroadcastHashJoin"),
