@@ -173,6 +173,28 @@ object ExtensionQueries {
         min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"))
       .orderBy("label")
 
+  /** Source-balancing repetition factors — the data-mixing step before
+    * packing: per source, token mass and the integer upsampling factor
+    * epochs_x100 = ceil(100·max_tokens / tokens), capped at 4 epochs
+    * (beyond ~4 repeats, repetition stops buying quality — Muennighoff
+    * et al., "Scaling data-constrained language models", 2023). Exact
+    * integer arithmetic end to end; the corpus-wide max joins back as a
+    * broadcast 1-row aggregate, so the whole plan is one keyed shuffle
+    * of per-source partials at any corpus size.
+    */
+  private def qCorpusMixtureEpochs(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val mx = perSource.agg(max(col("n_tokens")).as("max_tokens"))
+    perSource.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        least(expr("(100 * max_tokens + n_tokens - 1) div n_tokens"),
+          lit(400L)).as("epochs_x100"))
+      .orderBy("source")
+  }
+
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("embedding"),
         col("vec_id"), bucketBits = 8, num = 40, den = 100)
@@ -550,6 +572,7 @@ object ExtensionQueries {
     "dedup_containment" -> (qDedupContainment _),
     "events_user_topk" -> (qEventsUserTopk _),
     "emb_norm_stats" -> (qEmbNormStats _),
+    "corpus_mixture_epochs" -> (qCorpusMixtureEpochs _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
     "sim_topk_lsh" -> (qSimTopkLsh _),
     "sim_topk_ivf" -> (qSimTopkIvf _),
@@ -976,6 +999,16 @@ object ExtensionQueries {
          |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(n2) AS BIGINT) AS sum_norm2,
          |       MIN(n2) AS min_norm2, MAX(n2) AS max_norm2
          |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "corpus_mixture_epochs" ->
+      s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+         |            CAST(SUM(len($TK)) AS BIGINT) AS n_tokens
+         |          FROM documents GROUP BY 1),
+         |m AS (SELECT MAX(n_tokens) AS max_tokens FROM s)
+         |SELECT source, n_docs, n_tokens,
+         |       LEAST((100 * max_tokens + n_tokens - 1) // n_tokens,
+         |             CAST(400 AS BIGINT)) AS epochs_x100
+         |FROM s, m ORDER BY source""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),

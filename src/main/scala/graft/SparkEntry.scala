@@ -448,6 +448,26 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** PIVOT: monthly order counts spread across the five priority
+    * columns. The value list is explicit, so the plan is ONE groupBy
+    * with conditional counts — omitting it makes Spark run a
+    * distinct-collect job first to discover the columns, the classic
+    * pivot scale trap.
+    */
+  private def qOrdersPivotPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("month"),
+        coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_notspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+      .orderBy("month")
+
   // ----------------------------------------------------------- events
 
   /** σ-threshold anomaly detection over hourly totals, in EXACT integer
@@ -536,6 +556,7 @@ object SparkEntry {
     "q18_big_orders" -> (qQ18BigOrders _),
     "q19_disjunctive" -> (qQ19Disjunctive _),
     "q22_idle_customers" -> (qQ22IdleCustomers _),
+    "orders_pivot_priority" -> (qOrdersPivotPriority _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
     "events_sessionize" -> (qEventsSessionize _),
@@ -759,6 +780,15 @@ object SparkEntry {
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_acctbal_x100
         |FROM idle JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orders_pivot_priority" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
     "orders_monthly_mom" ->
       """WITH m AS (
