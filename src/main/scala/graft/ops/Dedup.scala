@@ -67,6 +67,39 @@ object Dedup {
       .select(col("doc_id"), expr(stackExpr))
   }
 
+  /** Per-ROW banded signature: the same (band, bk) keys as
+    * [[minhashBandKeys]], computed with higher-order functions over the
+    * doc's own shingle array — no explode, no keyed aggregation, no
+    * shuffle. This is the streaming form (a stateful dedup can't put a
+    * blocking aggregation in front of its state update) and also the
+    * cheapest shape whenever the whole document is already in hand on
+    * one row. Equivalence with the aggregated form is property-tested.
+    *
+    * Returns array<struct<band:int, bk:string>>; empty array when the
+    * doc has fewer than `shingleN` tokens (such docs have no signature
+    * and can never collide — same contract as the aggregated form,
+    * where they produce no shingle rows).
+    */
+  def bandKeyArray(textCol: Column, shingleN: Int = 3, bands: Int = 8,
+                   rowsPerBand: Int = 4): Column = {
+    val tk = Text.tokens(textCol)
+    val sh = array_distinct(when(size(tk) >= shingleN,
+        transform(sequence(lit(1), size(tk) - (shingleN - 1)),
+          i => concat_ws(" ", (0 until shingleN).map(o => element_at(tk, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>")))
+    val d = transform(sh, s => Text.polyHash(s))
+    val mins = (0 until bands * rowsPerBand).map { h =>
+      val (a, b) = hashConsts(h)
+      array_min(transform(d, x => (x * lit(a) + lit(b)) % lit(P)))
+    }
+    val bandStructs = (0 until bands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", ms: _*).as("bk"))
+    }
+    when(size(sh) > 0, array(bandStructs: _*))
+      .otherwise(array().cast("array<struct<band:int,bk:string>>"))
+  }
+
   /** DuckDB mirror of [[minhashBandKeys]]: CTEs `hsh`, `sig`, `band`
     * over an existing `sh(doc_id, shingle)` CTE — generated from the
     * same constants so the two sides can never drift.

@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.ops.Text
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.{Dedup, Text}
+
+/** A cross-batch near-dup candidate: `doc_id` collided with the doc
+  * that first claimed this MinHash band key. */
+case class NearDupCandidate(doc_id: Long, band: Int, first_doc_id: Long)
 
 /** Streaming corpus ingest: the batch cleaning pass (`corpus_clean`'s
   * quality gate + exact dedup) as a continuous pipeline — documents
@@ -26,4 +31,42 @@ object CorpusStream {
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .dropDuplicates("fingerprint")
+
+  /** Streaming NEAR-dup candidate detection across micro-batches: each
+    * arriving doc computes its banded MinHash signature per-row
+    * ([[Dedup.bandKeyArray]] — no blocking aggregation in front of the
+    * state update), and a band key's first writer claims it in the
+    * state store; every later doc that lands on a claimed key emits a
+    * `(doc_id, band, first_doc_id)` candidate row. Emitting CANDIDATES
+    * is the honest streaming contract — exact Jaccard verification
+    * needs the first doc's shingle set, which lives in the doc store
+    * downstream, not in per-key state ([[Dedup.jaccardVerify]] runs
+    * there, batched).
+    *
+    * State shape at scale: one long per distinct band key, sharded by
+    * key hash — the same footprint as the exact-dedup fingerprint state
+    * in [[ingest]], times `bands`. Bound it with a watermark-timeout
+    * variant when the corpus is unbounded.
+    */
+  def nearDupCandidates(docs: DataFrame, shingleN: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(Dedup.bandKeyArray(col("text"), shingleN, bands, rowsPerBand)).as("b"))
+      .select(concat(col("b.band").cast("string"), lit("#"), col("b.bk")).as("key"),
+        col("b.band").as("band"), col("doc_id"))
+      .as[(String, Int, Long)]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Int, Long)], state: GroupState[Long]) => {
+          // min doc id wins ties inside a batch — deterministic under
+          // replay, matching the batch operators' first-writer-wins
+          val sorted = rows.toSeq.sortBy(_._3)
+          val (first, dups) =
+            if (state.exists) (state.get, sorted)
+            else { state.update(sorted.head._3); (sorted.head._3, sorted.tail) }
+          dups.iterator.map { case (_, band, id) => NearDupCandidate(id, band, first) }
+        })
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.explode
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.CorpusStream
 
@@ -30,5 +31,44 @@ class CorpusStreamSpec extends SparkSpec {
       .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toSet
     // doc 2 fails the length gate; docs 3 and 4 lose to doc 1's state
     assert(rows === Set((1L, 10L), (5L, 11L)))
+  }
+
+  private val base = (0 until 60).map(i => s"w$i").mkString(" ")
+
+  test("per-row band keys match the aggregated MinHash signature form") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50).select($"doc_id", $"text")
+    val agg = graft.ops.Dedup.minhashBandKeys(
+        graft.ops.Text.distinctShingles(docs, $"text", $"doc_id", 3), 8, 4)
+      .select($"doc_id", $"band", $"bk").as[(Long, Int, String)].collect().toSet
+    val perRow = docs.select($"doc_id",
+        explode(graft.ops.Dedup.bandKeyArray($"text")).as("b"))
+      .select($"doc_id", $"b.band", $"b.bk").as[(Long, Int, String)].collect().toSet
+    assert(perRow === agg)
+  }
+
+  test("cross-batch near-dup candidates: collision with the first claimant") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = CorpusStream.nearDupCandidates(input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_cands").start()
+
+    val nearDup = base.replace("w30", "changed") // J ≈ 0.9 vs base
+    val unrelated = (0 until 60).map(i => s"u$i").mkString(" ")
+    input.addData((1L, base))
+    q.processAllAvailable()
+    input.addData((2L, nearDup), (3L, unrelated), (4L, unrelated))
+    q.processAllAvailable()
+    q.stop()
+
+    val cands = spark.table("neardup_cands")
+      .select($"doc_id", $"first_doc_id").as[(Long, Long)].collect()
+    val byDoc = cands.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 2 collides with doc 1 in at least one band (and only doc 1);
+    // doc 3 claims fresh keys; doc 4 (exact dup, same batch) hits doc 3
+    assert(byDoc(2L) === Set(1L))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L) === Set(3L))
   }
 }
