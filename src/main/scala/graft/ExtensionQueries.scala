@@ -69,6 +69,30 @@ object ExtensionQueries {
         Seq(col("event_type")), col("user_id"), as = "n_distinct_users")
       .orderBy("event_type")
 
+  /** HLL++ sketch distinct (`approx_count_distinct`) next to the exact
+    * two-stage count, with the relative error emitted as data
+    * (`err_x10k`, `within_bound`) — the sketch is the 100 TB form
+    * (mergeable fixed-size state, one map-side pass, no (group, value)
+    * shuffle), and the exact side is the audit. No DuckDB oracle: HLL
+    * register layouts are engine-specific — the driver's rows-only
+    * gate plus the in-data bound check (asserted in SketchSpec and
+    * self-evident in the output) gate it instead, like sim_topk_ivf's
+    * recall column. rsd=0.02 → |err| within 3σ ≈ 6%.
+    */
+  private def qEventsApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val exact = graft.ops.Skew.distinctCount(ev, Seq(col("event_type")),
+      col("user_id"), as = "n_exact")
+    val approx = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_approx"),
+        (abs(col("n_approx") - col("n_exact")) * lit(10000) / col("n_exact"))
+          .cast("long").as("err_x10k"))
+      .withColumn("within_bound", col("err_x10k") <= 600)
+      .orderBy("event_type")
+  }
+
   /** Sliding-window aggregation (1h windows every 30min) — the batch
     * mirror of the streaming `window()` operator. */
   private def qEventsSlidingWindow(s: SparkSession, dir: String): DataFrame =
@@ -573,6 +597,7 @@ object ExtensionQueries {
     "events_user_topk" -> (qEventsUserTopk _),
     "emb_norm_stats" -> (qEmbNormStats _),
     "corpus_mixture_epochs" -> (qCorpusMixtureEpochs _),
+    "events_approx_distinct" -> (qEventsApproxDistinct _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
     "sim_topk_lsh" -> (qSimTopkLsh _),
     "sim_topk_ivf" -> (qSimTopkIvf _),

@@ -1,0 +1,21 @@
+package graft
+
+/** The HLL++ distinct sketch must stay inside its advertised error
+  * envelope against the exact count at every fixture scale the gates
+  * run — this is the assertion behind `events_approx_distinct`'s
+  * rows-only driver check.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx distinct within 6% of exact at sf0.001 and sf0.01") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val rows = SparkEntry.queries("events_approx_distinct")(
+          spark, s"/root/testdata/sf$sf")
+        .select($"event_type", $"within_bound").as[(String, Boolean)].collect()
+      assert(rows.nonEmpty)
+      val out = rows.filterNot(_._2)
+      assert(out.isEmpty, s"sketch out of bound at sf$sf: ${out.mkString(",")}")
+    }
+  }
+}
