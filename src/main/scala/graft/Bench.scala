@@ -33,6 +33,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config(Tables.nanosConf, "true")
       // drain shuffle/broadcast refs even when the heap never pressures
       // a full GC on its own (default interval is 30 min — never fires

@@ -12,6 +12,13 @@ import graft.functions.{PolyHash, QuantizedDotProduct}
   * self-register idempotently ([[graft.functions.GraftFunctions]]), so
   * the extension is for users who want `q_dot` / `poly_hash` available
   * in plain `spark.sql` from the first query.
+  *
+  * Deliberately NO custom optimizer rules: the one candidate we
+  * prototyped (inferring single-column envelopes from cross-table
+  * disjunctions so they push through joins) is already subsumed on
+  * Spark 4 — the optimizer extracts each side's sub-disjunction from
+  * an OR spanning a join and pushes the FULL per-side OR into both
+  * parquet scans, which prunes strictly more than any envelope hull.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =

@@ -397,19 +397,16 @@ object SparkEntry {
   }
 
   /** Q19-style disjunctive predicate scan: three (brand, size,
-    * quantity) branches OR'd together. The single-column envelopes of
-    * the disjunction (quantity ∈ [1,40]; brand ∈ {1,2,3} ∧ size ∈
-    * [1,40]) are applied explicitly on each scan so they PUSH DOWN to
-    * parquet — Catalyst does not factor common ranges out of an OR —
-    * and the residual OR evaluates only on rows that survive the
-    * pruned scans. Part broadcasts.
+    * quantity) branches OR'd together, written as pure business logic.
+    * Spark 4's optimizer extracts each side's sub-disjunction from the
+    * cross-table OR and pushes the FULL per-side OR into both parquet
+    * scans (PlanSpec pins this) — no hand-written envelope filters
+    * needed, and the residual OR evaluates only on rows that survive
+    * the pruned scans. Part broadcasts.
     */
   private def qQ19Disjunctive(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-      .where(col("l_quantity") >= 1 && col("l_quantity") <= 40)
     val p = Tables.part(s, dir)
-      .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
-             col("p_size") >= 1 && col("p_size") <= 40)
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .where(
         (col("p_brand") === "Brand#1" &&

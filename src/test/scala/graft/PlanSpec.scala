@@ -100,11 +100,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q19_disjunctive: single-column envelopes of the OR pushed to both scans") {
+  test("q19_disjunctive: per-side sub-disjunctions of the cross-table OR pushed to both scans") {
+    // Spark 4 extracts each side's OR from a disjunction spanning the
+    // join and pushes it whole — strictly better than envelope hulls.
+    // Losing this (an optimizer regression or a query rewrite that
+    // blocks extraction) reverts both scans to full reads at 100 TB.
     val p = planOf("q19_disjunctive")
     assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
-      "quantity envelope must reach the lineitem parquet scan")
-    assert(p.contains("In(p_brand"), "brand set must reach the part parquet scan")
+      "quantity branch bounds must reach the lineitem parquet scan")
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      "brand branches must reach the part parquet scan")
   }
 
   test("q22_idle_customers: anti join prunes before broadcast nation join") {
