@@ -471,6 +471,52 @@ object ExtensionQueries {
         expr("cast(round(percentile(n, 0.99) * 100) as long)").as("p99_x100"))
       .orderBy("lang")
 
+  /** Length-tier assignment (curriculum/length bucketing) WITHOUT a
+    * global sort: per-language quartile cut points come from one
+    * aggregation (scaled-integer cuts, same engine-matched percentile
+    * form as [[qTextLengthQuantiles]]) and broadcast back; each doc's
+    * tier is three integer comparisons in the scan stage. The ntile()
+    * spelling of this operator needs a full per-language partition
+    * sort — a single-task bottleneck at corpus scale — which is why
+    * the cut-point form is the one shipped. */
+  private def qTextLengthTiers(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), size(Text.tokens(col("text"))).cast("long").as("n"))
+    val cuts = d.groupBy(col("lang")).agg(
+      expr("cast(round(percentile(cast(n as double), 0.25) * 100) as long)").as("c25"),
+      expr("cast(round(percentile(cast(n as double), 0.5) * 100) as long)").as("c50"),
+      expr("cast(round(percentile(cast(n as double), 0.75) * 100) as long)").as("c75"))
+    d.join(broadcast(cuts), "lang")
+      .withColumn("tier", lit(1L) +
+        when(col("n") * 100 > col("c25"), 1L).otherwise(0L) +
+        when(col("n") * 100 > col("c50"), 1L).otherwise(0L) +
+        when(col("n") * 100 > col("c75"), 1L).otherwise(0L))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"), sum(col("n")).as("sum_tokens"))
+      .orderBy("lang", "tier")
+  }
+
+  /** Time-series densification (gap fill): the hourly rollup left as a
+    * sparse table re-emitted on a dense per-type hour grid with zero
+    * fills — what anomaly/window passes need so silence reads as 0, not
+    * as a missing row. The per-type (min, max) span is a tiny
+    * aggregate; the grid explodes map-side from `sequence()`; one keyed
+    * left join fills it. */
+  private def qEventsHourlyDense(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val span = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = span.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Exact n-gram decontamination (the GPT-3 appendix-C method: flag
     * eval documents sharing a verbatim n-gram with train): per val/test
     * doc, how many of its distinct 5-gram shingles also occur in any
@@ -598,6 +644,8 @@ object ExtensionQueries {
     "emb_norm_stats" -> (qEmbNormStats _),
     "corpus_mixture_epochs" -> (qCorpusMixtureEpochs _),
     "events_approx_distinct" -> (qEventsApproxDistinct _),
+    "text_length_tiers" -> (qTextLengthTiers _),
+    "events_hourly_dense" -> (qEventsHourlyDense _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
     "sim_topk_lsh" -> (qSimTopkLsh _),
     "sim_topk_ivf" -> (qSimTopkIvf _),
@@ -913,6 +961,38 @@ object ExtensionQueries {
          |  CAST(round(quantile_cont(len($TK), 0.9) * 100) AS BIGINT) AS p90_x100,
          |  CAST(round(quantile_cont(len($TK), 0.99) * 100) AS BIGINT) AS p99_x100
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_length_tiers" ->
+      s"""WITH d AS (SELECT lang, CAST(len($TK) AS BIGINT) AS n FROM documents),
+         |cuts AS (SELECT lang,
+         |  CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.25) * 100) AS BIGINT) AS c25,
+         |  CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.5) * 100) AS BIGINT) AS c50,
+         |  CAST(round(quantile_cont(CAST(n AS DOUBLE), 0.75) * 100) AS BIGINT) AS c75
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT d.lang, n,
+         |  1 + (CASE WHEN 100 * n > c25 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN 100 * n > c50 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN 100 * n > c75 THEN 1 ELSE 0 END) AS tier
+         |  FROM d JOIN cuts ON d.lang = cuts.lang)
+         |SELECT lang, CAST(tier AS BIGINT) AS tier, COUNT(*) AS n_docs,
+         |       MIN(n) AS min_tokens, MAX(n) AS max_tokens,
+         |       CAST(SUM(n) AS BIGINT) AS sum_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_hourly_dense" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        |         FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |         FROM span)
+        |SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.event_type = h.event_type AND g.hour = h.hour
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
