@@ -173,8 +173,7 @@ object ExtensionQueries {
       .orderBy(col("total_x100").desc, col("user_id").asc)
     Tables.events(s, dir)
       .groupBy(col("event_type"), col("user_id"))
-      .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
-          .as("total_x100"),
+      .agg(SparkEntry.decSumScaled(col("value"), "decimal(18,2)", 100, "total_x100"),
         count(lit(1)).as("n_events"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 5)

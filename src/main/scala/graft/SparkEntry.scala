@@ -109,7 +109,7 @@ object SparkEntry {
     * Spark would silently emit NULL where DuckDB raises, and the two
     * engines would diverge quietly near the int64 edge at large SF.
     */
-  private def checkedLong(scaled: Column, name: String): Column =
+  private[graft] def checkedLong(scaled: Column, name: String): Column =
     when(scaled.isNull ||
         (scaled >= lit(Long.MinValue) && scaled <= lit(Long.MaxValue)),
       scaled.cast("long"))
@@ -118,7 +118,7 @@ object SparkEntry {
       .as(name)
 
   /** Exact decimal sum emitted as a scaled BIGINT (see scaladoc above). */
-  private def decSumScaled(c: Column, castTo: String, scale: Int, name: String): Column =
+  private[graft] def decSumScaled(c: Column, castTo: String, scale: Int, name: String): Column =
     checkedLong(sum(c.cast(castTo)) * lit(scale), name)
 
   private def qQ1Agg(s: SparkSession, dir: String): DataFrame =

@@ -63,10 +63,15 @@ object CorpusStream {
           // min doc id wins ties inside a batch — deterministic under
           // replay, matching the batch operators' first-writer-wins
           val sorted = rows.toSeq.sortBy(_._3)
-          val (first, dups) =
-            if (state.exists) (state.get, sorted)
-            else { state.update(sorted.head._3); (sorted.head._3, sorted.tail) }
-          dups.iterator.map { case (_, band, id) => NearDupCandidate(id, band, first) }
+          val first =
+            if (state.exists) state.get
+            else { state.update(sorted.head._3); sorted.head._3 }
+          // id != first also drops re-deliveries of the claimant doc
+          // (at-least-once upstream / duplicate rows in one batch):
+          // a (doc, doc) self-pair would read as J=1 downstream and a
+          // keep-min policy would drop the only copy
+          sorted.iterator.filter(_._3 != first)
+            .map { case (_, band, id) => NearDupCandidate(id, band, first) }
         })
   }
 }

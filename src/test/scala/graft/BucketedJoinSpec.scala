@@ -36,7 +36,9 @@ class BucketedJoinSpec extends SparkSpec {
         .groupBy($"l_orderkey")
         .agg(count(lit(1)).as("n"),
           sum($"l_quantity".cast("decimal(12,2)")).as("q"))
-      joined.count() // finalize AQE
+      // collect() executes THIS QueryExecution (count() would build its
+      // own), so the asserted plan is the AQE-finalized one
+      joined.collect()
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), "join must stay sort-merge")
       assert(!plan.contains("Exchange"),

@@ -58,7 +58,8 @@ class CorpusStreamSpec extends SparkSpec {
     val unrelated = (0 until 60).map(i => s"u$i").mkString(" ")
     input.addData((1L, base))
     q.processAllAvailable()
-    input.addData((2L, nearDup), (3L, unrelated), (4L, unrelated))
+    // doc 1 re-delivered (at-least-once upstream): must NOT self-pair
+    input.addData((1L, base), (2L, nearDup), (3L, unrelated), (4L, unrelated))
     q.processAllAvailable()
     q.stop()
 
@@ -66,9 +67,11 @@ class CorpusStreamSpec extends SparkSpec {
       .select($"doc_id", $"first_doc_id").as[(Long, Long)].collect()
     val byDoc = cands.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // doc 2 collides with doc 1 in at least one band (and only doc 1);
-    // doc 3 claims fresh keys; doc 4 (exact dup, same batch) hits doc 3
+    // doc 3 claims fresh keys; doc 4 (exact dup, same batch) hits doc 3;
+    // doc 1's redelivery emits nothing (would otherwise read as J=1)
     assert(byDoc(2L) === Set(1L))
     assert(!byDoc.contains(3L))
     assert(byDoc(4L) === Set(3L))
+    assert(!byDoc.contains(1L))
   }
 }
