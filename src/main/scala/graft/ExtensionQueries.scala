@@ -542,6 +542,30 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram novelty versus the train split: the fraction
+    * of an eval doc's distinct bigrams never seen in ANY train doc —
+    * the novelty/memorization-risk mirror of split_ngram_leakage
+    * (which gates the verbatim 5-gram channel). The train shingle set
+    * stays distributed: candidates anti-join it on the shingle key —
+    * a real corpus vocabulary never broadcasts or collects. */
+  private def qSplitNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val splits = docs.select(col("doc_id"),
+      graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 2)
+      .join(splits, "doc_id")
+    val trainSh = sh.where(col("split") === "train").select("shingle").distinct()
+    val evalSh = sh.where(col("split") =!= "train")
+    val novel = evalSh.join(trainSh, Seq("shingle"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    evalSh.groupBy(col("doc_id"), col("split")).agg(count(lit(1)).as("n_bigrams"))
+      .join(novel, Seq("doc_id"), "left").na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty_bp", expr("(10000 * n_novel) div n_bigrams"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"), col("n_novel"),
+        col("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -631,6 +655,7 @@ object ExtensionQueries {
     "text_length_quantiles" -> (qTextLengthQuantiles _),
     "text_pii_redact" -> (qTextPiiRedact _),
     "split_ngram_leakage" -> (qSplitNgramLeakage _),
+    "split_ngram_novelty" -> (qSplitNgramNovelty _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -952,6 +977,26 @@ object ExtensionQueries {
          |       COALESCE(lk.n_leaked, 0) AS n_leaked,
          |       (10000 * COALESCE(lk.n_leaked, 0)) // ec.n_shingles AS leak_bp
          |FROM ec LEFT JOIN lk ON ec.doc_id = lk.doc_id
+         |ORDER BY ec.doc_id""".stripMargin,
+
+    "split_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS shingle
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+         |       WHERE len(tk) >= 2),
+         |sp AS (SELECT doc_id, ${graft.ops.Sampling.assignSplitSql("doc_id")} AS split
+         |       FROM documents),
+         |shs AS (SELECT sh.doc_id, sh.shingle, sp.split FROM sh JOIN sp ON sh.doc_id = sp.doc_id),
+         |tr AS (SELECT DISTINCT shingle FROM shs WHERE split = 'train'),
+         |ev AS (SELECT * FROM shs WHERE split <> 'train'),
+         |nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM ev
+         |       WHERE shingle NOT IN (SELECT shingle FROM tr) GROUP BY 1),
+         |ec AS (SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         |       FROM ev GROUP BY 1, 2)
+         |SELECT ec.doc_id, ec.split, ec.n_bigrams,
+         |       COALESCE(nv.n_novel, 0) AS n_novel,
+         |       (10000 * COALESCE(nv.n_novel, 0)) // ec.n_bigrams AS novelty_bp
+         |FROM ec LEFT JOIN nv ON ec.doc_id = nv.doc_id
          |ORDER BY ec.doc_id""".stripMargin,
 
     "text_length_quantiles" ->

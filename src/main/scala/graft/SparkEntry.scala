@@ -445,6 +445,96 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** Q8-style market share: within one region's customers and one part
+    * type, the share of revenue supplied by a target nation, per order
+    * year. Numerator (target-nation revenue) and denominator (all
+    * nations) are both emitted as exact scaled BIGINTs — the classic
+    * Q8 division would reintroduce float canonicalization; the reader
+    * divides. The part/region/nation sides broadcast; the only
+    * fact-fact shuffles are lineitem ⋈ orders and ⋈ customer.
+    */
+  private def qQ8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).where(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nkey"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("supp_nkey"), col("n_name").as("supp_nation"))
+    val promoParts = Tables.part(s, dir).where(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+             col("o_orderdate") < lit("1999-01-01").cast("timestamp_ntz"))
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    Tables.lineitem(s, dir)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("cust_nkey"),
+        "left_semi")
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("supp_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        checkedLong(sum(when(col("supp_nation") === "NATION_6", vol)
+          .otherwise(lit(0).cast("decimal(18,4)"))) * lit(10000),
+          "nation_rev_x10k"),
+        decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          "decimal(18,4)", 10000, "total_rev_x10k"))
+      .orderBy("o_year")
+  }
+
+  /** Q9-style profit by supplier nation and order year. The fixture
+    * ships no partsupp table, so supply cost is proxied as
+    * p_retailprice·l_quantity/10 (reference Q9: ps_supplycost·l_quantity).
+    * Profit stays exact: both decimal sums are brought to a common ×10k
+    * basis and subtracted as BIGINTs — no float division or rounding.
+    */
+  private def qQ9ProfitProxy(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir).where(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(checkedLong(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * lit(10000) -
+        sum((col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(18,4)")) * lit(1000),
+        "profit_x10k"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** Window-rank coverage: ntile(4) balance quartiles WITHIN each
+    * nation. The window partitions on a bounded key, so there is no
+    * global sort — one keyed shuffle + per-partition sort, then the
+    * aggregate folds 4 rows per nation. (An unpartitioned ntile over
+    * the raw table is the 100 TB anti-pattern; global quantiles at
+    * scale come from percentile_approx sketches instead —
+    * text_length_quantiles documents that trade.) The in-window order
+    * (acctbal, custkey) is unique, so quartile assignment is
+    * deterministic on both engines. */
+  private def qCustomerQuartiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n_custs"),
+        min(floor(col("c_acctbal") * 100).cast("long")).as("min_bal_x100"),
+        max(floor(col("c_acctbal") * 100).cast("long")).as("max_bal_x100"),
+        decSumScaled(col("c_acctbal"), "decimal(18,2)", 100, "sum_bal_x100"))
+      .orderBy("c_nationkey", "quartile")
+  }
+
   /** PIVOT: monthly order counts spread across the five priority
     * columns. The value list is explicit, so the plan is ONE groupBy
     * with conditional counts — omitting it makes Spark run a
@@ -527,6 +617,64 @@ object SparkEntry {
         max(col("k")).as("max_k"), sum(col("k").cast("long")).as("sum_k"))
       .orderBy("k_bucket")
 
+  /** Rolling 24-hour per-user activity via a RANGE-framed window: each
+    * event sees the count/sum of that user's events in the preceding
+    * 24 h (inclusive). The frame bound is value-based (microseconds),
+    * so timestamp ties land in every peer's frame and the result is
+    * partition- and order-deterministic. One keyed shuffle on user_id;
+    * the frame scan is per-partition and windows never cross users. */
+  private def qEventsUserRolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-dayUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        count(lit(1)).over(w).as("n_24h"),
+        (sum(col("value").cast("decimal(18,2)")).over(w) * lit(100))
+          .cast("long").as("sum_24h_x100"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Set-operation coverage (INTERSECT / EXCEPT): day-over-day active
+    * users — retained (both days), churned (day A only), new (day B
+    * only). Set ops plan as distinct + semi/anti joins keyed on
+    * user_id: one shuffle each, nothing materializes on the driver. */
+  private def qEventsDaySetops(s: SparkSession, dir: String): DataFrame = {
+    def activeOn(day: String) = Tables.events(s, dir)
+      .where(to_date(col("ts")) === lit(day).cast("date"))
+      .select(col("user_id")).distinct()
+    val a = activeOn("2024-01-05")
+    val b = activeOn("2024-01-06")
+    def tagCount(df: DataFrame, m: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(m).as("metric"), col("n_users"))
+    tagCount(a.intersect(b), "retained")
+      .unionByName(tagCount(a.except(b), "churned"))
+      .unionByName(tagCount(b.except(a), "new"))
+      .orderBy("metric")
+  }
+
+  /** Heavy hitters: users contributing ≥ 1.2× the mean event volume.
+    * Two keyed aggregations plus a broadcast of the 1-row global
+    * total; the threshold and the share are exact integer arithmetic
+    * (cross-multiplied — no float mean). The same plan holds at
+    * 100 TB: per-user partials combine map-side and only the scalar
+    * total crosses the cluster. */
+  private def qEventsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("total"), count(lit(1)).as("n_users"))
+    per.crossJoin(broadcast(tot))
+      .where(col("n") * col("n_users") * lit(10L) >= col("total") * lit(12L))
+      .select(col("user_id"), col("n"),
+        expr("n * 10000 DIV total").as("share_x10k"))
+      .orderBy(col("n").desc, col("user_id").asc)
+  }
+
   // --------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtensionQueries.queries
@@ -553,6 +701,12 @@ object SparkEntry {
     "q18_big_orders" -> (qQ18BigOrders _),
     "q19_disjunctive" -> (qQ19Disjunctive _),
     "q22_idle_customers" -> (qQ22IdleCustomers _),
+    "q8_market_share" -> (qQ8MarketShare _),
+    "q9_profit_proxy" -> (qQ9ProfitProxy _),
+    "customer_quartiles" -> (qCustomerQuartiles _),
+    "events_user_rolling" -> (qEventsUserRolling _),
+    "events_day_setops" -> (qEventsDaySetops _),
+    "events_heavy_hitters" -> (qEventsHeavyHitters _),
     "orders_pivot_priority" -> (qOrdersPivotPriority _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
@@ -777,6 +931,86 @@ object SparkEntry {
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_acctbal_x100
         |FROM idle JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CASE WHEN sn.n_name = 'NATION_6'
+        |             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS nation_rev_x10k,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_rev_x10k
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_profit_proxy" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000
+        |            - SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4))) * 1000 AS BIGINT) AS profit_x10k
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "customer_quartiles" ->
+      """WITH q AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |         ntile(4) OVER (PARTITION BY c_nationkey
+        |                        ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+        |  FROM customer)
+        |SELECT c_nationkey, quartile, COUNT(*) AS n_custs,
+        |       CAST(MIN(floor(c_acctbal * 100)) AS BIGINT) AS min_bal_x100,
+        |       CAST(MAX(floor(c_acctbal * 100)) AS BIGINT) AS max_bal_x100,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_bal_x100
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_user_rolling" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        |       COUNT(*) OVER w AS n_24h,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS sum_24h_x100
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "events_day_setops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE CAST(ts AS DATE) = DATE '2024-01-05'),
+        |     b AS (SELECT DISTINCT user_id FROM events
+        |           WHERE CAST(ts AS DATE) = DATE '2024-01-06')
+        |SELECT * FROM (
+        |  SELECT 'retained' AS metric, COUNT(*) AS n_users
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'churned' AS metric, COUNT(*) AS n_users
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'new' AS metric, COUNT(*) AS n_users
+        |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+        |ORDER BY metric""".stripMargin,
+
+    "events_heavy_hitters" ->
+      """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_users FROM per)
+        |SELECT user_id, n, (n * 10000) // total AS share_x10k
+        |FROM per, tot
+        |WHERE n * n_users * 10 >= total * 12
+        |ORDER BY n DESC, user_id ASC""".stripMargin,
 
     "orders_pivot_priority" ->
       """SELECT date_trunc('month', o_orderdate) AS month,

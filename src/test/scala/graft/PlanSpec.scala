@@ -152,4 +152,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "interval containment must stay an equi-join on (key, bucket)")
   }
+
+  test("q8_market_share: part/region/nation sides broadcast, no cartesian") {
+    val p = planOf("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "promo parts, region-nation semi side, and supplier nation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q9_profit_proxy: part-name filter pushed, filtered parts broadcast") {
+    val p = planOf("q9_profit_proxy")
+    assert(p.contains("StringContains(p_name,red)"),
+      "LIKE '%red%' must reach the part parquet scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "filtered parts and nation must broadcast")
+  }
+
+  test("customer_quartiles: ntile partitions by nation — no global sort") {
+    val p = planOf("customer_quartiles")
+    assert("hashpartitioning\\(c_nationkey".r.findAllIn(p).nonEmpty,
+      "the window must shuffle keyed on nation, never range-partition globally")
+  }
+
+  test("events_user_rolling: ONE keyed shuffle feeds the range-frame window") {
+    val p = planOf("events_user_rolling")
+    val keyed = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(keyed === 1, s"expected 1 user_id exchange, found $keyed")
+  }
+
+  test("events_day_setops: INTERSECT/EXCEPT plan as keyed semi/anti joins") {
+    val p = planOf("events_day_setops")
+    assert(p.contains("LeftSemi"), "INTERSECT must plan as a left-semi join")
+    assert(p.contains("LeftAnti"), "EXCEPT must plan as a left-anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_heavy_hitters: only the 1-row total crosses via broadcast") {
+    val p = planOf("events_heavy_hitters")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the scalar total must broadcast onto the per-user aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
