@@ -617,6 +617,29 @@ object SparkEntry {
         max(col("k")).as("max_k"), sum(col("k").cast("long")).as("sum_k"))
       .orderBy("k_bucket")
 
+  /** CUBE grouping sets: totals for every (event_type, day-of-week)
+    * combination plus both one-dimension margins and the grand total
+    * in ONE pass — Catalyst expands the cube into a single aggregate
+    * over 4× replicated rows with map-side partials, not four scans.
+    * Labels come from GROUPING() (never NULL indicators), so the
+    * oracle compare is independent of engine NULL ordering. Spark's
+    * dayofweek is 1=Sunday..7; DuckDB's is 0-based — the oracle adds 1.
+    */
+  private def qEventsCube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+        col("value"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        decSumScaled(col("value"), "decimal(18,2)", 100, "total_value_x100"),
+        grouping(col("event_type")).as("_gt"),
+        grouping(col("dow")).as("_gd"))
+      .select(
+        when(col("_gt") === 1, "ALL").otherwise(col("event_type")).as("event_type"),
+        when(col("_gd") === 1, lit(-1L)).otherwise(col("dow")).as("dow"),
+        col("n"), col("total_value_x100"))
+      .orderBy("event_type", "dow")
+
   /** Rolling 24-hour per-user activity via a RANGE-framed window: each
     * event sees the count/sum of that user's events in the preceding
     * 24 h (inclusive). The frame bound is value-based (microseconds),
@@ -704,6 +727,7 @@ object SparkEntry {
     "q8_market_share" -> (qQ8MarketShare _),
     "q9_profit_proxy" -> (qQ9ProfitProxy _),
     "customer_quartiles" -> (qCustomerQuartiles _),
+    "events_cube" -> (qEventsCube _),
     "events_user_rolling" -> (qEventsUserRolling _),
     "events_day_setops" -> (qEventsDaySetops _),
     "events_heavy_hitters" -> (qEventsHeavyHitters _),
@@ -974,6 +998,19 @@ object SparkEntry {
         |       CAST(MAX(floor(c_acctbal * 100)) AS BIGINT) AS max_bal_x100,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_bal_x100
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_cube" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+        |         value
+        |  FROM events)
+        |SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        |       CASE WHEN GROUPING(dow) = 1 THEN CAST(-1 AS BIGINT) ELSE dow END AS dow,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
+        |FROM e GROUP BY CUBE (event_type, dow)
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_user_rolling" ->
       """WITH e AS (
