@@ -156,6 +156,42 @@ object ExtensionQueries {
         Seq(), num = 1, den = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** Edit-distance near-dups: character-level variants (typos, OCR
+    * noise) that token-level Jaccard under-scores. Length-difference
+    * bound prunes before the quadratic distance runs. */
+  private def qDedupEditDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+        maxDist = 20)
+      .orderBy("doc_a", "doc_b")
+
+  /** GK-sketch quantiles (`percentile_approx`) next to their exact rank
+    * audit, mirroring events_approx_distinct's sketch-plus-audit
+    * pattern: the sketch is the 100 TB form (mergeable bounded state,
+    * map-side combine), and the audit proves the rank guarantee
+    * |rank(approx_p90) − 0.9·n| ≤ n/accuracy AS DATA. No DuckDB
+    * oracle — sketch internals are engine-specific — so the driver's
+    * rows-only gate plus the in-data `within_bound` (asserted in
+    * SketchSpec) gate it. */
+  private def qEventsApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.9), lit(100)).as("p90_approx"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(approx), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        first(col("p90_approx")).as("p90_approx"),
+        sum(when(col("value") <= col("p90_approx"), 1L).otherwise(0L))
+          .as("rank_of_approx"))
+      .select(col("event_type"), col("n"),
+        (col("p90_approx") * 100).cast("long").as("p90_approx_x100"),
+        col("rank_of_approx"),
+        expr("(9 * n + 9) DIV 10").as("target_rank"))
+      .withColumn("rank_err", abs(col("rank_of_approx") - col("target_rank")))
+      .withColumn("within_bound", col("rank_err") <= col("n") / lit(100) + lit(1))
+      .orderBy("event_type")
+  }
+
   /** Containment near-dups: the near-SUBSET pairs (quoted/embedded
     * docs) a Jaccard threshold drops — inter/min(|A|,|B|) ≥ 0.8 over
     * the same LSH candidate channel. */
@@ -662,8 +698,10 @@ object ExtensionQueries {
     "dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_ngram_blocked" -> (qDedupNgramBlocked _),
+    "dedup_edit_distance" -> (qDedupEditDistance _),
     "dedup_embedding_cos" -> (qDedupEmbedding _),
     "dedup_containment" -> (qDedupContainment _),
+    "events_approx_quantiles" -> (qEventsApproxQuantiles _),
     "events_user_topk" -> (qEventsUserTopk _),
     "emb_norm_stats" -> (qEmbNormStats _),
     "corpus_mixture_epochs" -> (qCorpusMixtureEpochs _),
@@ -1236,6 +1274,23 @@ object ExtensionQueries {
          |       WHERE len(tk) >= 2),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |${jaccardTail(1, 2)}""".stripMargin,
+
+    "dedup_edit_distance" ->
+      s"""WITH t AS (SELECT doc_id,
+         |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         |         $TK AS tk FROM documents),
+         |k0 AS (SELECT doc_id, norm, len(norm) AS ln, tk[1] AS _f, tk[-1] AS _l
+         |       FROM t WHERE len(tk) >= 1),
+         |k AS (SELECT doc_id, norm, ln, _f, _l FROM (
+         |        SELECT *, COUNT(*) OVER (PARTITION BY _f, _l) AS bsz FROM k0)
+         |      WHERE bsz <= 200),
+         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.norm AS na, y.norm AS nb
+         |         FROM k x JOIN k y ON x._f = y._f AND x._l = y._l
+         |          AND x.doc_id < y.doc_id AND abs(x.ln - y.ln) <= 20)
+         |SELECT doc_a, doc_b, CAST(levenshtein(na, nb) AS BIGINT) AS edit_dist
+         |FROM cand WHERE levenshtein(na, nb) <= 20
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding_cos" ->
       s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),

@@ -377,6 +377,36 @@ object Dedup {
     jaccardVerify(cand, sh, num, den)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs — the record-linkage
+    * dedup for texts that differ by character-level edits rather than
+    * token swaps (typos, OCR noise, small insertions), which
+    * shingle-Jaccard under-scores. Candidates share the (first, last)
+    * token block (capped like [[blockedJaccard]]); the length-difference
+    * lower bound |len(a)−len(b)| ≤ maxDist prunes pairs BEFORE the
+    * quadratic-cost distance evaluates — at corpus scale the O(n·m)
+    * Levenshtein runs only on length-compatible pairs inside small
+    * blocks, cost ∝ near-dup density.
+    */
+  def editDistancePairs(docs: DataFrame, textCol: Column, idCol: Column,
+                        maxDist: Int, maxBlock: Int = 200): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"),
+        Text.normalized(textCol).as("norm"), Text.tokens(textCol).as("tk"))
+      .where(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("norm"), length(col("norm")).as("len"),
+        struct(element_at(col("tk"), 1).as("_f"),
+          element_at(col("tk"), -1).as("_l")).as("bk"))
+    val keyed = base
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .where(col("bsz") <= maxBlock)
+    keyed.as("x").join(keyed.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.len") - col("y.len")) <= maxDist)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        levenshtein(col("x.norm"), col("y.norm")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   /** Embedding near-dup: sign-bucket LSH + exact integer-dot cosine
     * threshold num/den (cross-multiplied, no floats).
     */

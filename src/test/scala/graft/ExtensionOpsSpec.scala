@@ -67,6 +67,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(Dedup.lshCandidates(banded, 1).count() === 0)
   }
 
+  test("edit-distance pairs find the typo variant, skip length-incompatible docs") {
+    // doc 2 is one substitution away from doc 1's normal form (kappa →
+    // kappa2 = 1 insertion); docs 1 and 4 normalize identically (dist 0);
+    // doc 5 shares the block key only if first==last token — it doesn't
+    val pairs = Dedup.editDistancePairs(docs, col("text"), col("doc_id"), maxDist = 5)
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.get((1L, 2L)).contains(1L), s"typo pair missing: $pairs")
+    assert(pairs.get((1L, 4L)).contains(0L), "normalized exact dup must be distance 0")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical docs collide, dissimilar docs differ") {
     val sh = Dedup.simhash(docs, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -18,4 +18,15 @@ class SketchSpec extends SparkSpec {
       assert(out.isEmpty, s"sketch out of bound at sf$sf: ${out.mkString(",")}")
     }
   }
+
+  test("approx p90 rank error within n/accuracy at sf0.001 and sf0.01") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val rows = SparkEntry.queries("events_approx_quantiles")(
+          spark, s"/root/testdata/sf$sf")
+        .select($"event_type", $"within_bound").as[(String, Boolean)].collect()
+      assert(rows.nonEmpty)
+      val out = rows.filterNot(_._2)
+      assert(out.isEmpty, s"quantile sketch out of rank bound at sf$sf: ${out.mkString(",")}")
+    }
+  }
 }
