@@ -681,6 +681,23 @@ object SparkEntry {
       .orderBy("metric")
   }
 
+  /** Per-user profile in one keyed aggregation — the wide-aggregate
+    * breadth surface: count, min/max timestamps, max_by (argmax over
+    * the unique event_id, so ties can't make it nondeterministic), and
+    * a collect_set materialized as a SORTED joined string (sorted so
+    * the result is partition-order independent; a bare collect_set is
+    * the nondeterminism trap). One shuffle, map-side partials for
+    * every aggregate including the set. */
+  private def qEventsUserProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("timestamp_ntz").as("first_ts"),
+        max(col("ts")).cast("timestamp_ntz").as("last_ts"),
+        max_by(col("event_type"), col("event_id")).as("last_event_type"),
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("type_set"))
+      .orderBy("user_id")
+
   /** Heavy hitters: users contributing ≥ 1.2× the mean event volume.
     * Two keyed aggregations plus a broadcast of the 1-row global
     * total; the threshold and the share are exact integer arithmetic
@@ -731,6 +748,7 @@ object SparkEntry {
     "events_user_rolling" -> (qEventsUserRolling _),
     "events_day_setops" -> (qEventsDaySetops _),
     "events_heavy_hitters" -> (qEventsHeavyHitters _),
+    "events_user_profile" -> (qEventsUserProfile _),
     "orders_pivot_priority" -> (qOrdersPivotPriority _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
@@ -1048,6 +1066,14 @@ object SparkEntry {
         |FROM per, tot
         |WHERE n * n_users * 10 >= total * 12
         |ORDER BY n DESC, user_id ASC""".stripMargin,
+
+    "events_user_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |       MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |       arg_max(event_type, event_id) AS last_event_type,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_set
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "orders_pivot_priority" ->
       """SELECT date_trunc('month', o_orderdate) AS month,

@@ -39,24 +39,29 @@ object Components {
     // Seed each node with its 1-hop minimum — the first propagation
     // step folded into the same keyed shuffle a node-distinct would
     // cost anyway, saving one loop iteration.
-    var labels = edges.groupBy(col("src"))
+    var cached = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      // `changed` rides along in the same select, so convergence costs
+      // one filter over the cached result — NOT a second keyed join of
+      // next against prev (labels are monotone non-increasing, so a
+      // node changed iff its neighbor min undercut its label)
       val next = labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp") < col("comp")).as("changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val prev = labels.select(col("id"), col("comp").as("prev_comp"))
-      val stable = next.join(prev, "id")
-        .where(col("comp") =!= col("prev_comp")).isEmpty
-      labels.unpersist()
-      labels = next
+      val stable = next.where(col("changed")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("comp"))
       converged = stable
       i += 1
     }
@@ -70,7 +75,7 @@ object Components {
     // library callers don't leak a persisted DataFrame they never got
     // a handle to unpersist.
     val out = labels.localCheckpoint()
-    labels.unpersist()
+    cached.unpersist()
     out
   }
 }
