@@ -20,8 +20,11 @@ object Dev {
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
     for (name <- names; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = df.count()
       println(f"== $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()
   }

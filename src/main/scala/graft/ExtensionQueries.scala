@@ -578,6 +578,35 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Lexicon sentiment scoring (the EDBT'16 Spark-sentiment shape):
+    * token-in-set counts per document against positive/negative word
+    * lists, rates in basis points. Integer division is kept on
+    * NONNEGATIVE numerators only (Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors — they diverge on negatives); the
+    * signed net score is the difference of the two truncated rates,
+    * identical on both engines. Pure codegen'd per-row expressions —
+    * fuses into the scan, zero shuffles, lexicon swaps are constants.
+    */
+  private val posLex = Seq("fast", "big", "win", "good")
+  private val negLex = Seq("slow", "small", "dup", "bad")
+
+  private def qTextSentiment(s: SparkSession, dir: String): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    def cnt(words: Seq[String]) =
+      size(filter(tk, t => t.isInCollection(words))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
+        cnt(posLex).as("n_pos"), cnt(negLex).as("n_neg"))
+      .where(col("n_tokens") > 0)
+      .withColumn("pos_bp", expr("(10000 * n_pos) div n_tokens"))
+      .withColumn("neg_bp", expr("(10000 * n_neg) div n_tokens"))
+      .withColumn("net_bp", col("pos_bp") - col("neg_bp"))
+      .withColumn("label",
+        when(col("n_pos") > col("n_neg"), "pos")
+          .when(col("n_pos") < col("n_neg"), "neg").otherwise("neutral"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document n-gram novelty versus the train split: the fraction
     * of an eval doc's distinct bigrams never seen in ANY train doc —
     * the novelty/memorization-risk mirror of split_ngram_leakage
@@ -692,6 +721,7 @@ object ExtensionQueries {
     "text_pii_redact" -> (qTextPiiRedact _),
     "split_ngram_leakage" -> (qSplitNgramLeakage _),
     "split_ngram_novelty" -> (qSplitNgramNovelty _),
+    "text_sentiment" -> (qTextSentiment _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -1016,6 +1046,23 @@ object ExtensionQueries {
          |       (10000 * COALESCE(lk.n_leaked, 0)) // ec.n_shingles AS leak_bp
          |FROM ec LEFT JOIN lk ON ec.doc_id = lk.doc_id
          |ORDER BY ec.doc_id""".stripMargin,
+
+    "text_sentiment" -> {
+      val pl = posLex.map(w => s"'$w'").mkString(", ")
+      val nl = negLex.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(tk, x -> x IN ($pl))) AS BIGINT) AS n_pos,
+         |  CAST(len(list_filter(tk, x -> x IN ($nl))) AS BIGINT) AS n_neg
+         |  FROM t WHERE len(tk) > 0),
+         |b AS (SELECT *, (10000 * n_pos) // n_tokens AS pos_bp,
+         |        (10000 * n_neg) // n_tokens AS neg_bp FROM c)
+         |SELECT doc_id, n_tokens, n_pos, n_neg, pos_bp, neg_bp,
+         |       pos_bp - neg_bp AS net_bp,
+         |       CASE WHEN n_pos > n_neg THEN 'pos'
+         |            WHEN n_pos < n_neg THEN 'neg' ELSE 'neutral' END AS label
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "split_ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
