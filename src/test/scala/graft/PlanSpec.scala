@@ -187,6 +187,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_edit_distance: banded Levenshtein evaluates inside the join, after the cheap guards") {
+    val p = planOf("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Some(20)"),
+      "distance must use the banded 3-arg levenshtein (O(d·n)), not the full matrix")
+    val joinLine = p.linesIterator.find(_.contains("levenshtein"))
+      .getOrElse(fail("levenshtein not in plan"))
+    assert(joinLine.indexOf("levenshtein") > joinLine.indexOf("abs(("),
+      "conjunct order regressed: the quadratic kernel must run AFTER the " +
+        "id/length guards, or every same-block pair pays it (was 24s vs 1.5s at sf0.1)")
+  }
+
   test("events_heavy_hitters: only the 1-row total crosses via broadcast") {
     val p = planOf("events_heavy_hitters")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
