@@ -681,6 +681,45 @@ object SparkEntry {
       .orderBy("metric")
   }
 
+  /** Q16 flavor: supplier breadth per brand — COUNT(DISTINCT) over a
+    * join (the fixture has no partsupp, so lineitem is the
+    * part-supplier bridge). Catalyst plans distinct-agg as a two-phase
+    * expand + aggregate with map-side partials; the filtered part side
+    * broadcasts. (events_distinct_users covers the hand-rolled
+    * two-stage form for skewed group keys.) */
+  private def qPartBrandBreadth(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).where(col("p_size") <= 20)
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("p_brand")
+  }
+
+  /** Exact integer covariance numerator per event type: does the event
+    * value co-vary with the hour of day? cov = (n·Σxy − Σx·Σy)/n² —
+    * the numerator is emitted raw (n is alongside; the reader
+    * divides), computed entirely in DECIMAL(38,0) like
+    * events_anomaly's σ² so the sign and magnitude are engine- and
+    * partitioning-exact. One keyed aggregation, map-side partials. */
+  private def qEventsValueHourCovar(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val x = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val y = hour(col("ts")).cast("long")
+    Tables.events(s, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * d38(col("y"))).cast("decimal(38,0)").as("sxy"))
+      .select(col("event_type"), col("n"),
+        (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy")))
+          .cast("decimal(38,0)").as("covar_num_x100"))
+      .orderBy("event_type")
+  }
+
   /** Per-user profile in one keyed aggregation — the wide-aggregate
     * breadth surface: count, min/max timestamps, max_by (argmax over
     * the unique event_id, so ties can't make it nondeterministic), and
@@ -749,6 +788,8 @@ object SparkEntry {
     "events_day_setops" -> (qEventsDaySetops _),
     "events_heavy_hitters" -> (qEventsHeavyHitters _),
     "events_user_profile" -> (qEventsUserProfile _),
+    "part_brand_breadth" -> (qPartBrandBreadth _),
+    "events_value_hour_covar" -> (qEventsValueHourCovar _),
     "orders_pivot_priority" -> (qOrdersPivotPriority _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
@@ -1066,6 +1107,30 @@ object SparkEntry {
         |FROM per, tot
         |WHERE n * n_users * 10 >= total * 12
         |ORDER BY n DESC, user_id ASC""".stripMargin,
+
+    "part_brand_breadth" ->
+      """SELECT p_brand,
+        |       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_value_hour_covar" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |      FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |            AS DECIMAL(38,0)) AS covar_num_x100
+        |FROM a ORDER BY 1""".stripMargin,
 
     "events_user_profile" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -65,4 +65,27 @@ class StreamingWindowSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).toString, r.getLong(3)))
     assert(rows.toSeq === Seq(("2024-01-01 09:00:00.0", 3L), ("2024-01-01 12:00:00.0", 1L)))
   }
+
+  test("hopping window counts each event in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    def t(s: String) = Timestamp.valueOf(s)
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hop_out").start()
+    // 10:40 falls in [10:00,11:00) and [10:30,11:30); 10:50 in the same two
+    input.addData((t("2024-01-01 10:40:00"), 1.0), (t("2024-01-01 10:50:00"), 2.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 13:00:00"), 9.0)) // advance watermark, close both
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hop_out").orderBy("w").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    assert(rows.toSeq === Seq(
+      ("2024-01-01 10:00:00.0", 2L), ("2024-01-01 10:30:00.0", 2L)))
+  }
 }
