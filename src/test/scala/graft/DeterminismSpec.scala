@@ -1,0 +1,37 @@
+package graft
+
+/** The engine's central exactness claim, tested directly: results do
+  * not change when the physical partitioning changes. Every query
+  * computes in exact arithmetic (decimal sums, integer
+  * cross-multiplication, unique-keyed windows), so re-planning with a
+  * different shuffle width — what AQE and cluster resizing do
+  * constantly at 100 TB — must be invisible in the output. A float
+  * reduction, an unordered collect_set, or a tie-broken window would
+  * fail here nondeterministically.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val names = Seq(
+    "q1_agg",              // decimal aggregate over the fact table
+    "events_sessionize",   // window + gaps-and-islands
+    "events_user_profile", // max_by + sorted collect_set
+    "dedup_minhash_lsh",   // banded LSH candidate + verify pipeline
+    "corpus_pack",         // cumulative-sum packing windows
+    "events_value_hour_covar") // decimal(38) statistics
+
+  test("results are bit-identical under different shuffle partitioning") {
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      for (n <- names) {
+        spark.conf.set(key, "4")
+        val a = SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq
+        spark.conf.set(key, "7")
+        val b = SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq
+        assert(a.nonEmpty, s"$n returned no rows")
+        assert(a === b, s"$n diverged under repartitioning")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+}
