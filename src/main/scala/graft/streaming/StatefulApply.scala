@@ -38,6 +38,36 @@ object StatefulApply {
       }
   }
 
+  /** [[latestPerKeyStream]] with state TTL: a key idle past
+    * `idleMs` of event time is EVICTED once the watermark passes its
+    * timeout, and its final resolved row is emitted with
+    * `action = "expired"` so downstream can flush/compact it. This is
+    * the unbounded-key-churn form: without eviction, state grows with
+    * every key ever seen; with it, state is bounded by keys active
+    * within the TTL window — the knob a 100 TB deployment actually
+    * tunes. Event-time timeout (not processing-time), so replays and
+    * stalls can't expire keys early.
+    */
+  def latestPerKeyStreamTtl(events: Dataset[CdcEvent], watermarkDelay: String,
+                            idleMs: Long): Dataset[CdcEvent] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("last_updated_at", watermarkDelay)
+      .groupByKey(_.emp_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[CdcEvent], state: GroupState[CdcEvent]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last.copy(action = "expired")
+          } else {
+            val latest = (state.getOption.iterator ++ it).reduce(newer)
+            state.update(latest)
+            state.setTimeoutTimestamp(latest.last_updated_at.getTime + idleMs)
+            latest
+          }
+      }
+  }
+
   /** Late/duplicate hardening for the wire stream (SURVEY §2.9): bound
     * state with an event-time watermark and drop redelivered events
     * (same key + event time) inside it. The reference's watermark

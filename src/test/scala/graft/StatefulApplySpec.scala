@@ -38,6 +38,37 @@ class StatefulApplySpec extends SparkSpec {
     assert(lastPerKey(2L).action === "delete")
   }
 
+  test("state TTL evicts idle keys once the watermark passes, with an expired tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def evAt(id: Long, sal: Long, when: String) =
+      CdcEvent(0, id, s"FN$id", s"LN$id", "2012-04-10", "City", sal, "insert", t(when))
+    val input = MemoryStream[CdcEvent]
+    // 10-min watermark delay, 1h idle TTL
+    val out = StatefulApply.latestPerKeyStreamTtl(input.toDS(), "10 minutes",
+      idleMs = 3600L * 1000)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ttl_out").start()
+
+    input.addData(evAt(1, 100, "2024-01-01 10:00:00"), evAt(2, 200, "2024-01-01 10:05:00"))
+    q.processAllAvailable()
+    // key 2 stays active at 13:00 → watermark advances to 12:50, far past
+    // key 1's 11:00 timeout → key 1 evicts with an expired tombstone
+    input.addData(evAt(2, 250, "2024-01-01 13:00:00"))
+    q.processAllAvailable()
+    q.processAllAvailable() // timeout fires on the batch after the watermark moves
+    q.stop()
+
+    val rows = spark.table("ttl_out").as[CdcEvent].collect()
+    val expired = rows.filter(_.action == "expired")
+    assert(expired.map(_.emp_id).toSeq === Seq(1L),
+      s"only idle key 1 must expire, got: ${rows.mkString(";")}")
+    assert(expired.head.emp_salary === 100L,
+      "tombstone must carry the key's final resolved state")
+    assert(!rows.exists(r => r.emp_id == 2L && r.action == "expired"),
+      "active key 2 must stay in state")
+  }
+
   test("watermark + dropDuplicates dedups redelivered events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CdcEvent]
