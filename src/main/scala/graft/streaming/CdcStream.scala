@@ -44,10 +44,19 @@ object CdcStream {
     *                  process-local watermark, which lost state on
     *                  restart — SURVEY §2.9)
     */
+  /** Name of the per-batch observed-metrics row surfaced in
+    * `StreamingQueryProgress.observedMetrics`: `n_wire` = messages
+    * entering the batch. Computed inline on the executors by the
+    * `observe` node — zero extra passes — and read by monitoring via
+    * the progress listener; at fleet scale this is the per-batch
+    * throughput/health signal without a second aggregation query. */
+  val MetricsName = "cdc_wire"
+
   def start(wire: DataFrame, store: SnapshotStore, dlqPath: String,
             checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
             totalsPath: Option[String] = None): StreamingQuery =
-    wire.writeStream
+    wire.observe(MetricsName, count(lit(1)).as("n_wire"))
+      .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -62,6 +62,13 @@ class CdcStreamSpec extends SparkSpec {
       totalsPath = Some(s"$root/totals"))
     q.awaitTermination(120000)
 
+    // per-batch observed metrics reached the progress reports: the
+    // inline `observe` node counted every wire message with no extra pass
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(CdcStream.MetricsName)))
+      .map(_.getAs[Long]("n_wire"))
+    assert(observed.sum === 7L, s"observed wire counts per batch: $observed")
+
     val snap = store.load().get
     val rows = snap.select("emp_id", "emp_FN", "emp_salary").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
