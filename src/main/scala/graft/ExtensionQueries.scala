@@ -440,6 +440,20 @@ object ExtensionQueries {
         sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
       .orderBy("lang")
 
+  /** Per-source document cap (the Common-Crawl-style "no domain may
+    * dominate the corpus" downsampler): each source keeps at most 30
+    * docs, selected by the deterministic id-hash so the kept subsample
+    * is uniform, stable under re-runs/repartitioning/corpus growth,
+    * and SQL-mirrorable. WindowGroupLimit pre-reduces each map task to
+    * its local top-30 per source before the shuffle (PlanSpec pins
+    * it) — shuffle volume ∝ sources × cap at any corpus size. */
+  private def qCorpusSourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), cap = 30)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("doc_id")
+
   /** Concat-and-chunk sequence packing into 2048-token context windows,
     * sharded by language; per-pack doc/token/straddler counts. */
   private def qCorpusPack(s: SparkSession, dir: String): DataFrame = {
@@ -631,6 +645,30 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-span detection (the C4/RefinedWeb cleaning step that
+    * strips nav bars, cookie banners, license headers): the fraction
+    * of a doc's distinct 4-gram shingles that are "common" — present
+    * in ≥ 3 distinct documents corpus-wide. Docs over 50% common
+    * shingles are flagged. Scale shape: the shingle df is one keyed
+    * aggregation with map-side partials; the common-shingle set stays
+    * DISTRIBUTED and prunes via a left-semi join on the shingle key
+    * (a real corpus's boilerplate vocabulary never broadcasts or
+    * collects) — the same channel as split_ngram_leakage/novelty.
+    * Ratios are integer basis points, engine-exact. */
+  private def qTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Text.distinctShingles(Tables.documents(s, dir),
+      col("text"), col("doc_id"), 4)
+    val common = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 3).select("shingle")
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val nCommon = sh.join(common, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+    perDoc.join(nCommon, Seq("doc_id"), "left").na.fill(0L, Seq("n_common"))
+      .withColumn("boilerplate_bp", expr("(10000 * n_common) div n_shingles"))
+      .withColumn("flagged", col("boilerplate_bp") >= 5000)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -715,12 +753,14 @@ object ExtensionQueries {
     "split_contamination" -> (qSplitContamination _),
     "text_repetition" -> (qTextRepetition _),
     "corpus_stratified_sample" -> (qCorpusStratified _),
+    "corpus_source_cap" -> (qCorpusSourceCap _),
     "corpus_pack" -> (qCorpusPack _),
     "text_tfidf" -> (qTextTfidf _),
     "text_length_quantiles" -> (qTextLengthQuantiles _),
     "text_pii_redact" -> (qTextPiiRedact _),
     "split_ngram_leakage" -> (qSplitNgramLeakage _),
     "split_ngram_novelty" -> (qSplitNgramNovelty _),
+    "text_boilerplate" -> (qTextBoilerplate _),
     "text_sentiment" -> (qTextSentiment _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
@@ -990,6 +1030,14 @@ object ExtensionQueries {
          |WHERE ${graft.ops.Sampling.stratifiedSampleSql("doc_id", "lang", strataRates)}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "corpus_source_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |       ORDER BY ${graft.ops.Sampling.capOrderSql("doc_id")}) AS BIGINT) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 30
+         |ORDER BY doc_id""".stripMargin,
+
     "corpus_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($TK) AS BIGINT) AS n FROM documents),
          |c AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
@@ -1046,6 +1094,23 @@ object ExtensionQueries {
          |       (10000 * COALESCE(lk.n_leaked, 0)) // ec.n_shingles AS leak_bp
          |FROM ec LEFT JOIN lk ON ec.doc_id = lk.doc_id
          |ORDER BY ec.doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-3)) AS i) g
+         |       WHERE len(tk) >= 4),
+         |cm AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         |       WHERE df >= 3),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+         |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_common FROM sh
+         |       WHERE shingle IN (SELECT shingle FROM cm) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_shingles, COALESCE(nc.n_common, 0) AS n_common,
+         |       (10000 * COALESCE(nc.n_common, 0)) // pd.n_shingles AS boilerplate_bp,
+         |       (10000 * COALESCE(nc.n_common, 0)) // pd.n_shingles >= 5000 AS flagged
+         |FROM pd LEFT JOIN nc ON pd.doc_id = nc.doc_id
+         |ORDER BY pd.doc_id""".stripMargin,
 
     "text_sentiment" -> {
       val pl = posLex.map(w => s"'$w'").mkString(", ")

@@ -511,6 +511,117 @@ object SparkEntry {
       .orderBy("nation", "o_year")
   }
 
+  /** Q12-style shipping-delay report (the fixture ships no
+    * l_shipmode/commitdate/receiptdate, so the classic Q12 grouping is
+    * re-expressed on what exists): lines shipped on/after their order
+    * date, bucketed by 30-day delay, split into high-priority
+    * (1-URGENT/2-HIGH) vs low-priority counts — Q12's exact payload.
+    * One fact-fact shuffle on orderkey; the conditional counts fold
+    * map-side; bucketing is integer `div` on a non-negative delay
+    * (truncating vs flooring division diverge on negatives across
+    * engines, so the filter also pins the arithmetic).
+    */
+  private def qQ12LateShipping(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val hi = col("o_orderpriority").isInCollection(Seq("1-URGENT", "2-HIGH"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .where(col("delay_days") >= 0)
+      .groupBy(expr("delay_days div 30").as("delay_bucket"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("n_high"),
+        sum(when(hi, 0L).otherwise(1L)).as("n_low"))
+      .orderBy("delay_bucket")
+  }
+
+  /** Q21-style "who kept the order waiting": finished orders with at
+    * least two suppliers, credited to the supplier(s) whose latest
+    * line shipped last, top 10 by wait count. The fixture has no
+    * receipt/commit dates, so "waited on" = held the order's max ship
+    * date. Lineitem pre-aggregates per (order, supplier) BEFORE the
+    * window (the keyed shuffle carries one row per order-supplier, not
+    * raw lines, and both window functions share that one shuffle); the
+    * 10-row top-k then broadcasts into the supplier dimension.
+    */
+  private def qQ21SlowestSupplier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val finished = Tables.orders(s, dir)
+      .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val perSupp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_last"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val top = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("order_last", max(col("supp_last")).over(w))
+      .where(col("n_supp") >= 2 && col("supp_last") === col("order_last"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_waits"))
+      .orderBy(col("n_waits").desc, col("l_suppkey").asc)
+      .limit(10)
+    Tables.supplier(s, dir)
+      .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waits"))
+      .orderBy(col("n_waits").desc, col("s_suppkey").asc)
+  }
+
+  /** RFM customer segmentation: recency (days since last order),
+    * frequency (order count), monetary (lifetime spend in cents) per
+    * customer, each cut at its exact quartile boundaries, segments
+    * counted. All three percentile inputs are integers, so the
+    * interpolated boundaries are exact dyadic doubles and Spark's
+    * `percentile` and DuckDB's `quantile_cont` agree bit-for-bit — no
+    * float drift in the bucket comparisons. Scale shape: the corpus
+    * max-date is a scan-level 1-row aggregate (partial max, no
+    * shuffle) that broadcasts into the ONE keyed shuffle building the
+    * per-customer frame; that frame (|customers| aggregated rows) is
+    * persisted so the boundary pass and the segment pass read it
+    * instead of re-scanning orders (without the persist, column
+    * pruning specializes each subtree and ReuseExchange shares
+    * nothing — measured 4 orders scans). Verify/Bench clear the cache
+    * per query, the same hygiene as corpus_clean. At petabyte
+    * customer counts the exact percentile swaps for percentile_approx,
+    * the documented trade of customer_quartiles.
+    */
+  private def qCustomerRfm(s: SparkSession, dir: String): DataFrame = {
+    val corpusLast = Tables.orders(s, dir)
+      .agg(max(col("o_orderdate")).as("corpus_last"))
+    val rfm = Tables.orders(s, dir).crossJoin(broadcast(corpusLast))
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(col("corpus_last")), max(col("o_orderdate")))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("f"),
+        checkedLong(sum(col("o_totalprice").cast("decimal(18,2)")) * lit(100),
+          "m_x100"))
+      .persist()
+    val bounds = rfm.agg(
+      percentile(col("r_days"), lit(0.25)).as("r25"),
+      percentile(col("r_days"), lit(0.5)).as("r50"),
+      percentile(col("r_days"), lit(0.75)).as("r75"),
+      percentile(col("f"), lit(0.25)).as("f25"),
+      percentile(col("f"), lit(0.5)).as("f50"),
+      percentile(col("f"), lit(0.75)).as("f75"),
+      percentile(col("m_x100"), lit(0.25)).as("m25"),
+      percentile(col("m_x100"), lit(0.5)).as("m50"),
+      percentile(col("m_x100"), lit(0.75)).as("m75"))
+    def quartile(v: Column, p25: Column, p50: Column, p75: Column): Column =
+      lit(1L) + when(v > p25, 1L).otherwise(0L) +
+        when(v > p50, 1L).otherwise(0L) + when(v > p75, 1L).otherwise(0L)
+    rfm.crossJoin(broadcast(bounds))
+      .select(
+        quartile(col("r_days"), col("r25"), col("r50"), col("r75")).as("r_q"),
+        quartile(col("f"), col("f25"), col("f50"), col("f75")).as("f_q"),
+        quartile(col("m_x100"), col("m25"), col("m50"), col("m75")).as("m_q"),
+        col("m_x100"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("m_x100")).as("sum_m_x100"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   /** Window-rank coverage: ntile(4) balance quartiles WITHIN each
     * nation. The window partitions on a bounded key, so there is no
     * global sort — one keyed shuffle + per-partition sort, then the
@@ -782,6 +893,9 @@ object SparkEntry {
     "q22_idle_customers" -> (qQ22IdleCustomers _),
     "q8_market_share" -> (qQ8MarketShare _),
     "q9_profit_proxy" -> (qQ9ProfitProxy _),
+    "q12_late_shipping" -> (qQ12LateShipping _),
+    "q21_slowest_supplier" -> (qQ21SlowestSupplier _),
+    "customer_rfm" -> (qCustomerRfm _),
     "customer_quartiles" -> (qCustomerQuartiles _),
     "events_cube" -> (qEventsCube _),
     "events_user_rolling" -> (qEventsUserRolling _),
@@ -1045,6 +1159,67 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_late_shipping" ->
+      """WITH d AS (
+        |  SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                        CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days,
+        |         o_orderpriority
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT delay_days // 30 AS delay_bucket,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+        |FROM d WHERE delay_days >= 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_slowest_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+        |  FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |        MAX(supp_last) OVER (PARTITION BY l_orderkey) AS order_last FROM ps),
+        |c AS (SELECT l_suppkey, COUNT(*) AS n_waits FROM w
+        |      WHERE n_supp >= 2 AND supp_last = order_last GROUP BY 1),
+        |t AS (SELECT * FROM c ORDER BY n_waits DESC, l_suppkey ASC LIMIT 10)
+        |SELECT s_suppkey, s_name, n_waits
+        |FROM supplier JOIN t ON s_suppkey = l_suppkey
+        |ORDER BY n_waits DESC, s_suppkey ASC""".stripMargin,
+
+    "customer_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |         COUNT(*) AS f,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS m_x100
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT *, CAST(date_diff('day', CAST(last_order AS DATE),
+        |        (SELECT CAST(MAX(last_order) AS DATE) FROM pc)) AS BIGINT) AS r_days
+        |      FROM pc),
+        |b AS (SELECT quantile_cont(r_days, 0.25) AS r25, quantile_cont(r_days, 0.5) AS r50,
+        |             quantile_cont(r_days, 0.75) AS r75,
+        |             quantile_cont(f, 0.25) AS f25, quantile_cont(f, 0.5) AS f50,
+        |             quantile_cont(f, 0.75) AS f75,
+        |             quantile_cont(m_x100, 0.25) AS m25, quantile_cont(m_x100, 0.5) AS m50,
+        |             quantile_cont(m_x100, 0.75) AS m75
+        |      FROM r),
+        |s AS (SELECT 1 + CASE WHEN r_days > r25 THEN 1 ELSE 0 END
+        |          + CASE WHEN r_days > r50 THEN 1 ELSE 0 END
+        |          + CASE WHEN r_days > r75 THEN 1 ELSE 0 END AS r_q,
+        |        1 + CASE WHEN f > f25 THEN 1 ELSE 0 END
+        |          + CASE WHEN f > f50 THEN 1 ELSE 0 END
+        |          + CASE WHEN f > f75 THEN 1 ELSE 0 END AS f_q,
+        |        1 + CASE WHEN m_x100 > m25 THEN 1 ELSE 0 END
+        |          + CASE WHEN m_x100 > m50 THEN 1 ELSE 0 END
+        |          + CASE WHEN m_x100 > m75 THEN 1 ELSE 0 END AS m_q,
+        |        m_x100
+        |      FROM r CROSS JOIN b)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |       CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_custs,
+        |       CAST(SUM(m_x100) AS BIGINT) AS sum_m_x100
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "customer_quartiles" ->
       """WITH q AS (

@@ -66,4 +66,25 @@ object Sampling {
     rates.toSeq.sorted.map { case (st, bp) =>
       s"($stratumExpr = '$st' AND ${bucketSql(idExpr)} < $bp)"
     }.mkString("(", " OR ", ")")
+
+  /** Cap each group at `cap` rows, chosen deterministically by the
+    * id-hash (an over-represented domain/source keeps a stable uniform
+    * subsample, not its first-by-ingest rows). The (bucket, id) order
+    * is unique, so the kept set is partition-independent and
+    * SQL-mirrorable. Scale shape: one keyed shuffle; the row_number ≤
+    * cap filter is recognized by Catalyst's WindowGroupLimit, so each map
+    * task pre-reduces to its local top-cap per group BEFORE the
+    * exchange — shuffle volume ∝ groups × cap, not rows (PlanSpec pins
+    * this). The row_number itself is returned as `rk`. */
+  def capPerGroup(df: org.apache.spark.sql.DataFrame, group: Column, id: Column,
+                  cap: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(bucket(id).asc, id.asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
+  /** SQL mirror of [[capPerGroup]]'s window order. */
+  def capOrderSql(idExpr: String): String =
+    s"${bucketSql(idExpr)}, $idExpr"
 }

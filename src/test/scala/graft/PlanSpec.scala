@@ -205,4 +205,22 @@ class PlanSpec extends SparkSpec {
       "the scalar total must broadcast onto the per-user aggregate")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("corpus_source_cap: rank-cap pre-reduces map-side via WindowGroupLimit") {
+    val p = planOf("corpus_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= cap must plan as WindowGroupLimit so each map task " +
+        "ships at most cap rows per source into the exchange")
+  }
+
+  test("customer_rfm: per-customer frame persisted and reused across passes") {
+    // the o_custkey exchange appears once per InMemoryTableScan printout
+    // (the cached plan is inlined in toString), so count the SCANS: both
+    // the boundary pass and the segment pass must read the cache — the
+    // cached plan itself holds the one real orders shuffle
+    val p = planOf("customer_rfm")
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
+    assert(scans >= 2,
+      s"expected the persisted per-customer frame on both passes, found $scans scans")
+  }
 }
