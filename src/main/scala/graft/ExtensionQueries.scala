@@ -93,6 +93,72 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** KMV (k-minimum-values / bottom-k) sketch churn: day-over-day
+    * user-set Jaccard estimated from 32-value sketches, next to the
+    * exact answer as audit. Unlike HLL registers, a bottom-k sketch
+    * over a deterministic injective hash is bit-reproducible in SQL,
+    * so this sketch query IS oracle-exact. Mechanics: per day, keep
+    * the k smallest user hashes (row_number ≤ k → WindowGroupLimit
+    * pre-reduces map-side, k rows per day cross the exchange); merge
+    * adjacent days' sketches (k smallest of the union) and estimate
+    * J ≈ |both| / k over the merged sketch; estimate the union
+    * cardinality as (k−1)·P / h_k (exact k_union when the union is
+    * smaller than k — the sketch saw everything). All estimates are
+    * integer basis points. At 100 TB the exact side drops away and
+    * sketches persist as the mergeable daily profile — the same
+    * audit-next-to-sketch pattern as events_approx_distinct, but with
+    * a full SQL oracle. */
+  private def qEventsKmvChurn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 32
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    // tag rows into both adjacent pair-slots: day d is side a of pair d
+    // and side b of pair d-1 — one explode instead of a self-join
+    def tagged(src: DataFrame, valCol: String) = src.select(
+        explode(array(
+          struct(col("d").as("pd"), lit(1).as("in_a"), lit(0).as("in_b")),
+          struct(date_sub(col("d"), 1).as("pd"), lit(0).as("in_a"), lit(1).as("in_b")))).as("t"),
+        col(valCol))
+      .select(col("t.pd").as("pd"), col("t.in_a").as("in_a"),
+        col("t.in_b").as("in_b"), col(valCol))
+    // exact audit: distinct users per pair with side flags
+    val exact = tagged(du, "user_id")
+      .groupBy(col("pd"), col("user_id"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"),
+        max(col("in_a")).as("has_a"), max(col("in_b")).as("has_b"))
+      .where(col("has_a") === 1 && col("has_b") === 1)
+      .select(col("pd"), col("n_union"), col("n_both"),
+        expr("(10000 * n_both) div n_union").as("jaccard_bp"))
+    // sketch side: bottom-k hashes per day, then bottom-k of the merge
+    val wd = Window.partitionBy(col("d")).orderBy(col("h"))
+    val sk = du.withColumn("h", graft.ops.Sampling.hashVal(col("user_id")))
+      .withColumn("rk", row_number().over(wd)).where(col("rk") <= K)
+      .select(col("d"), col("h"))
+    val wp = Window.partitionBy(col("pd")).orderBy(col("h"))
+    val est = tagged(sk, "h")
+      .groupBy(col("pd"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rk", row_number().over(wp)).where(col("rk") <= K)
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("k_union"),
+        sum(col("in_a") * col("in_b")).cast("long").as("k_both"),
+        max(col("h")).as("h_k"))
+      .select(col("pd"), col("k_union"), col("k_both"),
+        expr("(10000 * k_both) div k_union").as("est_jaccard_bp"),
+        when(col("k_union") < K, col("k_union"))
+          .otherwise(expr(s"((k_union - 1) * ${graft.ops.Sampling.P}) div h_k"))
+          .as("est_union"))
+    est.join(exact, "pd")
+      .select(col("pd").as("day"), col("k_union"), col("k_both"),
+        col("est_jaccard_bp"), col("jaccard_bp"), col("est_union"),
+        col("n_union"), col("n_both"))
+      .orderBy("day")
+  }
+
   /** Sliding-window aggregation (1h windows every 30min) — the batch
     * mirror of the streaming `window()` operator. */
   private def qEventsSlidingWindow(s: SparkSession, dir: String): DataFrame =
@@ -776,6 +842,7 @@ object ExtensionQueries {
     "emb_norm_stats" -> (qEmbNormStats _),
     "corpus_mixture_epochs" -> (qCorpusMixtureEpochs _),
     "events_approx_distinct" -> (qEventsApproxDistinct _),
+    "events_kmv_churn" -> (qEventsKmvChurn _),
     "text_length_tiers" -> (qTextLengthTiers _),
     "events_hourly_dense" -> (qEventsHourlyDense _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
@@ -904,6 +971,40 @@ object ExtensionQueries {
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_kmv_churn" -> {
+      val h = graft.ops.Sampling.hashValSql("user_id")
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         |tagu AS (SELECT d AS pd, 1 AS in_a, 0 AS in_b, user_id FROM du
+         |         UNION ALL SELECT d - 1, 0, 1, user_id FROM du),
+         |exu AS (SELECT pd, user_id, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+         |        FROM tagu GROUP BY 1, 2),
+         |ex AS (SELECT pd, CAST(COUNT(*) AS BIGINT) AS n_union,
+         |         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+         |       FROM exu GROUP BY 1 HAVING MAX(in_a) = 1 AND MAX(in_b) = 1),
+         |sk AS (SELECT d, h FROM (
+         |         SELECT d, $h AS h,
+         |                row_number() OVER (PARTITION BY d ORDER BY $h) AS rk
+         |         FROM du) WHERE rk <= 32),
+         |tags AS (SELECT d AS pd, 1 AS in_a, 0 AS in_b, h FROM sk
+         |         UNION ALL SELECT d - 1, 0, 1, h FROM sk),
+         |mg AS (SELECT pd, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+         |       FROM tags GROUP BY 1, 2),
+         |mk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pd ORDER BY h) AS rk
+         |                      FROM mg) WHERE rk <= 32),
+         |es AS (SELECT pd, CAST(COUNT(*) AS BIGINT) AS k_union,
+         |         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both,
+         |         MAX(h) AS h_k
+         |       FROM mk GROUP BY 1)
+         |SELECT es.pd AS day, k_union, k_both,
+         |       (10000 * k_both) // k_union AS est_jaccard_bp,
+         |       (10000 * n_both) // n_union AS jaccard_bp,
+         |       CASE WHEN k_union < 32 THEN k_union
+         |            ELSE ((k_union - 1) * ${graft.ops.Sampling.P}) // h_k END AS est_union,
+         |       n_union, n_both
+         |FROM es JOIN ex ON es.pd = ex.pd
+         |ORDER BY day""".stripMargin
+    },
 
     "events_sliding_window" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

@@ -26,9 +26,17 @@ object Sampling {
   val B = 1442695040888963L % P
   val Buckets = 10000L
 
+  /** Raw affine hash in [0, P) — injective for ids below P, so
+    * distinct small ids never collide (what KMV sketches rely on). */
+  def hashVal(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(P)) * lit(A) + lit(B), lit(P))
+
+  /** SQL mirror of [[hashVal]]. */
+  def hashValSql(idExpr: String): String =
+    s"((CAST($idExpr AS BIGINT) % $P + $P) % $P * $A + $B) % $P"
+
   /** Stable per-id bucket in [0, 10000) basis points. */
-  def bucket(id: Column): Column =
-    pmod(pmod(id.cast("long"), lit(P)) * lit(A) + lit(B), lit(P)) % lit(Buckets)
+  def bucket(id: Column): Column = hashVal(id) % lit(Buckets)
 
   /** SQL mirror of [[bucket]] (the +p/%p dance normalizes DuckDB's
     * signed % to Spark's non-negative pmod). */

@@ -9,6 +9,10 @@ import graft.ops.{Dedup, Text}
   * that first claimed this MinHash band key. */
 case class NearDupCandidate(doc_id: Long, band: Int, first_doc_id: Long)
 
+/** A doc admitted by the streaming per-source cap; `seq` is its 1-based
+  * admission rank within its source across the stream's lifetime. */
+case class CappedDoc(doc_id: Long, source: String, seq: Long)
+
 /** Streaming corpus ingest: the batch cleaning pass (`corpus_clean`'s
   * quality gate + exact dedup) as a continuous pipeline — documents
   * arrive as a stream, low-quality docs are dropped, and the first
@@ -48,6 +52,38 @@ object CorpusStream {
     * in [[ingest]], times `bands`. Bound it with a watermark-timeout
     * variant when the corpus is unbounded.
     */
+  /** Streaming per-source admission cap — the continuous form of
+    * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
+    * `cap` docs over the stream's lifetime, later arrivals drop. The
+    * batch form keeps a uniform hash-rank subsample, which needs the
+    * whole group in hand; a stream cannot rank globally, so the
+    * streaming contract is first-`cap`-by-arrival — deterministic
+    * under replay because intra-batch ties break by doc_id, and
+    * monotone: once a doc is admitted (and emitted downstream) no
+    * later arrival can evict it.
+    *
+    * State shape at scale: ONE long (admitted count) per distinct
+    * source, sharded by source — the smallest state of any operator
+    * here; no timeout needed even on unbounded streams.
+    */
+  def capBySource(docs: DataFrame, cap: Int): Dataset[CappedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long)], state: GroupState[Long]) => {
+          val admitted = if (state.exists) state.get else 0L
+          val room = math.max(cap - admitted, 0L).toInt
+          val picked = rows.map(_._2).toSeq.sorted.take(room)
+          if (picked.nonEmpty) state.update(admitted + picked.size)
+          picked.iterator.zipWithIndex.map { case (id, i) =>
+            CappedDoc(id, src, admitted + i + 1)
+          }
+        })
+  }
+
   def nearDupCandidates(docs: DataFrame, shingleN: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._

@@ -22,7 +22,7 @@ import graft.cdc.CdcEvent
   */
 object StatefulApply {
 
-  private def newer(a: CdcEvent, b: CdcEvent): CdcEvent = {
+  private[streaming] def newer(a: CdcEvent, b: CdcEvent): CdcEvent = {
     val c = a.last_updated_at.compareTo(b.last_updated_at)
     if (c > 0 || (c == 0 && a.action_id >= b.action_id)) a else b
   }

@@ -33,6 +33,33 @@ class CorpusStreamSpec extends SparkSpec {
     assert(rows === Set((1L, 10L), (5L, 11L)))
   }
 
+  test("streaming per-source cap: first-N-by-arrival across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = CorpusStream.capBySource(
+      input.toDF().toDF("doc_id", "source"), cap = 3)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("source_cap").start()
+
+    input.addData((5L, "s1"), (2L, "s1"), (10L, "s2"))
+    q.processAllAvailable()
+    // s1 has room for 1 more: doc 7 admitted, doc 9 dropped (intra-batch
+    // tie-break by doc_id); s2 fills up exactly
+    input.addData((9L, "s1"), (7L, "s1"), (11L, "s2"), (12L, "s2"))
+    q.processAllAvailable()
+    // both sources full: everything drops
+    input.addData((1L, "s1"), (13L, "s2"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("source_cap")
+      .select($"doc_id", $"source", $"seq").as[(Long, String, Long)]
+      .collect().toSet
+    assert(rows === Set(
+      (2L, "s1", 1L), (5L, "s1", 2L), (7L, "s1", 3L),
+      (10L, "s2", 1L), (11L, "s2", 2L), (12L, "s2", 3L)))
+  }
+
   private val base = (0 until 60).map(i => s"w$i").mkString(" ")
 
   test("per-row band keys match the aggregated MinHash signature form") {

@@ -38,6 +38,38 @@ class StatefulApplySpec extends SparkSpec {
     assert(lastPerKey(2L).action === "delete")
   }
 
+  test("transformWithState (v2, RocksDB) resolves the same latest-wins contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = graft.streaming.StatefulApplyV2.requiredConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    graft.streaming.StatefulApplyV2.requiredConfs
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val input = MemoryStream[CdcEvent]
+      val out = graft.streaming.StatefulApplyV2.latestPerKeyStream(input.toDS())
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("stateful_v2_out").start()
+
+      input.addData(ev(1, 100, "insert", 1), ev(2, 200, "insert", 2))
+      q.processAllAvailable()
+      input.addData(ev(1, 150, "update", 3))
+      q.processAllAvailable()
+      input.addData(ev(2, 0, "delete", 4), ev(1, 140, "update", 2)) // late
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("stateful_v2_out").as[CdcEvent].collect()
+      val lastPerKey = rows.zipWithIndex.groupBy(_._1.emp_id)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1 }
+      assert(lastPerKey(1L).emp_salary === 150L)
+      assert(lastPerKey(1L).action === "update")
+      assert(lastPerKey(2L).action === "delete")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("state TTL evicts idle keys once the watermark passes, with an expired tombstone") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)
