@@ -172,6 +172,55 @@ object ExtensionQueries {
         col("event_type"), col("n"), col("total_value_x100"))
       .orderBy("w_start", "event_type")
 
+  /** Inverted-index construction over the top-30 vocabulary: per
+    * token, document frequency plus the first 20 posting doc_ids.
+    * Scale shape: df is a plain keyed count (map-side partials — the
+    * cheap part even for stopwords); the posting LIST is the skew
+    * hazard, so it is bounded BEFORE any list materializes — a
+    * row_number ≤ 20 rank per token plans as WindowGroupLimit and each
+    * map task ships at most 20 rows per token into the exchange. A
+    * full production index writes postings bucketed by (token,
+    * doc-range) so a stopword's list spans tasks; the bounded slice
+    * here is that same discipline in miniature. Postings emit as a
+    * comma-joined string (the repo's array-output convention — arrays
+    * canonicalize differently across engines, strings don't). */
+  private def qTextPostingLists(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(30).select("token")
+    val dt = toks.join(broadcast(vocab), Seq("token"), "left_semi")
+      .select(col("token"), col("doc_id")).distinct()
+    val dfreq = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val postings = dt.withColumn("rk", row_number().over(w)).where(col("rk") <= 20)
+      .groupBy(col("token"))
+      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("postings"))
+    dfreq.join(postings, "token")
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy("token")
+  }
+
+  /** Event-type transition counts (first-order Markov structure of the
+    * event stream): per user, each event pairs with its predecessor
+    * via lag over one keyed time-ordered window; the (from, to) counts
+    * aggregate map-side. The in-window order (ts, event_id) is unique,
+    * so transitions are deterministic on both engines. One shuffle on
+    * user_id, a 25-row result — the shape survives any event volume. */
+  private def qEventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -843,6 +892,8 @@ object ExtensionQueries {
     "corpus_mixture_epochs" -> (qCorpusMixtureEpochs _),
     "events_approx_distinct" -> (qEventsApproxDistinct _),
     "events_kmv_churn" -> (qEventsKmvChurn _),
+    "events_transitions" -> (qEventsTransitions _),
+    "text_posting_lists" -> (qTextPostingLists _),
     "text_length_tiers" -> (qTextLengthTiers _),
     "events_hourly_dense" -> (qEventsHourlyDense _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
@@ -971,6 +1022,31 @@ object ExtensionQueries {
     "events_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |FROM o WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_posting_lists" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TK) AS token FROM documents),
+         |vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+         |          ORDER BY cnt DESC, token ASC LIMIT 30),
+         |dt AS (SELECT DISTINCT token, doc_id FROM toks
+         |       WHERE token IN (SELECT token FROM vocab)),
+         |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |top20 AS (SELECT token, doc_id FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+         |            FROM dt) WHERE rk <= 20),
+         |p AS (SELECT token, array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |      FROM top20 GROUP BY 1)
+         |SELECT dfreq.token, dfreq.df, p.postings
+         |FROM dfreq JOIN p ON dfreq.token = p.token
+         |ORDER BY dfreq.token""".stripMargin,
 
     "events_kmv_churn" -> {
       val h = graft.ops.Sampling.hashValSql("user_id")

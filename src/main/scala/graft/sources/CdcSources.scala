@@ -54,6 +54,34 @@ object CdcSources {
       .json(dir)
   }
 
+  /** JSONL corpus schema: the document table as newline-delimited JSON
+    * (the interchange format most web-scale corpus dumps actually
+    * arrive in). */
+  val documentsJsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("_corrupt", StringType)))
+
+  /** JSONL corpus reader with corrupt-line quarantine — the corpus-side
+    * analog of the CDC wire codec's P3 semantics: a malformed line
+    * becomes a row whose `_corrupt` column holds the raw text and whose
+    * typed columns are NULL, instead of failing the job or silently
+    * vanishing (PERMISSIVE mode). Callers split on
+    * `_corrupt IS NOT NULL` exactly like the CDC DLQ. A schema is
+    * mandatory: schema inference scans the whole corpus twice — at
+    * 100 TB the inference pass costs more than the read. Spark
+    * restriction: a query touching ONLY `_corrupt` must materialize
+    * the parse first (cache/write) — the DLQ split that reads both
+    * sides does that anyway. */
+  def jsonlDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentsJsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** Kafka source options the reference uses (consumer.py:11-19), for
     * when the spark-sql-kafka connector is on the classpath. Kept as
     * data so tests don't need the jar.
