@@ -89,6 +89,45 @@ object SparkEntry {
       .orderBy("emp_city")
   }
 
+  /** SCD type-2 history construction from the change log: every valid
+    * event becomes a version row with [valid_from, valid_to) bounds —
+    * valid_to is the next version's timestamp (NULL while current) —
+    * and the latest non-delete version is flagged current. This is the
+    * "keep every version queryable" destination a CDC consumer builds
+    * next to the latest-wins snapshot. One keyed shuffle; version
+    * number and interval close share a single window pass over the
+    * unique (ts, event_id) order. */
+  private def qCdcScd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val valid = Routing.validateSplit(Fixtures.employeeCdcLog(s, dir)).valid
+    val w = Window.partitionBy(col("emp_id"))
+      .orderBy(col("last_updated_at"), col("event_id"))
+    valid
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("last_updated_at"), 1).over(w))
+      .select(col("emp_id"), col("version"), col("action"), col("emp_salary"),
+        col("last_updated_at").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        (col("valid_to").isNull && col("action") =!= "delete").as("is_current"))
+      .orderBy("emp_id", "version")
+  }
+
+  /** Point-in-time snapshot reconstruction (time travel): the applied
+    * snapshot as of a cutoff is just the latest-wins apply over the
+    * log filtered to events at or before it — the cutoff predicate
+    * pushes into the scan, so reconstructing an old snapshot reads
+    * only the prefix of the log, never the snapshot store. */
+  private def qCdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val valid = Routing.validateSplit(Fixtures.employeeCdcLog(s, dir)).valid
+    val asOf = lit("2024-01-15 00:00:00").cast("timestamp")
+    ApplyChanges.applyLog(valid.where(col("last_updated_at") <= asOf),
+        Seq("emp_id"), col("last_updated_at"), tieBreak = Seq(col("event_id")))
+      .select(col("emp_id"), col("emp_FN"), col("emp_LN"), col("emp_dob"),
+        col("emp_city"), col("emp_salary"), col("action"),
+        col("last_updated_at").cast("timestamp_ntz").as("last_updated_at"))
+      .orderBy("emp_id")
+  }
+
   /** Project-1 pipeline (F3/F4/P7/A4) on the `orders` fixture. */
   private def qP1SalaryPipeline(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -875,6 +914,8 @@ object SparkEntry {
     "cdc_dlq_split" -> (qCdcDlqSplit _),
     "cdc_dedup_first" -> (qCdcDedupFirst _),
     "cdc_city_totals" -> (qCdcCityTotals _),
+    "cdc_scd2_history" -> (qCdcScd2History _),
+    "cdc_time_travel" -> (qCdcTimeTravel _),
     "p1_salary_pipeline" -> (qP1SalaryPipeline _),
     "q1_agg" -> (qQ1Agg _),
     "q3_topk_join" -> (qQ3TopkJoin _),
@@ -930,6 +971,33 @@ object SparkEntry {
         |  SELECT * FROM cdc_log
         |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
         |             OR emp_salary <= 100 OR emp_id < 0)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
+        |     ORDER BY last_updated_at DESC, event_id DESC) AS rn FROM valid)
+        |SELECT emp_id, emp_FN, emp_LN, emp_dob, emp_city, emp_salary, action,
+        |       CAST(last_updated_at AS TIMESTAMP) AS last_updated_at
+        |FROM r WHERE rn = 1 AND action <> 'delete' ORDER BY emp_id""".stripMargin),
+
+    "cdc_scd2_history" -> (L +
+      """, valid AS (
+        |  SELECT * FROM cdc_log
+        |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |             OR emp_salary <= 100 OR emp_id < 0)),
+        |v AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS version,
+        |        lead(last_updated_at) OVER w AS valid_to
+        |      FROM valid
+        |      WINDOW w AS (PARTITION BY emp_id ORDER BY last_updated_at, event_id))
+        |SELECT emp_id, version, action, emp_salary,
+        |       CAST(last_updated_at AS TIMESTAMP) AS valid_from,
+        |       CAST(valid_to AS TIMESTAMP) AS valid_to,
+        |       (valid_to IS NULL AND action <> 'delete') AS is_current
+        |FROM v ORDER BY emp_id, version""".stripMargin),
+
+    "cdc_time_travel" -> (L +
+      """, valid AS (
+        |  SELECT * FROM cdc_log
+        |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |             OR emp_salary <= 100 OR emp_id < 0)
+        |    AND last_updated_at <= TIMESTAMP '2024-01-15 00:00:00'),
         |r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
         |     ORDER BY last_updated_at DESC, event_id DESC) AS rn FROM valid)
         |SELECT emp_id, emp_FN, emp_LN, emp_dob, emp_city, emp_salary, action,
