@@ -661,6 +661,64 @@ object SparkEntry {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** Column profiling (the ANALYZE TABLE / data-quality shape): one
+    * scan computes per-column null counts, exact distinct counts, and
+    * min/max for five lineitem columns, emitted one row per column.
+    * Numeric bounds are exact ×100 BIGINTs, date/string bounds are
+    * strings — no doubles cross the output. Scale notes: everything
+    * except the distincts partial-aggregates map-side; the five exact
+    * COUNT(DISTINCT)s in one aggregate plan as a single Expand (5×
+    * the scan rows before partial agg) — the petabyte form swaps them
+    * for approx_count_distinct sketches (events_approx_distinct is
+    * that path, audit included) and the Expand disappears. One trap
+    * this query dodges: min/max over a STRING column has an immutable
+    * aggregation buffer, which forces the whole plan into
+    * SortAggregate — two full sorts of the expanded frame (measured
+    * 7s vs 2.5s here). The single-char returnflag aggregates as its
+    * codepoint (mutable long buffer, HashAggregate) and converts back
+    * with chr() after. */
+  private def qLineitemProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val a = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_quantity")).as("c_qty"),
+      countDistinct(col("l_quantity")).as("nd_qty"),
+      (min(d("l_quantity")) * 100).cast("long").as("mn_qty"),
+      (max(d("l_quantity")) * 100).cast("long").as("mx_qty"),
+      count(col("l_extendedprice")).as("c_pr"),
+      countDistinct(col("l_extendedprice")).as("nd_pr"),
+      (min(d("l_extendedprice")) * 100).cast("long").as("mn_pr"),
+      (max(d("l_extendedprice")) * 100).cast("long").as("mx_pr"),
+      count(col("l_discount")).as("c_di"),
+      countDistinct(col("l_discount")).as("nd_di"),
+      (min(d("l_discount")) * 100).cast("long").as("mn_di"),
+      (max(d("l_discount")) * 100).cast("long").as("mx_di"),
+      count(col("l_returnflag")).as("c_rf"),
+      countDistinct(col("l_returnflag")).as("nd_rf"),
+      expr("chr(min(ascii(l_returnflag)))").as("mn_rf"),
+      expr("chr(max(ascii(l_returnflag)))").as("mx_rf"),
+      count(col("l_shipdate")).as("c_sd"),
+      countDistinct(col("l_shipdate")).as("nd_sd"),
+      min(col("l_shipdate")).cast("date").cast("string").as("mn_sd"),
+      max(col("l_shipdate")).cast("date").cast("string").as("mx_sd"))
+    a.select(expr(
+      """stack(5,
+        |'l_discount',      n - c_di,  nd_di,  mn_di,  mx_di,
+        |                   cast(null as string), cast(null as string),
+        |'l_extendedprice', n - c_pr,  nd_pr,  mn_pr,  mx_pr,
+        |                   cast(null as string), cast(null as string),
+        |'l_quantity',      n - c_qty, nd_qty, mn_qty, mx_qty,
+        |                   cast(null as string), cast(null as string),
+        |'l_returnflag',    n - c_rf,  nd_rf,  cast(null as bigint),
+        |                   cast(null as bigint), mn_rf, mx_rf,
+        |'l_shipdate',      n - c_sd,  nd_sd,  cast(null as bigint),
+        |                   cast(null as bigint), mn_sd, mx_sd)
+        |as (col_name, n_null, n_distinct, min_x100, max_x100, min_s, max_s)
+        |""".stripMargin), col("n"))
+      .orderBy("col_name")
+  }
+
   /** Window-rank coverage: ntile(4) balance quartiles WITHIN each
     * nation. The window partitions on a bounded key, so there is no
     * global sort — one keyed shuffle + per-partition sort, then the
@@ -938,6 +996,7 @@ object SparkEntry {
     "q21_slowest_supplier" -> (qQ21SlowestSupplier _),
     "customer_rfm" -> (qCustomerRfm _),
     "customer_quartiles" -> (qCustomerQuartiles _),
+    "lineitem_profile" -> (qLineitemProfile _),
     "events_cube" -> (qEventsCube _),
     "events_user_rolling" -> (qEventsUserRolling _),
     "events_day_setops" -> (qEventsDaySetops _),
@@ -1288,6 +1347,41 @@ object SparkEntry {
         |       CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_custs,
         |       CAST(SUM(m_x100) AS BIGINT) AS sum_m_x100
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "lineitem_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  COUNT(l_quantity) AS c_qty, COUNT(DISTINCT l_quantity) AS nd_qty,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS mn_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS mx_qty,
+        |  COUNT(l_extendedprice) AS c_pr, COUNT(DISTINCT l_extendedprice) AS nd_pr,
+        |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mn_pr,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mx_pr,
+        |  COUNT(l_discount) AS c_di, COUNT(DISTINCT l_discount) AS nd_di,
+        |  CAST(MIN(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS mn_di,
+        |  CAST(MAX(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS mx_di,
+        |  COUNT(l_returnflag) AS c_rf, COUNT(DISTINCT l_returnflag) AS nd_rf,
+        |  chr(MIN(ascii(l_returnflag))) AS mn_rf, chr(MAX(ascii(l_returnflag))) AS mx_rf,
+        |  COUNT(l_shipdate) AS c_sd, COUNT(DISTINCT l_shipdate) AS nd_sd,
+        |  CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS mn_sd,
+        |  CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS mx_sd
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_discount' AS col_name, n - c_di AS n_null, nd_di AS n_distinct,
+        |         mn_di AS min_x100, mx_di AS max_x100,
+        |         CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s, n FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', n - c_pr, nd_pr, mn_pr, mx_pr,
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), n FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', n - c_qty, nd_qty, mn_qty, mx_qty,
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), n FROM a
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n - c_rf, nd_rf, CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT), mn_rf, mx_rf, n FROM a
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n - c_sd, nd_sd, CAST(NULL AS BIGINT),
+        |         CAST(NULL AS BIGINT), mn_sd, mx_sd, n FROM a)
+        |ORDER BY col_name""".stripMargin,
 
     "customer_quartiles" ->
       """WITH q AS (
