@@ -48,4 +48,17 @@ object StreamJoins {
       joinType)
       .drop(col(s"r.$key"))
   }
+
+  /** Stream-static dimension enrichment: every micro-batch joins
+    * against the CURRENT state of the static side — a dim read from a
+    * refreshable source (parquet dir, table) picks up updates between
+    * batches without restarting the query. Stateless: no watermark, no
+    * state store — the static side is re-resolved per batch, so the
+    * only scale knob is the dim itself (broadcast when bounded, as
+    * here; a huge dim falls back to a per-batch shuffle join).
+    * Left join so stream rows without a dim entry pass through with
+    * nulls instead of silently vanishing mid-pipeline.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -41,6 +41,29 @@ class StreamStreamJoinSpec extends SparkSpec {
       Seq((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0")))
   }
 
+  test("stream-static enrichment joins each batch against the dim, keeps misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Long)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val out = StreamJoins.enrichWithDim(
+      events.toDF().toDF("user_id", "amount"), dim, "user_id")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enriched").start()
+
+    events.addData((1L, 10L), (3L, 30L))
+    q.processAllAvailable()
+    events.addData((2L, 20L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("enriched")
+      .select($"user_id", $"amount", $"segment").as[(Long, Long, Option[String])]
+      .collect().toSet
+    // user 3 has no dim row: passes through with null, not dropped
+    assert(rows === Set((1L, 10L, Some("gold")), (3L, 30L, None),
+      (2L, 20L, Some("basic"))))
+  }
+
   test("left-outer emits unmatched impressions only after the watermark closes their window") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp)]
