@@ -808,6 +808,50 @@ object SparkEntry {
         col("total_value_x100"))
       .orderBy("user_id", "session_id")
 
+  /** Top session paths: the first five event types of each session
+    * joined into a path signature, counted corpus-wide, top 20. Rides
+    * the same single keyed shuffle as sessionize; the per-session
+    * ordered path comes from sorting the collected (ts, event_id,
+    * type) structs — bounded by session length, never corpus size —
+    * and the path counts fold with map-side partials into a top-20
+    * TakeOrdered. The funnel/journey-mining shape at any volume. */
+  private def qEventsSessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.withSessionId(Tables.events(s, dir),
+      key = col("user_id"), ts = col("ts"), gapMicros = 1800L * 1000000L,
+      tieBreak = Seq(col("event_id")))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(slice(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), 1, 5), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  /** Trailing 7-day rolling MAU next to daily DAU. Rolling DISTINCT
+    * cannot ride a window frame (distinct doesn't decompose), so each
+    * (day, user) contribution explodes to the 7 target days it serves
+    * — the input to the explode is the already-deduped (day, user)
+    * frame (|days|×|users| at most), NOT raw events, and the per-day
+    * distinct count is a plain two-phase aggregate. Cost ∝ active
+    * (day, user) pairs × window/period — the standard scale shape for
+    * rolling-unique metrics; sketches (KMV/HLL, see events_kmv_churn)
+    * replace the exact count when even that explode is too wide. */
+  private def qEventsRollingMau(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val contrib = du.select(
+      explode(sequence(col("d"), date_add(col("d"), 6))).as("day"), col("user_id"))
+    val days = du.select(col("d").as("day")).distinct()
+    contrib.join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("mau7"))
+      .join(dau, "day")
+      .select(col("day"), col("dau"), col("mau7"))
+      .orderBy("day")
+  }
+
   private def qEventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
@@ -1008,6 +1052,8 @@ object SparkEntry {
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
     "events_sessionize" -> (qEventsSessionize _),
+    "events_session_paths" -> (qEventsSessionPaths _),
+    "events_rolling_mau" -> (qEventsRollingMau _),
     "events_anomaly" -> (qEventsAnomaly _),
     "events_hourly_agg" -> (qEventsHourlyAgg _),
     "events_json_extract" -> (qEventsJsonExtract _),
@@ -1515,6 +1561,37 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |b AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |       (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |       > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |       ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM b),
+        |p AS (SELECT user_id, session_id,
+        |        array_to_string((string_split(
+        |          string_agg(event_type, '>' ORDER BY ts, event_id), '>'))[1:5], '>') AS path
+        |      FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    "events_rolling_mau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        |c AS (SELECT d + CAST(i AS INT) AS day, user_id FROM du,
+        |      LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g),
+        |days AS (SELECT DISTINCT d AS day FROM du),
+        |m AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau7 FROM c
+        |      WHERE day IN (SELECT day FROM days) GROUP BY 1)
+        |SELECT m.day, dau.dau, m.mau7
+        |FROM m JOIN dau ON m.day = dau.day
+        |ORDER BY m.day""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -104,4 +104,34 @@ class ApplyChangesOracleSpec extends SparkSpec {
       .select("emp_id").as[Long].collect().toSet
     assert(got === Set(1L, 3L))
   }
+
+  test("SCD2 history partitions each key's timeline: no gaps, no overlaps, one current") {
+    // invariant over the registered query's real output: per key,
+    // versions ordered by version number chain exactly —
+    // valid_to(v_n) == valid_from(v_n+1), the last valid_to is NULL,
+    // and at most one version is current (zero when the key ended in
+    // a delete)
+    val hist = SparkEntry.queries("cdc_scd2_history")(spark, "/root/testdata/sf0.001")
+      .select(col("emp_id"), col("version"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("action"))
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean, String)]
+      .collect()
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to vs.length).toSeq,
+        s"key $k: version numbers must be dense from 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"key $k: version ${a._2} must close exactly at version ${b._2}'s start")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty, s"key $k: last version must be open-ended")
+      val current = sorted.filter(_._5)
+      assert(current.length <= 1, s"key $k: at most one current version")
+      assert((current.length == 1) == (sorted.last._6 != "delete"),
+        s"key $k: current exists iff the key did not end in a delete")
+    }
+  }
 }
