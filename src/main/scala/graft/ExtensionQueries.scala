@@ -839,6 +839,40 @@ object ExtensionQueries {
       .orderBy("q_vec_id", "rnk")
   }
 
+  /** PQ ANN (product quantization + ADC, [[graft.ops.Pq]]). Rows-only
+    * gate like IVF (iterative training isn't SQL-expressible), so each
+    * row self-reports `in_brute` and per-query `recall_x100` vs the
+    * exact brute-force top-k. The corpus compresses 64 floats → 8
+    * codes; ADC scores are 8 table lookups per pair inside codegen,
+    * shortlisting 50 candidates per query that then re-rank EXACTLY
+    * against their original vectors (the production PQ deployment
+    * shape — raw ADC order on near-uniform random fixtures is
+    * structurally lossy; the shortlist + exact re-rank is what makes
+    * compressed codes usable, and the recall envelope in
+    * ExtensionOpsSpec is calibrated to the fixture). */
+  private def qSimTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 8)
+    val qs = emb.where(col("vec_id") < 8)
+    val index = graft.ops.Pq.build(corpus, col("embedding"), col("vec_id"),
+      dim = EMB_DIM, m = 8, k = 16)
+    val pq = graft.ops.Pq.topKReranked(index, corpus, qs,
+      col("embedding"), col("vec_id"), k = 10, shortlist = 50)
+    val brute = Similarity.topKBruteForce(corpus, qs,
+        col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id").as("b_q"), col("vec_id").as("b_v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
+    pq.join(broadcast(brute),
+        col("q_vec_id") === col("b_q") && col("vec_id") === col("b_v"), "left")
+      .withColumn("in_brute", col("b_v").isNotNull)
+      .withColumn("recall_x100",
+        (lit(100) * sum(when(col("in_brute"), 1L).otherwise(0L)).over(w) / lit(10))
+          .cast("long"))
+      .select(col("q_vec_id"), col("vec_id"), col("rnk"),
+        col("in_brute"), col("recall_x100"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
   // -------------------------------------------------------- multimodal
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -899,6 +933,7 @@ object ExtensionQueries {
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
     "sim_topk_lsh" -> (qSimTopkLsh _),
     "sim_topk_ivf" -> (qSimTopkIvf _),
+    "sim_topk_pq" -> (qSimTopkPq _),
     "multimodal_features" -> (qMultimodalFeatures _),
   )
 

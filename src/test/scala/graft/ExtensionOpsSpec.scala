@@ -149,6 +149,22 @@ class ExtensionOpsSpec extends SparkSpec {
       s"mean recall ${recalls.sum.toDouble / recalls.length} below envelope")
   }
 
+  test("registered PQ query self-reports shortlist recall on the fixture") {
+    // uniform random vectors are PQ's worst case — the envelope here is
+    // calibrated to the fixture (measured ~0.51 at sf0.001 with a
+    // 50-candidate shortlist + exact re-rank over a 192-vector corpus);
+    // the operator contract under test is that the self-reported recall
+    // column is present, populated, and not degenerate
+    val df = ExtensionQueries.queries("sim_topk_pq")(spark, "/root/testdata/sf0.001")
+    val recalls = df.select("recall_x100").as[Long].collect()
+    assert(recalls.nonEmpty)
+    assert(recalls.sum.toDouble / recalls.length >= 40.0,
+      s"mean recall ${recalls.sum.toDouble / recalls.length} below envelope")
+    // every query returns exactly k rows (dense codebook survived)
+    val perQ = df.groupBy("q_vec_id").count().select("count").as[Long].collect()
+    assert(perQ.forall(_ == 10L))
+  }
+
   test("multimodal decode stub is deterministic and batch-shaped") {
     val media = Seq(
       Multimodal.MediaRecord(1L, "image/fake", "payload-one".getBytes),
