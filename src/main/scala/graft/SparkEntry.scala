@@ -661,6 +661,35 @@ object SparkEntry {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** Cohort lifetime value: customers grouped by first-order month,
+    * revenue accumulated by months-since-first-order — the
+    * retention-economics companion to events_retention. The
+    * first-order frame is one keyed aggregate joined back to orders
+    * (AQE broadcasts it when small, shuffles otherwise); the month
+    * offset is exact integer arithmetic on month-truncated dates; the
+    * cumulative sum runs per cohort over a ROWS frame — bounded
+    * partitions, no global sort. */
+  private def qOrdersCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+    val first = o.groupBy(col("o_custkey").as("ck"))
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort"))
+    val g = o.join(first, col("o_custkey") === col("ck"))
+      .withColumn("month_offset",
+        months_between(date_trunc("month", col("o_orderdate")), col("cohort"))
+          .cast("long"))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumScaled(col("o_totalprice"), "decimal(18,2)", 100, "revenue_x100"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_revenue_x100", sum(col("revenue_x100")).over(w).cast("long"))
+      .select(col("cohort").cast("timestamp_ntz").as("cohort"),
+        col("month_offset"), col("n_orders"), col("revenue_x100"),
+        col("cum_revenue_x100"))
+      .orderBy("cohort", "month_offset")
+  }
+
   /** Column profiling (the ANALYZE TABLE / data-quality shape): one
     * scan computes per-column null counts, exact distinct counts, and
     * min/max for five lineitem columns, emitted one row per column.
@@ -1041,6 +1070,7 @@ object SparkEntry {
     "customer_rfm" -> (qCustomerRfm _),
     "customer_quartiles" -> (qCustomerQuartiles _),
     "lineitem_profile" -> (qLineitemProfile _),
+    "orders_cohort_ltv" -> (qOrdersCohortLtv _),
     "events_cube" -> (qEventsCube _),
     "events_user_rolling" -> (qEventsUserRolling _),
     "events_day_setops" -> (qEventsDaySetops _),
@@ -1393,6 +1423,23 @@ object SparkEntry {
         |       CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_custs,
         |       CAST(SUM(m_x100) AS BIGINT) AS sum_m_x100
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      """WITH f AS (SELECT o_custkey AS ck,
+        |         date_trunc('month', MIN(o_orderdate)) AS cohort
+        |       FROM orders GROUP BY 1),
+        |j AS (SELECT o.o_totalprice, f.cohort,
+        |        CAST(date_diff('month', CAST(f.cohort AS DATE),
+        |             CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS BIGINT) AS month_offset
+        |      FROM orders o JOIN f ON o.o_custkey = f.ck),
+        |g AS (SELECT CAST(cohort AS TIMESTAMP) AS cohort, month_offset,
+        |        COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_x100
+        |      FROM j GROUP BY 1, 2)
+        |SELECT cohort, month_offset, n_orders, revenue_x100,
+        |       CAST(SUM(revenue_x100) OVER (PARTITION BY cohort ORDER BY month_offset
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_x100
+        |FROM g ORDER BY cohort, month_offset""".stripMargin,
 
     "lineitem_profile" ->
       """WITH a AS (SELECT COUNT(*) AS n,

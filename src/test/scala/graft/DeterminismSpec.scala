@@ -17,7 +17,13 @@ class DeterminismSpec extends SparkSpec {
     "events_user_profile", // max_by + sorted collect_set
     "dedup_minhash_lsh",   // banded LSH candidate + verify pipeline
     "corpus_pack",         // cumulative-sum packing windows
-    "events_value_hour_covar") // decimal(38) statistics
+    "events_value_hour_covar", // decimal(38) statistics
+    "customer_rfm",        // percentile boundaries + persisted reuse
+    "events_kmv_churn",    // bottom-k sketch merge
+    "cdc_scd2_history",    // interval chaining windows
+    "events_session_paths", // ordered path collect + top-k ties
+    "text_posting_lists",  // rank-capped postings + sorted join lists
+    "lineitem_profile")    // multi-distinct Expand + codepoint min/max
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
