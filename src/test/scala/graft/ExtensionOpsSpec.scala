@@ -149,6 +149,32 @@ class ExtensionOpsSpec extends SparkSpec {
       s"mean recall ${recalls.sum.toDouble / recalls.length} below envelope")
   }
 
+  test("PQ rerank recalls the planted near vector at rank 1") {
+    val rnd = new scala.util.Random(7)
+    val q = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val near = q.map(_ * 1.02f)
+    val rows = (0 until 200).map { i =>
+      (100L + i, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq)
+    } :+ (999L, near.toSeq)
+    val cands = rows.toDF("vec_id", "embedding")
+    val queries = Seq((1L, q.toSeq)).toDF("vec_id", "embedding")
+    val index = graft.ops.Pq.build(cands, col("embedding"), col("vec_id"),
+      dim = 64, m = 8, k = 16)
+    // a scaled copy of the query dominates every random vector on
+    // inner product, so as long as ADC keeps it in the shortlist the
+    // exact re-rank must place it first
+    val got = graft.ops.Pq.topKReranked(index, cands, queries,
+        col("embedding"), col("vec_id"), k = 5, shortlist = 50)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(got.head === 999L)
+    // determinism: same seed → same index → same result
+    val again = graft.ops.Pq.topKReranked(
+        graft.ops.Pq.build(cands, col("embedding"), col("vec_id"), dim = 64, m = 8, k = 16),
+        cands, queries, col("embedding"), col("vec_id"), k = 5, shortlist = 50)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("registered PQ query self-reports shortlist recall on the fixture") {
     // uniform random vectors are PQ's worst case — the envelope here is
     // calibrated to the fixture (measured ~0.51 at sf0.001 with a
