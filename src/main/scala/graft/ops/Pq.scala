@@ -57,10 +57,10 @@ object Pq {
     * k-means fits each paying its own init/iteration job overhead
     * (measured 6s → ~1.5s for the whole operator at sf0.01). Init
     * seeds are the k corpus vectors with the smallest id-hash
-    * (deterministic, sample-stable); a cluster that empties just
-    * drops its code (a codebook is a sketch, not a model — same
-    * stance as Ivf.build). `sampleFraction` bounds the training set
-    * at corpus scale. */
+    * (deterministic, sample-stable); a cluster that empties keeps its
+    * previous centroid so the codebook stays dense (ADC's positional
+    * lookup needs every slot). `sampleFraction` bounds the training
+    * set at corpus scale. */
   def build(corpus: DataFrame, vecCol: Column, idCol: Column, dim: Int,
             m: Int = 8, k: Int = 16, seed: Long = 42L,
             sampleFraction: Double = 1.0, maxIter: Int = 4): Index = {
