@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash, QuantizedDotProduct}
+import graft.functions.{AdcLookupSum, PolyHash, QuantizedDotProduct}
 
 /** Session-extension entry point: registers the library's custom
   * Catalyst expressions as SQL functions at session build time —
@@ -35,5 +35,9 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => QuantizedDotProduct(exprs(0), exprs(1))),
     (FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)),
+    (FunctionIdentifier("adc_sum"),
+      new ExpressionInfo(classOf[AdcLookupSum].getName, "adc_sum"),
+      (exprs: Seq[Expression]) => AdcLookupSum(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int])))
 }

@@ -137,6 +137,82 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd ADC lookup-sum — the scoring kernel of product
+  * quantization ([[graft.ops.Pq]]): given a vector's `codes`
+  * (array<int>, one code per subspace) and a query's flat distance
+  * table `tbl` (array<double>, laid out sub·k + code), returns
+  * Σ_s tbl[s·k + codes[s]].
+  *
+  * Semantically identical to the composable HOF form
+  * `aggregate(sequence(0, m-1), 0D, (acc, s) -> acc +
+  * element_at(tbl, s*k + element_at(codes, s+1) + 1))`, but one tight
+  * loop with no per-row sequence materialization or lambda dispatch —
+  * this evaluates once per (query, candidate) pair on the compressed
+  * scan, the hot path the codes exist for. Out-of-range lookups (a
+  * malformed code) contribute nothing rather than throwing, matching
+  * non-ANSI element_at's null-skip.
+  */
+case class AdcLookupSum(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "adc_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) if k > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"adc_sum requires (array<int>, array<double>, k > 0), got " +
+          s"${left.dataType} / ${right.dataType} / k=$k")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val tbl = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val n = tbl.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (!codes.isNullAt(s)) {
+        val idx = s * k + codes.getInt(s)
+        if (idx >= 0 && idx < n && !tbl.isNullAt(idx)) acc += tbl.getDouble(idx)
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $c.numElements();
+         |int $n = $t.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  if (!$c.isNullAt($s)) {
+         |    int $idx = $s * $k + $c.getInt($s);
+         |    if ($idx >= 0 && $idx < $n && !$t.isNullAt($idx)) {
+         |      $acc += $t.getDouble($idx);
+         |    }
+         |  }
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   /** Idempotently register the custom expressions with a session and
     * return a Column builder for `q_dot`. */
@@ -150,4 +226,17 @@ object GraftFunctions {
   def registerPolyHash(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+
+  /** Idempotently register `adc_sum(codes, tbl, k)` (k must be a
+    * foldable int literal) and return a Column builder bound to `k`. */
+  def registerAdcSum(spark: SparkSession): (Column, Column, Int) => Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_sum",
+      exprs => AdcLookupSum(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+    (codes: Column, tbl: Column, k: Int) =>
+      org.apache.spark.sql.functions.call_function("adc_sum", codes, tbl,
+        org.apache.spark.sql.functions.lit(k))
+  }
 }

@@ -138,10 +138,13 @@ object Pq {
       .groupBy(col("q_vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, code, ip))), x -> x.ip)")
         .as("tbl"))
-    val score = expr(
-      s"aggregate(sequence(0, ${index.m - 1}), 0D, (acc, s) -> acc + element_at(tbl, s * ${index.k} + element_at(codes, s + 1) + 1))")
+    // the scoring kernel is the native codegen'd adc_sum expression —
+    // one tight lookup loop per (query, candidate) pair; equivalence
+    // with the HOF aggregate/element_at form is property-tested in
+    // QuantizedDotSpec
+    val adc = graft.functions.GraftFunctions.registerAdcSum(queries.sparkSession)
     index.codes.crossJoin(broadcast(qtables))
-      .withColumn("score", score)
+      .withColumn("score", adc(col("codes"), col("tbl"), index.k))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_vec_id")).orderBy(col("score").desc, col("vec_id").asc)))
       .where(col("rnk") <= k)

@@ -9,10 +9,10 @@ import graft.functions.{PolyHash, QuantizedDotProduct}
   * custom expressions with working builders. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("extension applies cleanly and describes both functions") {
+  test("extension applies cleanly and describes all functions") {
     new GraftExtensions()(new SparkSessionExtensions) // must not throw
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("poly_hash", "q_dot"))
+      Seq("adc_sum", "poly_hash", "q_dot"))
   }
 
   test("injected builders construct the custom expressions") {
@@ -22,5 +22,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ph.eval() === ("abc".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)))
     val qd = byName("q_dot")(Seq(Literal(null), Literal(null)))
     assert(qd.isInstanceOf[QuantizedDotProduct])
+    val adc = byName("adc_sum")(Seq(Literal(null), Literal(null), Literal(16)))
+    assert(adc.isInstanceOf[graft.functions.AdcLookupSum])
+    assert(adc.asInstanceOf[graft.functions.AdcLookupSum].k === 16)
   }
 }

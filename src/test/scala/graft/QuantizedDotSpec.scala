@@ -39,6 +39,30 @@ class QuantizedDotSpec extends SparkSpec {
     assert(out(2L) === 0L)
   }
 
+  test("adc_sum == HOF aggregate/element_at formulation on random code tables") {
+    val rnd = new scala.util.Random(13)
+    val m = 8
+    val k = 16
+    val rows = (0 until 500).map { i =>
+      (i.toLong,
+        Seq.fill(m)(rnd.nextInt(k)),
+        Seq.fill(m * k)(rnd.nextDouble() * 20 - 10))
+    }
+    val df = rows.toDF("id", "codes", "tbl")
+    val adc = GraftFunctions.registerAdcSum(spark)
+    val hof = expr(
+      s"aggregate(sequence(0, ${m - 1}), 0D, (acc, s) -> acc + element_at(tbl, s * $k + element_at(codes, s + 1) + 1))")
+    val cmp = df.select(
+      adc(col("codes"), col("tbl"), k).as("fused"), hof.as("composed"))
+    // identical lookup order → bit-identical doubles
+    assert(cmp.where(col("fused") =!= col("composed")).count() === 0)
+    // out-of-range code contributes nothing instead of throwing
+    val bad = Seq((1L, Seq(0, k * m + 5), Seq.fill(2 * k)(1.0)))
+      .toDF("id", "codes", "tbl")
+      .select(adc(col("codes"), col("tbl"), k).as("v")).collect()
+    assert(bad.head.getDouble(0) === 1.0)
+  }
+
   test("poly_hash == HOF formulation on random strings incl. unicode and edges") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abc XYZ 0189_.,!?-éüßñ漢字" // ascii + accents + CJK
