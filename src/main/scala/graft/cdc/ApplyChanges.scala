@@ -78,7 +78,7 @@ object ApplyChanges {
   /** A3 standalone: hard delete by key, anti-join formulation
     * (consumer.py:90-91). */
   def deleteKeys(snapshot: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
-    snapshot.join(deletes.select(keys.map(col): _*).distinct, keys, "left_anti")
+    snapshot.join(deletes.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
   /** A2 (strict dispatch form): fold a change log with the reference's
     * *procedural* action semantics (consumer.py:70-91) — insert only if

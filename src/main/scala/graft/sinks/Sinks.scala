@@ -179,7 +179,8 @@ object Sinks {
               reduced, keys :+ "_b")
           case None => reduced.where(lower(col("action")) =!= "delete")
         }
-        val cols = next.columns.filterNot(c => c == "_b" || c == "action").map(col)
+        val cols = next.columns.toSeq
+          .filterNot(c => c == "_b" || c == "action").map(col)
         writePartitioned(next.select((cols :+ col("_b")): _*), root, touched)
         lastTouched = touched
         staleSinceTotals ++= touched
