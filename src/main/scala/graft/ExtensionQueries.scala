@@ -569,6 +569,29 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy("doc_id")
 
+  /** Quality-tiered mixture sampling — the curation step that keeps
+    * high-quality text at full rate and down-weights the rest instead
+    * of hard-dropping it (low tier keeps 10%, mid 50%, high 100%).
+    * Tiering reuses the corpus_clean quality gate; the keep decision
+    * is the deterministic id-hash stratified sample, so the mixture is
+    * reproducible and SQL-mirrorable. Pure scan-stage arithmetic: zero
+    * shuffles before the 3-group aggregate. */
+  private def qCorpusQualityMixture(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(Text.tokens(col("text"))).cast("long")
+    val tier = when(Text.isLowQuality(col("text")), "low")
+      .when(nTok >= 60, "high").otherwise("mid")
+    val rates = Map("high" -> 10000, "mid" -> 5000, "low" -> 1000)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), tier.as("tier"))
+      .withColumn("kept",
+        graft.ops.Sampling.stratifiedSample(col("doc_id"), col("tier"), rates))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("tier")
+  }
+
   /** Concat-and-chunk sequence packing into 2048-token context windows,
     * sharded by language; per-pack doc/token/straddler counts. */
   private def qCorpusPack(s: SparkSession, dir: String): DataFrame = {
@@ -903,6 +926,7 @@ object ExtensionQueries {
     "text_repetition" -> (qTextRepetition _),
     "corpus_stratified_sample" -> (qCorpusStratified _),
     "corpus_source_cap" -> (qCorpusSourceCap _),
+    "corpus_quality_mixture" -> (qCorpusQualityMixture _),
     "corpus_pack" -> (qCorpusPack _),
     "text_tfidf" -> (qTextTfidf _),
     "text_length_quantiles" -> (qTextLengthQuantiles _),
@@ -1241,6 +1265,21 @@ object ExtensionQueries {
          |FROM documents
          |WHERE ${graft.ops.Sampling.stratifiedSampleSql("doc_id", "lang", strataRates)}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "corpus_quality_mixture" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |        CASE WHEN len(tk) < 10
+         |                  OR 100 * len(list_filter(tk, t -> t IN ($stopList))) > 60 * len(tk)
+         |             THEN 'low'
+         |             WHEN len(tk) >= 60 THEN 'high' ELSE 'mid' END AS tier
+         |      FROM t),
+         |k AS (SELECT *, ${graft.ops.Sampling.stratifiedSampleSql("doc_id", "tier",
+                Map("high" -> 10000, "mid" -> 5000, "low" -> 1000))} AS kept FROM c)
+         |SELECT tier, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_source_cap" ->
       s"""WITH r AS (SELECT doc_id, source,

@@ -105,6 +105,25 @@ class ApplyChangesOracleSpec extends SparkSpec {
     assert(got === Set(1L, 3L))
   }
 
+  test("time travel at the end of time equals the plain apply") {
+    // cdc_time_travel cuts at a fixed timestamp; the operator identity
+    // worth pinning is that the SAME construction with the cutoff past
+    // the last event reproduces cdc_apply_changes exactly
+    val dir = "/root/testdata/sf0.001"
+    val log = graft.cdc.Routing.validateSplit(
+      graft.cdc.Fixtures.employeeCdcLog(spark, dir)).valid
+    val full = ApplyChanges.applyLog(log, Seq("emp_id"),
+        col("last_updated_at"), tieBreak = Seq(col("event_id")))
+      .select("emp_id", "emp_salary", "action")
+      .collect().map(_.toString).sorted.toSeq
+    val cutAtEnd = ApplyChanges.applyLog(
+        log.where(col("last_updated_at") <= lit("2099-01-01").cast("timestamp")),
+        Seq("emp_id"), col("last_updated_at"), tieBreak = Seq(col("event_id")))
+      .select("emp_id", "emp_salary", "action")
+      .collect().map(_.toString).sorted.toSeq
+    assert(full === cutAtEnd)
+  }
+
   test("SCD2 history partitions each key's timeline: no gaps, no overlaps, one current") {
     // invariant over the registered query's real output: per key,
     // versions ordered by version number chain exactly —

@@ -206,6 +206,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cdc_scd2_history: version numbering and interval close share one window pass") {
+    val p = planOf("cdc_scd2_history")
+    // row_number and lead share a WindowSpec → Catalyst plans ONE
+    // Window node over one emp_id exchange; a refactor that splits
+    // them pays a second sort (and possibly a second shuffle)
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows === 1, s"expected 1 Window node, found $windows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("corpus_source_cap: rank-cap pre-reduces map-side via WindowGroupLimit") {
     val p = planOf("corpus_source_cap")
     assert(p.contains("WindowGroupLimit"),
