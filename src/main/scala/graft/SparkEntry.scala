@@ -881,6 +881,26 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Spark 4 VariantType coverage: the semi-structured props column
+    * ingests as VARIANT (parse_json — one parse into the shredded
+    * binary form) and typed paths extract with variant_get. This is
+    * the schema-on-read path for telemetry whose fields drift faster
+    * than a from_json schema can (events_json_extract is the fixed-
+    * schema counterpart). Extraction yields plain longs, so the
+    * DuckDB json_extract mirror is value-exact. */
+  private def qEventsVariantAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   private def qEventsHourlyAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
@@ -1087,6 +1107,7 @@ object SparkEntry {
     "events_anomaly" -> (qEventsAnomaly _),
     "events_hourly_agg" -> (qEventsHourlyAgg _),
     "events_json_extract" -> (qEventsJsonExtract _),
+    "events_variant_agg" -> (qEventsVariantAgg _),
   )
 
   private val L = Fixtures.cdcLogSql // WITH cdc_log AS (...) prefix
@@ -1676,6 +1697,16 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_variant_agg" ->
+      """WITH k AS (SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |       FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_k,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_json_extract" ->
       """WITH e AS (
