@@ -661,6 +661,44 @@ object SparkEntry {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** Ranking-function breadth over §2.8: rank / dense_rank (with REAL
+    * ties — the order key is the coarse $1000 balance bucket),
+    * percent_rank and cume_dist re-expressed as exact ×10k integers
+    * (their float forms are just (rank−1)/(n−1) and peers/n — emitting
+    * the integer division keeps the oracle byte-stable), plus
+    * first_value/nth_value over the full-frame window. Ties make
+    * rank ≠ dense_rank meaningful, and every output column is still
+    * deterministic: ranks depend only on the row's bucket value, and
+    * the value window breaks ties by custkey. One keyed shuffle; both
+    * window specs share the nation partitioning. */
+  private def qCustomerRankBreadth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(col("c_acctbal") / 1000).cast("long")
+    val wRank = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bucket").desc)
+    val wVal = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bucket").desc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), bucket.as("bucket"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rnk", rank().over(wRank).cast("long"))
+      .withColumn("drnk", dense_rank().over(wRank).cast("long"))
+      .withColumn("n_peers_le", count(lit(1)).over(
+        Window.partitionBy(col("c_nationkey")).orderBy(col("bucket").desc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("pr_x10k", expr("(10000 * (rnk - 1)) div (n - 1)"))
+      .withColumn("cd_x10k", expr("(10000 * n_peers_le) div n"))
+      .withColumn("top_custkey", first(col("c_custkey")).over(wVal))
+      .withColumn("third_custkey", nth_value(col("c_custkey"), 3).over(wVal))
+      .where(col("rnk") <= 10)
+      .select(col("c_nationkey"), col("c_custkey"), col("bucket"), col("rnk"),
+        col("drnk"), col("pr_x10k"), col("cd_x10k"), col("top_custkey"),
+        col("third_custkey"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** Cohort lifetime value: customers grouped by first-order month,
     * revenue accumulated by months-since-first-order — the
     * retention-economics companion to events_retention. The
@@ -1091,6 +1129,7 @@ object SparkEntry {
     "customer_quartiles" -> (qCustomerQuartiles _),
     "lineitem_profile" -> (qLineitemProfile _),
     "orders_cohort_ltv" -> (qOrdersCohortLtv _),
+    "customer_rank_breadth" -> (qCustomerRankBreadth _),
     "events_cube" -> (qEventsCube _),
     "events_user_rolling" -> (qEventsUserRolling _),
     "events_day_setops" -> (qEventsDaySetops _),
@@ -1444,6 +1483,29 @@ object SparkEntry {
         |       CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_custs,
         |       CAST(SUM(m_x100) AS BIGINT) AS sum_m_x100
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "customer_rank_breadth" ->
+      """WITH b AS (SELECT c_nationkey, c_custkey,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket
+        |       FROM customer),
+        |r AS (SELECT *,
+        |        CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n,
+        |        CAST(rank() OVER w AS BIGINT) AS rnk,
+        |        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |        CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY bucket DESC
+        |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_peers_le,
+        |        first_value(c_custkey) OVER wv AS top_custkey,
+        |        nth_value(c_custkey, 3) OVER wv AS third_custkey
+        |      FROM b
+        |      WINDOW w AS (PARTITION BY c_nationkey ORDER BY bucket DESC),
+        |             wv AS (PARTITION BY c_nationkey ORDER BY bucket DESC, c_custkey ASC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT c_nationkey, c_custkey, bucket, rnk, drnk,
+        |       (10000 * (rnk - 1)) // (n - 1) AS pr_x10k,
+        |       (10000 * n_peers_le) // n AS cd_x10k,
+        |       top_custkey, third_custkey
+        |FROM r WHERE rnk <= 10
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     "orders_cohort_ltv" ->
       """WITH f AS (SELECT o_custkey AS ck,
