@@ -82,6 +82,22 @@ object CdcSources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** Raw media ingestion for the multimodal path: one row per file
+    * with the payload as a `binary` column (path, modificationTime,
+    * length, content) via Spark's native binaryFile source. Payloads
+    * stay executor-side — the scan feeds `Multimodal`'s batched
+    * decode directly; `spark.sql.files.maxPartitionBytes` sizes the
+    * per-task batch for large blob directories, and the glob filter
+    * prunes by extension BEFORE any bytes are read. (Avro is the one
+    * mainstream format gated here: the sandbox ships Avro core jars
+    * but not the spark-avro datasource — same class of gap as the
+    * Kafka connector, same swap-in story.)
+    */
+  def binaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
   /** Kafka source options the reference uses (consumer.py:11-19), for
     * when the spark-sql-kafka connector is on the classpath. Kept as
     * data so tests don't need the jar.
