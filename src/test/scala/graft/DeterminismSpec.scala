@@ -23,7 +23,13 @@ class DeterminismSpec extends SparkSpec {
     "cdc_scd2_history",    // interval chaining windows
     "events_session_paths", // ordered path collect + top-k ties
     "text_posting_lists",  // rank-capped postings + sorted join lists
-    "lineitem_profile")    // multi-distinct Expand + codepoint min/max
+    "lineitem_profile",    // multi-distinct Expand + codepoint min/max
+    "events_rolling_mau",  // dedup-then-explode rolling distinct
+    "orders_cohort_ltv",   // month offsets + per-cohort cumulative sums
+    "customer_rank_breadth", // rank ties + integer rank ratios
+    "events_variant_agg",  // VariantType extraction
+    "corpus_quality_mixture", // tiered hash sampling
+    "corpus_source_cap")   // hash-rank capping
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
