@@ -38,6 +38,6 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => PolyHash(exprs.head)),
     (FunctionIdentifier("adc_sum"),
       new ExpressionInfo(classOf[AdcLookupSum].getName, "adc_sum"),
-      (exprs: Seq[Expression]) => AdcLookupSum(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) =>
+        graft.functions.GraftFunctions.adcSumBuilder(exprs)))
 }

@@ -227,14 +227,27 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
 
+  /** Shared SQL builder for `adc_sum(codes, tbl, k)`: validates arity
+    * and that `k` is a foldable integer literal, so a SQL user gets a
+    * real error message instead of an IndexOutOfBounds /
+    * UnsupportedOperation / ClassCast from deep inside analysis. */
+  private[graft] def adcSumBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 3,
+      s"adc_sum requires exactly 3 arguments (codes, tbl, k), got ${exprs.length}")
+    val kExpr = exprs(2)
+    require(kExpr.foldable && kExpr.dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"adc_sum's third argument must be a foldable INT literal, got $kExpr")
+    AdcLookupSum(exprs(0), exprs(1), kExpr.eval().asInstanceOf[Int])
+  }
+
   /** Idempotently register `adc_sum(codes, tbl, k)` (k must be a
     * foldable int literal) and return a Column builder bound to `k`. */
   def registerAdcSum(spark: SparkSession): (Column, Column, Int) => Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "adc_sum",
-      exprs => AdcLookupSum(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]),
-      "built-in")
+      "adc_sum", adcSumBuilder, "built-in")
     (codes: Column, tbl: Column, k: Int) =>
       org.apache.spark.sql.functions.call_function("adc_sum", codes, tbl,
         org.apache.spark.sql.functions.lit(k))

@@ -69,16 +69,27 @@ object Pq {
     import spark.implicits._
     val dsub = dim / m
     val base = corpus.select(idCol.as("vec_id"), vecCol.as("v"))
+    // deterministic id-hash sampling, NOT Bernoulli sample(): the
+    // training set must be identical under any partitioning/AQE
+    // re-plan or the codebook (and every ANN result after it) drifts
+    // between runs — the same contract Sampling.hashSample exists for
     val trainBase =
-      if (sampleFraction < 1.0) base.sample(sampleFraction, seed) else base
+      if (sampleFraction < 1.0)
+        base.where(Sampling.hashSample(col("vec_id"),
+          math.round(sampleFraction * Sampling.Buckets).toInt))
+      else base
     val sl = sliced(trainBase, col("v"), col("vec_id"), m, dsub)
     // deterministic init: slices of the k smallest-hash vectors
     val seedIds = trainBase
       .select(col("vec_id"), Sampling.hashVal(col("vec_id")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .collect().map(_.getLong(0)).sorted.zipWithIndex
-    val seedCodes = seedIds.map { case (id, code) => (id, code) }.toSeq
-      .toDF("vec_id", "code")
+    // the positional ADC lookup (sub·k + code) requires a FULL codebook:
+    // k' < k seeds would silently shift every subspace's table stride
+    require(seedIds.length == k,
+      s"PQ training set has ${seedIds.length} vectors but k=$k codes per " +
+        "subspace are required (raise sampleFraction or lower k)")
+    val seedCodes = seedIds.toSeq.toDF("vec_id", "code")
     // the codebook lives driver-side between rounds (bounded m×k×dsub
     // metadata, exactly what an ML model holds), truncating the
     // iterative lineage with zero persists. It stays DENSE: a cluster

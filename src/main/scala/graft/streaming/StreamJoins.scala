@@ -49,15 +49,19 @@ object StreamJoins {
       .drop(col(s"r.$key"))
   }
 
-  /** Stream-static dimension enrichment: every micro-batch joins
-    * against the CURRENT state of the static side — a dim read from a
-    * refreshable source (parquet dir, table) picks up updates between
-    * batches without restarting the query. Stateless: no watermark, no
-    * state store — the static side is re-resolved per batch, so the
-    * only scale knob is the dim itself (broadcast when bounded, as
-    * here; a huge dim falls back to a per-batch shuffle join).
-    * Left join so stream rows without a dim entry pass through with
-    * nulls instead of silently vanishing mid-pipeline.
+  /** Stream-static dimension enrichment. Stateless: no watermark, no
+    * state store — each micro-batch joins against the static side, so
+    * the only scale knob is the dim itself (broadcast when bounded, as
+    * here; a huge dim falls back to a per-batch shuffle join). Left
+    * join so stream rows without a dim entry pass through with nulls
+    * instead of silently vanishing mid-pipeline.
+    *
+    * Dim freshness caveat: a PLAIN parquet DataFrame snapshots its
+    * file listing at read time — overwriting the directory mid-query
+    * serves stale rows or fails on deleted files. Mid-query dim
+    * refresh needs a snapshot-re-resolving table format or a
+    * `foreachBatch` that re-reads the dim per batch; with a fixed dim
+    * (this test's case) the plain frame is correct.
     */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")

@@ -39,8 +39,14 @@ class DeterminismSpec extends SparkSpec {
       for (n <- names) {
         spark.conf.set(key, "4")
         val a = SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq
+        // queries that persist internally (customer_rfm) must not serve
+        // run B from run A's cache — the CacheManager substitutes the
+        // cached plan by analyzed-plan equality, which would silently
+        // skip the very re-execution this spec exists to compare
+        spark.catalog.clearCache()
         spark.conf.set(key, "7")
         val b = SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq
+        spark.catalog.clearCache()
         assert(a.nonEmpty, s"$n returned no rows")
         assert(a === b, s"$n diverged under repartitioning")
       }
