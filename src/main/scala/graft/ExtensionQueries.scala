@@ -896,6 +896,33 @@ object ExtensionQueries {
       .orderBy("q_vec_id", "rnk")
   }
 
+  /** IVF-PQ ANN ([[graft.ops.IvfPq]]): coarse cells prune the search,
+    * PQ residual codes score the survivors, exact q_dot re-ranks the
+    * shortlist — the full billion-vector construction. Rows-only gate
+    * with the same in_brute/recall_x100 self-check as IVF and PQ. */
+  private def qSimTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 8)
+    val qs = emb.where(col("vec_id") < 8)
+    val index = graft.ops.IvfPq.build(corpus, col("embedding"), col("vec_id"),
+      dim = EMB_DIM, cells = 8, m = 8, k = 16)
+    val got = graft.ops.IvfPq.topK(index, corpus, qs,
+      col("embedding"), col("vec_id"), k = 10, nProbe = 6, shortlist = 50)
+    val brute = Similarity.topKBruteForce(corpus, qs,
+        col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id").as("b_q"), col("vec_id").as("b_v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
+    got.join(broadcast(brute),
+        col("q_vec_id") === col("b_q") && col("vec_id") === col("b_v"), "left")
+      .withColumn("in_brute", col("b_v").isNotNull)
+      .withColumn("recall_x100",
+        (lit(100) * sum(when(col("in_brute"), 1L).otherwise(0L)).over(w) / lit(10))
+          .cast("long"))
+      .select(col("q_vec_id"), col("vec_id"), col("rnk"),
+        col("in_brute"), col("recall_x100"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
   // -------------------------------------------------------- multimodal
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -958,6 +985,7 @@ object ExtensionQueries {
     "sim_topk_lsh" -> (qSimTopkLsh _),
     "sim_topk_ivf" -> (qSimTopkIvf _),
     "sim_topk_pq" -> (qSimTopkPq _),
+    "sim_topk_ivfpq" -> (qSimTopkIvfPq _),
     "multimodal_features" -> (qMultimodalFeatures _),
   )
 

@@ -34,8 +34,8 @@ object Pq {
     * (sub, code, centroid) — the m codebooks flattened. */
   final case class Index(codes: DataFrame, cents: DataFrame, m: Int, k: Int)
 
-  private def sliced(df: DataFrame, vecCol: Column, idCol: Column,
-                     m: Int, dsub: Int): DataFrame =
+  private[ops] def sliced(df: DataFrame, vecCol: Column, idCol: Column,
+                          m: Int, dsub: Int): DataFrame =
     df.select(idCol.as("vec_id"), vecCol.as("v"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), i -> slice(v, i * $dsub + 1, $dsub))")))

@@ -175,6 +175,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("IVF-PQ recalls the planted near vector at rank 1 and self-reports recall") {
+    val rnd = new scala.util.Random(11)
+    val q = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val near = q.map(_ * 1.02f)
+    val rows = (0 until 200).map { i =>
+      (100L + i, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq)
+    } :+ (999L, near.toSeq)
+    val cands = rows.toDF("vec_id", "embedding")
+    val queries = Seq((1L, q.toSeq)).toDF("vec_id", "embedding")
+    val index = graft.ops.IvfPq.build(cands, col("embedding"), col("vec_id"),
+      dim = 64, cells = 8, m = 8, k = 16)
+    // the scaled copy dominates every dot product, so once its cell is
+    // probed the ADC shortlist + exact re-rank must surface it at rank
+    // 1. Probe half the cells: Spark ML's k-means|| init is
+    // partitioning-dependent, so WHICH cell holds the planted outlier
+    // varies by session layout — a 2-cell probe would pin the test to
+    // one layout's luck, not the operator's contract
+    val got = graft.ops.IvfPq.topK(index, cands, queries,
+        col("embedding"), col("vec_id"), k = 5, nProbe = 4, shortlist = 50)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(got.head === 999L)
+    // fixture envelope for the registered query (calibrated like PQ's)
+    val df = ExtensionQueries.queries("sim_topk_ivfpq")(spark, "/root/testdata/sf0.001")
+    val recalls = df.select("recall_x100").as[Long].collect()
+    assert(recalls.nonEmpty)
+    assert(recalls.sum.toDouble / recalls.length >= 40.0,
+      s"mean recall ${recalls.sum.toDouble / recalls.length} below envelope")
+    val perQ = df.groupBy("q_vec_id").count().select("count").as[Long].collect()
+    assert(perQ.forall(_ == 10L))
+  }
+
   test("registered PQ query self-reports shortlist recall on the fixture") {
     // uniform random vectors are PQ's worst case — the envelope here is
     // calibrated to the fixture (measured ~0.51 at sf0.001 with a
