@@ -38,7 +38,12 @@ object IvfPq {
             seed: Long = 42L): Index = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val ivf = Ivf.build(corpus, vecCol, idCol, k = cells, seed = seed)
+    // the coarse quantizer only needs roughly balanced cells (recall
+    // is governed by the probed fraction, not centroid convergence —
+    // Ivf.build's own scaladoc), and the residual codebook re-centers
+    // whatever the cells leave over: half the default Lloyd rounds
+    val ivf = Ivf.build(corpus, vecCol, idCol, k = cells, seed = seed,
+      maxIter = 4)
     val cents = ivf.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
       .toDF("cell", "centroid")
