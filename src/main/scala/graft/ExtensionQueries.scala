@@ -826,6 +826,28 @@ object ExtensionQueries {
       .orderBy("q_vec_id", "rnk")
   }
 
+  /** Shared self-check for the rows-only ANN queries: join the result
+    * against the exact brute-force top-k and emit `in_brute` plus
+    * per-query `recall_x100`. One implementation so the recall
+    * denominator always tracks `k` — three hand-copies would let a
+    * changed k silently misreport recall to the driver's gate. */
+  private def withRecallCheck(got: DataFrame, corpus: DataFrame,
+                              qs: DataFrame, k: Int): DataFrame = {
+    val brute = Similarity.topKBruteForce(corpus, qs,
+        col("embedding"), col("vec_id"), k)
+      .select(col("q_vec_id").as("b_q"), col("vec_id").as("b_v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
+    got.join(broadcast(brute),
+        col("q_vec_id") === col("b_q") && col("vec_id") === col("b_v"), "left")
+      .withColumn("in_brute", col("b_v").isNotNull)
+      .withColumn("recall_x100",
+        (lit(100) * sum(when(col("in_brute"), 1L).otherwise(0L)).over(w) / lit(k))
+          .cast("long"))
+      .select(col("q_vec_id"), col("vec_id"), col("rnk"),
+        col("in_brute"), col("recall_x100"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
   /** IVF ANN (k-means cells, 2-probe). No SQL oracle — iterative
     * training isn't expressible in DuckDB — so the query is
     * self-checking: each row carries `in_brute` (was this hit also in
@@ -847,19 +869,7 @@ object ExtensionQueries {
     val index = graft.ops.Ivf.build(corpus, col("embedding"), col("vec_id"), k = 8)
     val ivf = graft.ops.Ivf.topK(index, qs,
       col("embedding"), col("vec_id"), k = 10, nProbe = 6)
-    val brute = Similarity.topKBruteForce(corpus, qs,
-        col("embedding"), col("vec_id"), k = 10)
-      .select(col("q_vec_id").as("b_q"), col("vec_id").as("b_v"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
-    ivf.join(broadcast(brute),
-        col("q_vec_id") === col("b_q") && col("vec_id") === col("b_v"), "left")
-      .withColumn("in_brute", col("b_v").isNotNull)
-      .withColumn("recall_x100",
-        (lit(100) * sum(when(col("in_brute"), 1L).otherwise(0L)).over(w) / lit(10))
-          .cast("long"))
-      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"),
-        col("in_brute"), col("recall_x100"))
-      .orderBy("q_vec_id", "rnk")
+    withRecallCheck(ivf, corpus, qs, k = 10)
   }
 
   /** PQ ANN (product quantization + ADC, [[graft.ops.Pq]]). Rows-only
@@ -881,19 +891,7 @@ object ExtensionQueries {
       dim = EMB_DIM, m = 8, k = 16)
     val pq = graft.ops.Pq.topKReranked(index, corpus, qs,
       col("embedding"), col("vec_id"), k = 10, shortlist = 50)
-    val brute = Similarity.topKBruteForce(corpus, qs,
-        col("embedding"), col("vec_id"), k = 10)
-      .select(col("q_vec_id").as("b_q"), col("vec_id").as("b_v"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
-    pq.join(broadcast(brute),
-        col("q_vec_id") === col("b_q") && col("vec_id") === col("b_v"), "left")
-      .withColumn("in_brute", col("b_v").isNotNull)
-      .withColumn("recall_x100",
-        (lit(100) * sum(when(col("in_brute"), 1L).otherwise(0L)).over(w) / lit(10))
-          .cast("long"))
-      .select(col("q_vec_id"), col("vec_id"), col("rnk"),
-        col("in_brute"), col("recall_x100"))
-      .orderBy("q_vec_id", "rnk")
+    withRecallCheck(pq, corpus, qs, k = 10)
   }
 
   /** IVF-PQ ANN ([[graft.ops.IvfPq]]): coarse cells prune the search,
@@ -908,19 +906,7 @@ object ExtensionQueries {
       dim = EMB_DIM, cells = 8, m = 8, k = 16)
     val got = graft.ops.IvfPq.topK(index, corpus, qs,
       col("embedding"), col("vec_id"), k = 10, nProbe = 6, shortlist = 50)
-    val brute = Similarity.topKBruteForce(corpus, qs,
-        col("embedding"), col("vec_id"), k = 10)
-      .select(col("q_vec_id").as("b_q"), col("vec_id").as("b_v"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
-    got.join(broadcast(brute),
-        col("q_vec_id") === col("b_q") && col("vec_id") === col("b_v"), "left")
-      .withColumn("in_brute", col("b_v").isNotNull)
-      .withColumn("recall_x100",
-        (lit(100) * sum(when(col("in_brute"), 1L).otherwise(0L)).over(w) / lit(10))
-          .cast("long"))
-      .select(col("q_vec_id"), col("vec_id"), col("rnk"),
-        col("in_brute"), col("recall_x100"))
-      .orderBy("q_vec_id", "rnk")
+    withRecallCheck(got, corpus, qs, k = 10)
   }
 
   // -------------------------------------------------------- multimodal

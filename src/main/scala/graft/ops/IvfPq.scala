@@ -47,11 +47,19 @@ object IvfPq {
     val cents = ivf.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
       .toDF("cell", "centroid")
+    // persist the residual frame: Pq.build's Lloyd loop re-reads its
+    // training input ~2x per round (assignment + centroid update), and
+    // without the cache each pass re-runs the ML transform + centroid
+    // join + residual zip_with from scratch. Cache hygiene follows the
+    // corpus_clean precedent (Verify/Bench clear per query).
     val resid = ivf.assigned.join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         residual(col("v"), col("centroid")).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pq = Pq.build(resid, col("rv"), col("vec_id"), dim, m, k, seed)
-    Index(pq, resid.select(col("vec_id"), col("cell")), cents, dim)
+    // cell assignment comes straight from the IVF index — routing it
+    // through resid would drag the centroid join into every query
+    Index(pq, ivf.assigned.select(col("vec_id"), col("cell")), cents, dim)
   }
 
   /** ADC over residual codes within the probed cells, shortlist, then
@@ -68,7 +76,6 @@ object IvfPq {
            vecCol: Column, idCol: Column, k: Int, nProbe: Int,
            shortlist: Int): DataFrame = {
     val spark = queries.sparkSession
-    val qdot = GraftFunctions.registerQDot(spark)
     val adc = GraftFunctions.registerAdcSum(spark)
     val m = index.pq.m
     val dsub = index.dim / m
@@ -85,13 +92,12 @@ object IvfPq {
         Window.partitionBy(col("q_vec_id")).orderBy(col("qc").desc, col("cell").asc)))
       .where(col("crnk") <= nProbe)
       .select(col("q_vec_id"), col("cell"), col("qc"))
-    // one flat ADC table per QUERY (raw slices × residual codebook)
+    // one flat ADC table per QUERY (raw slices × residual codebook);
+    // the slicing layout is Pq.sliced's — codes and tables must agree
     val ip = expr(
       "aggregate(zip_with(subv, centroid, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
-    val qslices = queries.select(idCol.as("q_vec_id"), vecCol.as("qv"))
-      .select(col("q_vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), i -> slice(qv, i * $dsub + 1, $dsub))")))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "subv")
+    val qslices = Pq.sliced(queries, vecCol, idCol, m, dsub)
+      .withColumnRenamed("vec_id", "q_vec_id")
     val qtables = qslices.join(broadcast(index.pq.cents), "sub")
       .withColumn("ip", ip)
       .groupBy(col("q_vec_id"))
@@ -108,15 +114,7 @@ object IvfPq {
         Window.partitionBy(col("q_vec_id")).orderBy(col("score").desc, col("vec_id").asc)))
       .where(col("srnk") <= shortlist)
       .select(col("q_vec_id"), col("vec_id"))
-    // exact re-rank of the shortlist against the ORIGINAL vectors
-    val cand = corpus.select(idCol.as("vec_id"), vecCol.as("cv"))
-      .join(broadcast(short), "vec_id")
-    val qs = queries.select(idCol.as("qq"), vecCol.as("qv"))
-    cand.join(broadcast(qs), col("q_vec_id") === col("qq"))
-      .withColumn("dot", qdot(col("cv"), col("qv")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_vec_id")).orderBy(col("dot").desc, col("vec_id").asc)))
-      .where(col("rnk") <= k)
-      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+    // exact re-rank of the shortlist — shared with Pq.topKReranked
+    Pq.rerankExact(corpus, queries, short, vecCol, idCol, k)
   }
 }

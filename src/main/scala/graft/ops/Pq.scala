@@ -162,6 +162,25 @@ object Pq {
       .select(col("q_vec_id"), col("vec_id"), col("score"), col("rnk"))
   }
 
+  /** Exact q_dot re-rank of a (q_vec_id, vec_id) shortlist against the
+    * original vectors — the shared tail of every two-stage ANN path
+    * (PQ, IVF-PQ): one implementation so tie-breaks and null handling
+    * cannot drift between them. */
+  private[ops] def rerankExact(corpus: DataFrame, queries: DataFrame,
+                               pairs: DataFrame, vecCol: Column, idCol: Column,
+                               k: Int): DataFrame = {
+    val qdot = graft.functions.GraftFunctions.registerQDot(queries.sparkSession)
+    val cand = corpus.select(idCol.as("vec_id"), vecCol.as("cv"))
+      .join(broadcast(pairs.select(col("q_vec_id"), col("vec_id"))), "vec_id")
+    val qs = queries.select(idCol.as("qq"), vecCol.as("qv"))
+    cand.join(broadcast(qs), col("q_vec_id") === col("qq"))
+      .withColumn("dot", qdot(col("cv"), col("qv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_vec_id")).orderBy(col("dot").desc, col("vec_id").asc)))
+      .where(col("rnk") <= k)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+  }
+
   /** The production PQ shape: ADC scores a cheap SHORTLIST of
     * `shortlist` candidates per query over the compressed codes, then
     * only those candidates re-rank against their ORIGINAL vectors with
@@ -171,19 +190,7 @@ object Pq {
     * ADC order, which is what makes lossy codes usable. */
   def topKReranked(index: Index, corpus: DataFrame, queries: DataFrame,
                    vecCol: Column, idCol: Column, k: Int,
-                   shortlist: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val qdot = graft.functions.GraftFunctions.registerQDot(spark)
-    val adc = topK(index, queries, vecCol, idCol, shortlist)
-      .select(col("q_vec_id"), col("vec_id"))
-    val cand = corpus.select(idCol.as("vec_id"), vecCol.as("cv"))
-      .join(broadcast(adc), "vec_id")
-    val qs = queries.select(idCol.as("qq"), vecCol.as("qv"))
-    cand.join(broadcast(qs), col("q_vec_id") === col("qq"))
-      .withColumn("dot", qdot(col("cv"), col("qv")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_vec_id")).orderBy(col("dot").desc, col("vec_id").asc)))
-      .where(col("rnk") <= k)
-      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
-  }
+                   shortlist: Int): DataFrame =
+    rerankExact(corpus, queries,
+      topK(index, queries, vecCol, idCol, shortlist), vecCol, idCol, k)
 }
