@@ -1043,10 +1043,16 @@ object SparkEntry {
     * the numerator is emitted raw (n is alongside; the reader
     * divides), computed entirely in DECIMAL(38,0) like
     * events_anomaly's σ² so the sign and magnitude are engine- and
-    * partitioning-exact. One keyed aggregation, map-side partials. */
+    * partitioning-exact. Per-row quantization is `round(value*100)` —
+    * NOT a double→decimal cast: the IEEE product is bit-identical in
+    * every engine and both Spark and DuckDB round it half-away-from-
+    * zero, whereas double→DECIMAL(18,2) rounds the shortest-string
+    * repr (Spark) vs the binary value (DuckDB), and a per-row ±1
+    * disagreement doesn't wash out of Σxy the way it can't enter a
+    * plain sum-then-scale. One keyed aggregation, map-side partials. */
   private def qEventsValueHourCovar(s: SparkSession, dir: String): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val x = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val x = round(col("value") * 100).cast("long")
     val y = hour(col("ts")).cast("long")
     Tables.events(s, dir)
       .select(col("event_type"), x.as("x"), y.as("y"))
@@ -1633,7 +1639,7 @@ object SparkEntry {
     "events_value_hour_covar" ->
       """WITH e AS (
         |  SELECT event_type,
-        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS x,
         |         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
         |  FROM events),
         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
