@@ -25,6 +25,8 @@ object Dev {
       println(f"== $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
       if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         println(df.queryExecution.executedPlan.toString.take(8000))
+      spark.catalog.clearCache() // Bench's inter-run hygiene
+
     }
     spark.stop()
   }

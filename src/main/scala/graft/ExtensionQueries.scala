@@ -866,7 +866,10 @@ object ExtensionQueries {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.where(col("vec_id") >= 8)
     val qs = emb.where(col("vec_id") < 8)
-    val index = graft.ops.Ivf.build(corpus, col("embedding"), col("vec_id"), k = 8)
+    val index = graft.ops.AnnCache.memo(s, s"ivf:$dir:k8") {
+      val i = graft.ops.Ivf.build(corpus, col("embedding"), col("vec_id"), k = 8)
+      i.copy(assigned = graft.ops.AnnCache.pin(i.assigned))
+    }
     val ivf = graft.ops.Ivf.topK(index, qs,
       col("embedding"), col("vec_id"), k = 10, nProbe = 6)
     withRecallCheck(ivf, corpus, qs, k = 10)
@@ -887,8 +890,12 @@ object ExtensionQueries {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.where(col("vec_id") >= 8)
     val qs = emb.where(col("vec_id") < 8)
-    val index = graft.ops.Pq.build(corpus, col("embedding"), col("vec_id"),
-      dim = EMB_DIM, m = 8, k = 16)
+    val index = graft.ops.AnnCache.memo(s, s"pq:$dir:m8k16") {
+      val i = graft.ops.Pq.build(corpus, col("embedding"), col("vec_id"),
+        dim = EMB_DIM, m = 8, k = 16)
+      i.copy(codes = graft.ops.AnnCache.pin(i.codes),
+        cents = graft.ops.AnnCache.pin(i.cents))
+    }
     val pq = graft.ops.Pq.topKReranked(index, corpus, qs,
       col("embedding"), col("vec_id"), k = 10, shortlist = 50)
     withRecallCheck(pq, corpus, qs, k = 10)
@@ -902,8 +909,14 @@ object ExtensionQueries {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.where(col("vec_id") >= 8)
     val qs = emb.where(col("vec_id") < 8)
-    val index = graft.ops.IvfPq.build(corpus, col("embedding"), col("vec_id"),
-      dim = EMB_DIM, cells = 8, m = 8, k = 16)
+    val index = graft.ops.AnnCache.memo(s, s"ivfpq:$dir:c8m8k16") {
+      val i = graft.ops.IvfPq.build(corpus, col("embedding"), col("vec_id"),
+        dim = EMB_DIM, cells = 8, m = 8, k = 16)
+      i.copy(pq = i.pq.copy(codes = graft.ops.AnnCache.pin(i.pq.codes),
+          cents = graft.ops.AnnCache.pin(i.pq.cents)),
+        cellOf = graft.ops.AnnCache.pin(i.cellOf),
+        cents = graft.ops.AnnCache.pin(i.cents))
+    }
     val got = graft.ops.IvfPq.topK(index, corpus, qs,
       col("embedding"), col("vec_id"), k = 10, nProbe = 6, shortlist = 50)
     withRecallCheck(got, corpus, qs, k = 10)

@@ -56,7 +56,7 @@ object IvfPq {
       .select(col("vec_id"), col("cell"),
         residual(col("v"), col("centroid")).as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pq = Pq.build(resid, col("rv"), col("vec_id"), dim, m, k, seed)
+    val pq = Pq.build(resid, col("rv"), col("vec_id"), dim, m, k)
     // cell assignment comes straight from the IVF index — routing it
     // through resid would drag the centroid join into every query
     Index(pq, ivf.assigned.select(col("vec_id"), col("cell")), cents, dim)

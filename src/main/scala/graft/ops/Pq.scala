@@ -44,8 +44,9 @@ object Pq {
   private val subL2 = expr(
     "aggregate(zip_with(subv, centroid, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0D, (acc, x) -> acc + x)")
 
-  /** Train per-subspace codebooks (seeded → deterministic init) and
-    * encode the corpus. `dim` must be divisible by `m`.
+  /** Train per-subspace codebooks (id-hash-based init — no seed
+    * parameter; determinism notes below) and encode the corpus. `dim`
+    * must be divisible by `m`.
     *
     * All m codebooks train SIMULTANEOUSLY over one exploded
     * (vec, sub, subv) frame — Lloyd assignment is a broadcast join
@@ -57,18 +58,29 @@ object Pq {
     * k-means fits each paying its own init/iteration job overhead
     * (measured 6s → ~1.5s for the whole operator at sf0.01). Init
     * seeds are the k corpus vectors with the smallest id-hash
-    * (deterministic, sample-stable); a cluster that empties keeps its
-    * previous centroid so the codebook stays dense (ADC's positional
-    * lookup needs every slot). `sampleFraction` bounds the training
-    * set at corpus scale. */
+    * (sample-stable); a cluster that empties keeps its previous
+    * centroid so the codebook stays dense (ADC's positional lookup
+    * needs every slot). `sampleFraction` bounds the training set at
+    * corpus scale.
+    *
+    * Determinism: the TRAINING SET and INIT are partitioning-exact
+    * (id-hash selection), but the Lloyd centroid update averages
+    * doubles, whose summation order follows partitioning — so the
+    * codebook is reproducible in practice yet not bit-stable under
+    * AQE/repartition re-plans. The consumers tolerate that: every PQ
+    * query is rows-only self-checking against exact brute force, and
+    * the exact re-rank tail makes the final top-k insensitive to
+    * code-boundary wobble. */
   def build(corpus: DataFrame, vecCol: Column, idCol: Column, dim: Int,
-            m: Int = 8, k: Int = 16, seed: Long = 42L,
+            m: Int = 8, k: Int = 16,
             sampleFraction: Double = 1.0, maxIter: Int = 4): Index = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val spark = corpus.sparkSession
     import spark.implicits._
     val dsub = dim / m
-    val base = corpus.select(idCol.as("vec_id"), vecCol.as("v"))
+    // id cast to long up front: seedIds reads getLong, and callers may
+    // pass int ids (capBySource precedent)
+    val base = corpus.select(idCol.cast("long").as("vec_id"), vecCol.as("v"))
     // deterministic id-hash sampling, NOT Bernoulli sample(): the
     // training set must be identical under any partitioning/AQE
     // re-plan or the codebook (and every ANN result after it) drifts
