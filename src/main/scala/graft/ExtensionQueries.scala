@@ -260,6 +260,23 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** [[qDedupClusters]] with the Large-Star/Small-Star formulation
+    * ([[graft.ops.Components.connectedComponentsStar]]) — identical
+    * cluster semantics through a structurally different fixpoint
+    * (star contraction vs label propagation), gated against the SAME
+    * recursive-CTE oracle. Covers the deep-component path at driver
+    * level; ComponentsSpec covers it at property level. */
+  private def qDedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .select("doc_a", "doc_b")
+    val comp = graft.ops.Components.connectedComponentsStar(pairs)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("rep_doc_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Manku-style simhash near-dup pairs (banded 60-bit fingerprints,
     * Hamming ≤ 3 verified by exact popcount). */
   private def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -966,6 +983,7 @@ object ExtensionQueries {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_simhash_pairs" -> (qDedupSimhashPairs _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_clusters_star" -> (qDedupClustersStar _),
     "dedup_ngram_blocked" -> (qDedupNgramBlocked _),
     "dedup_edit_distance" -> (qDedupEditDistance _),
     "dedup_embedding_cos" -> (qDedupEmbedding _),
@@ -1048,6 +1066,43 @@ object ExtensionQueries {
   private val (simhashBitSumsSql, simhashFpSql) = Dedup.simhashSql()
   private val (simhashWideSumsSql, simhashWideFpSql) =
     Dedup.simhashSqlN(Dedup.simhashPairBits)
+
+  /** Recursive-CTE fixpoint (min reachable id per node) over the
+    * MinHash near-dup pair graph — the independent oracle both
+    * cluster formulations (label propagation and Large-Star/
+    * Small-Star) are gated against. */
+  private lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $SHINGLE3,
+       |${Dedup.minhashBandSqlCtes(8, 4)},
+       |ok AS (SELECT doc_id, band, bk FROM (
+       |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+       |       WHERE bsz <= 100),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM ok x JOIN ok y
+       |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |  JOIN cnt ca ON ca.doc_id = i.doc_a
+       |  JOIN cnt cb ON cb.doc_id = i.doc_b
+       |  WHERE 2 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM cc GROUP BY 1)
+       |SELECT cc.id AS doc_id, cc.comp AS rep_doc_id, sz.cluster_size
+       |FROM cc JOIN sz ON cc.comp = sz.comp
+       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_apply_dispatch" -> (L +
@@ -1595,38 +1650,10 @@ object ExtensionQueries {
          |SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS simhash
          |FROM bits ORDER BY doc_id""".stripMargin,
 
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $SHINGLE3,
-         |${Dedup.minhashBandSqlCtes(8, 4)},
-         |ok AS (SELECT doc_id, band, bk FROM (
-         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
-         |       WHERE bsz <= 100),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM ok x JOIN ok y
-         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2),
-         |pairs AS (SELECT i.doc_a, i.doc_b
-         |  FROM inter i
-         |  JOIN cnt ca ON ca.doc_id = i.doc_a
-         |  JOIN cnt cb ON cb.doc_id = i.doc_b
-         |  WHERE 2 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-         |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
-         |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
-         |       FROM cc GROUP BY 1)
-         |SELECT cc.id AS doc_id, cc.comp AS rep_doc_id, sz.cluster_size
-         |FROM cc JOIN sz ON cc.comp = sz.comp
-         |ORDER BY doc_id""".stripMargin,
+    // shared by dedup_clusters and dedup_clusters_star: both operators
+    // compute the identical fixpoint, so one oracle gates both
+    "dedup_clusters" -> dedupClustersOracle,
+    "dedup_clusters_star" -> dedupClustersOracle,
 
     "dedup_simhash_pairs" -> {
       val bandW = Dedup.simhashPairBits / Dedup.simhashPairBands

@@ -14,12 +14,15 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: this is the simple-union-find-free formulation of the
   * iterative-join family (Kiveris et al., "Connected components in
-  * MapReduce and beyond", SoCC 2014 — Large-Star/Small-Star are the
-  * optimization when components are deep). Near-dup graphs are
-  * shallow (clusters of boilerplate variants), so iterations ≈
-  * component diameter ≈ 2-4; each iteration is one keyed join + one
-  * keyed aggregation, and convergence is checked with an aggregate
-  * count, never a collect of the labels.
+  * MapReduce and beyond", SoCC 2014). Near-dup graphs are shallow
+  * (clusters of boilerplate variants), so iterations ≈ component
+  * diameter ≈ 2-4; each iteration is one keyed join + one keyed
+  * aggregation, and convergence is checked with an aggregate count,
+  * never a collect of the labels. When components can be DEEP
+  * (mention graphs, link graphs, transitive joins), use
+  * [[connectedComponentsStar]] — the paper's Large-Star/Small-Star
+  * alternation, whose round count is O(log² n) instead of
+  * O(diameter).
   */
 object Components {
 
@@ -39,30 +42,36 @@ object Components {
     // Seed each node with its 1-hop minimum — the first propagation
     // step folded into the same keyed shuffle a node-distinct would
     // cost anyway, saving one loop iteration.
-    var cached = edges.groupBy(col("src"))
+    //
+    // Every round ends in an EAGER localCheckpoint, not a persist: the
+    // round's plan references the previous labels frame more than once
+    // (the neighbor-min join AND the carry-through), so without
+    // truncation the ANALYZED plan doubles per iteration — persist
+    // caches the data but Catalyst still walks (and stringifies) the
+    // exponential tree, which OOMs near 20 rounds. Checkpointing pins
+    // the round to a LogicalRDD; superseded rounds' blocks are freed by
+    // the ContextCleaner once unreferenced (label frames are small —
+    // two longs per node).
+    var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
       // `changed` rides along in the same select, so convergence costs
-      // one filter over the cached result — NOT a second keyed join of
-      // next against prev (labels are monotone non-increasing, so a
-      // node changed iff its neighbor min undercut its label)
+      // one filter over the checkpointed result — NOT a second keyed
+      // join of next against prev (labels are monotone non-increasing,
+      // so a node changed iff its neighbor min undercut its label)
       val next = labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp") < col("comp")).as("changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val stable = next.where(col("changed")).isEmpty
-      cached.unpersist()
-      cached = next
+        .localCheckpoint()
+      converged = next.where(col("changed")).isEmpty
       labels = next.select(col("id"), col("comp"))
-      converged = stable
       i += 1
     }
     edges.unpersist()
@@ -71,11 +80,102 @@ object Components {
         s"connectedComponents did not converge after $maxIter iterations; " +
           "labels would be split mid-propagation. Raise maxIter (component " +
           "diameter exceeds it).")
-    // Truncate the iterative lineage and release the loop's cache so
-    // library callers don't leak a persisted DataFrame they never got
-    // a handle to unpersist.
-    val out = labels.localCheckpoint()
-    cached.unpersist()
+    labels
+  }
+
+  /** Both edge directions of a canonical (hi, lo) edge set, each row
+    * joined with its source node's star minimum m = min(Γ⁺(u)). */
+  private def withMins(edges: DataFrame): DataFrame = {
+    val both = edges.select(explode(array(
+        struct(col("hi").as("u"), col("lo").as("v")),
+        struct(col("lo").as("u"), col("hi").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val mins = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    both.join(mins, "u")
+  }
+
+  /** large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u)).
+    * Each undirected edge {a<b} is rewritten exactly once (from its
+    * smaller endpoint); v > u ≥ m, so (v, m) is already canonical and
+    * never a self-loop. */
+  private def largeStar(edges: DataFrame): DataFrame =
+    withMins(edges).where(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+      .distinct()
+
+  /** small-star(u): every neighbor v < u, and u itself, attaches to
+    * m = min(Γ⁺(u)) — stars merge at shared minima. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val wm = withMins(edges)
+    wm.where(col("v") < col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .union(wm.select(col("u").as("a"), col("m").as("b")))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+  }
+
+  /** Large-Star/Small-Star connected components (Kiveris et al.,
+    * "Connected components in MapReduce and beyond", SoCC 2014) — the
+    * deep-graph path [[connectedComponents]]'s scaladoc points at.
+    * Min-label propagation needs O(diameter) rounds: fine for shallow
+    * near-dup clusters, pathological for chain-shaped graphs (a
+    * diameter-10⁴ path is 10⁴ shuffles). The alternating star
+    * operations instead contract every component to a star around its
+    * minimum node in O(log² n) rounds regardless of diameter.
+    *
+    * Each round is two star operations; each operation is one keyed
+    * aggregation (the per-node star minimum) + a join back to the
+    * exploded edges, with edges kept canonical (hi, lo) and distinct,
+    * so the working set never exceeds the deduplicated edge count —
+    * both operations provably never grow it. Convergence = edge-set
+    * fixpoint, checked by count + anti-join over the persisted round
+    * output (two actions, never a collect); at the fixpoint the edge
+    * set IS the star forest, so the labels read off it directly.
+    * Output contract matches [[connectedComponents]] — (id, comp =
+    * min id of component) for every endpoint of `pairs` — and
+    * ComponentsSpec property-tests the two equal on deep paths, where
+    * label propagation is at its worst.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    // per-round eager localCheckpoint for the same reason as the
+    // label-propagation loop: withMins references its input twice, so
+    // an uncheckpointed round would double the analyzed plan 4× per
+    // round
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val same = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
+      converged = same
+      i += 1
+    }
+    if (!converged) {
+      nodes.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach an edge fixpoint after " +
+          s"$maxIter rounds (bound is O(log^2 n) — raise maxIter).")
+    }
+    // fixpoint edges are (leaf, root) stars: the label is the unique
+    // partner; roots and self-paired nodes fall back to themselves
+    val labels = edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("c"))
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
+      .localCheckpoint()
+    edges.unpersist(); nodes.unpersist()
     out
   }
 }

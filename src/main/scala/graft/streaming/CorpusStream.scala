@@ -36,22 +36,6 @@ object CorpusStream {
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .dropDuplicates("fingerprint")
 
-  /** Streaming NEAR-dup candidate detection across micro-batches: each
-    * arriving doc computes its banded MinHash signature per-row
-    * ([[Dedup.bandKeyArray]] — no blocking aggregation in front of the
-    * state update), and a band key's first writer claims it in the
-    * state store; every later doc that lands on a claimed key emits a
-    * `(doc_id, band, first_doc_id)` candidate row. Emitting CANDIDATES
-    * is the honest streaming contract — exact Jaccard verification
-    * needs the first doc's shingle set, which lives in the doc store
-    * downstream, not in per-key state ([[Dedup.jaccardVerify]] runs
-    * there, batched).
-    *
-    * State shape at scale: one long per distinct band key, sharded by
-    * key hash — the same footprint as the exact-dedup fingerprint state
-    * in [[ingest]], times `bands`. Bound it with a watermark-timeout
-    * variant when the corpus is unbounded.
-    */
   /** Streaming per-source admission cap — the continuous form of
     * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
     * `cap` docs over the stream's lifetime, later arrivals drop. The
@@ -84,6 +68,22 @@ object CorpusStream {
         })
   }
 
+  /** Streaming NEAR-dup candidate detection across micro-batches: each
+    * arriving doc computes its banded MinHash signature per-row
+    * ([[Dedup.bandKeyArray]] — no blocking aggregation in front of the
+    * state update), and a band key's first writer claims it in the
+    * state store; every later doc that lands on a claimed key emits a
+    * `(doc_id, band, first_doc_id)` candidate row. Emitting CANDIDATES
+    * is the honest streaming contract — exact Jaccard verification
+    * needs the first doc's shingle set, which lives in the doc store
+    * downstream, not in per-key state ([[Dedup.jaccardVerify]] runs
+    * there, batched).
+    *
+    * State shape at scale: one long per distinct band key, sharded by
+    * key hash — the same footprint as the exact-dedup fingerprint state
+    * in [[ingest]], times `bands`. Bound it with a watermark-timeout
+    * variant when the corpus is unbounded.
+    */
   def nearDupCandidates(docs: DataFrame, shingleN: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 4): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._

@@ -29,4 +29,58 @@ class ComponentsSpec extends SparkSpec {
     val b = Components.connectedComponents(backward).as[(Long, Long)].collect().toMap
     assert(a === b && a === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
+
+  test("star algorithm matches label propagation on the basic shapes") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 30L)
+    ).toDF("doc_a", "doc_b")
+    val prop = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = Components.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    assert(star(30L) === 30L) // self-pair = isolated node
+  }
+
+  test("star converges on a deep path far beyond label propagation's bound") {
+    // path 0-1-2-…-200: diameter 200 ≫ label propagation's default 20
+    // rounds (it throws); the star rounds bound is O(log² n).
+    val n = 200
+    val path = (0 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      Components.connectedComponents(path)
+    }
+    val star = Components.connectedComponentsStar(path)
+      .as[(Long, Long)].collect().toMap
+    assert(star.size === n + 1 && star.values.forall(_ == 0L))
+    // same labels as label propagation when the latter is given enough
+    // rounds — the two formulations agree on the exact fixpoint
+    // (smaller path: O(diameter) checkpoint rounds are the cost being
+    // escaped, no need to pay 200 of them in the test)
+    val m = 60
+    val path60 = (0 until m).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val prop = Components.connectedComponents(path60, maxIter = m + 2)
+      .as[(Long, Long)].collect().toMap
+    val star60 = Components.connectedComponentsStar(path60)
+      .as[(Long, Long)].collect().toMap
+    assert(star60 === prop)
+  }
+
+  test("star labels are permutation-robust on a shuffled multi-component graph") {
+    // two interleaved deep paths (evens and odds) plus a shared bridge
+    // only in one of them, with edges listed in scrambled order
+    val evens = (0 until 120 by 2).map(i => (i.toLong, i + 2L))
+    val odds = (1 until 121 by 2).map(i => (i.toLong, i + 2L))
+    val rnd = new scala.util.Random(7)
+    val pairs = rnd.shuffle(evens ++ odds).map {
+      case (a, b) => if (a % 3 == 0) (b, a) else (a, b)
+    }.toDF("doc_a", "doc_b")
+    val star = Components.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    star.foreach { case (id, comp) =>
+      assert(comp === (if (id % 2 == 0) 0L else 1L), s"node $id")
+    }
+  }
 }
