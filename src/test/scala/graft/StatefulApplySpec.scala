@@ -101,6 +101,46 @@ class StatefulApplySpec extends SparkSpec {
       "active key 2 must stay in state")
   }
 
+  test("v2 event-time timers evict idle keys with an expired tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = graft.streaming.StatefulApplyV2.requiredConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    graft.streaming.StatefulApplyV2.requiredConfs
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      def evAt(id: Long, sal: Long, when: String) =
+        CdcEvent(0, id, s"FN$id", s"LN$id", "2012-04-10", "City", sal, "insert", t(when))
+      val input = MemoryStream[CdcEvent]
+      // same scenario as the v1 TTL test: 10-min watermark, 1h idle TTL
+      val out = graft.streaming.StatefulApplyV2.latestPerKeyStreamTtl(
+        input.toDS(), "10 minutes", idleMs = 3600L * 1000)
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("ttl_v2_out").start()
+
+      input.addData(evAt(1, 100, "2024-01-01 10:00:00"), evAt(2, 200, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // key 2 re-arms its timer at 13:00; the watermark advance to
+      // 12:50 fires key 1's 11:00 timer but NOT key 2's
+      input.addData(evAt(2, 250, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      q.processAllAvailable() // timer fires on the batch after the watermark moves
+      q.stop()
+
+      val rows = spark.table("ttl_v2_out").as[CdcEvent].collect()
+      val expired = rows.filter(_.action == "expired")
+      assert(expired.map(_.emp_id).toSeq === Seq(1L),
+        s"only idle key 1 must expire, got: ${rows.mkString(";")}")
+      assert(expired.head.emp_salary === 100L,
+        "tombstone must carry the key's final resolved state")
+      assert(!rows.exists(r => r.emp_id == 2L && r.action == "expired"),
+        "re-armed key 2 must stay in state")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("watermark + dropDuplicates dedups redelivered events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CdcEvent]
