@@ -939,6 +939,42 @@ object ExtensionQueries {
     withRecallCheck(got, corpus, qs, k = 10)
   }
 
+  /** Incremental rollup ([[graft.ops.Rollup]]): facts reduce into
+    * per-(day, type) MERGEABLE partials in two independent refresh
+    * slices (split at mid-month — the incremental-refresh shape), and
+    * the read-time merge folds the union to per-type totals. The
+    * oracle aggregates the facts directly in one pass: hash equality
+    * proves the partial state is a lossless monoid under any split.
+    * Value is pre-quantized `round(value*100)` (the covar parity
+    * rule), so sums are exact integers on both engines. */
+  private def qEventsRollupMerge(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.events(s, dir).select(col("event_type"),
+      to_date(col("ts")).as("day"), round(col("value") * 100).cast("long").as("x"))
+    val cut = lit("2024-01-15").cast("date")
+    def slicePartials(sl: DataFrame) = graft.ops.Rollup.partials(
+      sl, col("day"), Seq(col("event_type")), col("x"))
+    val merged = graft.ops.Rollup.merge(
+      slicePartials(facts.where(col("day") <= cut))
+        .unionByName(slicePartials(facts.where(col("day") > cut))),
+      Seq(col("event_type")))
+    merged.select(col("event_type"), col("n"), col("total").as("total_x100"),
+        col("vmin").as("vmin_x100"), col("vmax").as("vmax_x100"))
+      .orderBy("event_type")
+  }
+
+  /** Z-order key derivation ([[graft.ops.ZOrder]]): the bit-interleave
+    * arithmetic gated bit-for-bit against the same arithmetic in
+    * DuckDB. The layout/pruning half (range-partition by z, per-file
+    * manifest, box skip ratio) is exercised on real written files in
+    * ZOrderSpec — file layout isn't observable through a result
+    * DataFrame. */
+  private def qEventsZorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("event_id") < 200)
+      .select(col("event_id"), graft.ops.ZOrder.zValue(
+        hour(col("ts")), pmod(col("user_id"), lit(256)), 8).as("z"))
+      .orderBy("event_id")
+
   // -------------------------------------------------------- multimodal
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -1004,6 +1040,8 @@ object ExtensionQueries {
     "sim_topk_pq" -> (qSimTopkPq _),
     "sim_topk_ivfpq" -> (qSimTopkIvfPq _),
     "multimodal_features" -> (qMultimodalFeatures _),
+    "events_rollup_merge" -> (qEventsRollupMerge _),
+    "events_zorder_key" -> (qEventsZorderKey _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -1654,6 +1692,20 @@ object ExtensionQueries {
     // compute the identical fixpoint, so one oracle gates both
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
+
+    // the engine merges two-slice partials; the oracle aggregates the
+    // facts directly — equality pins partial-state mergeability
+    "events_rollup_merge" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_x100,
+        |       CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vmin_x100,
+        |       CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vmax_x100
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_zorder_key" ->
+      s"""SELECT event_id,
+         |  ${graft.ops.ZOrder.zValueSql("hour(CAST(ts AS TIMESTAMP))", "user_id % 256", 8)} AS z
+         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "dedup_simhash_pairs" -> {
       val bandW = Dedup.simhashPairBits / Dedup.simhashPairBands
