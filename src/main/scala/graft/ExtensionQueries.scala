@@ -277,6 +277,44 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** PPJoin prefix-filter near-dup pairs
+    * ([[graft.ops.Dedup.prefixFilterPairs]]): the EXACT candidate
+    * generator — rarest-token prefixes must intersect for any pair at
+    * J ≥ 1/2, so unlike the LSH channels there is no probabilistic
+    * miss to calibrate. Oracle mirrors the full prefix construction
+    * (global token frequencies, per-doc rank, prefix length
+    * arithmetic) in SQL. */
+  private def qDedupPrefixFilter(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Count-Min sketch frequency estimates next to their exact audits —
+    * the mergeable point-count sketch completing the family (HLL
+    * distinct, GK quantiles, KMV set ops). The sketch is bounded
+    * metadata (width × depth counters); estimates for the top-20 keys
+    * read driver-side from the collected sketch exactly like PQ's
+    * codebook, while the exact audit is a plain aggregate. Rows-only
+    * gate (no portable SQL computes CMS); each row carries
+    * `within_bound` = est ∈ [exact, exact + ⌈ε·N⌉] — the CMS
+    * overestimate guarantee — and SketchSpec asserts it. */
+  private def qEventsCmsCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val bytes = ev.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val slack = math.ceil(0.001 * cms.totalCount()).toLong
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+      .as[(Long, Long)].collect()
+    top.map { case (u, n) => (u, n, cms.estimateCount(u)) }.toSeq
+      .toDF("user_id", "n_exact", "n_est")
+      .withColumn("within_bound",
+        col("n_est") >= col("n_exact") && col("n_est") <= col("n_exact") + slack)
+      .orderBy("user_id")
+  }
+
   /** Manku-style simhash near-dup pairs (banded 60-bit fingerprints,
     * Hamming ≤ 3 verified by exact popcount). */
   private def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -1042,6 +1080,8 @@ object ExtensionQueries {
     "multimodal_features" -> (qMultimodalFeatures _),
     "events_rollup_merge" -> (qEventsRollupMerge _),
     "events_zorder_key" -> (qEventsZorderKey _),
+    "dedup_prefix_filter" -> (qDedupPrefixFilter _),
+    "events_cms_counts" -> (qEventsCmsCounts _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -1706,6 +1746,34 @@ object ExtensionQueries {
       s"""SELECT event_id,
          |  ${graft.ops.ZOrder.zValueSql("hour(CAST(ts AS TIMESTAMP))", "user_id % 256", 8)} AS z
          |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    // full prefix construction mirrored on the SHARED shingle CTE:
+    // global shingle frequencies, per-doc (freq, shingle) rank,
+    // L = n - ceil(n/2) + 1 via the nonneg-exact (n+1)//2, prefix
+    // candidate join, exact Jaccard >= 1/2 verify
+    "dedup_prefix_filter" ->
+      s"""WITH $SHINGLE3,
+         |freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY 1),
+         |rk AS (SELECT doc_id, sh.shingle,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, sh.shingle) AS rn,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |       FROM sh JOIN freq USING (shingle)),
+         |pre AS (SELECT doc_id, shingle FROM rk WHERE rn <= n - ((n + 1) // 2) + 1),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM pre x JOIN pre y
+         |         ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.doc_a
+         |          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+         |       CAST(ca.n_sh + cb.n_sh - i.inter AS BIGINT) AS union_sz
+         |FROM inter i
+         |JOIN cnt ca ON ca.doc_id = i.doc_a
+         |JOIN cnt cb ON cb.doc_id = i.doc_b
+         |WHERE 2 * i.inter >= ca.n_sh + cb.n_sh - i.inter
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash_pairs" -> {
       val bandW = Dedup.simhashPairBits / Dedup.simhashPairBands

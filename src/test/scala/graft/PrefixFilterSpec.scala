@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Text}
+
+/** Prefix filtering is an EXACT candidate generator: its output must
+  * equal brute-force all-pairs Jaccard — no probabilistic misses to
+  * calibrate, which is its selling point over the LSH channels. */
+class PrefixFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("prefix-filter pairs == brute-force all-pairs shingle Jaccard >= 1/2") {
+    val docs = Tables.documents(spark, dir)
+    val got = Dedup.prefixFilterPairs(docs, col("text"), col("doc_id"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    // brute force: all pairs over the same distinct 3-shingles
+    // (fixture-sized only — the quadratic form the operator avoids)
+    val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 3)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .where(lit(2) * col("inter") >= col("ca.n") + col("cb.n") - col("inter"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
+  test("prefix length arithmetic: n - ceil(n/2) + 1 over threshold 1/2") {
+    // a doc with 4 distinct tokens keeps a 3-token prefix; sharing
+    // only the doc's 2 MOST-frequent tokens cannot reach J >= 1/2
+    // against it, and the candidate join must still find every true
+    // pair — covered by the brute-force equality above; here pin the
+    // arithmetic itself
+    val l = (n: Int, num: Int, den: Int) => n - ((n * num + den - 1) / den) + 1
+    assert(l(4, 1, 2) === 3 && l(5, 1, 2) === 3 && l(1, 1, 2) === 1)
+    assert(l(10, 4, 5) === 3) // J >= 0.8 -> short prefixes
+  }
+}

@@ -19,6 +19,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates overestimate within eps*N at sf0.001 and sf0.01") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val rows = SparkEntry.queries("events_cms_counts")(
+          spark, s"/root/testdata/sf$sf")
+        .select($"user_id", $"within_bound").as[(Long, Boolean)].collect()
+      assert(rows.nonEmpty)
+      val out = rows.filterNot(_._2)
+      assert(out.isEmpty, s"CMS out of bound at sf$sf: ${out.mkString(",")}")
+    }
+  }
+
   test("approx p90 rank error within n/accuracy at sf0.001 and sf0.01") {
     for (sf <- Seq("0.001", "0.01")) {
       val rows = SparkEntry.queries("events_approx_quantiles")(
