@@ -77,13 +77,18 @@ object Text {
       "ELSE array() END")
   }
 
-  /** One row per distinct shingle per doc: (idCol, shingle). The
-    * explode happens map-side; downstream joins shuffle on `shingle`.
+  /** One row per distinct shingle per doc: (idCol, shingle). Dedup
+    * happens PER ROW via array_distinct before the explode — a doc's
+    * shingle set always fits one row, so a `.distinct()` (which
+    * shuffles the whole exploded table on (doc, shingle)) would pay a
+    * full shuffle for work the map side can do alone. Every dedup
+    * operator sits on this table, so the saved shuffle compounds
+    * across the family. The explode happens map-side; downstream
+    * joins shuffle on `shingle`.
     */
   def distinctShingles(docs: DataFrame, textCol: Column, idCol: Column, n: Int): DataFrame =
     docs.select(idCol.as("doc_id"), tokens(textCol).as("tk"))
-      .select(col("doc_id"), explode(shingleExpr(n)).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(shingleExpr(n))).as("shingle"))
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
