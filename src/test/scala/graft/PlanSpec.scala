@@ -233,4 +233,35 @@ class PlanSpec extends SparkSpec {
     assert(scans >= 2,
       s"expected the persisted per-customer frame on both passes, found $scans scans")
   }
+
+  test("events_zorder_key: id filter pushed, z arithmetic inside codegen") {
+    val p = planOf("events_zorder_key")
+    assert(p.contains("LessThan(event_id,200)"), "event_id filter not pushed")
+    // the 8-term interleave must stay ONE projection over the scan (a
+    // z-order rewrite evaluates it for every row); the only exchange
+    // is the output sort
+    assert("\\bProject\\b".r.findAllIn(p).length <= 2,
+      "z computation must stay a narrow projection pipeline over the scan")
+    assert("\\bExchange\\b".r.findAllIn(p).length === 1,
+      "only the output sort may exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_rollup_merge: partials combine map-side before every exchange") {
+    val p = planOf("events_rollup_merge")
+    // both refresh slices and the final merge must plan partial
+    // aggregates — the partial table, not the fact table, crosses the
+    // wire (the entire point of mergeable rollup state)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "no map-side partial aggregation in the rollup plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_prefix_filter: candidate join is keyed on the shingle, never cartesian") {
+    val p = planOf("dedup_prefix_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix candidate generation must stay an equi-join on the prefix shingle")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "per-doc prefix rank must plan as a window")
+  }
 }
