@@ -830,6 +830,24 @@ object SparkEntry {
         coalesce(col("5-LOW"), lit(0L)).as("n_low"))
       .orderBy("month")
 
+  /** UNPIVOT — the inverse of [[qOrdersPivotPriority]]'s wide form:
+    * per-priority metrics melt into (priority, metric, value) long
+    * form via the native `unpivot` operator (Spark plans an Expand —
+    * one pass, rows × metrics output, no join or union of re-scans;
+    * the UNION-ALL oracle formulation would scan once per metric).
+    * All melted values share BIGINT so the value column needs no
+    * lossy common cast. */
+  private def qOrdersUnpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSumScaled(col("o_totalprice"), "decimal(18,2)", 100, "total_x100"),
+        max(floor(col("o_totalprice") * 100).cast("long")).as("max_x100"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_x100"), col("max_x100")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+
   // ----------------------------------------------------------- events
 
   /** σ-threshold anomaly detection over hourly totals, in EXACT integer
@@ -1144,6 +1162,7 @@ object SparkEntry {
     "part_brand_breadth" -> (qPartBrandBreadth _),
     "events_value_hour_covar" -> (qEventsValueHourCovar _),
     "orders_pivot_priority" -> (qOrdersPivotPriority _),
+    "orders_unpivot_metrics" -> (qOrdersUnpivotMetrics _),
     "orders_monthly_mom" -> (qOrdersMonthlyMom _),
     "customers_no_orders" -> (qCustomersNoOrders _),
     "events_sessionize" -> (qEventsSessionize _),
@@ -1667,6 +1686,18 @@ object SparkEntry {
         |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
         |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "orders_unpivot_metrics" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_x100,
+        |         CAST(MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_x100
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+        |UNION ALL SELECT o_orderpriority, 'total_x100', total_x100 FROM a
+        |UNION ALL SELECT o_orderpriority, 'max_x100', max_x100 FROM a
+        |ORDER BY o_orderpriority, metric""".stripMargin,
 
     "orders_monthly_mom" ->
       """WITH m AS (

@@ -439,9 +439,18 @@ object Dedup {
     * equal to brute-force all-pairs.
     */
   def prefixFilterPairs(docs: DataFrame, textCol: Column, idCol: Column,
-                        shingleN: Int = 3, num: Int = 1, den: Int = 2): DataFrame = {
+                        shingleN: Int = 3, num: Int = 1, den: Int = 2,
+                        persistShingles: Boolean = true): DataFrame = {
     require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
-    val sh = Text.distinctShingles(docs, textCol, idCol, shingleN)
+    // unlike the LSH channel (where ReuseExchange shares the banded
+    // shuffle), the shingle table here feeds FIVE consumers behind
+    // DIFFERENT shuffle keys (freq, both prefix-join sides, both
+    // verify sides) — nothing reuses, so the tokenize+explode pipeline
+    // re-runs per consumer unless materialized
+    val sh0 = Text.distinctShingles(docs, textCol, idCol, shingleN)
+    val sh = if (persistShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
