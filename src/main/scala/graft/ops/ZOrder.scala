@@ -22,25 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Interleave the low `bits` bits of two non-negative columns:
-    * a's bit i lands at 2i, b's at 2i+1. 2·bits ≤ 62 keeps the key in
-    * a long; callers bucket/clamp wider dimensions first. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits $bits out of range")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  /** Interleave the low `bits` bits of k non-negative columns: column
+    * j's bit i lands at position i·k + j. k·bits ≤ 62 keeps the key
+    * in a long; callers bucket/clamp wider dimensions first. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.size
+    require(k >= 2, s"need >= 2 dims, got $k")
+    require(bits >= 1 && k * bits <= 62, s"$k dims x $bits bits overflow a long")
+    val longs = dims.map(_.cast("long"))
+    (for {
+      i <- 0 until bits
+      (d, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** 2-d [[zValueN]]: a's bit i lands at 2i, b's at 2i+1. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** DuckDB mirror of [[zValueN]] for oracle parity. */
+  def zValueNSql(dims: Seq[String], bits: Int): String = {
+    val k = dims.size
+    (for {
+      i <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield s"(((CAST($d AS BIGINT) >> $i) & 1) << ${i * k + j})")
+      .mkString("(", " | ", ")")
   }
 
   /** DuckDB mirror of [[zValue]] for oracle parity. */
   def zValueSql(a: String, b: String, bits: Int = 16): String =
-    (0 until bits).map { i =>
-      s"(((CAST($a AS BIGINT) >> $i) & 1) << ${2 * i}) | " +
-        s"(((CAST($b AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
-    }.mkString("(", " | ", ")")
+    zValueNSql(Seq(a, b), bits)
 
   /** Rewrite `df` into `n` z-clustered slices: range-partition by the
     * interleaved key, sort within each slice so parquet row-group
