@@ -285,7 +285,8 @@ object ExtensionQueries {
     * (global token frequencies, per-doc rank, prefix length
     * arithmetic) in SQL. */
   private def qDedupPrefixFilter(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixFilterPairs(Tables.documents(s, dir), col("text"), col("doc_id"))
+    Dedup.prefixFilterPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+        persistShingles = true) // Verify/Bench clearCache between queries
       .orderBy("doc_a", "doc_b")
 
   /** Count-Min sketch frequency estimates next to their exact audits —
@@ -991,8 +992,11 @@ object ExtensionQueries {
     val cut = lit("2024-01-15").cast("date")
     def slicePartials(sl: DataFrame) = graft.ops.Rollup.partials(
       sl, col("day"), Seq(col("event_type")), col("x"))
+    // the split must be EXHAUSTIVE or the mergeability proof is void:
+    // a NULL day matches neither <= nor >, so it rides the first slice
+    // explicitly (the oracle's direct GROUP BY would count it)
     val merged = graft.ops.Rollup.merge(
-      slicePartials(facts.where(col("day") <= cut))
+      slicePartials(facts.where(col("day") <= cut || col("day").isNull))
         .unionByName(slicePartials(facts.where(col("day") > cut))),
       Seq(col("event_type")))
     merged.select(col("event_type"), col("n"), col("total").as("total_x100"),

@@ -28,10 +28,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AnnCache {
   private val cache = new ConcurrentHashMap[String, AnyRef]()
 
-  /** Memoize a built index under `key`; the first caller builds. */
-  def memo[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
-    cache.computeIfAbsent(spark.sparkContext.applicationId + ":" + key,
-      _ => build).asInstanceOf[T]
+  /** Memoize a built index under `key`; the first caller builds.
+    * Entries keyed by OTHER applicationIds are evicted on the way in:
+    * only one SparkContext is active per JVM, so a different prefix
+    * means a stopped session whose indexes are dead weight (their
+    * blocks died with the context) — without eviction a JVM that
+    * restarts its session (the shared sbt test JVM) pins one
+    * generation of stale object graphs per restart. */
+  def memo[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val prefix = spark.sparkContext.applicationId + ":"
+    cache.keySet.removeIf(k => !k.startsWith(prefix))
+    cache.computeIfAbsent(prefix + key, _ => build).asInstanceOf[T]
+  }
 
   /** Materialize an index component so it survives inter-query cache
     * hygiene and carries no training lineage. */

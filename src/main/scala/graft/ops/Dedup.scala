@@ -440,13 +440,16 @@ object Dedup {
     */
   def prefixFilterPairs(docs: DataFrame, textCol: Column, idCol: Column,
                         shingleN: Int = 3, num: Int = 1, den: Int = 2,
-                        persistShingles: Boolean = true): DataFrame = {
+                        persistShingles: Boolean = false): DataFrame = {
     require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
     // unlike the LSH channel (where ReuseExchange shares the banded
     // shuffle), the shingle table here feeds FIVE consumers behind
     // DIFFERENT shuffle keys (freq, both prefix-join sides, both
     // verify sides) — nothing reuses, so the tokenize+explode pipeline
-    // re-runs per consumer unless materialized
+    // re-runs per consumer unless materialized. Default OFF, matching
+    // minhashNearDups: the library must not leak a cache entry the
+    // caller has no handle to unpersist; turn it on where inter-query
+    // clearCache hygiene exists (the registered query does).
     val sh0 = Text.distinctShingles(docs, textCol, idCol, shingleN)
     val sh = if (persistShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -57,13 +57,17 @@ object ZOrder {
 
   /** Rewrite `df` into `n` z-clustered slices: range-partition by the
     * interleaved key, sort within each slice so parquet row-group
-    * stats are tight too. Write the result with any file sink; pair
-    * with [[manifest]] for skip decisions. */
+    * stats are tight too, then DROP the key — the written files keep
+    * the input schema (like OPTIMIZE ZORDER, the clustering key is
+    * layout, not data; the projection preserves partitioning and
+    * intra-partition order). Write the result with any file sink;
+    * pair with [[manifest]] for skip decisions. */
   def layout(df: DataFrame, a: Column, b: Column, n: Int,
              bits: Int = 16): DataFrame =
     df.withColumn("z", zValue(a, b, bits))
       .repartitionByRange(n, col("z"))
       .sortWithinPartitions(col("z"))
+      .drop("z")
 
   /** Per-file min/max manifest over `dims` — the stats a box-predicate
     * planner consults to skip files. One aggregation, grouped by file. */
