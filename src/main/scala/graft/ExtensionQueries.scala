@@ -1004,6 +1004,46 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** [[graft.ops.Rollup]]'s algebra with SKETCH state: the stored
+    * partial per (day, type) is a bottom-K KMV sketch of the distinct
+    * user hashes, and the read-time merge to the type grain is set
+    * union + re-truncation — the mergeable-monoid shape every
+    * distinct-count rollup runs at scale (a COUNT DISTINCT partial
+    * is not mergeable; a KMV is). The global K smallest hashes are
+    * each among their own day's K smallest, so merging the daily
+    * sketches loses nothing — and because the hash is deterministic
+    * and injective ([[graft.ops.Sampling.hashVal]]), the whole
+    * construction is oracle-EXACT, estimate included (the same
+    * property events_kmv_churn rides). Emits the merged estimate
+    * beside the exact audit. */
+  private def qEventsRollupKmv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 32
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("event_type"), col("user_id"))
+      .distinct()
+    // the stored partial: bottom-K per (day, type) — WindowGroupLimit
+    // pre-reduces map-side, so partial size is K rows per bucket
+    val wd = Window.partitionBy(col("d"), col("event_type")).orderBy(col("h"))
+    val partials = du
+      .withColumn("h", graft.ops.Sampling.hashVal(col("user_id")))
+      .withColumn("rk", row_number().over(wd)).where(col("rk") <= K)
+      .select(col("d"), col("event_type"), col("h"))
+    // read-time merge: union, dedup, re-truncate to K, estimate
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val merged = partials.select(col("event_type"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wt)).where(col("rk") <= K)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("h_k"))
+      .select(col("event_type"), col("k_union"),
+        when(col("k_union") < K, col("k_union"))
+          .otherwise(expr(s"((k_union - 1) * ${graft.ops.Sampling.P}) div h_k"))
+          .as("est_distinct"))
+    val exact = du.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"))
+    merged.join(exact, "event_type").orderBy("event_type")
+  }
+
   /** Z-order key derivation ([[graft.ops.ZOrder]]): the bit-interleave
     * arithmetic gated bit-for-bit against the same arithmetic in
     * DuckDB. The layout/pruning half (range-partition by z, per-file
@@ -1086,6 +1126,7 @@ object ExtensionQueries {
     "events_zorder_key" -> (qEventsZorderKey _),
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "events_cms_counts" -> (qEventsCmsCounts _),
+    "events_rollup_kmv" -> (qEventsRollupKmv _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -1303,6 +1344,30 @@ object ExtensionQueries {
          |       n_union, n_both
          |FROM es JOIN ex ON es.pd = ex.pd
          |ORDER BY day""".stripMargin
+    },
+
+    "events_rollup_kmv" -> {
+      val h = graft.ops.Sampling.hashValSql("user_id")
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, user_id
+         |            FROM events),
+         |hp AS (SELECT d, event_type, $h AS h FROM du),
+         |pk AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY d, event_type ORDER BY h) AS rk
+         |         FROM hp) WHERE rk <= 32),
+         |mg AS (SELECT DISTINCT event_type, h FROM pk),
+         |mk AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |         FROM mg) WHERE rk <= 32),
+         |es AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_union, MAX(h) AS h_k
+         |       FROM mk GROUP BY 1),
+         |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+         |       FROM du GROUP BY 1)
+         |SELECT es.event_type, k_union,
+         |       CASE WHEN k_union < 32 THEN k_union
+         |            ELSE ((k_union - 1) * ${graft.ops.Sampling.P}) // h_k END AS est_distinct,
+         |       n_distinct
+         |FROM es JOIN ex ON es.event_type = ex.event_type
+         |ORDER BY es.event_type""".stripMargin
     },
 
     "events_sliding_window" ->
