@@ -77,10 +77,29 @@ object Bench {
       cleanup()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ent(kv: (String, Double)) = "\"" + kv._1 + "\":" + fmt(kv._2)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of stdout; a JSON line
+    // carrying all ~110 query timings (~3 KB) gets its head truncated
+    // and the driver's parse silently fails (r4+r5 both show
+    // parsed:null). So the stdout line reports the slowest queries —
+    // the informative ones; sub-300 ms timings are noise-bound per
+    // SCALE.md — up to a length budget that keeps the WHOLE line inside
+    // the capture window. The full map still goes to stderr.
+    System.err.println(
+      "[bench-full] " + results.map(ent).mkString("{", ",", "}"))
+    val budget = 1500
+    val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowFirst.foreach { kv =>
+      val e = ent(kv)
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":${kept.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

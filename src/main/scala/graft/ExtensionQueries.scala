@@ -575,6 +575,18 @@ object ExtensionQueries {
       .orderBy(col("n").desc, col("token").asc)
       .limit(100)
 
+  /** BPE training's inner statistic: the most frequent adjacent
+    * pre-token pairs across the corpus — the pair the next merge round
+    * would fuse (Sennrich et al., ACL 2016). Pairing is per-row array
+    * arithmetic ([[Text.pairStats]]: the token list zipped against its
+    * own shift — no self-join, no window), so the only shuffle is the
+    * pair group-by with map-side partials; top-k with a full (n, left,
+    * right) tiebreak keeps the result total-order deterministic. */
+  private def qTextBpePairs(s: SparkSession, dir: String): DataFrame =
+    Text.pairStats(Tables.documents(s, dir), col("text"))
+      .orderBy(col("n").desc, col("left").asc, col("right").asc)
+      .limit(30)
+
   /** Decontamination check: near-duplicate pairs (MinHash-LSH, J≥0.5)
     * whose two documents land in DIFFERENT train/val/test splits (the
     * [[Sampling.assignSplit]] assignment) — i.e. eval-set leakage. A
@@ -978,6 +990,22 @@ object ExtensionQueries {
     withRecallCheck(got, corpus, qs, k = 10)
   }
 
+  /** Skew-safe dimension enrichment via [[graft.ops.Skew.saltedJoin]]:
+    * the per-user cohort dim joins back to the fact stream with the
+    * build side replicated over 8 salts and the probe side scattered
+    * by row hash — a hot user's rows land on 8 reducers, not 1. The
+    * oracle runs the PLAIN join: hash equality proves the salted form
+    * is row-identical, which is the operator's whole contract. */
+  private def qEventsSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val dim = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    graft.ops.Skew.saltedJoin(ev, dim, Seq("user_id"), 8)
+      .groupBy(col("cohort_day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("cohort_day", "event_type")
+  }
+
   /** Incremental rollup ([[graft.ops.Rollup]]): facts reduce into
     * per-(day, type) MERGEABLE partials in two independent refresh
     * slices (split at mid-month — the incremental-refresh shape), and
@@ -1081,6 +1109,7 @@ object ExtensionQueries {
     "events_range_join" -> (qEventsRangeJoin _),
     "corpus_split" -> (qCorpusSplit _),
     "text_vocab_topk" -> (qTextVocabTopk _),
+    "text_bpe_pairs" -> (qTextBpePairs _),
     "events_funnel" -> (qEventsFunnel _),
     "events_retention" -> (qEventsRetention _),
     "split_contamination" -> (qSplitContamination _),
@@ -1123,6 +1152,7 @@ object ExtensionQueries {
     "sim_topk_ivfpq" -> (qSimTopkIvfPq _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "events_rollup_merge" -> (qEventsRollupMerge _),
+    "events_salted_join" -> (qEventsSaltedJoin _),
     "events_zorder_key" -> (qEventsZorderKey _),
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "events_cms_counts" -> (qEventsCmsCounts _),
@@ -1437,6 +1467,19 @@ object ExtensionQueries {
       s"""WITH t AS (SELECT unnest($TK) AS token FROM documents)
          |SELECT token, COUNT(*) AS n FROM t
          |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    // two aligned unnests over the list sliced against its own shift —
+    // the same zip-with-shift the engine runs; both slices are empty
+    // when a doc has < 2 pre-tokens (the engine's size >= 2 guard)
+    "text_bpe_pairs" ->
+      s"""WITH t AS (SELECT regexp_extract_all(lower(trim(text)),
+         |                    '${Text.bpeTokenPattern}', 0) AS tk
+         |           FROM documents),
+         |p AS (SELECT unnest(tk[1:len(tk)-1]) AS "left",
+         |             unnest(tk[2:len(tk)]) AS "right" FROM t)
+         |SELECT "left", "right", CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2
+         |ORDER BY n DESC, "left" ASC, "right" ASC LIMIT 30""".stripMargin,
 
     "split_contamination" ->
       s"""WITH $SHINGLE3,
@@ -1804,6 +1847,15 @@ object ExtensionQueries {
 
     // the engine merges two-slice partials; the oracle aggregates the
     // facts directly — equality pins partial-state mergeability
+    // the PLAIN join — equality pins the salted join's row-identity
+    "events_salted_join" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |dim AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ev JOIN dim USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_rollup_merge" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_x100,
@@ -1813,7 +1865,7 @@ object ExtensionQueries {
 
     "events_zorder_key" ->
       s"""SELECT event_id,
-         |  ${graft.ops.ZOrder.zValueSql("hour(CAST(ts AS TIMESTAMP))", "user_id % 256", 8)} AS z
+         |  ${graft.ops.ZOrder.zValueSql("hour(CAST(ts AS TIMESTAMP))", "((user_id % 256 + 256) % 256)", 8)} AS z
          |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     // full prefix construction mirrored on the SHARED shingle CTE:

@@ -1067,7 +1067,14 @@ object SparkEntry {
     * zero, whereas double→DECIMAL(18,2) rounds the shortest-string
     * repr (Spark) vs the binary value (DuckDB), and a per-row ±1
     * disagreement doesn't wash out of Σxy the way it can't enter a
-    * plain sum-then-scale. One keyed aggregation, map-side partials. */
+    * plain sum-then-scale. The wide-decimal math stays INTERNAL; the
+    * emitted numerator is BIGINT, like every other *_x100 column —
+    * a decimal output column is the one type the oracle compare
+    * normalizes differently per engine (r5's only red was exactly
+    * this: values equal, decimal128 vs DECIMAL hashed apart). The
+    * long envelope holds to ~10^18 (n·Σxy at sf0.1 is ~10^14); past
+    * that the reader keeps the internal decimal form instead.
+    * One keyed aggregation, map-side partials. */
   private def qEventsValueHourCovar(s: SparkSession, dir: String): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val x = round(col("value") * 100).cast("long")
@@ -1079,7 +1086,7 @@ object SparkEntry {
         sum(d38(col("x")) * d38(col("y"))).cast("decimal(38,0)").as("sxy"))
       .select(col("event_type"), col("n"),
         (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy")))
-          .cast("decimal(38,0)").as("covar_num_x100"))
+          .cast("long").as("covar_num_x100"))
       .orderBy("event_type")
   }
 
@@ -1667,7 +1674,7 @@ object SparkEntry {
         |      FROM e GROUP BY 1)
         |SELECT event_type, n,
         |       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-        |            AS DECIMAL(38,0)) AS covar_num_x100
+        |            AS BIGINT) AS covar_num_x100
         |FROM a ORDER BY 1""".stripMargin,
 
     "events_user_profile" ->

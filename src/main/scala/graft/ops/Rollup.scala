@@ -40,6 +40,9 @@ object Rollup {
   def merge(partialRows: DataFrame, keys: Seq[Column]): DataFrame =
     partialRows.groupBy(keys: _*)
       .agg(sum(col("p_n")).cast("long").as("n"),
-        sum(col("p_sum")).cast("long").as("total"),
+        // no cast: sum(long) is already long, and a decimal p_sum must
+        // merge losslessly — casting here would silently truncate
+        // fractional decimal totals
+        sum(col("p_sum")).as("total"),
         min(col("p_min")).as("vmin"), max(col("p_max")).as("vmax"))
 }

@@ -60,4 +60,35 @@ object Skew {
       .agg(sum(value).as("_partial"))
       .groupBy(groupCols: _*)
       .agg(sum(col("_partial")).as(as))
+
+  /** Equi-join immune to PROBE-side key skew, for when AQE's skew-join
+    * split can't apply (the skewed exchange feeds a co-grouped
+    * window/agg, or the build side is just over the broadcast budget):
+    * the build side is replicated across `salts` copies and the probe
+    * side scatters each row to ONE copy by a row hash, so a hot key's
+    * probe rows spread over `salts` reducers instead of one. Each
+    * probe row still meets every matching build row exactly once —
+    * the result is row-identical to the plain join.
+    *
+    * `joinType` must be "inner" or "left" (a right/full join would
+    * count the replicated build rows `salts` times); left-side columns
+    * keep their names, so the caller's projection is unchanged. Build
+    * shuffle volume grows `salts`×: size the knob to the skew factor,
+    * not higher — 8-32 covers the hot-key ratios AQE reports in
+    * practice. The probe salt mixes a row hash with the partition id
+    * (the all-identical-rows hot key hashes to one salt otherwise) and
+    * both are stable under task retry.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, not $joinType")
+    val saltKey = "__graft_salt"
+    val probeCols = probe.columns.toSeq
+    val p = probe.withColumn(saltKey,
+      pmod(hash(probeCols.map(col) :+ spark_partition_id(): _*), lit(salts)))
+    val b = build.withColumn(saltKey,
+      explode(array((0 until salts).map(lit): _*)))
+    p.join(b, keys :+ saltKey, joinType).drop(saltKey)
+  }
 }

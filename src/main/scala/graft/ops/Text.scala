@@ -32,6 +32,31 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(trim(text)), lit(bpeTokenPattern), lit(0))).cast("long")
 
+  /** Adjacent-pair frequency table over the BPE pre-tokens — the inner
+    * step of BPE tokenizer training (Sennrich et al., ACL 2016: each
+    * merge round picks the most frequent adjacent symbol pair). One
+    * round over raw pre-tokens is the operator; training iterates it
+    * on progressively merged symbols.
+    *
+    * Shape: the pairing is per-row array arithmetic (zip of the token
+    * list against itself shifted by one — no self-join, no window), so
+    * the explode happens map-side and the only shuffle is the
+    * (left, right) group-by, which combines partials map-side. At
+    * corpus scale the shuffle volume is the distinct-pair count, not
+    * the token count.
+    */
+  def pairStats(docs: DataFrame, textCol: Column): DataFrame = {
+    val toks = regexp_extract_all(lower(trim(textCol)), lit(bpeTokenPattern), lit(0))
+    docs.select(toks.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("left"), b.as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Polynomial hash of a string column's characters
     * (h = (h·31 + codepoint) mod 1e9+7) — pure integer arithmetic,
     * exactly reproducible in SQL, and crucially NOT a crypto digest:

@@ -63,11 +63,15 @@ object ZOrder {
     * intra-partition order). Write the result with any file sink;
     * pair with [[manifest]] for skip decisions. */
   def layout(df: DataFrame, a: Column, b: Column, n: Int,
-             bits: Int = 16): DataFrame =
-    df.withColumn("z", zValue(a, b, bits))
-      .repartitionByRange(n, col("z"))
-      .sortWithinPartitions(col("z"))
-      .drop("z")
+             bits: Int = 16): DataFrame = {
+    // collision-proof internal name: a user column named "z" must
+    // survive the layout rewrite untouched
+    val zk = "__graft_z"
+    df.withColumn(zk, zValue(a, b, bits))
+      .repartitionByRange(n, col(zk))
+      .sortWithinPartitions(col(zk))
+      .drop(zk)
+  }
 
   /** Per-file min/max manifest over `dims` — the stats a box-predicate
     * planner consults to skip files. One aggregation, grouped by file. */

@@ -24,6 +24,28 @@ class TextStatsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("pairStats: adjacent BPE pre-token pair counts") {
+    // "ab ab cd" → pre-tokens [ab, ab, cd] → pairs (ab,ab), (ab,cd)
+    // "ab, cd"  → pre-tokens [ab, ',', cd] → pairs (ab,','), (',',cd)
+    // "x"       → 1 pre-token → no pairs (the size>=2 guard)
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab, cd"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = Text.pairStats(docs, $"text")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("ab", "ab", 1L), ("ab", "cd", 1L),
+      ("ab", ",", 1L), (",", "cd", 1L)))
+  }
+
+  test("pairStats: total pair mass equals sum over docs of (tokens - 1)") {
+    val docs = Seq((1L, "one two three four"), (2L, "a1 b2"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val totalPairs = Text.pairStats(docs, $"text")
+      .agg(sum($"n")).as[Long].head()
+    // doc1: 4 pre-tokens→3, doc2: [a, 1, b, 2]→3, doc3: 1→0
+    assert(totalPairs === 6L)
+  }
+
   test("tfIdf matches the smoothed formula") {
     val got = Seq((3L, 2L, 9L)).toDF("tf", "df", "n")
       .select(Text.tfIdf($"tf", $"df", $"n").as("w"))
