@@ -1006,6 +1006,65 @@ object ExtensionQueries {
       .orderBy("cohort_day", "event_type")
   }
 
+  /** Incremental join-view maintenance ([[graft.ops.DeltaJoin]]): the
+    * customer⋈orders view refreshed from base slices plus insert
+    * deltas via the delta rule — base⋈base is joined once, every other
+    * term probes a base table with a BROADCAST delta. The oracle joins
+    * the full tables directly: hash equality proves the four-term
+    * union IS the full join. The split (customers by key mod, orders
+    * by date) makes every term non-empty, so a dropped term can't
+    * pass. Money stays DECIMAL(18,2) through the join and scales to
+    * integer cents only in the final aggregate (the house rule). */
+  private def qOrdersDeltaJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"),
+      date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val cut = lit("1997-01-01").cast("timestamp")
+    val (c0, dc) = (c.where(pmod(col("custkey"), lit(7)) =!= 0),
+      c.where(pmod(col("custkey"), lit(7)) === 0))
+    val (o0, dO) = (o.where(col("month") < cut), o.where(col("month") >= cut))
+    graft.ops.DeltaJoin.refreshed(c0, dc, o0, dO, Seq("custkey"))
+      .groupBy(col("c_nationkey"), col("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        (sum(col("price")) * lit(100)).cast("long").as("total_x100"))
+      .orderBy("c_nationkey", "month")
+  }
+
+  /** Sweep-line interval analytics over the SCD2 history: how many
+    * employee versions are simultaneously valid at each boundary
+    * instant. Each non-delete version contributes +1 at valid_from and
+    * −1 at valid_to; grouping deltas per instant FIRST makes the
+    * running sum independent of intra-instant event order (the
+    * adjacent-versions-share-a-boundary tie), and the +1/−1 events are
+    * ~2 rows per version — the sweep never materializes interval
+    * overlaps, which is what makes it the scale path where a range
+    * self-join explodes. The final running sum is a window over the
+    * pre-aggregated boundary-instant frame (like orders_monthly_mom's
+    * month frame); at cluster scale it splits into per-time-range
+    * partial sums plus broadcast prefix offsets. */
+  private def qCdcActiveSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("emp_id"))
+      .orderBy(col("last_updated_at"), col("event_id"))
+    // lead() runs BEFORE the delete filter: a delete event closes the
+    // prior version's validity even though it is not a version itself
+    val vers = graft.cdc.Routing
+      .validateSplit(graft.cdc.Fixtures.employeeCdcLog(s, dir)).valid
+      .withColumn("valid_to", lead(col("last_updated_at"), 1).over(w))
+      .where(col("action") =!= "delete")
+    val deltas = vers.select(col("last_updated_at").as("t"), lit(1L).as("d"))
+      .unionByName(vers.where(col("valid_to").isNotNull)
+        .select(col("valid_to").as("t"), lit(-1L).as("d")))
+    deltas.groupBy(col("t")).agg(sum(col("d")).cast("long").as("net"))
+      .withColumn("n_active", sum(col("net")).over(Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("t").cast("timestamp_ntz").as("ts"), col("net"), col("n_active"))
+      .orderBy("ts")
+  }
+
   /** Incremental rollup ([[graft.ops.Rollup]]): facts reduce into
     * per-(day, type) MERGEABLE partials in two independent refresh
     * slices (split at mid-month — the incremental-refresh shape), and
@@ -1153,6 +1212,8 @@ object ExtensionQueries {
     "multimodal_features" -> (qMultimodalFeatures _),
     "events_rollup_merge" -> (qEventsRollupMerge _),
     "events_salted_join" -> (qEventsSaltedJoin _),
+    "orders_delta_join" -> (qOrdersDeltaJoin _),
+    "cdc_active_sweep" -> (qCdcActiveSweep _),
     "events_zorder_key" -> (qEventsZorderKey _),
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "events_cms_counts" -> (qEventsCmsCounts _),
@@ -1284,6 +1345,27 @@ object ExtensionQueries {
         |    ORDER BY ts DESC, ord DESC) AS rn FROM u)
         |SELECT emp_id, name, val, ts, src FROM r
         |WHERE rn = 1 AND action <> 'delete' ORDER BY emp_id""".stripMargin),
+
+    // same validation filter as cdc_scd2_history; lead() before the
+    // delete filter (a delete closes the prior version); per-instant
+    // delta grouping before the running sum (tie-order independence)
+    "cdc_active_sweep" -> (L +
+      """, valid AS (
+        |  SELECT * FROM cdc_log
+        |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |             OR emp_salary <= 100 OR emp_id < 0)),
+        |v AS (SELECT *, lead(last_updated_at) OVER (PARTITION BY emp_id
+        |        ORDER BY last_updated_at, event_id) AS valid_to FROM valid),
+        |nv AS (SELECT * FROM v WHERE action <> 'delete'),
+        |d AS (SELECT last_updated_at AS t, 1 AS dd FROM nv
+        |      UNION ALL
+        |      SELECT valid_to, -1 FROM nv WHERE valid_to IS NOT NULL),
+        |net AS (SELECT t, CAST(SUM(dd) AS BIGINT) AS net FROM d GROUP BY 1)
+        |SELECT CAST(t AS TIMESTAMP) AS ts, net,
+        |       CAST(SUM(net) OVER (ORDER BY t
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_active
+        |FROM net ORDER BY ts""".stripMargin),
 
     "text_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents)
@@ -1847,6 +1929,19 @@ object ExtensionQueries {
 
     // the engine merges two-slice partials; the oracle aggregates the
     // facts directly — equality pins partial-state mergeability
+    // the direct full join — equality pins the delta rule's four-term
+    // union as exactly the full join
+    "orders_delta_join" ->
+      """WITH c AS (SELECT c_custkey AS custkey, c_nationkey FROM customer),
+        |o AS (SELECT o_custkey AS custkey,
+        |        date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+        |SELECT c_nationkey, CAST(month AS TIMESTAMP) AS month,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(price) * 100 AS BIGINT) AS total_x100
+        |FROM c JOIN o USING (custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the PLAIN join — equality pins the salted join's row-identity
     "events_salted_join" ->
       """WITH ev AS (SELECT user_id, event_type,

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Incremental maintenance of an inner equi-join view (the classic
+  * delta rule for insert-only streams, e.g. Blakeley et al., SIGMOD
+  * 1986): with base tables A₀, B₀ and insert batches dA, dB,
+  *
+  *   (A₀∪dA) ⋈ (B₀∪dB) = (A₀⋈B₀) ∪ (dA⋈B₀) ∪ (A₀⋈dB) ∪ (dA⋈dB)
+  *
+  * so a materialized join view is refreshed by UNIONing three delta
+  * joins onto the stored result — the base-to-base join is never
+  * recomputed. This is the join-view analog of [[Rollup]]'s mergeable
+  * aggregate partials; compose the two for an incrementally-maintained
+  * aggregated join.
+  *
+  * Scale: the deltas are micro-batch sized, so every term that touches
+  * a base table broadcasts its delta side — maintenance cost is a scan
+  * of each base table probed by an in-memory hash of the delta
+  * (∝ |A|+|B| in I/O, ∝ |dA|+|dB| in join work, zero shuffle of the
+  * base tables). With a key-bucketed base store
+  * ([[graft.sinks]]' bucketed layout) the probed scan narrows to the
+  * buckets the delta keys land in and the I/O term drops to
+  * ∝ touched buckets. Insert-only by contract: deletes/updates need
+  * the signed-count multiset form instead.
+  */
+object DeltaJoin {
+
+  /** The rows ADDED to A⋈B by insert batches `da` / `db` — union onto
+    * the stored view to refresh it. `keys` are the equi-join columns
+    * (same names both sides, as for `Dataset.join`). */
+  def increment(a0: DataFrame, da: DataFrame,
+                b0: DataFrame, db: DataFrame,
+                keys: Seq[String]): DataFrame =
+    broadcast(da).join(b0, keys)
+      .unionByName(a0.join(broadcast(db), keys))
+      .unionByName(da.join(broadcast(db), keys))
+
+  /** Full refreshed view: the stored base join plus [[increment]].
+    * Callers with a materialized `a0 ⋈ b0` pass it as `prior` to skip
+    * recomputing it. */
+  def refreshed(a0: DataFrame, da: DataFrame,
+                b0: DataFrame, db: DataFrame,
+                keys: Seq[String],
+                prior: Option[DataFrame] = None): DataFrame =
+    prior.getOrElse(a0.join(b0, keys))
+      .unionByName(increment(a0, da, b0, db, keys))
+}

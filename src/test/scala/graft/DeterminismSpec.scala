@@ -29,7 +29,11 @@ class DeterminismSpec extends SparkSpec {
     "customer_rank_breadth", // rank ties + integer rank ratios
     "events_variant_agg",  // VariantType extraction
     "corpus_quality_mixture", // tiered hash sampling
-    "corpus_source_cap")   // hash-rank capping
+    "corpus_source_cap",   // hash-rank capping
+    "events_salted_join",  // partition-id-seeded salt must not leak into results
+    "orders_delta_join",   // four-term delta union == full join, any split
+    "cdc_active_sweep",    // per-instant delta grouping + running sum
+    "text_bpe_pairs")      // pair top-k with full tiebreak
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
