@@ -1006,6 +1006,57 @@ object ExtensionQueries {
       .orderBy("cohort_day", "event_type")
   }
 
+  /** Robust dispersion per event type: exact median and MAD (median
+    * absolute deviation — the robust spread statistic behind
+    * median±k·MAD outlier fences, which one wild value can't drag the
+    * way events_anomaly's σ can). Everything is exact integer
+    * arithmetic: x doubles to x200 so the even-integer median is
+    * integral, and deviations double again (x400) for the same reason
+    * — Spark `percentile` and DuckDB `quantile_cont` agree
+    * bit-for-bit on integer inputs (the customer_rfm parity basis).
+    * Two keyed aggregations plus a broadcast of the 5-row median
+    * table; like customer_rfm, the exact percentile buffers each
+    * group's values — at open-ended scale the swap is
+    * percentile_approx (text_length_quantiles documents that trade).
+    */
+  private def qEventsValueMad(s: SparkSession, dir: String): DataFrame = {
+    val x2 = (round(col("value") * 100) * 2).cast("long")
+    val base = Tables.events(s, dir).select(col("event_type"), x2.as("x2"))
+    val med = base.groupBy(col("event_type"))
+      .agg(percentile(col("x2"), lit(0.5)).cast("long").as("median_x200"))
+    base.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("median_x200"),
+        (abs(col("x2") - col("median_x200")) * 2).cast("long").as("d4"))
+      .groupBy(col("event_type"), col("median_x200"))
+      .agg(percentile(col("d4"), lit(0.5)).cast("long").as("mad_x400"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Explicit GROUPING SETS — the asymmetric-subtotal surface cube()
+    * can't express without waste: (type, day) detail, per-day totals,
+    * and a grand total, but NO per-type-all-days set. One Expand over
+    * the input (3 replicas) feeding a single partial-agg shuffle —
+    * same plan family as events_cube, with the replica count equal to
+    * the set count rather than 2^dims. Labels come from GROUPING()
+    * (never NULL indicators), as events_cube establishes. */
+  private def qEventsGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      to_date(col("ts")).as("day"), col("value"))
+    e.groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        SparkEntry.decSumScaled(col("value"), "decimal(18,2)", 100, "total_value_x100"),
+        grouping(col("event_type")).as("_gt"),
+        grouping(col("day")).as("_gd"))
+      .select(
+        when(col("_gt") === 1, "ALL").otherwise(col("event_type")).as("event_type"),
+        when(col("_gd") === 1, lit("1900-01-01").cast("date")).otherwise(col("day")).as("day"),
+        col("n"), col("total_value_x100"))
+      .orderBy("event_type", "day")
+  }
+
   /** Incremental join-view maintenance ([[graft.ops.DeltaJoin]]): the
     * customer⋈orders view refreshed from base slices plus insert
     * deltas via the delta rule — base⋈base is joined once, every other
@@ -1214,6 +1265,8 @@ object ExtensionQueries {
     "events_salted_join" -> (qEventsSaltedJoin _),
     "orders_delta_join" -> (qOrdersDeltaJoin _),
     "cdc_active_sweep" -> (qCdcActiveSweep _),
+    "events_value_mad" -> (qEventsValueMad _),
+    "events_grouping_sets" -> (qEventsGroupingSets _),
     "events_zorder_key" -> (qEventsZorderKey _),
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "events_cms_counts" -> (qEventsCmsCounts _),
@@ -1929,6 +1982,33 @@ object ExtensionQueries {
 
     // the engine merges two-slice partials; the oracle aggregates the
     // facts directly — equality pins partial-state mergeability
+    // doubled scales keep every median integral: x200 values are even
+    // ints, deviations double again to x400 — quantile_cont on integer
+    // inputs matches Spark `percentile` bit-for-bit (customer_rfm rule)
+    "events_value_mad" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) * 2 AS x2 FROM events),
+        |m AS (SELECT event_type, CAST(quantile_cont(x2, 0.5) AS BIGINT) AS median_x200
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, median_x200, abs(x2 - median_x200) * 2 AS d4
+        |      FROM e JOIN m USING (event_type))
+        |SELECT event_type, median_x200,
+        |       CAST(quantile_cont(d4, 0.5) AS BIGINT) AS mad_x400,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // GROUPING() labels (not NULL indicators), as events_cube; the
+    // per-day and grand-total sets get sentinel labels on both sides
+    "events_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        |       CASE WHEN GROUPING(day) = 1 THEN DATE '1900-01-01' ELSE day END AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
+        |FROM (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type, day), (day), ())
+        |ORDER BY 1, 2""".stripMargin,
+
     // the direct full join — equality pins the delta rule's four-term
     // union as exactly the full join
     "orders_delta_join" ->

@@ -33,7 +33,9 @@ class DeterminismSpec extends SparkSpec {
     "events_salted_join",  // partition-id-seeded salt must not leak into results
     "orders_delta_join",   // four-term delta union == full join, any split
     "cdc_active_sweep",    // per-instant delta grouping + running sum
-    "text_bpe_pairs")      // pair top-k with full tiebreak
+    "text_bpe_pairs",      // pair top-k with full tiebreak
+    "events_value_mad",    // exact integer percentile, two passes
+    "events_grouping_sets") // Expand replicas + GROUPING labels
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

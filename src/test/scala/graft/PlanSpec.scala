@@ -264,4 +264,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Window"),
       "per-doc prefix rank must plan as a window")
   }
+
+  test("orders_delta_join: every delta term broadcasts its delta side") {
+    // the delta rule's cost model depends on it: a delta that plans as
+    // a shuffle join re-shuffles the BASE table per refresh
+    val p = planOf("orders_delta_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "all three increment terms must be broadcast joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_bpe_pairs: pair counting is explode + one partial-agg shuffle") {
+    val p = planOf("text_bpe_pairs")
+    assert(p.contains("Generate"), "pairing must be a per-row explode")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "pair counts must combine map-side before the shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must pre-reduce per task, not full-sort")
+  }
+
+  test("events_grouping_sets: one Expand feeding one partial-agg shuffle") {
+    // the set count (3) bounds the Expand replication — cube() would
+    // pay 4 replicas for these dims and still not express the
+    // asymmetric sets
+    val p = planOf("events_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must plan as Expand")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "subtotals must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_value_mad: the 5-row median table broadcasts back to the facts") {
+    val p = planOf("events_value_mad")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-group medians must broadcast, not shuffle the fact table twice")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_salted_join: the fact side is never broadcast") {
+    // replicating the build dim 8x is the design; accidentally
+    // broadcasting the salted FACT side would ship the fact table to
+    // every executor
+    val p = planOf("events_salted_join")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges >= 1, "salted join must shuffle on (key, salt)")
+  }
 }
