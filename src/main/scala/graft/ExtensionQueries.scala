@@ -1203,6 +1203,33 @@ object ExtensionQueries {
         Multimodal.envelopeFeatures(encode(col("text"), "UTF-8"), col("n_chars"))): _*)
       .orderBy("doc_id")
 
+  /** Perceptual-hash near-dup pairs over a BINARY media column
+    * ([[Multimodal.aHashNearDups]]): payload → stub decode → 60-bit
+    * piecewise-average hash → Manku band join, Hamming ≤ 3. The whole
+    * binary-ingest-to-pairs path is real; only the decode is the
+    * documented codec stand-in (UTF-8 recovery of the encoded
+    * fixture). The corpus has no natural byte-local near-dups (its
+    * dup family is token-level — verified: zero pairs under Hamming 7
+    * on raw docs), so the media set unions each doc with an in-place
+    * 8-byte corruption — the same-length overlay case (logo stamp,
+    * bit rot) aHash exists to catch; truncations move every segment
+    * boundary and are out of scope by design. ~2/3 of planted pairs
+    * land within Hamming 3 (the honest recall of a mean-threshold
+    * hash: the edit also moves the global mean), and pigeonhole
+    * banding finds every one of those. The oracle recomputes the
+    * identical integer pipeline from the source text. */
+  private def qMultimodalPhashDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val media = docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .unionByName(docs.select((col("doc_id") + 100000L).as("media_id"),
+        encode(expr("concat(substr(text, 1, 40), repeat('z', 8), substr(text, 49))"),
+          "UTF-8").as("payload")))
+    Multimodal.aHashNearDups(media, decode(col("payload"), "UTF-8"),
+        col("media_id"))
+      .orderBy("media_a", "media_b")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1261,6 +1288,7 @@ object ExtensionQueries {
     "sim_topk_pq" -> (qSimTopkPq _),
     "sim_topk_ivfpq" -> (qSimTopkIvfPq _),
     "multimodal_features" -> (qMultimodalFeatures _),
+    "multimodal_phash_dup" -> (qMultimodalPhashDup _),
     "events_rollup_merge" -> (qEventsRollupMerge _),
     "events_salted_join" -> (qEventsSaltedJoin _),
     "orders_delta_join" -> (qOrdersDeltaJoin _),
@@ -2167,5 +2195,44 @@ object ExtensionQueries {
         |       CAST(3 AS BIGINT) AS channels,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the identical integer aHash pipeline from the source text:
+    // per-char codes, 60 segment sums with cross-multiplied mean
+    // thresholds (nonneg // == div), band join, exact popcount verify
+    "multimodal_phash_dup" -> {
+      val bits = Multimodal.aHashBits
+      val bandW = bits / Multimodal.aHashBands
+      val bandList = (0 until Multimodal.aHashBands).mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id AS media_id, text AS content FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 100000,
+         |                  substr(text, 1, 40) || repeat('z', 8) || substr(text, 49)
+         |           FROM documents),
+         |c AS (SELECT media_id AS doc_id, list_transform(string_split(content, ''),
+         |             ch -> CAST(ascii(ch) AS BIGINT)) AS codes FROM m),
+         |cc AS (SELECT doc_id, codes, CAST(len(codes) AS BIGINT) AS n,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+         |           (a, x) -> a + x) AS total FROM c),
+         |fp AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        codes[(k.k * n) // $bits + 1 : ((k.k + 1) * n) // $bits]),
+         |        (a, x) -> a + x) * n
+         |      > total * (((k.k + 1) * n) // $bits - (k.k * n) // $bits)
+         |      THEN (CAST(1 AS BIGINT) << k.k) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM cc, LATERAL (SELECT unnest(generate_series(0, ${bits - 1})) AS k) k
+         |  GROUP BY doc_id),
+         |banded AS (SELECT doc_id, phash, b.band,
+         |    (phash >> (b.band * $bandW)) % ${1L << bandW} AS bv
+         |  FROM fp, LATERAL (SELECT unnest($bandList) AS band) b),
+         |ok AS (SELECT doc_id, phash, band, bv FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bv) AS bsz FROM banded)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b,
+         |         CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT media_a, media_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
+    },
   )
 }

@@ -135,8 +135,8 @@ object Dedup {
     * otherwise go quadratic inside its bucket), then pair each bucket's
     * docs (a < b), carrying optional per-doc `payload` columns through
     * for the verify step. */
-  private def cappedPairJoin(keyed: DataFrame, keyCols: Seq[String],
-                             maxBucket: Int, payload: Seq[String] = Nil): DataFrame = {
+  private[ops] def cappedPairJoin(keyed: DataFrame, keyCols: Seq[String],
+                                  maxBucket: Int, payload: Seq[String] = Nil): DataFrame = {
     val sized = keyed
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))

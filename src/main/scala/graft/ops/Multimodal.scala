@@ -96,6 +96,65 @@ object Multimodal {
         explode(expr(s"sequence(0, ${n - 1})")).as("frame_idx"))
       .withColumn("byte_offset", col("frame_idx") * (col("byte_len") / lit(n)).cast("long"))
 
+  /** 60-bit piecewise-average perceptual hash (the aHash construction
+    * image dedup uses: downsample, then threshold each cell against
+    * the global mean) over a decoded content stream: the stream splits
+    * into 60 equal segments, and bit k is set iff segment k's mean
+    * sample exceeds the global mean. Small local edits perturb few
+    * segment means, so near-identical media land within small Hamming
+    * distance — locality over the SAMPLE SEQUENCE, where [[Dedup]]'s
+    * simhash is locality over the token SET. Thresholds are exact
+    * integer cross-multiplication (seg_sum·n > total·seg_len — no
+    * float means), so the fingerprint is engine- and partitioning-
+    * exact. With the stub codec the "samples" are the decoded text's
+    * codepoints; a real decoder feeds luma bytes through the same
+    * arithmetic.
+    *
+    * Per-row array math only — the hash adds no shuffle; the pair
+    * search is the Manku band channel ([[Dedup.simhashNearDups]]):
+    * 4 bands × 15 bits, pigeonhole-complete for Hamming ≤ 3, hot
+    * buckets capped before the self-join.
+    */
+  val aHashBits = 60
+  val aHashBands = 4
+
+  /** (media_id, phash) — codes/total stay internal to one projection. */
+  def aHashed(media: DataFrame, contentCol: Column, idCol: Column): DataFrame =
+    media.select(idCol.as("media_id"),
+        transform(split(contentCol, ""), c => ascii(c).cast("long")).as("codes"))
+      .select(col("media_id"), col("codes"),
+        size(col("codes")).cast("long").as("n"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("total"))
+      .select(col("media_id"), expr(
+        s"""aggregate(transform(sequence(0L, ${aHashBits - 1}L), k ->
+           |  CASE WHEN aggregate(slice(codes,
+           |      CAST((k * n) div $aHashBits AS INT) + 1,
+           |      CAST(((k+1) * n) div $aHashBits - (k * n) div $aHashBits AS INT)),
+           |      0L, (a, x) -> a + x) * n
+           |    > total * (((k+1) * n) div $aHashBits - (k * n) div $aHashBits)
+           |  THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END),
+           |0L, (a, x) -> a + x)""".stripMargin).as("phash"))
+
+  /** Near-duplicate media pairs by banded Hamming distance over the
+    * aHash — same channel shape as [[Dedup.simhashNearDups]]. */
+  def aHashNearDups(media: DataFrame, contentCol: Column, idCol: Column,
+                    maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(maxHamming < aHashBands, "pigeonhole needs hamming < bands")
+    val bandW = aHashBits / aHashBands
+    val banded = aHashed(media, contentCol, idCol)
+      .select(col("media_id").as("doc_id"), col("phash"),
+        posexplode(array((0 until aHashBands).map(b =>
+          shiftright(col("phash"), b * bandW) % lit(1L << bandW)): _*))
+          .as(Seq("band", "bv")))
+    Dedup.cappedPairJoin(banded, Seq("band", "bv"), maxBucket,
+        payload = Seq("phash"))
+      .select(col("x.doc_id").as("media_a"), col("y.doc_id").as("media_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Columnar feature extraction used by the oracle-checked query:
     * envelope features computable without the codec (byte length,
     * content hash, stub dimensions) as pure expressions.

@@ -35,7 +35,8 @@ class DeterminismSpec extends SparkSpec {
     "cdc_active_sweep",    // per-instant delta grouping + running sum
     "text_bpe_pairs",      // pair top-k with full tiebreak
     "events_value_mad",    // exact integer percentile, two passes
-    "events_grouping_sets") // Expand replicas + GROUPING labels
+    "events_grouping_sets", // Expand replicas + GROUPING labels
+    "multimodal_phash_dup") // integer aHash + band join + popcount verify
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

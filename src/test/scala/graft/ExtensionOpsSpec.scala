@@ -252,6 +252,41 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out(0).pixels.toSeq !== out(1).pixels.toSeq)
   }
 
+  test("aHash: local edit flips few bits, different content flips many") {
+    val longA = ("the quick brown fox jumps over the lazy dog again and again " * 8)
+    val longB = longA.replace("jumps", "jumqs") // one-char edit
+    val other = "completely unrelated material with other words entirely xyz " * 8
+    val media = Seq((1L, longA), (2L, longB), (3L, other))
+      .toDF("media_id", "content")
+    val h = Multimodal.aHashed(media, $"content", $"media_id")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 3,
+      s"one-char edit moved ${ham(h(1L), h(2L))} bits")
+    assert(ham(h(1L), h(3L)) > 10,
+      s"unrelated content only ${ham(h(1L), h(3L))} bits apart")
+  }
+
+  test("aHashNearDups finds the planted pair through the band channel") {
+    val longA = ("the quick brown fox jumps over the lazy dog again and again " * 8)
+    val media = Seq(
+      (1L, longA), (2L, longA.replace("jumps", "jumqs")),
+      (3L, ("completely unrelated material with other words entirely xyz " * 8)))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.aHashNearDups(media, $"content", $"media_id")
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("aHash is degenerate-input safe (empty and sub-segment-length content)") {
+    val media = Seq((1L, ""), (2L, "short"), (3L, "short"))
+      .toDF("media_id", "content")
+    val h = Multimodal.aHashed(media, $"content", $"media_id")
+      .as[(Long, Long)].collect().toMap
+    assert(h(2L) === h(3L), "identical content must hash identically")
+    assert(h.size === 3) // empty content still emits a row
+  }
+
   test("frame sampling explodes n frames with monotone offsets") {
     val media = Seq((1L, "0123456789".getBytes)).toDF("media_id", "payload")
     val frames = Multimodal.sampleFrames(media, 4).orderBy("frame_idx").collect()
