@@ -990,6 +990,31 @@ object ExtensionQueries {
     withRecallCheck(got, corpus, qs, k = 10)
   }
 
+  /** Incremental ingestion dedup ([[Dedup.incrementalExact]]): the
+    * historical half of the corpus is the fingerprint store; the new
+    * batch anti-joins it and first-writer-wins within itself. The
+    * fixture has no natural exact dups (dedup_exact: every group is a
+    * singleton), so the batch re-submits 50 historical docs (crawler
+    * re-fetch — must be dropped by the store anti-join) and 50 of its
+    * own docs under new ids (intra-batch dup — must lose first-writer-
+    * wins), making both drop paths load-bearing. The oracle recomputes
+    * both steps directly — NOT IN store + rn=1 — pinning that
+    * batch-incremental dedup equals what a full rededup would keep. */
+  private def qCorpusIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val seen = Dedup.exactGroups(docs.where(col("doc_id") < 250),
+      col("text"), col("doc_id")).select(col("fingerprint"))
+    val batch = docs.where(col("doc_id") >= 250)
+      .unionByName(docs.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+      .select(col("doc_id"), col("source"), col("text"))
+    Dedup.incrementalExact(batch, seen, col("text"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** Skew-safe dimension enrichment via [[graft.ops.Skew.saltedJoin]]:
     * the per-user cohort dim joins back to the fact stream with the
     * build side replicated over 8 salts and the probe side scattered
@@ -1295,6 +1320,7 @@ object ExtensionQueries {
     "cdc_active_sweep" -> (qCdcActiveSweep _),
     "events_value_mad" -> (qEventsValueMad _),
     "events_grouping_sets" -> (qEventsGroupingSets _),
+    "corpus_incremental_dedup" -> (qCorpusIncrementalDedup _),
     "events_zorder_key" -> (qEventsZorderKey _),
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "events_cms_counts" -> (qEventsCmsCounts _),
@@ -2010,6 +2036,27 @@ object ExtensionQueries {
 
     // the engine merges two-slice partials; the oracle aggregates the
     // facts directly — equality pins partial-state mergeability
+    // NOT IN store + first-in-batch — what a full rededup would keep;
+    // the batch unions re-fetched historical docs and intra-batch
+    // re-submissions, mirroring the engine's planted construction
+    "corpus_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, source,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |               AS fingerprint FROM documents),
+        |seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id < 250),
+        |b AS (SELECT doc_id, source, fingerprint FROM f WHERE doc_id >= 250
+        |      UNION ALL
+        |      SELECT doc_id + 100000, source, fingerprint FROM f WHERE doc_id < 50
+        |      UNION ALL
+        |      SELECT doc_id + 200000, source, fingerprint FROM f
+        |      WHERE doc_id >= 250 AND doc_id < 300),
+        |batch AS (SELECT *, row_number() OVER (PARTITION BY fingerprint
+        |            ORDER BY doc_id) AS rn FROM b)
+        |SELECT doc_id, source, fingerprint FROM batch
+        |WHERE rn = 1
+        |  AND fingerprint NOT IN (SELECT fingerprint FROM seen)
+        |ORDER BY doc_id""".stripMargin,
+
     // doubled scales keep every median integral: x200 values are even
     // ints, deviations double again to x400 — quantile_cont on integer
     // inputs matches Spark `percentile` bit-for-bit (customer_rfm rule)

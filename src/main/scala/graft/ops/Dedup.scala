@@ -21,6 +21,32 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
 
+  /** Incremental exact dedup — the production ingestion shape: a new
+    * batch checks against the HISTORICAL fingerprint store (anti-join)
+    * instead of re-deduping the whole corpus, then first-writer-wins
+    * within the batch itself. Cost per batch is one shuffle of the
+    * batch plus a join against the store keyed on fingerprint — at
+    * 100 TB the corpus is never rescanned; the store is the compact
+    * (fingerprint → rep) table [[exactGroups]] emits, maintained by
+    * appending each batch's survivors (the [[Rollup]]/[[DeltaJoin]]
+    * incremental-state discipline applied to dedup).
+    *
+    * `seen` needs only a `fingerprint` column; survivors keep the
+    * batch's columns plus their fingerprint (ready to append to the
+    * store).
+    */
+  def incrementalExact(batch: DataFrame, seen: DataFrame,
+                       textCol: Column, idCol: Column): DataFrame = {
+    val fp = batch.withColumn("fingerprint", Text.fingerprint(textCol))
+    val firstInBatch = fp
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint")).orderBy(idCol)))
+      .where(col("_rn") === 1).drop("_rn")
+    firstInBatch.join(seen.select(col("fingerprint")).distinct(),
+      Seq("fingerprint"), "left_anti")
+  }
+
   /** Banded MinHash signatures (Broder, "On the resemblance and
     * containment of documents", 1997; banding analysis per Leskovec/
     * Rajaraman/Ullman, Mining of Massive Datasets ch. 3): `bands` keys

@@ -36,7 +36,8 @@ class DeterminismSpec extends SparkSpec {
     "text_bpe_pairs",      // pair top-k with full tiebreak
     "events_value_mad",    // exact integer percentile, two passes
     "events_grouping_sets", // Expand replicas + GROUPING labels
-    "multimodal_phash_dup") // integer aHash + band join + popcount verify
+    "multimodal_phash_dup", // integer aHash + band join + popcount verify
+    "corpus_incremental_dedup") // anti-join + first-writer window
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

@@ -26,6 +26,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(g.head.getAs[Long]("rep_doc_id") === 1L)
   }
 
+  test("incrementalExact drops store hits and intra-batch dups, keeps the rest") {
+    val seen = Dedup.exactGroups(docs.where($"doc_id" <= 2), $"text", $"doc_id")
+      .select($"fingerprint")
+    // 10: dup of stored doc 1 (normalization included) → dropped;
+    // 11/12: identical within the batch → first id wins;
+    // 13: genuinely new → kept
+    val batch = Seq(
+      (10L, "  " + base.toUpperCase + " ", "s9"),
+      (11L, "brand new content entirely", "s9"),
+      (12L, "brand new content entirely", "s9"),
+      (13L, "another fresh document here", "s9")
+    ).toDF("doc_id", "text", "source")
+    val kept = Dedup.incrementalExact(batch, seen, $"text", $"doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+  }
+
   test("minhash-LSH finds the planted near-dup pair and nothing else") {
     val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
