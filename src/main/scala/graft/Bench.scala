@@ -91,15 +91,18 @@ object Bench {
     System.err.println(
       "[bench-full] " + results.map(ent).mkString("{", ",", "}"))
     val budget = 1500
-    val slowFirst = results.filter(_._2 >= 0).sortBy(-_._2)
+    // failed queries (-1 sentinel) lead the map unconditionally — a
+    // failure must be visible in the parsed line, not just on stderr,
+    // or it reads as budget truncation
+    val (failed, ok) = results.partition(_._2 < 0)
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
-    slowFirst.foreach { kv =>
+    (failed ++ ok.sortBy(-_._2)).foreach { kv =>
       val e = ent(kv)
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":${kept.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries_slowest":${kept.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

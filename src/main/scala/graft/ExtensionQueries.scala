@@ -2034,8 +2034,6 @@ object ExtensionQueries {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_clusters_star" -> dedupClustersOracle,
 
-    // the engine merges two-slice partials; the oracle aggregates the
-    // facts directly — equality pins partial-state mergeability
     // NOT IN store + first-in-batch — what a full rededup would keep;
     // the batch unions re-fetched historical docs and intra-batch
     // re-submissions, mirroring the engine's planted construction
@@ -2106,6 +2104,8 @@ object ExtensionQueries {
         |FROM ev JOIN dim USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the engine merges two-slice partials; the oracle aggregates the
+    // facts directly — equality pins partial-state mergeability
     "events_rollup_merge" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_x100,

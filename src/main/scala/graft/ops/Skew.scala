@@ -75,20 +75,30 @@ object Skew {
     * keep their names, so the caller's projection is unchanged. Build
     * shuffle volume grows `salts`×: size the knob to the skew factor,
     * not higher — 8-32 covers the hot-key ratios AQE reports in
-    * practice. The probe salt mixes a row hash with the partition id
-    * (the all-identical-rows hot key hashes to one salt otherwise) and
-    * both are stable under task retry.
+    * practice. The probe salt mixes the keys with the partition id and
+    * the per-partition row index — row-unique, so even an
+    * all-identical-rows hot key spreads; NOT a hash of the whole row,
+    * which would crash on unhashable column types (MapType/Variant)
+    * and pay a wide-row hash per row. Partition id and row index are
+    * both recomputed identically when a task retries the same split,
+    * and the join RESULT is salt-invariant regardless (the
+    * determinism matrix re-checks this under re-partitioning).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, not $joinType")
     val saltKey = "__graft_salt"
-    val probeCols = probe.columns.toSeq
-    val p = probe.withColumn(saltKey,
-      pmod(hash(probeCols.map(col) :+ spark_partition_id(): _*), lit(salts)))
+    val p = probe.withColumn(saltKey, probeSalt(keys, salts))
     val b = build.withColumn(saltKey,
       explode(array((0 until salts).map(lit): _*)))
     p.join(b, keys :+ saltKey, joinType).drop(saltKey)
   }
+
+  /** The probe-side salt [[saltedJoin]] assigns — exposed so tests
+    * observe the operator's actual fan-out formula instead of
+    * re-deriving a copy that could drift. */
+  def probeSalt(keys: Seq[String], salts: Int): Column =
+    pmod(hash((keys.map(col) :+ spark_partition_id() :+
+      monotonically_increasing_id()): _*), lit(salts))
 }

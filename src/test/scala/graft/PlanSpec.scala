@@ -301,13 +301,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("events_salted_join: the fact side is never broadcast") {
-    // replicating the build dim 8x is the design; accidentally
-    // broadcasting the salted FACT side would ship the fact table to
-    // every executor
+  test("events_salted_join: the join keys on the salt via a real explode") {
+    // the aggregation exchanges exist regardless — what pins the
+    // operator is (a) the build replication planning as a Generate
+    // (explode of the salt array) and (b) the salt column actually
+    // participating in the join keys
     val p = planOf("events_salted_join")
     assert(!p.contains("CartesianProduct"))
-    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
-    assert(exchanges >= 1, "salted join must shuffle on (key, salt)")
+    assert(p.contains("Generate"),
+      "build-side salt replication must plan as an explode")
+    assert(p.contains("__graft_salt"),
+      "the join must key on the internal salt column")
   }
 }

@@ -37,13 +37,20 @@ class SkewJoinSpec extends SparkSpec {
   }
 
   test("the hot key's rows actually land on multiple salts") {
-    // re-derive the internal salt the operator assigns; > 1 distinct
-    // value for the hot key means the reducer fan-out is real
-    val salts = probe.withColumn("s",
-        pmod(hash(col("k"), col("v"), spark_partition_id()), lit(8)))
+    // observe the OPERATOR'S salt expression (Skew.probeSalt is the
+    // same Column saltedJoin assigns): > 1 distinct value for the hot
+    // key means the reducer fan-out is real; a drift to key-only
+    // salting would collapse this to 1 and fail here
+    val salts = probe.withColumn("s", Skew.probeSalt(Seq("k"), 8))
       .where(col("k") === 1L)
       .select(countDistinct(col("s"))).as[Long].head()
     assert(salts > 1L, s"hot key collapsed onto $salts salt(s)")
+    // the canonical worst case: a hot key whose rows are bit-identical
+    val ident = (1 to 64).map(_ => (1L, 0L)).toDF("k", "v")
+      .repartition(4)
+      .withColumn("s", Skew.probeSalt(Seq("k"), 8))
+      .select(countDistinct(col("s"))).as[Long].head()
+    assert(ident > 1L, s"identical-row hot key collapsed onto $ident salt(s)")
   }
 
   test("rejects join types that would double-count the replicated build side") {
