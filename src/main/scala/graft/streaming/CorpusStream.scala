@@ -36,6 +36,47 @@ object CorpusStream {
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
       .dropDuplicates("fingerprint")
 
+  /** foreachBatch body for STORE-BACKED incremental dedup — the other
+    * production shape next to [[ingest]]'s state-store form: the
+    * fingerprint store is an external parquet table (queryable,
+    * restart-survivable independent of the checkpoint, shared with
+    * batch backfills), each micro-batch runs
+    * [[Dedup.incrementalExact]] against it, and survivors append
+    * under a batchId-keyed subdir with overwrite — the same
+    * idempotent-replay discipline as [[CdcStream.applyBatch]]'s DLQ:
+    * a crash-replayed batch REPLACES its own output instead of
+    * duplicating it.
+    *
+    * At scale the store read is a fingerprint-column scan (column
+    * pruning leaves one string column) and the anti-join shuffles the
+    * BATCH, not the store, when the batch broadcasts; a bucketed store
+    * ([[graft.sinks.BucketedSnapshotStore]]'s layout) narrows the scan
+    * to touched buckets.
+    *
+    * Wire it: `docs.writeStream.foreachBatch(dedupBatch(storeDir) _)`.
+    */
+  def dedupBatch(storeDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    // exclude THIS batch's own partition from the store read: on
+    // crash-replay the store already holds the batch's survivors, and
+    // treating them as store hits would overwrite batch=N with an
+    // empty result — losing them. Partition pruning makes the
+    // exclusion free.
+    val seen =
+      try s.read.parquet(storeDir).where(col("batch") =!= batchId)
+        .select(col("fingerprint"))
+      catch { case e: Exception
+        if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fingerprint",
+                org.apache.spark.sql.types.StringType))))
+      }
+    Dedup.incrementalExact(batch, seen, col("text"), col("doc_id"))
+      .select(col("doc_id"), col("fingerprint"))
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
+
   /** Streaming per-source admission cap — the continuous form of
     * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
     * `cap` docs over the stream's lifetime, later arrivals drop. The

@@ -33,6 +33,34 @@ class CorpusStreamSpec extends SparkSpec {
     assert(rows === Set((1L, 10L), (5L, 11L)))
   }
 
+  test("store-backed incremental dedup: store accumulates, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-fp-store").toString + "/store"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(CorpusStream.dedupBatch(storeDir) _)
+      .start()
+
+    input.addData((1L, good1), (2L, good2), (3L, good1)) // 3 loses in-batch
+    q.processAllAvailable()
+    input.addData((4L, good1), (5L, "completely novel content here today"))
+    q.processAllAvailable() // 4 is a store hit -> dropped
+    q.stop()
+
+    def stored = spark.read.parquet(storeDir)
+    assert(stored.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+
+    // crash-replay: re-running a batch id REPLACES its output, so the
+    // store holds each survivor exactly once
+    val replay = Seq((5L, "completely novel content here today"))
+      .toDF("doc_id", "text")
+    CorpusStream.dedupBatch(storeDir)(replay, 1L)
+    assert(stored.count() === 3L)
+    assert(stored.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+  }
+
   test("streaming per-source cap: first-N-by-arrival across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
