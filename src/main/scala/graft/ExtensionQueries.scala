@@ -1109,6 +1109,36 @@ object ExtensionQueries {
       .orderBy("c_nationkey", "month")
   }
 
+  /** The RETRACTION form of join-view maintenance
+    * ([[graft.ops.DeltaJoin.signedIncrement]]/[[graft.ops.DeltaJoin.consolidate]]):
+    * every 100th order is corrected in place (retract the old row,
+    * insert the row with a 10.00 price adjustment — the z-set encoding
+    * of an UPDATE), the signed change stream folds onto the stored
+    * view, and the result must equal the direct join of the CORRECTED
+    * orders — which is exactly what the oracle computes. The
+    * customer-side delta is empty, proving the rule degrades to the
+    * single-table case without special-casing. */
+  private def qOrdersDeltaRetract(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val hit = o.where(pmod(col("okey"), lit(100)) === 0)
+    val dbS = hit.withColumn("sign", lit(-1L))
+      .unionByName(hit
+        .withColumn("price", (col("price") + lit(10)).cast("decimal(18,2)"))
+        .withColumn("sign", lit(1L)))
+    val daS = c.limit(0).withColumn("sign", lit(1L))
+    val changes = graft.ops.DeltaJoin.signedIncrement(
+      c, daS, o, dbS, Seq("custkey"), "sign")
+    graft.ops.DeltaJoin.consolidate(c.join(o, Seq("custkey")), changes, "sign")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        (sum(col("price")) * lit(100)).cast("long").as("total_x100"))
+      .orderBy("c_nationkey")
+  }
+
   /** Sweep-line interval analytics over the SCD2 history: how many
     * employee versions are simultaneously valid at each boundary
     * instant. Each non-delete version contributes +1 at valid_from and
@@ -1317,6 +1347,7 @@ object ExtensionQueries {
     "events_rollup_merge" -> (qEventsRollupMerge _),
     "events_salted_join" -> (qEventsSaltedJoin _),
     "orders_delta_join" -> (qOrdersDeltaJoin _),
+    "orders_delta_retract" -> (qOrdersDeltaRetract _),
     "cdc_active_sweep" -> (qCdcActiveSweep _),
     "events_value_mad" -> (qEventsValueMad _),
     "events_grouping_sets" -> (qEventsGroupingSets _),
@@ -2081,6 +2112,20 @@ object ExtensionQueries {
         |      FROM events)
         |GROUP BY GROUPING SETS ((event_type, day), (day), ())
         |ORDER BY 1, 2""".stripMargin,
+
+    // the direct join of the CORRECTED table — equality pins the
+    // signed-multiset (retract+insert) maintenance path end to end
+    "orders_delta_retract" ->
+      """WITH c AS (SELECT c_custkey AS custkey, c_nationkey FROM customer),
+        |o AS (SELECT o_custkey AS custkey, o_orderkey AS okey,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |corrected AS (SELECT custkey, okey,
+        |    CASE WHEN okey % 100 = 0 THEN price + 10 ELSE price END AS price
+        |  FROM o)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(price) * 100 AS BIGINT) AS total_x100
+        |FROM c JOIN corrected USING (custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the direct full join — equality pins the delta rule's four-term
     // union as exactly the full join

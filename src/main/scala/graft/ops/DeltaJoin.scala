@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of an inner equi-join view (the classic
   * delta rule for insert-only streams, e.g. Blakeley et al., SIGMOD
@@ -46,4 +46,46 @@ object DeltaJoin {
                 prior: Option[DataFrame] = None): DataFrame =
     prior.getOrElse(a0.join(b0, keys))
       .unionByName(increment(a0, da, b0, db, keys))
+
+  /** The signed-multiset (z-set) form that handles UPDATES and DELETES,
+    * not just inserts: each delta row carries `signCol` (+1 insert,
+    * −1 retract; an update is a retract of the old row plus an insert
+    * of the new). The join of two signed deltas multiplies signs, so
+    * the same three-term rule emits a signed CHANGE stream for the
+    * view; folding it onto the stored view and dropping rows whose
+    * net count reaches zero ([[consolidate]]) yields exactly the join
+    * of the corrected tables. Same cost shape as [[increment]] —
+    * broadcast deltas probing base tables.
+    *
+    * Base rows are implicit +1; the emitted rows carry `signCol` =
+    * the product. */
+  def signedIncrement(a0: DataFrame, da: DataFrame,
+                      b0: DataFrame, db: DataFrame,
+                      keys: Seq[String], signCol: String): DataFrame = {
+    val daB0 = broadcast(da).join(b0, keys)
+    val a0Db = a0.join(broadcast(db), keys)
+      // a0 carries no sign column; db's sign is the product
+    val daDb = da.withColumnRenamed(signCol, "__sa")
+      .join(broadcast(db.withColumnRenamed(signCol, "__sb")), keys)
+      .withColumn(signCol, col("__sa") * col("__sb"))
+      .drop("__sa", "__sb")
+    daB0.unionByName(a0Db).unionByName(daDb, allowMissingColumns = false)
+  }
+
+  /** Fold a signed change stream onto the (implicitly +1) stored view:
+    * group by every payload column, sum signs, keep rows with net
+    * count > 0, re-expanding multiplicity — the z-set integration
+    * step. One shuffle on the full row, map-side combined. */
+  def consolidate(view: DataFrame, changes: DataFrame,
+                  signCol: String): DataFrame = {
+    val cols = view.columns.toSeq
+    val all = view.withColumn(signCol, lit(1L))
+      .unionByName(changes.select((cols.map(col) :+
+        col(signCol).cast("long")): _*))
+    all.groupBy(cols.map(col): _*)
+      .agg(sum(col(signCol)).as("__net"))
+      .where(col("__net") > 0)
+      .withColumn("__dup", explode(sequence(lit(1L), col("__net"))))
+      .drop("__net", "__dup")
+  }
 }

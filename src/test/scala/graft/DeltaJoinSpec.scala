@@ -39,6 +39,32 @@ class DeltaJoinSpec extends SparkSpec {
     assert(da.join(db, Seq("k")).count() > 0)
   }
 
+  test("signed increment + consolidate equals the join of corrected tables") {
+    // corrections: retract (1,"a1"), update (2,"a3")→(2,"a3x") on A;
+    // retract one copy of the duplicated (1,"b1") and insert (3,"b9") on B
+    val daS = Seq((1L, "a1", -1L), (2L, "a3", -1L), (2L, "a3x", 1L))
+      .toDF("k", "av", "sign")
+    val dbS = Seq((1L, "b1", -1L), (3L, "b9", 1L)).toDF("k", "bv", "sign")
+    val correctedA = Seq((1L, "a2"), (2L, "a3x"), (3L, "a4")).toDF("k", "av")
+    val correctedB = Seq((1L, "b2"), (1L, "b3"), (2L, "b4"), (3L, "b9"))
+      .toDF("k", "bv")
+    val expected = correctedA.join(correctedB, Seq("k"))
+
+    val changes = DeltaJoin.signedIncrement(a, daS, b, dbS, Seq("k"), "sign")
+    val view = DeltaJoin.consolidate(a.join(b, Seq("k")), changes, "sign")
+    assert(view.exceptAll(expected).isEmpty && expected.exceptAll(view).isEmpty,
+      "consolidated z-set view must equal the corrected join")
+    assert(view.count() === expected.count())
+  }
+
+  test("consolidate preserves multiplicity for duplicate surviving rows") {
+    val view = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("k", "v")
+    val changes = Seq((2L, "y", -1L), (1L, "x", 1L)).toDF("k", "v", "sign")
+    val out = DeltaJoin.consolidate(view, changes, "sign")
+    assert(out.where($"k" === 1L).count() === 3L) // 2 stored + 1 inserted
+    assert(out.where($"k" === 2L).count() === 0L) // retracted to zero
+  }
+
   test("delta sides carry broadcast hints in the increment plan") {
     val plan = DeltaJoin.increment(a, da, b, db, Seq("k"))
       .queryExecution.optimizedPlan.toString

@@ -37,7 +37,8 @@ class DeterminismSpec extends SparkSpec {
     "events_value_mad",    // exact integer percentile, two passes
     "events_grouping_sets", // Expand replicas + GROUPING labels
     "multimodal_phash_dup", // integer aHash + band join + popcount verify
-    "corpus_incremental_dedup") // anti-join + first-writer window
+    "corpus_incremental_dedup", // anti-join + first-writer window
+    "orders_delta_retract") // z-set fold + multiplicity re-expansion
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
