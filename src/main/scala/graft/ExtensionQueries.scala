@@ -1109,6 +1109,24 @@ object ExtensionQueries {
       .orderBy("c_nationkey", "month")
   }
 
+  /** Native `session_window` (the merging-window operator the
+    * STREAMING sessionizer uses, run in batch) pinned against the
+    * gaps-and-islands construction events_sessionize hand-rolls: same
+    * 30-minute gap, session end = last event + gap by the operator's
+    * definition. Two independent implementations of session semantics
+    * agreeing on every window is the point — like
+    * dedup_clusters_star vs dedup_clusters, the oracle arbitrates
+    * both. One keyed shuffle + in-partition merge, no window pass. */
+  private def qEventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** The RETRACTION form of join-view maintenance
     * ([[graft.ops.DeltaJoin.signedIncrement]]/[[graft.ops.DeltaJoin.consolidate]]):
     * every 100th order is corrected in place (retract the old row,
@@ -1348,6 +1366,7 @@ object ExtensionQueries {
     "events_salted_join" -> (qEventsSaltedJoin _),
     "orders_delta_join" -> (qOrdersDeltaJoin _),
     "orders_delta_retract" -> (qOrdersDeltaRetract _),
+    "events_session_window" -> (qEventsSessionWindow _),
     "cdc_active_sweep" -> (qCdcActiveSweep _),
     "events_value_mad" -> (qEventsValueMad _),
     "events_grouping_sets" -> (qEventsGroupingSets _),
@@ -2112,6 +2131,22 @@ object ExtensionQueries {
         |      FROM events)
         |GROUP BY GROUPING SETS ((event_type, day), (day), ())
         |ORDER BY 1, 2""".stripMargin,
+
+    // gaps-and-islands reconstruction of session_window's semantics:
+    // break on gap > 30 min, end = last event + gap
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  <= INTERVAL 30 MINUTE
+        |             THEN 0 ELSE 1 END AS brk FROM e),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // the direct join of the CORRECTED table — equality pins the
     // signed-multiset (retract+insert) maintenance path end to end

@@ -38,7 +38,8 @@ class DeterminismSpec extends SparkSpec {
     "events_grouping_sets", // Expand replicas + GROUPING labels
     "multimodal_phash_dup", // integer aHash + band join + popcount verify
     "corpus_incremental_dedup", // anti-join + first-writer window
-    "orders_delta_retract") // z-set fold + multiplicity re-expansion
+    "orders_delta_retract", // z-set fold + multiplicity re-expansion
+    "events_session_window") // native merging-window sessionization
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
