@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcLookupSum, PolyHash, QuantizedDotProduct}
+import graft.functions.{AdcLookupSum, AHash60, PolyHash, QuantizedDotProduct}
 
 /** Session-extension entry point: registers the library's custom
   * Catalyst expressions as SQL functions at session build time —
@@ -39,5 +39,8 @@ object GraftExtensions {
     (FunctionIdentifier("adc_sum"),
       new ExpressionInfo(classOf[AdcLookupSum].getName, "adc_sum"),
       (exprs: Seq[Expression]) =>
-        graft.functions.GraftFunctions.adcSumBuilder(exprs)))
+        graft.functions.GraftFunctions.adcSumBuilder(exprs)),
+    (FunctionIdentifier("a_hash"),
+      new ExpressionInfo(classOf[AHash60].getName, "a_hash"),
+      (exprs: Seq[Expression]) => AHash60(exprs.head)))
 }

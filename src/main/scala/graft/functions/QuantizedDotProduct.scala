@@ -213,6 +213,99 @@ case class AdcLookupSum(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd 60-bit piecewise-average perceptual hash
+  * ([[graft.ops.Multimodal.aHashBits]] semantics): the string's
+  * chars split into 60 equal segments ([k·n/60, (k+1)·n/60) bounds,
+  * integer division), and bit k is set iff seg_sum_k·n >
+  * total·seg_len_k — exact integer cross-multiplied mean thresholds.
+  *
+  * Semantically identical to the composable HOF form
+  * ([[graft.ops.Multimodal.aHashHofExpr]]: transform/slice/aggregate
+  * over an ascii-code array), but a single pass over the chars with
+  * no code-array materialization, slice copies, or lambda dispatch —
+  * this runs once per media row on the ingest scan. Char basis =
+  * UTF-16 code units, matching `split(s, '') + ascii()` exactly
+  * (the fixture and oracle convention is ASCII content).
+  *
+  * Segment sums of char codes can't overflow: n ≤ 2^31 chars ×
+  * ≤ 2^16 per code < 2^47, and the threshold products stay < 2^62.
+  */
+case class AHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "a_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"a_hash requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val seg = new Array[Long](60)
+    var total = 0L
+    var k = 0
+    while (k < 60) {
+      val lo = (k.toLong * n / 60).toInt
+      val hi = ((k + 1).toLong * n / 60).toInt
+      var sum = 0L
+      var i = lo
+      while (i < hi) { sum += s.charAt(i).toLong; i += 1 }
+      seg(k) = sum
+      total += sum
+      k += 1
+    }
+    var fp = 0L
+    k = 0
+    while (k < 60) {
+      val lo = (k.toLong * n / 60).toInt
+      val hi = ((k + 1).toLong * n / 60).toInt
+      if (seg(k) * n > total * (hi - lo)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val seg = ctx.freshName("seg")
+      val total = ctx.freshName("total")
+      val k = ctx.freshName("k")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val sum = ctx.freshName("sum")
+      val i = ctx.freshName("i")
+      val fp = ctx.freshName("fp")
+      s"""
+         |String $s = $in.toString();
+         |int $n = $s.length();
+         |long[] $seg = new long[60];
+         |long $total = 0L;
+         |for (int $k = 0; $k < 60; $k++) {
+         |  int $lo = (int) ((long) $k * $n / 60);
+         |  int $hi = (int) ((long) ($k + 1) * $n / 60);
+         |  long $sum = 0L;
+         |  for (int $i = $lo; $i < $hi; $i++) { $sum += (long) $s.charAt($i); }
+         |  $seg[$k] = $sum;
+         |  $total += $sum;
+         |}
+         |long $fp = 0L;
+         |for (int $k = 0; $k < 60; $k++) {
+         |  int $lo = (int) ((long) $k * $n / 60);
+         |  int $hi = (int) ((long) ($k + 1) * $n / 60);
+         |  if ($seg[$k] * $n > $total * ($hi - $lo)) $fp |= 1L << $k;
+         |}
+         |${ev.value} = $fp;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Idempotently register the custom expressions with a session and
     * return a Column builder for `q_dot`. */
@@ -226,6 +319,11 @@ object GraftFunctions {
   def registerPolyHash(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+
+  /** Idempotently register `a_hash` on the session (no-op if done). */
+  def registerAHash(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "a_hash", exprs => AHash60(exprs.head), "built-in")
 
   /** Shared SQL builder for `adc_sum(codes, tbl, k)`: validates arity
     * and that `k` is a foldable integer literal, so a SQL user gets a

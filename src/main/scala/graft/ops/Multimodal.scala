@@ -118,8 +118,22 @@ object Multimodal {
   val aHashBits = 60
   val aHashBands = 4
 
-  /** (media_id, phash) — codes/total stay internal to one projection. */
-  def aHashed(media: DataFrame, contentCol: Column, idCol: Column): DataFrame =
+  /** (media_id, phash) — the codegen'd single-pass
+    * [[graft.functions.AHash60]] kernel (registered idempotently, like
+    * [[Text.polyHash]]'s fast path). */
+  def aHashed(media: DataFrame, contentCol: Column, idCol: Column): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.registerAHash)
+    media.select(idCol.as("media_id"),
+      call_function("a_hash", contentCol).as("phash"))
+  }
+
+  /** Reference formulation via built-in higher-order functions — kept
+    * for the equivalence property test of the codegen'd kernel (the
+    * [[Text.polyHashHof]] discipline): per-char ascii codes, 60
+    * slice-aggregates with the same integer-div bounds and
+    * cross-multiplied thresholds. */
+  def aHashedHof(media: DataFrame, contentCol: Column, idCol: Column): DataFrame =
     media.select(idCol.as("media_id"),
         transform(split(contentCol, ""), c => ascii(c).cast("long")).as("codes"))
       .select(col("media_id"), col("codes"),

@@ -12,7 +12,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("extension applies cleanly and describes all functions") {
     new GraftExtensions()(new SparkSessionExtensions) // must not throw
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("adc_sum", "poly_hash", "q_dot"))
+      Seq("a_hash", "adc_sum", "poly_hash", "q_dot"))
   }
 
   test("injected builders construct the custom expressions") {
@@ -25,5 +25,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val adc = byName("adc_sum")(Seq(Literal(null), Literal(null), Literal(16)))
     assert(adc.isInstanceOf[graft.functions.AdcLookupSum])
     assert(adc.asInstanceOf[graft.functions.AdcLookupSum].k === 16)
+    val ah = byName("a_hash")(Seq(Literal("x")))
+    assert(ah.isInstanceOf[graft.functions.AHash60])
+    assert(ah.eval() === 0L) // single char: every segment mean == global mean
   }
 }

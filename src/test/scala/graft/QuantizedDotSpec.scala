@@ -39,6 +39,26 @@ class QuantizedDotSpec extends SparkSpec {
     assert(out(2L) === 0L)
   }
 
+  test("a_hash == HOF slice/aggregate formulation on random ASCII strings") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghij klmnop qrstu vwxyz0123456789 ,.!"
+    val rows = (0 until 400).map { i =>
+      // lengths straddle the 60-segment boundary: empty, sub-segment,
+      // and multi-char-per-segment strings all exercised
+      val len = rnd.nextInt(300)
+      (i.toLong, Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = rows.toDF("media_id", "content")
+    val fused = graft.ops.Multimodal.aHashed(df, $"content", $"media_id")
+      .withColumnRenamed("phash", "fused")
+    val composed = graft.ops.Multimodal.aHashedHof(df, $"content", $"media_id")
+      .withColumnRenamed("phash", "composed")
+    val cmp = fused.join(composed, "media_id")
+    assert(cmp.where($"fused" =!= $"composed").count() === 0)
+    // planted sanity: the 60-bit space is actually used
+    assert(fused.select(countDistinct($"fused")).as[Long].head() > 300L)
+  }
+
   test("adc_sum == HOF aggregate/element_at formulation on random code tables") {
     val rnd = new scala.util.Random(13)
     val m = 8
