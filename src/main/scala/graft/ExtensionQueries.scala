@@ -42,6 +42,39 @@ object ExtensionQueries {
       .orderBy("emp_id")
   }
 
+  /** K1/S2 wire-format parity, Avro flavor: the CDC log rides a binary
+    * Avro body (key = stringified emp_id, exactly the keyed-JSON sink
+    * shape of [[graft.cdc.CdcWire.toWire]]) and decodes back to typed
+    * columns. The oracle is the identity projection of the log — what
+    * this query pins is encode∘decode ≡ id on the real fixture, i.e.
+    * that the engine's own `to_avro_flat`/`from_avro_flat` codec
+    * ([[graft.functions.AvroCodec]]) loses nothing a CDC message
+    * carries (longs, strings, micros timestamps). Corrupt bytes decode
+    * to a null struct and route to the DLQ exactly like corrupt JSON —
+    * spec-covered; the fixture wire is clean so the filter drops 0.
+    */
+  private def qCdcAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (toAvro, fromAvro) = graft.functions.AvroCodec.register(s)
+    val log = Fixtures.employeeCdcLog(s, dir)
+    val st = org.apache.spark.sql.types.StructType.fromDDL(
+      "emp_id BIGINT, event_id BIGINT, last_updated_at TIMESTAMP_NTZ, action STRING, " +
+        "emp_dob STRING, emp_salary BIGINT, emp_FN STRING, emp_LN STRING, emp_city STRING")
+    val wire = log.select(
+      graft.cdc.Columns.wireKey(col("emp_id")).as("key"),
+      toAvro(struct(
+        col("emp_id"), col("event_id"),
+        col("last_updated_at").cast("timestamp_ntz").as("last_updated_at"),
+        col("action"), col("emp_dob"), col("emp_salary"),
+        col("emp_FN"), col("emp_LN"), col("emp_city"))).as("value"))
+    wire.select(fromAvro(col("value"), st).as("r"))
+      .where(col("r").isNotNull) // corrupt → DLQ; clean fixture drops 0
+      .select(col("r.emp_id").as("emp_id"), col("r.event_id").as("event_id"),
+        col("r.action").as("action"), col("r.emp_salary").as("emp_salary"),
+        col("r.emp_city").as("emp_city"),
+        col("r.last_updated_at").as("last_updated_at"))
+      .orderBy("emp_id", "event_id")
+  }
+
   // -------------------------------------------------------------- text
 
   private def qTextTokenStats(s: SparkSession, dir: String): DataFrame =
@@ -1375,6 +1408,7 @@ object ExtensionQueries {
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "events_cms_counts" -> (qEventsCmsCounts _),
     "events_rollup_kmv" -> (qEventsRollupKmv _),
+    "cdc_avro_roundtrip" -> (qCdcAvroRoundtrip _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -1476,6 +1510,13 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // encode∘decode ≡ id: the oracle is the plain log projection; the
+    // Spark side pushes every row through the binary Avro wire first
+    "cdc_avro_roundtrip" -> (L +
+      """SELECT emp_id, event_id, action, emp_salary, emp_city,
+        |       CAST(last_updated_at AS TIMESTAMP) AS last_updated_at
+        |FROM cdc_log ORDER BY emp_id, event_id""".stripMargin),
+
     "cdc_apply_dispatch" -> (L +
       s""", v AS (SELECT * FROM cdc_log $VALID_WHERE),
          |d AS (SELECT *, max(CASE WHEN action = 'delete' THEN event_id END)

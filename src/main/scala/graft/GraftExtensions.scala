@@ -42,5 +42,12 @@ object GraftExtensions {
         graft.functions.GraftFunctions.adcSumBuilder(exprs)),
     (FunctionIdentifier("a_hash"),
       new ExpressionInfo(classOf[AHash60].getName, "a_hash"),
-      (exprs: Seq[Expression]) => AHash60(exprs.head)))
+      (exprs: Seq[Expression]) => AHash60(exprs.head)),
+    (FunctionIdentifier("to_avro_flat"),
+      new ExpressionInfo(classOf[graft.functions.ToAvroFlat].getName, "to_avro_flat"),
+      (exprs: Seq[Expression]) => graft.functions.ToAvroFlat(exprs.head)),
+    (FunctionIdentifier("from_avro_flat"),
+      new ExpressionInfo(classOf[graft.functions.FromAvroFlat].getName, "from_avro_flat"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.AvroCodec.fromAvroBuilder(exprs)))
 }

@@ -12,7 +12,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("extension applies cleanly and describes all functions") {
     new GraftExtensions()(new SparkSessionExtensions) // must not throw
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("a_hash", "adc_sum", "poly_hash", "q_dot"))
+      Seq("a_hash", "adc_sum", "from_avro_flat", "poly_hash", "q_dot",
+        "to_avro_flat"))
   }
 
   test("injected builders construct the custom expressions") {
