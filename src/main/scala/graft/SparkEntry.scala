@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.cdc.{ApplyChanges, Fixtures, Routing, SalaryPipeline}
 import graft.ops.Sessionize
@@ -895,19 +896,28 @@ object SparkEntry {
 
   /** Top session paths: the first five event types of each session
     * joined into a path signature, counted corpus-wide, top 20. Rides
-    * the same single keyed shuffle as sessionize; the per-session
-    * ordered path comes from sorting the collected (ts, event_id,
-    * type) structs — bounded by session length, never corpus size —
-    * and the path counts fold with map-side partials into a top-20
-    * TakeOrdered. The funnel/journey-mining shape at any volume. */
+    * the same single keyed shuffle as sessionize: the within-session
+    * rank window partitions by (user_id, session_id), which
+    * HashPartitioning(user_id) already satisfies — a re-sort, not a
+    * re-shuffle — and the `rn <= 5` filter plans as WindowGroupLimit
+    * (plan-guarded), so each session contributes AT MOST 5 rows to the
+    * path collect. Without the pre-filter a bot/power-user session
+    * would materialize its entire event list in one collect_list array
+    * only to throw away all but 5 elements — the per-group memory
+    * scale-killer at 100×. Path counts then fold with map-side
+    * partials into a top-20 TakeOrdered. */
   private def qEventsSessionPaths(s: SparkSession, dir: String): DataFrame = {
     val sess = Sessionize.withSessionId(Tables.events(s, dir),
       key = col("user_id"), ts = col("ts"), gapMicros = 1800L * 1000000L,
       tieBreak = Seq(col("event_id")))
-    sess.groupBy(col("user_id"), col("session_id"))
-      .agg(array_join(slice(transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-          x => x.getField("event_type")), 1, 5), ">").as("path"))
+    val wRank = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    sess.withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= 5)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(20)

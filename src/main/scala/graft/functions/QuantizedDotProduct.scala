@@ -227,8 +227,14 @@ case class AdcLookupSum(left: Expression, right: Expression, k: Int)
   * UTF-16 code units, matching `split(s, '') + ascii()` exactly
   * (the fixture and oracle convention is ASCII content).
   *
-  * Segment sums of char codes can't overflow: n ≤ 2^31 chars ×
-  * ≤ 2^16 per code < 2^47, and the threshold products stay < 2^62.
+  * Overflow bound: the threshold products seg_sum·n and
+  * total·seg_len are each ≤ n²·2^16/60, which fits a signed long only
+  * for n ≤ [[AHash60.MaxChars]] (~9.1e7 UTF-16 units). Beyond that
+  * Spark's long math would wrap silently while the DuckDB oracle
+  * errors on BIGINT overflow — a silently-wrong fingerprint — so both
+  * the interpreted and codegen branches REJECT longer inputs with an
+  * explicit error. (The HOF twin [[graft.ops.Multimodal.aHashedHof]]
+  * and the SQL oracle share the same n² bound.)
   */
 case class AHash60(child: Expression) extends UnaryExpression {
 
@@ -243,6 +249,7 @@ case class AHash60(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val n = s.length
+    if (n > AHash60.MaxChars) throw AHash60.tooLong(n)
     val seg = new Array[Long](60)
     var total = 0L
     var k = 0
@@ -282,6 +289,11 @@ case class AHash60(child: Expression) extends UnaryExpression {
       s"""
          |String $s = $in.toString();
          |int $n = $s.length();
+         |if ($n > ${AHash60.MaxChars}) {
+         |  throw new IllegalArgumentException(
+         |    "a_hash input has " + $n + " UTF-16 units, exceeding the " +
+         |    "${AHash60.MaxChars}-unit overflow-safe bound");
+         |}
          |long[] $seg = new long[60];
          |long $total = 0L;
          |for (int $k = 0; $k < 60; $k++) {
@@ -304,6 +316,18 @@ case class AHash60(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object AHash60 {
+  /** Largest input length whose threshold products provably fit a
+    * signed long: need n·65535·(⌈n/60⌉) < 2^63, i.e. n ≲ 9.19e7;
+    * held back to a round 9e7 for margin. */
+  val MaxChars: Int = 90000000
+
+  def tooLong(n: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"a_hash input has $n UTF-16 units, exceeding the $MaxChars-unit " +
+        "overflow-safe bound (threshold products would wrap silently)")
 }
 
 object GraftFunctions {

@@ -75,15 +75,34 @@ object DeltaJoin {
   /** Fold a signed change stream onto the (implicitly +1) stored view:
     * group by every payload column, sum signs, keep rows with net
     * count > 0, re-expanding multiplicity — the z-set integration
-    * step. One shuffle on the full row, map-side combined. */
+    * step. One shuffle on the full row, map-side combined.
+    *
+    * A net count that goes NEGATIVE means an over-retraction — a
+    * retract for a row the view never held, which is an upstream
+    * invariant violation, not a z-set state. By default such rows are
+    * dropped (net ≤ 0 rows vanish, the mathematically consistent
+    * z-set reading); `strict = true` instead fails the job at the
+    * first negative net with the offending row rendered into the
+    * error, so pipelines that want the invariant ENFORCED surface the
+    * corruption at the consolidate instead of as silent view drift.
+    * The check rides the same aggregate — no extra pass. */
   def consolidate(view: DataFrame, changes: DataFrame,
-                  signCol: String): DataFrame = {
+                  signCol: String, strict: Boolean = false): DataFrame = {
     val cols = view.columns.toSeq
     val all = view.withColumn(signCol, lit(1L))
       .unionByName(changes.select((cols.map(col) :+
         col(signCol).cast("long")): _*))
-    all.groupBy(cols.map(col): _*)
+    val netted = all.groupBy(cols.map(col): _*)
       .agg(sum(col(signCol)).as("__net"))
+    val checked =
+      if (!strict) netted
+      else netted.withColumn("__net",
+        when(col("__net") < 0, raise_error(concat(
+          lit("over-retraction: net count "), col("__net"),
+          lit(" for row ("),
+          concat_ws(", ", cols.map(c => col(c).cast("string")): _*),
+          lit(")")))).otherwise(col("__net")))
+    checked
       .where(col("__net") > 0)
       .withColumn("__dup", explode(sequence(lit(1L), col("__net"))))
       .drop("__net", "__dup")

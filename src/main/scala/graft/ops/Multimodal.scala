@@ -122,8 +122,12 @@ object Multimodal {
     * [[graft.functions.AHash60]] kernel (registered idempotently, like
     * [[Text.polyHash]]'s fast path). */
   def aHashed(media: DataFrame, contentCol: Column, idCol: Column): DataFrame = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.GraftFunctions.registerAHash)
+    // register on the frame's OWN session — getActiveSession is
+    // per-thread and silently absent off the driver's main thread,
+    // which would surface later as an unresolved-routine error far
+    // from the cause; media.sparkSession is the session that will
+    // analyze the expression.
+    graft.functions.GraftFunctions.registerAHash(media.sparkSession)
     media.select(idCol.as("media_id"),
       call_function("a_hash", contentCol).as("phash"))
   }

@@ -62,11 +62,27 @@ object CorpusStream {
     // treating them as store hits would overwrite batch=N with an
     // empty result — losing them. Partition pruning makes the
     // exclusion free.
+    //
+    // The read carries an EXPLICIT schema: a batch that crashed
+    // mid-write can leave the store dir existing but holding no
+    // readable footer (only a _temporary dir), where schema inference
+    // would throw UNABLE_TO_INFER_SCHEMA on every replay — an explicit
+    // schema makes that state read as an empty frame instead, keeping
+    // the replay idempotent. First-ever-batch absence is matched by
+    // error class (PATH_NOT_FOUND), not message text.
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fingerprint",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
     val seen =
-      try s.read.parquet(storeDir).where(col("batch") =!= batchId)
+      try s.read.schema(storeSchema).parquet(storeDir)
+        .where(col("batch") =!= batchId)
         .select(col("fingerprint"))
-      catch { case e: Exception
-        if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("fingerprint",

@@ -65,6 +65,25 @@ class DeltaJoinSpec extends SparkSpec {
     assert(out.where($"k" === 2L).count() === 0L) // retracted to zero
   }
 
+  test("strict consolidate fails loudly on over-retraction; lenient drops it") {
+    val view = Seq((1L, "x")).toDF("k", "v")
+    // two retracts of a single stored row → net -1: upstream corruption
+    val changes = Seq((1L, "x", -1L), (1L, "x", -1L)).toDF("k", "v", "sign")
+    val lenient = DeltaJoin.consolidate(view, changes, "sign")
+    assert(lenient.count() === 0L, "lenient mode drops negative-net rows")
+    val err = intercept[Exception] {
+      DeltaJoin.consolidate(view, changes, "sign", strict = true).count()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages(err).contains("over-retraction"),
+      s"expected over-retraction error, got: ${messages(err).take(500)}")
+    // a valid change stream is untouched by strict mode
+    val ok = Seq((1L, "x", 1L)).toDF("k", "v", "sign")
+    assert(DeltaJoin.consolidate(view, ok, "sign", strict = true).count() === 2L)
+  }
+
   test("delta sides carry broadcast hints in the increment plan") {
     val plan = DeltaJoin.increment(a, da, b, db, Seq("k"))
       .queryExecution.optimizedPlan.toString

@@ -223,6 +223,21 @@ class PlanSpec extends SparkSpec {
         "ships at most cap rows per source into the exchange")
   }
 
+  test("events_session_paths: rn<=5 pre-reduces sessions via WindowGroupLimit, one exchange") {
+    val p = planOf("events_session_paths")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= 5 must plan as WindowGroupLimit so a bot session " +
+        "contributes at most 5 rows to the path collect, not its whole event list")
+    // the rank window partitions by (user_id, session_id) — a superset
+    // of the sessionize window's user_id hash, so EnsureRequirements
+    // must satisfy it from the existing exchange (extra sort only, no
+    // second user-keyed shuffle)
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges === 1,
+      s"expected exactly 1 user-keyed exchange shared by both windows, " +
+        s"found $userExchanges:\n${p.take(1500)}")
+  }
+
   test("customer_rfm: per-customer frame persisted and reused across passes") {
     // the o_custkey exchange appears once per InMemoryTableScan printout
     // (the cached plan is inlined in toString), so count the SCANS: both
