@@ -83,16 +83,23 @@ object Components {
     labels
   }
 
-  /** Both edge directions of a canonical (hi, lo) edge set, each row
-    * joined with its source node's star minimum m = min(Γ⁺(u)). */
+  /** Both edge directions of a canonical (hi, lo) edge set, with each
+    * row's star minimum m = min(Γ⁺(u)) computed in a SINGLE window
+    * pass over the u-keyed shuffle — no separate aggregate + join back
+    * (the join formulation cost a second sort-merge pass per star
+    * operation, and its double reference from small-star re-ran the
+    * whole pipeline twice per round). `rn` marks one row per u so
+    * small-star can emit the (u, m) self-attachment exactly once
+    * without a second scan of the frame. */
   private def withMins(edges: DataFrame): DataFrame = {
     val both = edges.select(explode(array(
         struct(col("hi").as("u"), col("lo").as("v")),
         struct(col("lo").as("u"), col("hi").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    val mins = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    both.join(mins, "u")
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    both.select(col("u"), col("v"),
+      least(col("u"), min(col("v")).over(wp)).as("m"),
+      row_number().over(wp.orderBy(col("v"))).as("rn"))
   }
 
   /** large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u)).
@@ -108,17 +115,22 @@ object Components {
       .select(col("v").as("hi"), col("m").as("lo"))
 
   /** small-star(u): every neighbor v < u, and u itself, attaches to
-    * m = min(Γ⁺(u)) — stars merge at shared minima. */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val wm = withMins(edges)
-    wm.where(col("v") < col("u"))
-      .select(col("v").as("a"), col("m").as("b"))
-      .union(wm.select(col("u").as("a"), col("m").as("b")))
+    * m = min(Γ⁺(u)) — stars merge at shared minima. Both emissions
+    * come out of ONE pass over [[withMins]] (the v < u re-attachment
+    * per row, the (u, m) self-attachment on the rn = 1 row) via a
+    * 2-element explode — the union-of-two-selects form executed the
+    * whole withMins pipeline twice per round. */
+  private def smallStar(edges: DataFrame): DataFrame =
+    withMins(edges)
+      .select(explode(array(
+        when(col("v") < col("u"), struct(col("v").as("a"), col("m").as("b"))),
+        when(col("rn") === 1, struct(col("u").as("a"), col("m").as("b"))))).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
       .distinct()
-  }
 
   /** Large-Star/Small-Star connected components (Kiveris et al.,
     * "Connected components in MapReduce and beyond", SoCC 2014) — the
