@@ -107,4 +107,47 @@ object DeltaJoin {
       .withColumn("__dup", explode(sequence(lit(1L), col("__net"))))
       .drop("__net", "__dup")
   }
+
+  /** The [[DeltaJoin]] × [[Rollup]] composition the two files' docs
+    * promise: an incrementally-maintained AGGREGATED join view. The
+    * stored view holds one row per group — (keys..., n, total) — and a
+    * signed change stream (from [[signedIncrement]]) folds into it as
+    * aggregate DELTAS: Δn = Σ sign, Δtotal = Σ sign·value per group,
+    * merged onto the stored row by addition. The join rows are never
+    * re-materialized — refresh cost is ∝ |changes|, grouped and
+    * map-side combined, plus a shuffle of the (tiny) view.
+    *
+    * Only abelian-group aggregates survive retraction this way (count
+    * and sum have inverses; min/max are monoid-only — a retracted
+    * minimum needs the insert-only [[Rollup]] partials path or a
+    * re-scan of the group). Groups whose maintained count reaches 0
+    * vanish from the view, exactly as the group vanishes from the
+    * direct aggregate. A count driven NEGATIVE is an over-retraction
+    * ([[consolidate]]'s invariant violation): dropped by default,
+    * surfaced per-row under `strict`.
+    *
+    * `value` must be an exact type (long / decimal) — the house rule;
+    * a float total would drift from the recomputed aggregate. */
+  def aggregatedConsolidate(view: DataFrame, changes: DataFrame,
+                            keys: Seq[String], value: Column,
+                            signCol: String,
+                            strict: Boolean = false): DataFrame = {
+    val delta = changes.groupBy(keys.map(col): _*)
+      .agg(sum(col(signCol)).cast("long").as("n"),
+        sum(col(signCol) * value).as("total"))
+    val merged = view.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("__n"), sum(col("total")).as("__total"))
+    val checked =
+      if (!strict) merged
+      else merged.withColumn("__n",
+        when(col("__n") < 0, raise_error(concat(
+          lit("over-retraction: maintained count "), col("__n"),
+          lit(" for group ("),
+          concat_ws(", ", keys.map(k => col(k).cast("string")): _*),
+          lit(")")))).otherwise(col("__n")))
+    checked.where(col("__n") > 0)
+      .select((keys.map(col) :+ col("__n").cast("long").as("n") :+
+        col("__total").as("total")): _*)
+  }
 }
