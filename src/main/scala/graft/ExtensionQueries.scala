@@ -1190,6 +1190,54 @@ object ExtensionQueries {
       .orderBy("c_nationkey")
   }
 
+  /** The [[graft.ops.DeltaJoin]] × [[graft.ops.Rollup]] composition:
+    * an incrementally-maintained AGGREGATED join view. The stored
+    * state is one row per nation — (c_nationkey, n, total) — built
+    * from orders before the cut; the change batch carries BOTH shapes
+    * a production feed mixes: plain inserts (orders after the cut,
+    * sign +1) and in-place corrections (every 100th order retracted
+    * and re-inserted with a 10.00 adjustment). The signed change
+    * stream flows through the join delta rule (broadcast delta
+    * probing customer — zero base-table shuffle) and folds into the
+    * view as aggregate deltas (Δn = Σ sign, Δtotal = Σ sign·price),
+    * so refresh cost is ∝ |changes| + |view|, never ∝ |orders|. The
+    * oracle aggregates the corrected full join directly: hash
+    * equality proves the maintained view IS the recomputed aggregate.
+    * A correction hitting a same-batch insert (new order with okey %
+    * 100 = 0) nets +1 original −1 original +1 corrected = corrected —
+    * linearity means intra-batch ordering can't matter, which the
+    * construction deliberately exercises. */
+  private def qOrdersDeltaRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+      col("o_orderdate").as("odate"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val cut = lit("1997-01-01").cast("date")
+    val o0 = o.where(col("odate") < cut)
+    // stored view: the aggregate of the base join, as Rollup would hold it
+    val view0 = c.join(o0, Seq("custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("price")).as("total"))
+    // change batch: inserts + retract/insert correction pairs (over ALL
+    // orders, so corrections can hit same-batch inserts)
+    val hit = o.where(pmod(col("okey"), lit(100)) === 0)
+    val dbS = o.where(col("odate") >= cut).withColumn("sign", lit(1L))
+      .unionByName(hit.withColumn("sign", lit(-1L)))
+      .unionByName(hit
+        .withColumn("price", (col("price") + lit(10)).cast("decimal(18,2)"))
+        .withColumn("sign", lit(1L)))
+    val daS = c.limit(0).withColumn("sign", lit(1L))
+    val changes = graft.ops.DeltaJoin.signedIncrement(
+      c, daS, o0, dbS, Seq("custkey"), "sign")
+    graft.ops.DeltaJoin.aggregatedConsolidate(
+        view0, changes, Seq("c_nationkey"), col("price"), "sign")
+      .select(col("c_nationkey"), col("n").as("n_orders"),
+        (col("total") * lit(100)).cast("long").as("total_x100"))
+      .orderBy("c_nationkey")
+  }
+
   /** Sweep-line interval analytics over the SCD2 history: how many
     * employee versions are simultaneously valid at each boundary
     * instant. Each non-delete version contributes +1 at valid_from and
@@ -1399,6 +1447,7 @@ object ExtensionQueries {
     "events_salted_join" -> (qEventsSaltedJoin _),
     "orders_delta_join" -> (qOrdersDeltaJoin _),
     "orders_delta_retract" -> (qOrdersDeltaRetract _),
+    "orders_delta_rollup" -> (qOrdersDeltaRollup _),
     "events_session_window" -> (qEventsSessionWindow _),
     "cdc_active_sweep" -> (qCdcActiveSweep _),
     "events_value_mad" -> (qEventsValueMad _),
@@ -2201,6 +2250,21 @@ object ExtensionQueries {
         |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |       CAST(SUM(price) * 100 AS BIGINT) AS total_x100
         |FROM c JOIN corrected USING (custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the direct aggregate of the CORRECTED full join — equality pins
+    // the maintained (view + aggregate-delta) state as exactly the
+    // recomputed aggregate
+    "orders_delta_rollup" ->
+      """WITH c AS (SELECT c_custkey AS custkey, c_nationkey FROM customer),
+        |o AS (SELECT o_custkey AS custkey,
+        |        CASE WHEN o_orderkey % 100 = 0
+        |             THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+        |             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |      FROM orders)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(price) * 100 AS BIGINT) AS total_x100
+        |FROM c JOIN o USING (custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the direct full join — equality pins the delta rule's four-term

@@ -84,6 +84,39 @@ class DeltaJoinSpec extends SparkSpec {
     assert(DeltaJoin.consolidate(view, ok, "sign", strict = true).count() === 2L)
   }
 
+  test("aggregatedConsolidate equals the recomputed aggregate of the corrected rows") {
+    // stored view: aggregate of the base facts per key
+    val base = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("k", "v")
+    val view = base.groupBy($"k")
+      .agg(count(lit(1)).cast("long").as("n"), sum($"v").as("total"))
+    // changes: insert (1,30); update (2,5)->(2,6); retract group 3 entirely
+    val changes = Seq((1L, 30L, 1L), (2L, 5L, -1L), (2L, 6L, 1L), (3L, 7L, -1L))
+      .toDF("k", "v", "sign")
+    val corrected = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 6L)).toDF("k", "v")
+    val expected = corrected.groupBy($"k")
+      .agg(count(lit(1)).cast("long").as("n"), sum($"v").as("total"))
+    val out = DeltaJoin.aggregatedConsolidate(view, changes, Seq("k"), $"v", "sign")
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty,
+      "maintained aggregate must equal the recomputed aggregate")
+    // group 3's count reached 0 → it vanishes, as from the direct aggregate
+    assert(out.where($"k" === 3L).count() === 0L)
+  }
+
+  test("strict aggregatedConsolidate fails on a count driven negative") {
+    val view = Seq((1L, 1L, 10L)).toDF("k", "n", "total")
+    val changes = Seq((1L, 10L, -1L), (1L, 10L, -1L)).toDF("k", "v", "sign")
+    assert(DeltaJoin.aggregatedConsolidate(
+      view, changes, Seq("k"), $"v", "sign").count() === 0L)
+    val err = intercept[Exception] {
+      DeltaJoin.aggregatedConsolidate(
+        view, changes, Seq("k"), $"v", "sign", strict = true).count()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages(err).contains("over-retraction"))
+  }
+
   test("delta sides carry broadcast hints in the increment plan") {
     val plan = DeltaJoin.increment(a, da, b, db, Seq("k"))
       .queryExecution.optimizedPlan.toString
