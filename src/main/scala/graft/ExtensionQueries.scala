@@ -949,12 +949,29 @@ object ExtensionQueries {
       .orderBy("q_vec_id", "rnk")
   }
 
-  /** IVF ANN (k-means cells, 2-probe). No SQL oracle — iterative
-    * training isn't expressible in DuckDB — so the query is
-    * self-checking: each row carries `in_brute` (was this hit also in
-    * the exact brute-force top-k?) and `recall_x100` (per-query
-    * recall@k as an integer percentage). The driver's rows-only gate
-    * then records recall as data; ExtensionOpsSpec asserts it too.
+  /** Collapse a row-level ANN result (from [[withRecallCheck]]) to the
+    * ORACLE-CHECKABLE audit: one row per query — result count plus a
+    * recall_ok flag at a threshold calibrated far below the fixture's
+    * measured floor. Exact neighbor sets aren't SQL-expressible
+    * (iterative k-means training), but "every query returned exactly k
+    * rows and recall cleared the floor" IS deterministic on the seeded
+    * fixture — so the driver's DuckDB gate can hash-pin it instead of
+    * recording a rows-only non-check. The row-level frames stay
+    * exposed ([[simTopkIvfRows]] etc.) for the tighter mean-recall
+    * envelopes in ExtensionOpsSpec. */
+  private def annAudit(rows: DataFrame, minRecallX100: Int): DataFrame =
+    rows.groupBy(col("q_vec_id"))
+      .agg(count(lit(1)).cast("long").as("n_results"),
+        max(col("recall_x100")).as("__r"))
+      .select(col("q_vec_id"), col("n_results"),
+        (col("__r") >= minRecallX100).as("recall_ok"))
+      .orderBy("q_vec_id")
+
+  /** IVF ANN (k-means cells, 2-probe). Exact neighbor rows aren't
+    * SQL-expressible — the registered query emits the [[annAudit]]
+    * summary (count-exact + recall-floor per query, DuckDB-pinned);
+    * row-level `in_brute`/`recall_x100` audit data stays available via
+    * [[simTopkIvfRows]] and is envelope-gated in ExtensionOpsSpec.
     *
     * Cell/probe choice is fixture-honest: these synthetic embeddings
     * are near-uniform random, so recall@10 ≈ probed corpus fraction
@@ -963,7 +980,7 @@ object ExtensionQueries {
     * here; real embedding corpora cluster, which is what buys IVF its
     * low probe fractions at scale.
     */
-  private def qSimTopkIvf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simTopkIvfRows(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.where(col("vec_id") >= 8)
     val qs = emb.where(col("vec_id") < 8)
@@ -976,10 +993,18 @@ object ExtensionQueries {
     withRecallCheck(ivf, corpus, qs, k = 10)
   }
 
-  /** PQ ANN (product quantization + ADC, [[graft.ops.Pq]]). Rows-only
-    * gate like IVF (iterative training isn't SQL-expressible), so each
-    * row self-reports `in_brute` and per-query `recall_x100` vs the
-    * exact brute-force top-k. The corpus compresses 64 floats → 8
+  // recall floors: measured per-query minima are 80 (IVF), 40 (PQ), 50
+  // (IVF-PQ) at sf0.01 and 80/30/30 at sf0.001; the floors sit ≥ 15
+  // recall points below every observed value so a one-neighbor flip
+  // from float-merge-order jitter can't cross them
+  private def qSimTopkIvf(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfRows(s, dir), minRecallX100 = 45)
+
+  /** PQ ANN (product quantization + ADC, [[graft.ops.Pq]]).
+    * [[annAudit]]-gated like IVF (iterative training isn't
+    * SQL-expressible); the row-level frame self-reports `in_brute` and
+    * per-query `recall_x100` vs the exact brute-force top-k and stays
+    * exposed via [[simTopkPqRows]]. The corpus compresses 64 floats → 8
     * codes; ADC scores are 8 table lookups per pair inside codegen,
     * shortlisting 50 candidates per query that then re-rank EXACTLY
     * against their original vectors (the production PQ deployment
@@ -987,7 +1012,7 @@ object ExtensionQueries {
     * structurally lossy; the shortlist + exact re-rank is what makes
     * compressed codes usable, and the recall envelope in
     * ExtensionOpsSpec is calibrated to the fixture). */
-  private def qSimTopkPq(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simTopkPqRows(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.where(col("vec_id") >= 8)
     val qs = emb.where(col("vec_id") < 8)
@@ -1002,11 +1027,15 @@ object ExtensionQueries {
     withRecallCheck(pq, corpus, qs, k = 10)
   }
 
+  private def qSimTopkPq(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkPqRows(s, dir), minRecallX100 = 15)
+
   /** IVF-PQ ANN ([[graft.ops.IvfPq]]): coarse cells prune the search,
     * PQ residual codes score the survivors, exact q_dot re-ranks the
-    * shortlist — the full billion-vector construction. Rows-only gate
-    * with the same in_brute/recall_x100 self-check as IVF and PQ. */
-  private def qSimTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
+    * shortlist — the full billion-vector construction. [[annAudit]]
+    * gate with the same in_brute/recall_x100 row-level self-check as
+    * IVF and PQ, exposed via [[simTopkIvfPqRows]]. */
+  private[graft] def simTopkIvfPqRows(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.where(col("vec_id") >= 8)
     val qs = emb.where(col("vec_id") < 8)
@@ -1022,6 +1051,9 @@ object ExtensionQueries {
       col("embedding"), col("vec_id"), k = 10, nProbe = 6, shortlist = 50)
     withRecallCheck(got, corpus, qs, k = 10)
   }
+
+  private def qSimTopkIvfPq(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfPqRows(s, dir), minRecallX100 = 15)
 
   /** Incremental ingestion dedup ([[Dedup.incrementalExact]]): the
     * historical half of the corpus is the fingerprint store; the new
@@ -2418,6 +2450,26 @@ object ExtensionQueries {
          |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
          |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
          |WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    // the ANN audit contract: every query vector yields exactly k=10
+    // results and clears its calibrated recall floor. The neighbor
+    // SETS can't be SQL-expressed (iterative k-means training), but
+    // this summary is deterministic on the seeded fixture — the
+    // engine-side recall_ok is computed against the in-engine exact
+    // brute-force top-k, so a broken index (empty cells, collapsed
+    // codebook, lost shortlist) fails the hash compare
+    "sim_topk_ivf" ->
+      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+    "sim_topk_pq" ->
+      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+    "sim_topk_ivfpq" ->
+      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,

@@ -159,11 +159,18 @@ class ExtensionOpsSpec extends SparkSpec {
   }
 
   test("registered IVF query self-reports recall >= 0.8 on the fixture") {
-    val df = ExtensionQueries.queries("sim_topk_ivf")(spark, "/root/testdata/sf0.001")
+    val df = ExtensionQueries.simTopkIvfRows(spark, "/root/testdata/sf0.001")
     val recalls = df.select("recall_x100").as[Long].collect()
     assert(recalls.nonEmpty)
     assert(recalls.sum.toDouble / recalls.length >= 80.0,
       s"mean recall ${recalls.sum.toDouble / recalls.length} below envelope")
+    // the registered (oracle-gated) audit shape: 8 queries, k rows
+    // each, every recall floor cleared
+    val audit = ExtensionQueries.queries("sim_topk_ivf")(spark, "/root/testdata/sf0.001")
+      .select($"q_vec_id", $"n_results", $"recall_ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(audit.length === 8)
+    assert(audit.forall { case (_, n, ok) => n == 10L && ok })
   }
 
   test("PQ rerank recalls the planted near vector at rank 1") {
@@ -215,13 +222,17 @@ class ExtensionOpsSpec extends SparkSpec {
       .orderBy("rnk").select("vec_id").as[Long].collect()
     assert(got.head === 999L)
     // fixture envelope for the registered query (calibrated like PQ's)
-    val df = ExtensionQueries.queries("sim_topk_ivfpq")(spark, "/root/testdata/sf0.001")
+    val df = ExtensionQueries.simTopkIvfPqRows(spark, "/root/testdata/sf0.001")
     val recalls = df.select("recall_x100").as[Long].collect()
     assert(recalls.nonEmpty)
     assert(recalls.sum.toDouble / recalls.length >= 40.0,
       s"mean recall ${recalls.sum.toDouble / recalls.length} below envelope")
     val perQ = df.groupBy("q_vec_id").count().select("count").as[Long].collect()
     assert(perQ.forall(_ == 10L))
+    val audit = ExtensionQueries.queries("sim_topk_ivfpq")(spark, "/root/testdata/sf0.001")
+      .select($"q_vec_id", $"n_results", $"recall_ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(audit.length === 8 && audit.forall { case (_, n, ok) => n == 10L && ok })
   }
 
   test("registered PQ query self-reports shortlist recall on the fixture") {
@@ -230,7 +241,7 @@ class ExtensionOpsSpec extends SparkSpec {
     // 50-candidate shortlist + exact re-rank over a 192-vector corpus);
     // the operator contract under test is that the self-reported recall
     // column is present, populated, and not degenerate
-    val df = ExtensionQueries.queries("sim_topk_pq")(spark, "/root/testdata/sf0.001")
+    val df = ExtensionQueries.simTopkPqRows(spark, "/root/testdata/sf0.001")
     val recalls = df.select("recall_x100").as[Long].collect()
     assert(recalls.nonEmpty)
     assert(recalls.sum.toDouble / recalls.length >= 40.0,
@@ -238,6 +249,10 @@ class ExtensionOpsSpec extends SparkSpec {
     // every query returns exactly k rows (dense codebook survived)
     val perQ = df.groupBy("q_vec_id").count().select("count").as[Long].collect()
     assert(perQ.forall(_ == 10L))
+    val audit = ExtensionQueries.queries("sim_topk_pq")(spark, "/root/testdata/sf0.001")
+      .select($"q_vec_id", $"n_results", $"recall_ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(audit.length === 8 && audit.forall { case (_, n, ok) => n == 10L && ok })
   }
 
   test("multimodal decode stub is deterministic and batch-shaped") {
