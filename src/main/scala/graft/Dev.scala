@@ -17,6 +17,24 @@ object Dev {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("recall")) {
+      // per-query recall minima for the annAudit floor calibration
+      // comments in ExtensionQueries — run at each sf dir of interest
+      import org.apache.spark.sql.functions.{col, min}
+      for ((name, rows) <- Seq(
+          "ivf" -> ExtensionQueries.simTopkIvfRows(spark, dir),
+          "pq" -> ExtensionQueries.simTopkPqRows(spark, dir),
+          "ivfpq" -> ExtensionQueries.simTopkIvfPqRows(spark, dir))) {
+        val per = rows.groupBy(col("q_vec_id"))
+          .agg(min(col("recall_x100")).as("r")).orderBy("q_vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        println(s"== recall $name $dir min=${per.map(_._2).min} " +
+          per.map { case (q, r) => s"q$q=$r" }.mkString(" "))
+        spark.catalog.clearCache()
+        graft.ops.AnnCache.clear()
+      }
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
     for (name <- names; i <- 1 to 3) {
       val t0 = System.nanoTime()

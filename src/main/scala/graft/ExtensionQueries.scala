@@ -960,9 +960,15 @@ object ExtensionQueries {
     * exposed ([[simTopkIvfRows]] etc.) for the tighter mean-recall
     * envelopes in ExtensionOpsSpec. */
   private def annAudit(rows: DataFrame, minRecallX100: Int): DataFrame =
+    // recall_x100 is CONSTANT within a q_vec_id group today (the
+    // full-partition window in withRecallCheck), so any per-group
+    // aggregate reads the same value; min() is chosen so that if the
+    // semantics ever shift to per-rank/cumulative recall, the gate
+    // fails CLOSED (strictest row decides) instead of max() silently
+    // passing on the best row.
     rows.groupBy(col("q_vec_id"))
       .agg(count(lit(1)).cast("long").as("n_results"),
-        max(col("recall_x100")).as("__r"))
+        min(col("recall_x100")).as("__r"))
       .select(col("q_vec_id"), col("n_results"),
         (col("__r") >= minRecallX100).as("recall_ok"))
       .orderBy("q_vec_id")
