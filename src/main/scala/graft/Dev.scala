@@ -21,14 +21,18 @@ object Dev {
       // per-query recall minima for the annAudit floor calibration
       // comments in ExtensionQueries — run at each sf dir of interest
       import org.apache.spark.sql.functions.{col, min}
-      for ((name, rows) <- Seq(
-          "ivf" -> ExtensionQueries.simTopkIvfRows(spark, dir),
-          "pq" -> ExtensionQueries.simTopkPqRows(spark, dir),
-          "ivfpq" -> ExtensionQueries.simTopkIvfPqRows(spark, dir))) {
-        val per = rows.groupBy(col("q_vec_id"))
+      // thunks, not frames: building all three up front would pin each
+      // index (AnnCache.memo's localCheckpoint) past its clearCache(),
+      // defeating the per-algorithm isolation the loop intends
+      for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "ivf" -> (() => ExtensionQueries.simTopkIvfRows(spark, dir)),
+          "pq" -> (() => ExtensionQueries.simTopkPqRows(spark, dir)),
+          "ivfpq" -> (() => ExtensionQueries.simTopkIvfPqRows(spark, dir)))) {
+        val per = mk().groupBy(col("q_vec_id"))
           .agg(min(col("recall_x100")).as("r")).orderBy("q_vec_id")
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        println(s"== recall $name $dir min=${per.map(_._2).min} " +
+        val worst = per.map(_._2).minOption.getOrElse(-1L)
+        println(s"== recall $name $dir min=$worst " +
           per.map { case (q, r) => s"q$q=$r" }.mkString(" "))
         spark.catalog.clearCache()
         graft.ops.AnnCache.clear()

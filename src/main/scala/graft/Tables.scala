@@ -31,8 +31,15 @@ object Tables {
     * it at session build. */
   val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** `events` with `ts` as a proper TimestampType (µs), truncated from the
-    * stored nanoseconds exactly like DuckDB truncates on read.
+  /** `events` with `ts` normalized to a proper TimestampType (µs)
+    * regardless of how the fixture generation stored it. The driver's
+    * fixtures have shipped `ts` three ways across rounds — parquet
+    * TIMESTAMP(NANOS) (read as long under [[nanosConf]]), plain
+    * timestamp[us] with no timezone (read as TIMESTAMP_NTZ), and a
+    * session-tz TIMESTAMP — so the loader dispatches on the type Spark
+    * actually read instead of assuming a vintage. All three converge on
+    * the same instants under the UTC session every entry point sets, so
+    * DuckDB oracle comparisons agree in each case.
     *
     * Defensive conf guard: reading TIMESTAMP(NANOS) parquet requires
     * [[nanosConf]]. Entry points set it at session creation (no
@@ -40,15 +47,25 @@ object Tables {
     * skipped setup. Note it also overrides a conf explicitly set to
     * "false": [[nanosConf]] is a registered SQLConf entry, so an unset
     * conf and an explicit false are indistinguishable through
-    * `RuntimeConfig` (both read as the default "false") — and this
-    * loader cannot produce the `ts` column at all without the flag, so
-    * setting it is strictly better than the PARQUET_TYPE_ILLEGAL crash
-    * the "respect false" alternative yields.
+    * `RuntimeConfig` (both read as the default "false") — and the NANOS
+    * vintage cannot be read at all without the flag, so setting it is
+    * strictly better than the PARQUET_TYPE_ILLEGAL crash the "respect
+    * false" alternative yields. Harmless for the other vintages (the
+    * flag only affects NANOS columns).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     if (spark.conf.get(nanosConf, "false") != "true")
       spark.conf.set(nanosConf, "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    val norm = raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) vintage, surfaced as epoch-nanos long
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      // timestamp[us] without timezone: reinterpret the wall-clock in
+      // the (UTC) session zone — identical instant, TimestampType out
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", norm)
   }
 }
