@@ -1422,6 +1422,72 @@ object ExtensionQueries {
       .orderBy("media_a", "media_b")
   }
 
+  // ---------------------------------------------------- round-10 batch
+
+  /** Filtered (hybrid) vector search: top-k restricted to candidates
+    * whose metadata passes a predicate (here `label < 5`) — the
+    * "search only the docs this user may see / only this language"
+    * production shape. The label predicate is a plain scan filter, so
+    * it pushes into the parquet reader and the expensive dot product
+    * only runs on the matching fraction (PlanSpec pins the pushdown) —
+    * at 100 TB a selective filter is the single biggest ANN
+    * accelerator, ahead of any index. */
+  private def qSimTopkFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKBruteForce(
+        emb.where(col("vec_id") >= 8 && col("label") < 5),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  /** Per-source weighted sample without replacement: each source keeps
+    * its 10 smallest [[graft.ops.Sampling.weightedPriority]] docs,
+    * biased toward longer documents (weight = n_chars) — the
+    * quality/length-weighted curation sampler. Integer-exact
+    * Efraimidis–Spirakis-style priority race (see Sampling scaladoc);
+    * WindowGroupLimit pre-reduces map-side like corpus_source_cap. */
+  private def qCorpusWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedCapPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("doc_id"), col("n_chars"), cap = 10)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("doc_id")
+
+  /** Damped PageRank (3 rounds, fixed-point integer — see
+    * [[graft.ops.Graph]]) over the event-type transition graph: which
+    * event types accumulate behavioral mass. The raw 100 TB scan is
+    * paid ONCE (the same one-shuffle lag/groupBy as
+    * events_transitions); the iterations run on the aggregated
+    * |types|² edge table with the rank vector broadcast. */
+  private def qEventsPagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.pageRank(edges, iters = 3)
+      .select(col("node").as("event_type"), col("pr"))
+      .orderBy("event_type")
+  }
+
+  /** Semantic clustering / semantic dedup: one exact-integer Lloyd
+    * round of k-means over the embeddings (seeds = vec_id < 4),
+    * emitting per-cluster size, inertia, and the representative
+    * vector ([[graft.ops.SemanticCluster]]). The whole round is two
+    * scan-stage assignment passes against literal centroids plus one
+    * bounded (k·dim) refit aggregate — no shuffle ever carries a
+    * vector. */
+  private def qEmbKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.SemanticCluster.lloydOnce(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id") < 4))
+      .orderBy("cluster")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1496,6 +1562,10 @@ object ExtensionQueries {
     "events_cms_counts" -> (qEventsCmsCounts _),
     "events_rollup_kmv" -> (qEventsRollupKmv _),
     "cdc_avro_roundtrip" -> (qCdcAvroRoundtrip _),
+    "sim_topk_filtered" -> (qSimTopkFiltered _),
+    "corpus_weighted_sample" -> (qCorpusWeightedSample _),
+    "events_pagerank" -> (qEventsPagerank _),
+    "emb_kmeans" -> (qEmbKmeans _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -2524,5 +2594,75 @@ object ExtensionQueries {
          |SELECT media_a, media_b, hamming FROM cand
          |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
     },
+
+    "sim_topk_filtered" ->
+      s"""WITH q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM q c CROSS JOIN q s
+         |      WHERE c.vec_id >= 8 AND c.label < 5 AND s.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
+         |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "corpus_weighted_sample" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source, CAST(row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${graft.ops.Sampling.weightedPrioritySql("doc_id", "n_chars")}, doc_id
+         |  ) AS BIGINT) AS rk FROM documents)
+         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "events_pagerank" -> {
+      import graft.ops.Graph
+      s"""WITH o AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |e AS (SELECT src, event_type AS dst, COUNT(*) AS w
+         |      FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow ON e.src = ow.src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT node, (SELECT COUNT(*) FROM nodes) AS n_nodes FROM nodes),
+         |r0 AS (SELECT node, n_nodes, ${Graph.Scale} // n_nodes AS pr FROM nn),
+         |r1 AS (${Graph.rankStepSql("r0")}),
+         |r2 AS (${Graph.rankStepSql("r1")}),
+         |r3 AS (${Graph.rankStepSql("r2")})
+         |SELECT node AS event_type, CAST(pr AS BIGINT) AS pr
+         |FROM r3 ORDER BY event_type""".stripMargin
+    },
+
+    "emb_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", EMB_DIM)} AS cn2 FROM q WHERE vec_id < 4),
+         |d1 AS (SELECT v.vec_id, v.q, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", EMB_DIM)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, q, cid AS cl FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
+         |m AS (SELECT cl, COUNT(*) AS m FROM a1 GROUP BY cl),
+         |sums AS (SELECT cl, i, SUM(q[i]) AS s
+         |         FROM a1, LATERAL (SELECT unnest(generate_series(1, $EMB_DIM)) AS i) g
+         |         GROUP BY cl, i),
+         |cent AS (SELECT sums.cl, list(sums.s // m.m ORDER BY sums.i) AS cv
+         |         FROM sums JOIN m ON sums.cl = m.cl GROUP BY sums.cl),
+         |dd AS (SELECT v.vec_id, c.cl,
+         |         CAST(list_sum(list_transform(generate_series(1, $EMB_DIM),
+         |           i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS BIGINT) AS d2
+         |       FROM q v CROSS JOIN cent c),
+         |a2 AS (SELECT vec_id, cl, d2 FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY d2, cl) AS rn FROM dd) WHERE rn = 1),
+         |rep AS (SELECT cl, vec_id AS rep_vec_id FROM (
+         |         SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
+         |                   ORDER BY d2, vec_id) AS rn FROM a2) WHERE rn = 1)
+         |SELECT a.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(SUM(a.d2) AS BIGINT) AS inertia, MIN(r.rep_vec_id) AS rep_vec_id
+         |FROM a2 a JOIN rep r ON a.cl = r.cl
+         |GROUP BY a.cl ORDER BY cluster""".stripMargin,
   )
 }

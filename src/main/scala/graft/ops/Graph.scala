@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over (src, dst, w) edge DataFrames.
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic end to end: ranks
+  * are scaled by 10^12 and every division is an integer `div`, so the
+  * result is bit-identical across engines, partitionings, and re-runs —
+  * a float PageRank is none of those (sum order changes the low bits),
+  * and the driver's oracle hash-compares values. The truncation error
+  * per step is < 10^-12 of the rank mass, far below anything a ranking
+  * consumer can observe.
+  *
+  * Scale shape: the edge aggregation is ONE keyed shuffle over the raw
+  * data; every iteration after that runs on the aggregated edge table
+  * (|node|² at worst, |distinct edges| in practice), with the rank
+  * vector broadcast to the edge side — at 100 TB of events the
+  * iterations never touch the raw data again. Dangling nodes (no
+  * out-edges) keep their teleport share and simply stop forwarding
+  * mass; total mass is then conserved only up to the dangling leak,
+  * which is the standard simplification and — being deterministic — is
+  * mirrored exactly by the SQL oracle.
+  */
+object Graph {
+
+  /** 10^12 fixed-point scale for rank values. */
+  val Scale = 1000000000000L
+
+  /** Damping factor in percent (85 = the canonical 0.85). */
+  val DampPct = 85L
+
+  /** `iters` rounds of damped PageRank over `edges(src, dst, w)`.
+    * Returns (node, pr) with pr in [[Scale]] fixed-point.
+    *
+    * Per round, with W(s) = Σ w of s's out-edges and N = |nodes|:
+    *   contrib(e) = (pr(src) · w) div W(src)
+    *   pr'(n) = ((15 · Scale) div 100) div N + (85 · Σ contrib_in(n)) div 100
+    *
+    * The rank frame is ≤ N rows and is re-broadcast each round; plan
+    * depth grows linearly in `iters` (each round references the
+    * previous rank exactly once — no exponential-plan trap).
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // The aggregated edge table is tiny (≤ |nodes|²) but every frame
+    // below derives from it — without pinning, each of the 2 + 3·iters
+    // references re-runs the full raw-data aggregation (observed: 22
+    // parquet scans for 3 iterations). One eager localCheckpoint makes
+    // the raw scan happen exactly once.
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val ew = e.join(outW, Seq("src")) // (src, dst, w, out_w)
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // scalar N rides a broadcast cross join: no collect, one row
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val withN = nodes.crossJoin(broadcast(n))
+
+    // pr·w ≤ Scale·Σw must stay under 2^63: fine up to ~9·10^6 total
+    // edge weight at this Scale; pre-normalize weights beyond that
+    var rank = withN.select(col("node"), expr(s"$Scale div n_nodes").as("pr"))
+    for (_ <- 1 to iters) {
+      // `rank` is referenced exactly once per round (and `withN` is a
+      // fixed non-growing frame), so plan depth is linear in `iters` —
+      // no exponential-plan trap
+      val contrib = ew.join(broadcast(rank), col("src") === col("node"))
+        .select(col("dst"), expr("(pr * w) div out_w").as("c"))
+      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      rank = withN.join(inSum, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"(15 * $Scale div 100) div n_nodes" +
+            s" + ($DampPct * coalesce(in_sum, 0L)) div 100").as("pr"))
+    }
+    rank.select(col("node"), col("pr"))
+  }
+
+  /** DuckDB mirror of one rank update, given CTE names for the previous
+    * rank (`prev(node, pr)`), the weighted edges (`ew(src, dst, w,
+    * out_w)`), and the node table (`nn(node, n_nodes)`). */
+  def rankStepSql(prev: String): String =
+    s"""SELECT nn.node, nn.n_nodes,
+       |       ((15 * $Scale // 100) // nn.n_nodes)
+       |       + ($DampPct * COALESCE(i.in_sum, 0)) // 100 AS pr
+       |FROM nn LEFT JOIN (
+       |  SELECT ew.dst, SUM((p.pr * ew.w) // ew.out_w) AS in_sum
+       |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst
+       |) i ON nn.node = i.dst""".stripMargin
+}

@@ -328,4 +328,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__graft_salt"),
       "the join must key on the internal salt column")
   }
+
+  test("sim_topk_filtered: metadata predicate reaches the parquet scan") {
+    val p = planOf("sim_topk_filtered")
+    assert(p.contains("LessThan(label,5)"),
+      "the label filter must push into the scan — at 100 TB the " +
+        "pre-filter is the biggest ANN accelerator, ahead of any index")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("corpus_weighted_sample: weighted rank-cap pre-reduces via WindowGroupLimit") {
+    val p = planOf("corpus_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "the weighted priority top-n must pre-reduce map-side like the " +
+        "unweighted source cap")
+  }
+
+  test("events_pagerank: iterations run on the pinned edge table, not the raw scan") {
+    val p = planOf("events_pagerank")
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "the final plan must read the localCheckpointed edge aggregate — " +
+        "a parquet scan here means every iteration re-pays the raw pass " +
+        "(observed 22 scans before pinning)")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "the rank vector must broadcast to the edge side each round")
+  }
+
+  test("emb_kmeans: both assignment passes stay in the scan stage (one scan, no joins)") {
+    val p = planOf("emb_kmeans")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+    assert(!p.contains("Join"), "centroids must ride as literals, not a join")
+  }
 }

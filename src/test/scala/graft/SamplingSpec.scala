@@ -50,4 +50,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("s1") - 1500L) < 200) // ~50%
     assert(!kept.contains("s2"))         // absent stratum dropped
   }
+
+  test("weightedCapPerGroup caps per group, biases toward weight, stays stable") {
+    // weights 1 vs 100 in one group: the heavy half should dominate
+    // the kept set (priority = hash·2^20 div w)
+    val df = (0L until 2000L).map(i =>
+        (i, s"g${i % 2}", if (i < 1000L) 1L else 100L))
+      .toDF("id", "g", "w")
+    val kept = Sampling.weightedCapPerGroup(df, $"g", $"id", $"w", cap = 50)
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.length === 100)
+    assert(kept.groupBy(_._2).forall(_._2.length == 50))
+    val heavy = kept.count(_._3 == 100L)
+    assert(heavy > 85, s"heavy-weight rows under-selected: $heavy/100")
+    // deterministic under repartitioning
+    val again = Sampling.weightedCapPerGroup(
+        df.repartition(7, $"id"), $"g", $"id", $"w", cap = 50)
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.map(_._1).sorted.toSeq === again.map(_._1).sorted.toSeq)
+    // priority mirrors its SQL form textually (the oracle contract)
+    assert(Sampling.weightedPrioritySql("doc_id", "n_chars")
+      .contains("* 1048576) // greatest(n_chars, 1)"))
+  }
 }
