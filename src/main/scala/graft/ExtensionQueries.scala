@@ -1488,6 +1488,63 @@ object ExtensionQueries {
       .orderBy("cluster")
   }
 
+  /** The canonical ending of the near-dup pipeline: every MinHash-LSH
+    * cluster keeps exactly ONE member — the highest-quality one
+    * (longest text, tie → lowest id) — and every singleton keeps
+    * itself. Composes the oracle-exact cluster labeling with a
+    * per-cluster argmax; the extra cost over dedup_clusters is one
+    * keyed window on the (small) clustered subset plus an anti-join
+    * for the singleton majority, which broadcasts the cluster
+    * membership (near-dups are a small fraction of any real corpus). */
+  private def qCorpusDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val pairs = Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .select("doc_a", "doc_b")
+    val comp = graft.ops.Components.connectedComponents(pairs)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    val best = comp.join(sizes, "comp")
+      .join(docs, col("id") === col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("comp")).orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_size"))
+    val singles = docs.join(comp, docs("doc_id") === comp("id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("cluster_size"))
+    best.unionByName(singles).orderBy("doc_id")
+  }
+
+  /** Frequent-itemset pairs (support + lift) over per-user event-type
+    * baskets — the market-basket / co-occurrence mining primitive.
+    * Support = users with both types; lift is emitted in integer basis
+    * points ((10000·n_ab·N) div (n_a·n_b)) so the oracle hash-pins it.
+    * Scale shape: the basket self-join co-partitions on user_id (both
+    * sides are the same distinct frame — one exchange, reused), and
+    * per-user output is bounded by |item vocabulary|² — at real scale
+    * the standard move is capping per-user distinct items first, which
+    * [[graft.ops.Sampling.capPerGroup]] already provides. */
+  private def qEventsItemsetPairs(s: SparkSession, dir: String): DataFrame = {
+    // the distinct basket frame feeds four consumers (both self-join
+    // sides, the per-item counts, the user total) — pinned so the raw
+    // scan + distinct shuffle run once, not five times (same
+    // discipline as Graph.pageRank's edge table)
+    val ut = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      .distinct().localCheckpoint(true)
+    val n1 = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val tot = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("nt"))
+    val p = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+    p.join(broadcast(n1.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(n1.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        expr("(10000 * n_users * nt) div (n_a * n_b)").as("lift_bp"))
+      .orderBy("type_a", "type_b")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1566,6 +1623,8 @@ object ExtensionQueries {
     "corpus_weighted_sample" -> (qCorpusWeightedSample _),
     "events_pagerank" -> (qEventsPagerank _),
     "emb_kmeans" -> (qEmbKmeans _),
+    "corpus_dedup_keep_best" -> (qCorpusDedupKeepBest _),
+    "events_itemset_pairs" -> (qEventsItemsetPairs _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -1633,7 +1692,7 @@ object ExtensionQueries {
     * MinHash near-dup pair graph — the independent oracle both
     * cluster formulations (label propagation and Large-Star/
     * Small-Star) are gated against. */
-  private lazy val dedupClustersOracle: String =
+  private lazy val dedupClustersCtes: String =
     s"""WITH RECURSIVE $SHINGLE3,
        |${Dedup.minhashBandSqlCtes(8, 4)},
        |ok AS (SELECT doc_id, band, bk FROM (
@@ -1661,7 +1720,10 @@ object ExtensionQueries {
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
        |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
        |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
-       |       FROM cc GROUP BY 1)
+       |       FROM cc GROUP BY 1)""".stripMargin
+
+  private lazy val dedupClustersOracle: String =
+    s"""$dedupClustersCtes
        |SELECT cc.id AS doc_id, cc.comp AS rep_doc_id, sz.cluster_size
        |FROM cc JOIN sz ON cc.comp = sz.comp
        |ORDER BY doc_id""".stripMargin
@@ -2664,5 +2726,36 @@ object ExtensionQueries {
          |       CAST(SUM(a.d2) AS BIGINT) AS inertia, MIN(r.rep_vec_id) AS rep_vec_id
          |FROM a2 a JOIN rep r ON a.cl = r.cl
          |GROUP BY a.cl ORDER BY cluster""".stripMargin,
+
+    "corpus_dedup_keep_best" ->
+      s"""$dedupClustersCtes,
+         |best AS (SELECT doc_id, cluster_size FROM (
+         |    SELECT cc.id AS doc_id, sz.cluster_size,
+         |           row_number() OVER (PARTITION BY cc.comp
+         |                              ORDER BY d.n_chars DESC, cc.id ASC) AS rn
+         |    FROM cc JOIN sz ON cc.comp = sz.comp
+         |    JOIN documents d ON d.doc_id = cc.id) WHERE rn = 1)
+         |SELECT doc_id, cluster_size FROM best
+         |UNION ALL
+         |SELECT doc_id, CAST(1 AS BIGINT) AS cluster_size FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM cc)
+         |ORDER BY doc_id""".stripMargin,
+
+    "events_itemset_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n1 AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS nt FROM ut),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             COUNT(*) AS n_users
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                         AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_users,
+        |       (10000 * p.n_users * tot.nt) // (na.n * nb.n) AS lift_bp
+        |FROM p
+        |CROSS JOIN tot
+        |JOIN n1 na ON na.event_type = p.type_a
+        |JOIN n1 nb ON nb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

@@ -359,4 +359,15 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length === 1)
     assert(!p.contains("Join"), "centroids must ride as literals, not a join")
   }
+
+  test("events_itemset_pairs: basket frame pinned once, self-join co-partitioned") {
+    val p = planOf("events_itemset_pairs")
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "all four consumers must read the pinned basket frame — a scan " +
+        "here means the raw pass runs per consumer (observed 5 scans)")
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length <= 2,
+      "the basket self-join must co-partition on user_id, not re-shuffle " +
+        "per consumer")
+  }
 }
