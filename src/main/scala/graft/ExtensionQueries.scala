@@ -1545,6 +1545,25 @@ object ExtensionQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Johnson–Lindenstrauss ±1 sign projection of the embeddings
+    * (64 → 16 dims, [[Vectors.signProject]]): the ANN-prefilter /
+    * embedding-compression primitive — distances survive (Achlioptas),
+    * memory and per-pair compute drop 4×. Integer-exact, so the
+    * oracle hash-pins the projected table (sampled components + the
+    * full projected norm² — array columns stay out of the compare).
+    * Pure scan-stage expression: one scan, zero shuffles before the
+    * final sort. */
+  private def qEmbRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val proj = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qz"))
+      .select(col("vec_id"), Vectors.signProject(col("qz"), 16, EMB_DIM).as("p"))
+    proj.select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"),
+        element_at(col("p"), 3).as("p2"), element_at(col("p"), 4).as("p3"),
+        Vectors.intNorm2(col("p")).as("pnorm2"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1625,6 +1644,7 @@ object ExtensionQueries {
     "emb_kmeans" -> (qEmbKmeans _),
     "corpus_dedup_keep_best" -> (qCorpusDedupKeepBest _),
     "events_itemset_pairs" -> (qEventsItemsetPairs _),
+    "emb_random_projection" -> (qEmbRandomProjection _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -2757,5 +2777,12 @@ object ExtensionQueries {
         |JOIN n1 na ON na.event_type = p.type_a
         |JOIN n1 nb ON nb.event_type = p.type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "emb_random_projection" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |p AS (SELECT vec_id, ${Vectors.signProjectSql("q", 16, EMB_DIM)} AS p FROM q)
+         |SELECT vec_id, p[1] AS p0, p[2] AS p1, p[3] AS p2, p[4] AS p3,
+         |       ${Vectors.intNorm2Sql("p", 16)} AS pnorm2
+         |FROM p ORDER BY vec_id""".stripMargin,
   )
 }

@@ -74,6 +74,35 @@ object Vectors {
     }.mkString(" + ")
   }
 
+  /** Johnson–Lindenstrauss ±1 sign projection (Achlioptas, JCSS 2003:
+    * ±1 entries preserve pairwise distances like Gaussian ones):
+    * component j of the output = the quantized vector's dot product
+    * with hyperplane j — the same planes [[signBucket]] keeps only the
+    * SIGNS of. Integer arithmetic end to end, so the projected table
+    * is engine/partitioning-exact. Dimensionality falls `dim →
+    * planes` (64 → 16 is a 4× cut in ANN memory and per-pair compute);
+    * the projection itself is a pure scan-stage expression. Null
+    * semantics match signBucket (null-padded terms coalesce to 0). */
+  def signProject(v: Column, planes: Int, dim: Int = 64): Column = {
+    val hp = hyperplanes(planes, dim)
+    array(hp.map { p =>
+      val w = array(p.map(lit): _*)
+      aggregate(zip_with(v, w, (x, y) => coalesce(x * y, lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** SQL mirror of [[signProject]] (DuckDB list literal). Each
+    * component casts to BIGINT: DuckDB's list_sum returns DOUBLE-ish
+    * HUGEINT that stringifies with a trailing .0 in the compare. */
+  def signProjectSql(vCol: String, planes: Int, dim: Int = 64): String = {
+    val hp = hyperplanes(planes, dim)
+    hp.map { p =>
+      val w = p.mkString("[", ", ", "]")
+      s"CAST(COALESCE(list_sum(list_transform(generate_series(1, $dim), i -> $vCol[i] * ($w)[i])), 0) AS BIGINT)"
+    }.mkString("[", ", ", "]")
+  }
+
   /** SQL mirrors (DuckDB) of quantize / dot / norm2 over list columns. */
   def quantizeSql(vCol: String): String =
     s"list_transform($vCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Vectors
+
+/** [[Vectors.signProject]] (JL ±1 projection): pinned against a
+  * driver-side fold over the same seeded hyperplanes, plus its
+  * relationship to [[Vectors.signBucket]] (the bucket is exactly the
+  * sign pattern of the projection).
+  */
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
+    (1L, Array(-0.1f, 0.0f, 1.5f, -0.75f)),
+    (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+
+  private def quantized(v: Array[Float]): Seq[Long] =
+    v.map(x => math.round(x.toDouble * 1000)).toSeq
+
+  test("signProject matches a driver-side fold over the shared hyperplanes") {
+    val planes = 6
+    val hp = Vectors.hyperplanes(planes, 4)
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Vectors.signProject(Vectors.quantize(col("embedding")), planes, 4).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, v) <- vecs) {
+      val q = quantized(v)
+      val want = hp.map(p => p.zip(q).map { case (w, x) => w * x }.sum)
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("signBucket is the sign pattern of signProject") {
+    val bits = 5
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Vectors.signProject(Vectors.quantize(col("embedding")), bits, 4).as("p"),
+        Vectors.signBucket(Vectors.quantize(col("embedding")), bits, 4).as("b"))
+      .as[(Long, Seq[Long], Long)].collect()
+    for ((_, p, b) <- df) {
+      val want = p.zipWithIndex.map { case (x, j) => if (x >= 0) 1L << j else 0L }.sum
+      assert(b === want)
+    }
+  }
+}
