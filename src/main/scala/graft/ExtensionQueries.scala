@@ -1488,6 +1488,19 @@ object ExtensionQueries {
       .orderBy("cluster")
   }
 
+  /** [[qEmbKmeans]] run to a second Lloyd round — assignments move as
+    * the centroids leave their seed positions, and the oracle mirrors
+    * BOTH rounds as generated CTE chains ([[kmeansOracleSql]]), the
+    * same single-source-of-truth pattern as the PageRank rank steps.
+    * Cost grows by exactly one scan + one bounded refit aggregate per
+    * extra round. */
+  private def qEmbKmeans2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.SemanticCluster.lloyd(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id") < 4), refits = 2)
+      .orderBy("cluster")
+  }
+
   /** The canonical ending of the near-dup pipeline: every MinHash-LSH
     * cluster keeps exactly ONE member — the highest-quality one
     * (longest text, tie → lowest id) — and every singleton keeps
@@ -1645,6 +1658,7 @@ object ExtensionQueries {
     "corpus_dedup_keep_best" -> (qCorpusDedupKeepBest _),
     "events_itemset_pairs" -> (qEventsItemsetPairs _),
     "emb_random_projection" -> (qEmbRandomProjection _),
+    "emb_kmeans2" -> (qEmbKmeans2 _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -1712,6 +1726,54 @@ object ExtensionQueries {
     * MinHash near-dup pair graph — the independent oracle both
     * cluster formulations (label propagation and Large-Star/
     * Small-Star) are gated against. */
+  /** DuckDB mirror of [[graft.ops.SemanticCluster.lloyd]] with
+    * `refits` rounds, generated so both kmeans queries share one
+    * source of truth (the Graph.rankStepSql pattern): seed assignment
+    * a1 (`‖c‖² − 2·x·c` score, ties → lowest cid), then per round r a
+    * (m_r, sums_r, cent_r) truncated-integer-mean refit and a dd_r /
+    * a_{r+1} full-distance re-assignment; the final summary reads
+    * a_{refits+1}. */
+  private def kmeansOracleSql(refits: Int): String = {
+    val dim = EMB_DIM
+    val head =
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4),
+         |d1 AS (SELECT v.vec_id, v.q, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, q, cid AS cl FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to refits).map { r =>
+      s""",
+         |m$r AS (SELECT cl, COUNT(*) AS m FROM a$r GROUP BY cl),
+         |sums$r AS (SELECT cl, i, SUM(q[i]) AS s
+         |         FROM a$r, LATERAL (SELECT unnest(generate_series(1, $dim)) AS i) g
+         |         GROUP BY cl, i),
+         |cent$r AS (SELECT sums$r.cl, list(sums$r.s // m$r.m ORDER BY sums$r.i) AS cv
+         |         FROM sums$r JOIN m$r ON sums$r.cl = m$r.cl GROUP BY sums$r.cl),
+         |dd$r AS (SELECT v.vec_id, v.q, c.cl,
+         |         CAST(list_sum(list_transform(generate_series(1, $dim),
+         |           i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS BIGINT) AS d2
+         |       FROM q v CROSS JOIN cent$r c),
+         |a${r + 1} AS (SELECT vec_id, q, cl, d2 FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY d2, cl) AS rn FROM dd$r) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val fin = refits + 1
+    val tail =
+      s""",
+         |rep AS (SELECT cl, vec_id AS rep_vec_id FROM (
+         |         SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
+         |                   ORDER BY d2, vec_id) AS rn FROM a$fin) WHERE rn = 1)
+         |SELECT a.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(SUM(a.d2) AS BIGINT) AS inertia, MIN(r.rep_vec_id) AS rep_vec_id
+         |FROM a$fin a JOIN rep r ON a.cl = r.cl
+         |GROUP BY a.cl ORDER BY cluster""".stripMargin
+    head + rounds + tail
+  }
+
   private lazy val dedupClustersCtes: String =
     s"""WITH RECURSIVE $SHINGLE3,
        |${Dedup.minhashBandSqlCtes(8, 4)},
@@ -2716,36 +2778,8 @@ object ExtensionQueries {
          |FROM r3 ORDER BY event_type""".stripMargin
     },
 
-    "emb_kmeans" ->
-      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
-         |seeds AS (SELECT vec_id AS cid, q AS cq,
-         |          ${Vectors.intNorm2Sql("q", EMB_DIM)} AS cn2 FROM q WHERE vec_id < 4),
-         |d1 AS (SELECT v.vec_id, v.q, s.cid,
-         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", EMB_DIM)} AS sc
-         |       FROM q v CROSS JOIN seeds s),
-         |a1 AS (SELECT vec_id, q, cid AS cl FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
-         |m AS (SELECT cl, COUNT(*) AS m FROM a1 GROUP BY cl),
-         |sums AS (SELECT cl, i, SUM(q[i]) AS s
-         |         FROM a1, LATERAL (SELECT unnest(generate_series(1, $EMB_DIM)) AS i) g
-         |         GROUP BY cl, i),
-         |cent AS (SELECT sums.cl, list(sums.s // m.m ORDER BY sums.i) AS cv
-         |         FROM sums JOIN m ON sums.cl = m.cl GROUP BY sums.cl),
-         |dd AS (SELECT v.vec_id, c.cl,
-         |         CAST(list_sum(list_transform(generate_series(1, $EMB_DIM),
-         |           i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS BIGINT) AS d2
-         |       FROM q v CROSS JOIN cent c),
-         |a2 AS (SELECT vec_id, cl, d2 FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                   ORDER BY d2, cl) AS rn FROM dd) WHERE rn = 1),
-         |rep AS (SELECT cl, vec_id AS rep_vec_id FROM (
-         |         SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
-         |                   ORDER BY d2, vec_id) AS rn FROM a2) WHERE rn = 1)
-         |SELECT a.cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
-         |       CAST(SUM(a.d2) AS BIGINT) AS inertia, MIN(r.rep_vec_id) AS rep_vec_id
-         |FROM a2 a JOIN rep r ON a.cl = r.cl
-         |GROUP BY a.cl ORDER BY cluster""".stripMargin,
+    "emb_kmeans" -> kmeansOracleSql(refits = 1),
+    "emb_kmeans2" -> kmeansOracleSql(refits = 2),
 
     "corpus_dedup_keep_best" ->
       s"""$dedupClustersCtes,

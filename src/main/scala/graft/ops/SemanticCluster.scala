@@ -3,18 +3,19 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Semantic clustering / semantic dedup over an embedding column: one
-  * exact-integer Lloyd round of k-means (assign → refit → re-assign)
-  * with data-point seeds, emitting per-cluster size, inertia, and the
-  * representative (medoid-ish) vector — the "keep one document per
-  * embedding cluster" primitive of semantic dedup.
+/** Semantic clustering / semantic dedup over an embedding column:
+  * exact-integer Lloyd iterations of k-means (assign → refit →
+  * re-assign, `refits` times) with data-point seeds, emitting
+  * per-cluster size, inertia, and the representative (medoid-ish)
+  * vector — the "keep one document per embedding cluster" primitive
+  * of semantic dedup.
   *
   * Everything is integer arithmetic over [[Vectors.quantize]]d
   * components, so the result is bit-identical across engines /
   * partitionings and the DuckDB oracle can hash-pin it:
   *  - seed distance uses `‖c‖² − 2·x·c` (the per-row `‖x‖²` shift
   *    cannot change a row's argmin, so it is dropped);
-  *  - the refit centroid is the TRUNCATED integer mean `Σx_d div m`
+  *  - every refit centroid is the TRUNCATED integer mean `Σx_d div m`
   *    (toward zero — Spark `div`, DuckDB `//`, and Scala `Long`
   *    division all agree, verified on negatives), which sits within
   *    one quantization unit (1e-3) of the float mean — below the
@@ -23,13 +24,12 @@ import org.apache.spark.sql.functions._
   *    stay in `long` at ANY cluster size (component diffs are
   *    ~|2·quantized| regardless of m) — no overflow cliff.
   *
-  * Scale shape: both assignment passes are pure scan-stage expressions
+  * Scale shape: every assignment pass is a pure scan-stage expression
   * against LITERAL centroids (k·dim longs — same bounded-collect class
-  * as the PQ codebooks); the refit is one (cluster, dim)-keyed
+  * as the PQ codebooks); each refit is one (cluster, dim)-keyed
   * aggregate with map-side partials (k·dim groups — hot by design, and
-  * bounded). No shuffle carries vectors anywhere; the only wide op is
-  * the final k-row aggregate. At 100 TB this is 2 scans + 1 tiny
-  * shuffle.
+  * bounded). No shuffle ever carries a vector. At 100 TB a run of R
+  * refits is R+1 scans + R tiny shuffles.
   */
 object SemanticCluster {
 
@@ -38,14 +38,47 @@ object SemanticCluster {
   private def argmin(scores: Seq[Column]): Column =
     array_position(array(scores: _*), array_min(array(scores: _*)))
 
-  /** One Lloyd round. `seeds` must be a small frame of (id, vec) rows
-    * (k rows — it is collected); cluster ids are the seeds' 0-based
-    * rank by ascending id. Returns one row per non-empty cluster:
-    * (cluster, n_members, inertia, rep_vec_id). */
-  def lloydOnce(emb: DataFrame, vecCol: Column, idCol: Column,
-                seeds: DataFrame): DataFrame = {
-    val s = emb.sparkSession
+  /** Full squared distance of the quantized row vector `q` to a
+    * literal integer centroid. */
+  private def centScore(c: Seq[Long]): Column =
+    Vectors.intNorm2(zip_with(col("q"), array(c.map(lit): _*), (x, cd) => x - cd))
+
+  /** Per-cluster truncated-integer-mean centroids of an assignment
+    * frame (vec_id, q, cl) — TWO bounded collects (k·dim sums + k
+    * counts); empty clusters simply don't appear. */
+  private def refit(a: DataFrame): Seq[(Long, Seq[Long])] = {
+    val s = a.sparkSession
     import s.implicits._
+    val sums = a.select(col("cl"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("cl"), col("d")).agg(sum(col("x")).as("s"))
+    val mByCl = a.groupBy(col("cl")).agg(count(lit(1)).as("m"))
+      .as[(Long, Long)].collect().toMap
+    sums.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cl, rows) =>
+        val m = mByCl(cl)
+        // truncated integer mean, toward zero — matches DuckDB `//`
+        (cl, rows.sortBy(_._2).map(r => r._3 / m).toSeq)
+      }
+  }
+
+  /** Assign each row of `q` to the nearest of the literal `cents`,
+    * labeling with the centroids' ORIGINAL cluster ids (survivors of
+    * earlier rounds keep their label). */
+  private def reassign(q: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val clIds = array(cents.map(c => lit(c._1)): _*)
+    q.withColumn("cl",
+      element_at(clIds, argmin(cents.map(c => centScore(c._2))).cast("int")))
+  }
+
+  /** `refits` Lloyd rounds. `seeds` must be a small frame of (id, vec)
+    * rows (k rows — it is collected); cluster ids are the seeds'
+    * 0-based rank by ascending id. Returns one row per non-empty
+    * cluster: (cluster, n_members, inertia, rep_vec_id), measured on
+    * the assignment against the LAST refit's centroids. */
+  def lloyd(emb: DataFrame, vecCol: Column, idCol: Column,
+            seeds: DataFrame, refits: Int): DataFrame = {
+    require(refits >= 1, "at least one refit round")
 
     // ---- seeds → literals (bounded: k vectors)
     val seedRows = seeds.select(idCol.cast("long").as("id"),
@@ -56,39 +89,28 @@ object SemanticCluster {
     val q = emb.select(idCol.cast("long").as("vec_id"),
       Vectors.quantize(vecCol).as("q"))
 
-    // ---- pass 1: assign to nearest seed (score = ‖c‖² − 2·x·c)
+    // ---- round 0: assign to nearest seed (score = ‖c‖² − 2·x·c)
     def seedScore(c: Seq[Long]): Column = {
       val cn2 = c.map(x => x * x).sum
       lit(cn2) - lit(2L) * Vectors.intDot(col("q"), array(c.map(lit): _*))
     }
-    val a1 = q.withColumn("cl", argmin(seedVecs.map(seedScore)) - 1)
+    var a = q.withColumn("cl", argmin(seedVecs.map(seedScore)) - 1)
+    var cents = refit(a)
+    for (_ <- 2 to refits) {
+      a = reassign(q, cents)
+      cents = refit(a)
+    }
 
-    // ---- refit: per-(cluster, dim) component sums + member counts
-    val sums = a1.select(col("cl"), posexplode(col("q")).as(Seq("d", "x")))
-      .groupBy(col("cl"), col("d")).agg(sum(col("x")).as("s"))
-    val counts = a1.groupBy(col("cl")).agg(count(lit(1)).as("m"))
-    // bounded collect: k·dim sums + k counts
-    val mByCl = counts.as[(Long, Long)].collect().toMap
-    val cent: Seq[(Long, Seq[Long])] = sums.as[(Long, Int, Long)].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (cl, rows) =>
-        val m = mByCl(cl)
-        // truncated integer mean, toward zero — matches DuckDB `//`
-        (cl, rows.sortBy(_._2).map(r => r._3 / m).toSeq)
-      }
-
-    // ---- pass 2: re-assign to the refit centroids, full distance
-    def centScore(c: Seq[Long]): Column =
-      Vectors.intNorm2(zip_with(col("q"), array(c.map(lit): _*), (x, cd) => x - cd))
-    val scores = cent.map { case (_, c) => centScore(c) }
-    val clIds = array(cent.map(c => lit(c._1)): _*)
-    val a2 = q
-      .withColumn("__p", argmin(scores))
-      .withColumn("cluster", element_at(clIds, col("__p").cast("int")))
-      .withColumn("d2", array_min(array(scores: _*)))
-
-    a2.groupBy(col("cluster"))
+    // ---- final assignment against the last centroids, with distance
+    val scores = cents.map(c => centScore(c._2))
+    val a2 = reassign(q, cents).withColumn("d2", array_min(array(scores: _*)))
+    a2.groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"),
         min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("rep_vec_id"))
   }
+
+  /** One Lloyd round — the semantic-dedup default. */
+  def lloydOnce(emb: DataFrame, vecCol: Column, idCol: Column,
+                seeds: DataFrame): DataFrame =
+    lloyd(emb, vecCol, idCol, seeds, refits = 1)
 }

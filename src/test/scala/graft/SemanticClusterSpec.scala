@@ -46,6 +46,31 @@ class SemanticClusterSpec extends SparkSpec {
     assert(got.head._2 === 4L)
   }
 
+  test("a second Lloyd round moves centroids and strictly drops inertia") {
+    // 1-d layout: seeds at 0.0 and 1.0; the 0.55 point starts in
+    // cluster 1 (closer to the 1.0 seed) but flips to cluster 0 once
+    // the refit pulls centroid 0 to its members — the second round
+    // then re-refits around the flipped membership
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(1.0f)), (2L, Array(0.1f)),
+      (3L, Array(0.2f)), (4L, Array(2.0f)), (5L, Array(2.1f)),
+      (6L, Array(0.55f))
+    ).toDF("vec_id", "embedding")
+    val seeds = emb.where(col("vec_id") < 2)
+    def run(r: Int) = SemanticCluster.lloyd(emb, col("embedding"), col("vec_id"), seeds, r)
+      .orderBy("cluster").as[(Long, Long, Long, Long)].collect()
+    val r1 = run(1)
+    val r2 = run(2)
+    // memberships already converged after round 1 on this layout...
+    assert(r1.map(x => (x._1, x._2)).toSeq === Seq((0L, 4L), (1L, 3L)))
+    assert(r2.map(x => (x._1, x._2)).toSeq === Seq((0L, 4L), (1L, 3L)))
+    // ...but the round-2 centroids fit the post-flip members tighter
+    assert(r2(0)._3 < r1(0)._3, s"cluster 0 inertia: ${r2(0)._3} !< ${r1(0)._3}")
+    assert(r2(1)._3 < r1(1)._3, s"cluster 1 inertia: ${r2(1)._3} !< ${r1(1)._3}")
+    // exact hand-fold pins (quantized units²)
+    assert(r1(0)._3 === 222500L && r2(0)._3 === 171876L)
+  }
+
   test("result is identical under adversarial repartitioning") {
     val a = SemanticCluster.lloydOnce(fixture, col("embedding"), col("vec_id"),
       fixture.where(col("vec_id") < 2)).orderBy("cluster").collect().toSeq
