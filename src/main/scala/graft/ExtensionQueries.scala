@@ -1577,6 +1577,33 @@ object ExtensionQueries {
       .orderBy("vec_id")
   }
 
+  /** Deterministic proportional interleave — the training-ORDER
+    * primitive the mixture ops stop short of: each source's docs are
+    * ranked by the id-hash (shuffle-stable) and spread evenly across
+    * one epoch via the integer key `((r−1)·T) div n_s`, so a source
+    * with 10% of the corpus occupies every ~10th slot instead of
+    * arriving in a block. Emitting the KEY (not a global row_number)
+    * keeps the operator shuffle-light: one source-keyed exchange
+    * shared by both windows, no single-partition global sort — the
+    * consumer range-sorts by ord_key only when it actually writes the
+    * epoch. Reproducible across runs/partitionings/engines (integer
+    * arithmetic + hash rank). */
+  private def qCorpusInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val bySrc = Window.partitionBy(col("source"))
+    val tot = docs.agg(count(lit(1)).as("t"))
+    docs
+      .withColumn("r", row_number().over(
+        bySrc.orderBy(graft.ops.Sampling.bucket(col("doc_id")).asc,
+          col("doc_id").asc)).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(bySrc).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"), col("r"),
+        expr("((r - 1) * t) div n_s").as("ord_key"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1659,6 +1686,7 @@ object ExtensionQueries {
     "events_itemset_pairs" -> (qEventsItemsetPairs _),
     "emb_random_projection" -> (qEmbRandomProjection _),
     "emb_kmeans2" -> (qEmbKmeans2 _),
+    "corpus_interleave" -> (qCorpusInterleave _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -2780,6 +2808,17 @@ object ExtensionQueries {
 
     "emb_kmeans" -> kmeansOracleSql(refits = 1),
     "emb_kmeans2" -> kmeansOracleSql(refits = 2),
+
+    "corpus_interleave" ->
+      s"""WITH t AS (SELECT COUNT(*) AS t FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY ${graft.ops.Sampling.bucketSql("doc_id")}, doc_id) AS r,
+         |        COUNT(*) OVER (PARTITION BY source) AS n_s
+         |      FROM documents)
+         |SELECT doc_id, source, CAST(r AS BIGINT) AS r,
+         |       ((r - 1) * t.t) // n_s AS ord_key
+         |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin,
 
     "corpus_dedup_keep_best" ->
       s"""$dedupClustersCtes,

@@ -360,6 +360,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "centroids must ride as literals, not a join")
   }
 
+  test("corpus_interleave: rank and count share one source exchange, no global window") {
+    val p = planOf("corpus_interleave")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).length === 1,
+      "row_number and the per-source count must share one source-keyed " +
+        "shuffle")
+    // the only SinglePartition exchange is the 1-row scalar total (then
+    // broadcast); neither Window may run single-partition — that would
+    // be the global row_number this operator exists to avoid
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    assert(windows.length === 2)
+    assert(windows.forall(_.contains("source")),
+      "both windows must partition by source, not run globally")
+  }
+
   test("events_itemset_pairs: basket frame pinned once, self-join co-partitioned") {
     val p = planOf("events_itemset_pairs")
     assert("Scan parquet".r.findAllIn(p).length === 0,
