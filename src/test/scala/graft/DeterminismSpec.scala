@@ -39,7 +39,14 @@ class DeterminismSpec extends SparkSpec {
     "multimodal_phash_dup", // integer aHash + band join + popcount verify
     "corpus_incremental_dedup", // anti-join + first-writer window
     "orders_delta_retract", // z-set fold + multiplicity re-expansion
-    "events_session_window") // native merging-window sessionization
+    "events_session_window", // native merging-window sessionization
+    "events_pagerank",     // fixed-point integer rank iterations
+    "emb_kmeans2",         // exact-integer Lloyd rounds, literal centroids
+    "corpus_weighted_sample", // integer priority race + rank cap
+    "corpus_dedup_keep_best", // cluster argmax + singleton anti-join
+    "events_itemset_pairs", // pinned basket self-join + integer lift
+    "emb_random_projection", // JL ±1 projection components
+    "corpus_interleave")   // per-source hash rank spread to order keys
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
