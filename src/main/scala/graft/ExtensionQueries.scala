@@ -1553,8 +1553,13 @@ object ExtensionQueries {
     p.join(broadcast(n1.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
       .join(broadcast(n1.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
       .crossJoin(broadcast(tot))
+      // numerator and denominator ride DECIMAL(38,0): 10000·n_ab·N and
+      // n_a·n_b both exceed 2^63 once user counts pass ~3·10^9, and a
+      // wrapped long would corrupt the ratio silently; the quotient is
+      // ≤ 10000·N so BIGINT again
       .select(col("type_a"), col("type_b"), col("n_users"),
-        expr("(10000 * n_users * nt) div (n_a * n_b)").as("lift_bp"))
+        expr("CAST((10000 * CAST(n_users AS DECIMAL(38,0)) * nt)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_bp"))
       .orderBy("type_a", "type_b")
   }
 
@@ -1599,8 +1604,12 @@ object ExtensionQueries {
           col("doc_id").asc)).cast("long"))
       .withColumn("n_s", count(lit(1)).over(bySrc).cast("long"))
       .crossJoin(broadcast(tot))
+      // (r−1)·T rides DECIMAL(38,0): the product crosses 2^63 once the
+      // corpus passes ~3·10^9 docs (T² growth); the key itself is < T,
+      // so it lands back in BIGINT
       .select(col("doc_id"), col("source"), col("r"),
-        expr("((r - 1) * t) div n_s").as("ord_key"))
+        expr("CAST((CAST(r - 1 AS DECIMAL(38,0)) * t) div n_s AS BIGINT)")
+          .as("ord_key"))
       .orderBy("doc_id")
   }
 
@@ -2817,7 +2826,7 @@ object ExtensionQueries {
          |        COUNT(*) OVER (PARTITION BY source) AS n_s
          |      FROM documents)
          |SELECT doc_id, source, CAST(r AS BIGINT) AS r,
-         |       ((r - 1) * t.t) // n_s AS ord_key
+         |       CAST((CAST(r - 1 AS HUGEINT) * t.t) // n_s AS BIGINT) AS ord_key
          |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin,
 
     "corpus_dedup_keep_best" ->
@@ -2844,7 +2853,8 @@ object ExtensionQueries {
         |                         AND a.event_type < b.event_type
         |      GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, p.n_users,
-        |       (10000 * p.n_users * tot.nt) // (na.n * nb.n) AS lift_bp
+        |       CAST((10000 * CAST(p.n_users AS HUGEINT) * tot.nt)
+        |            // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_bp
         |FROM p
         |CROSS JOIN tot
         |JOIN n1 na ON na.event_type = p.type_a

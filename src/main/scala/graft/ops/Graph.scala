@@ -59,15 +59,17 @@ object Graph {
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     val withN = nodes.crossJoin(broadcast(n))
 
-    // pr·w ≤ Scale·Σw must stay under 2^63: fine up to ~9·10^6 total
-    // edge weight at this Scale; pre-normalize weights beyond that
     var rank = withN.select(col("node"), expr(s"$Scale div n_nodes").as("pr"))
     for (_ <- 1 to iters) {
       // `rank` is referenced exactly once per round (and `withN` is a
       // fixed non-growing frame), so plan depth is linear in `iters` —
-      // no exponential-plan trap
+      // no exponential-plan trap. pr·w rides DECIMAL(38,0): at real
+      // event volumes an edge weight can exceed 2^63/Scale ≈ 9·10^6,
+      // and Spark's long multiply wraps SILENTLY; the quotient is ≤ pr
+      // so the result is safely BIGINT again
       val contrib = ew.join(broadcast(rank), col("src") === col("node"))
-        .select(col("dst"), expr("(pr * w) div out_w").as("c"))
+        .select(col("dst"),
+          expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div out_w AS BIGINT)").as("c"))
       val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
       rank = withN.join(inSum, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -85,7 +87,8 @@ object Graph {
        |       ((15 * $Scale // 100) // nn.n_nodes)
        |       + ($DampPct * COALESCE(i.in_sum, 0)) // 100 AS pr
        |FROM nn LEFT JOIN (
-       |  SELECT ew.dst, SUM((p.pr * ew.w) // ew.out_w) AS in_sum
+       |  SELECT ew.dst,
+       |         SUM(CAST((CAST(p.pr AS HUGEINT) * ew.w) // ew.out_w AS BIGINT)) AS in_sum
        |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst
        |) i ON nn.node = i.dst""".stripMargin
 }
