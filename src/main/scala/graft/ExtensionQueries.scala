@@ -1033,6 +1033,30 @@ object ExtensionQueries {
     withRecallCheck(pq, corpus, qs, k = 10)
   }
 
+  /** Filtered search on the INDEXED path: the same IVF probe but with
+    * `label < 5` evaluated as a scan-stage predicate on the index rows
+    * themselves — the label rides INSIDE the index (build metaCols),
+    * so no join back to the source table; filtered search costs LESS
+    * than unfiltered, never more. Recall audits against the filtered
+    * brute force. The separate AnnCache key builds the labeled index
+    * once. */
+  private[graft] def simTopkIvfFilteredRows(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 8)
+    val qs = emb.where(col("vec_id") < 8)
+    val index = graft.ops.AnnCache.memo(s, s"ivf-meta:$dir:k8") {
+      val i = graft.ops.Ivf.build(corpus, col("embedding"), col("vec_id"),
+        k = 8, metaCols = Seq("label" -> col("label")))
+      i.copy(assigned = graft.ops.AnnCache.pin(i.assigned))
+    }
+    val got = graft.ops.Ivf.topK(index, qs, col("embedding"), col("vec_id"),
+      k = 10, nProbe = 6, candFilter = col("label") < 5)
+    withRecallCheck(got, corpus.where(col("label") < 5), qs, k = 10)
+  }
+
+  private def qSimTopkIvfFiltered(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfFilteredRows(s, dir), minRecallX100 = 45)
+
   private def qSimTopkPq(s: SparkSession, dir: String): DataFrame =
     annAudit(simTopkPqRows(s, dir), minRecallX100 = 15)
 
@@ -1696,6 +1720,7 @@ object ExtensionQueries {
     "emb_random_projection" -> (qEmbRandomProjection _),
     "emb_kmeans2" -> (qEmbKmeans2 _),
     "corpus_interleave" -> (qCorpusInterleave _),
+    "sim_topk_ivf_filtered" -> (qSimTopkIvfFiltered _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -2716,6 +2741,14 @@ object ExtensionQueries {
     // brute-force top-k, so a broken index (empty cells, collapsed
     // codebook, lost shortlist) fails the hash compare
     "sim_topk_ivf" ->
+      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    // same audit contract as sim_topk_ivf: k results per query with the
+    // filtered-brute-force recall floor cleared; the neighbor SETS are
+    // not SQL-expressible (k-means training)
+    "sim_topk_ivf_filtered" ->
       """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,

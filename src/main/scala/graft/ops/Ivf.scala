@@ -39,15 +39,21 @@ object Ivf {
     */
   def build(corpus: DataFrame, vecCol: Column, idCol: Column,
             k: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
-            maxIter: Int = 8): Index = {
-    val feats = corpus.select(idCol.as("vec_id"), vecCol.as("v"))
+            maxIter: Int = 8, metaCols: Seq[(String, Column)] = Nil): Index = {
+    // metaCols ride INSIDE the index rows (label, tenant, language …):
+    // a filtered search then evaluates its predicate as a scan-stage
+    // filter on the pinned index — no join back to the source table,
+    // which at 100 TB would shuffle the corpus per query batch
+    val feats = corpus.select(idCol.as("vec_id") +: vecCol.as("v") +:
+        metaCols.map { case (n, c) => c.as(n) }: _*)
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
     val train = if (sampleFraction < 1.0) feats.sample(sampleFraction, seed) else feats
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .setMaxIter(maxIter)
       .fit(train)
     val assigned = model.transform(feats)
-      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      .select(col("vec_id") +: col("v") +: col("prediction").as("cell") +:
+        metaCols.map { case (n, _) => col(n) }: _*)
     Index(assigned, model.clusterCenters)
   }
 
@@ -56,7 +62,7 @@ object Ivf {
     * similar-norm embeddings, exact and deterministic).
     */
   def topK(index: Index, queries: DataFrame, vecCol: Column, idCol: Column,
-           k: Int, nProbe: Int): DataFrame = {
+           k: Int, nProbe: Int, candFilter: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
     val qdot = GraftFunctions.registerQDot(spark)
     import spark.implicits._
@@ -71,7 +77,10 @@ object Ivf {
         Window.partitionBy(col("q_vec_id")).orderBy(col("cdot").desc, col("cell").asc)))
       .where(col("crnk") <= nProbe)
       .select(col("q_vec_id"), col("qv"), col("cell"))
-    val scored = index.assigned.join(broadcast(probes), "cell")
+    // candFilter evaluates on the index rows themselves (metaCols from
+    // build) BEFORE the probe join — filtered search costs less than
+    // unfiltered, never more
+    val scored = index.assigned.where(candFilter).join(broadcast(probes), "cell")
       .select(col("q_vec_id"), col("vec_id"), qdot(col("v"), col("qv")).as("dot"))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_vec_id")).orderBy(col("dot").desc, col("vec_id").asc)))

@@ -158,6 +158,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("filtered IVF: every hit passes the filter, recall holds vs filtered brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val df = ExtensionQueries.simTopkIvfFilteredRows(spark, dir)
+    // purity: the label predicate is a scan filter on the index, so a
+    // single out-of-filter hit means the metadata column didn't ride
+    // the index build
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val hits = df.select("vec_id").as[Long].collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(emb(_) < 5), "result leaked a filtered-out candidate")
+    val recalls = df.select("recall_x100").as[Long].collect()
+    assert(recalls.sum.toDouble / recalls.length >= 80.0,
+      s"mean filtered recall ${recalls.sum.toDouble / recalls.length} below envelope")
+    val audit = ExtensionQueries.queries("sim_topk_ivf_filtered")(spark, dir)
+      .select($"q_vec_id", $"n_results", $"recall_ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(audit.length === 8)
+    assert(audit.forall { case (_, n, ok) => n == 10L && ok })
+  }
+
   test("registered IVF query self-reports recall >= 0.8 on the fixture") {
     val df = ExtensionQueries.simTopkIvfRows(spark, "/root/testdata/sf0.001")
     val recalls = df.select("recall_x100").as[Long].collect()
