@@ -96,40 +96,40 @@ object Sampling {
   def capOrderSql(idExpr: String): String =
     s"${bucketSql(idExpr)}, $idExpr"
 
-  /** Weight-biased priority: `(hash(id) · 2^20) div max(weight, 1)`,
-    * smaller = kept first. The integer-exact analogue of the
-    * Efraimidis–Spirakis exponential race (keys `-ln(u)/w`, keep the
-    * n smallest): the uniform integer key `hash(id)` is divided by the
-    * row's weight, so heavier rows get systematically smaller
-    * priorities and a top-n by priority is a weighted sample without
-    * replacement. Integer `div` instead of float `ln`/`pow` because
-    * the two engines' libm roundings differ — the keep SET is what the
-    * oracle hashes, and it must be bit-identical. hash < 2^30 and the
-    * 2^20 scale keep the product under 2^50: no overflow either side. */
-  def weightedPriority(id: Column, weight: Column): Column =
-    expr(s"(${hashValCol(id)} * 1048576) div greatest(${weight.toString}, 1L)")
-
-  // hashVal as SQL text so weightedPriority can ride `div` (integer
-  // division has no Column operator)
-  private def hashValCol(id: Column): String =
-    s"((CAST((${id.toString}) AS BIGINT) % $P + $P) % $P * $A + $B) % $P"
-
-  /** SQL mirror of [[weightedPriority]] (DuckDB `//` floors like
-    * Spark's `div` truncates — identical on these non-negative keys). */
+  /** SQL text of the weighted priority `(hash(id) · 2^20) div
+    * max(weight, 1)` — smaller = kept first. The integer-exact
+    * analogue of the Efraimidis–Spirakis exponential race (keys
+    * `-ln(u)/w`, keep the n smallest): the uniform integer key
+    * `hash(id)` is divided by the row's weight, so heavier rows get
+    * systematically smaller priorities and a top-n by priority is a
+    * weighted sample without replacement. Integer division instead of
+    * float `ln`/`pow` because the two engines' libm roundings differ —
+    * the keep SET is what the oracle hashes, and it must be
+    * bit-identical (both `div` and DuckDB `//` truncate toward zero;
+    * everything here is non-negative anyway). hash < 2^30 and the 2^20
+    * scale keep the product under 2^50: no overflow either side. */
   def weightedPrioritySql(idExpr: String, weightExpr: String): String =
     s"(${hashValSql(idExpr)} * 1048576) // greatest($weightExpr, 1)"
 
   /** Weighted [[capPerGroup]]: each group keeps its `cap` smallest
-    * [[weightedPriority]] rows — the per-source weighted-sample-
-    * without-replacement primitive (e.g. keep 10 docs per source,
-    * biased toward longer documents). Same scale shape as capPerGroup:
-    * one keyed shuffle, WindowGroupLimit pre-reduces map-side. */
+    * [[weightedPrioritySql]]-priority rows — the per-source weighted-
+    * sample-without-replacement primitive (e.g. keep 10 docs per
+    * source, biased toward longer documents). The priority is computed
+    * through internal temp columns so `expr`'s integer `div` sees
+    * fixed names — arbitrary caller Columns (aliases, qualified refs,
+    * computed expressions) never get stringified into SQL text. Same
+    * scale shape as capPerGroup: one keyed shuffle, WindowGroupLimit
+    * pre-reduces map-side. */
   def weightedCapPerGroup(df: org.apache.spark.sql.DataFrame, group: Column,
                           id: Column, weight: Column,
                           cap: Int): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(group).orderBy(weightedPriority(id, weight).asc, id.asc)
-    df.withColumn("rk", row_number().over(w).cast("long"))
+      .partitionBy(group).orderBy(col("__graft_wp").asc, id.asc)
+    df.withColumn("__graft_h", hashVal(id))
+      .withColumn("__graft_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("__graft_wp", expr("(__graft_h * 1048576) div __graft_w"))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= cap)
+      .drop("__graft_h", "__graft_w", "__graft_wp")
   }
 }

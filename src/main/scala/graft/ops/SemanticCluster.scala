@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * against LITERAL centroids (k·dim longs — same bounded-collect class
   * as the PQ codebooks); each refit is one (cluster, dim)-keyed
   * aggregate with map-side partials (k·dim groups — hot by design, and
-  * bounded). No shuffle ever carries a vector. At 100 TB a run of R
-  * refits is R+1 scans + R tiny shuffles.
+  * bounded). No shuffle ever carries a vector. The quantized frame is
+  * localCheckpoint-pinned once, so at 100 TB a run of R refits is ONE
+  * raw scan + R bounded refit aggregates + one final pass over the
+  * pinned frame.
   */
 object SemanticCluster {
 
@@ -44,21 +46,22 @@ object SemanticCluster {
     Vectors.intNorm2(zip_with(col("q"), array(c.map(lit): _*), (x, cd) => x - cd))
 
   /** Per-cluster truncated-integer-mean centroids of an assignment
-    * frame (vec_id, q, cl) — TWO bounded collects (k·dim sums + k
-    * counts); empty clusters simply don't appear. */
+    * frame (vec_id, q, cl) — ONE bounded collect per refit (k·dim
+    * rows; the member count rides every (cl, d) group, so no second
+    * counting job); empty clusters simply don't appear. */
   private def refit(a: DataFrame): Seq[(Long, Seq[Long])] = {
     val s = a.sparkSession
     import s.implicits._
-    val sums = a.select(col("cl"), posexplode(col("q")).as(Seq("d", "x")))
-      .groupBy(col("cl"), col("d")).agg(sum(col("x")).as("s"))
-    val mByCl = a.groupBy(col("cl")).agg(count(lit(1)).as("m"))
-      .as[(Long, Long)].collect().toMap
-    sums.as[(Long, Int, Long)].collect()
+    a.select(col("cl"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("cl"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("m"))
+      .as[(Long, Int, Long, Long)].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (cl, rows) =>
-        val m = mByCl(cl)
         // truncated integer mean, toward zero — matches DuckDB `//`
-        (cl, rows.sortBy(_._2).map(r => r._3 / m).toSeq)
+        // (measured: -7 // 2 = -3 in DuckDB, like Scala; Python's
+        // floor // is the odd one out)
+        (cl, rows.sortBy(_._2).map(r => r._3 / r._4).toSeq)
       }
   }
 
@@ -72,10 +75,11 @@ object SemanticCluster {
   }
 
   /** `refits` Lloyd rounds. `seeds` must be a small frame of (id, vec)
-    * rows (k rows — it is collected); cluster ids are the seeds'
-    * 0-based rank by ascending id. Returns one row per non-empty
-    * cluster: (cluster, n_members, inertia, rep_vec_id), measured on
-    * the assignment against the LAST refit's centroids. */
+    * rows (k rows — it is collected); cluster ids are the seeds' OWN
+    * ids (not their rank), so the SQL mirror's `vec_id AS cid` labels
+    * agree for ANY seed id set, contiguous or not. Returns one row per
+    * non-empty cluster: (cluster, n_members, inertia, rep_vec_id),
+    * measured on the assignment against the LAST refit's centroids. */
   def lloyd(emb: DataFrame, vecCol: Column, idCol: Column,
             seeds: DataFrame, refits: Int): DataFrame = {
     require(refits >= 1, "at least one refit round")
@@ -85,16 +89,23 @@ object SemanticCluster {
         Vectors.quantize(vecCol).as("q"))
       .orderBy("id").collect()
     val seedVecs: Seq[Seq[Long]] = seedRows.map(_.getSeq[Long](1).toSeq).toSeq
+    val seedIds = array(seedRows.map(r => lit(r.getLong(0))): _*)
 
+    // pinned once: every refit collect and the final pass re-read the
+    // quantized frame; unpinned, each job would re-scan + re-quantize
+    // the full corpus (2R+2 raw passes for R rounds)
     val q = emb.select(idCol.cast("long").as("vec_id"),
-      Vectors.quantize(vecCol).as("q"))
+      Vectors.quantize(vecCol).as("q")).localCheckpoint(true)
 
-    // ---- round 0: assign to nearest seed (score = ‖c‖² − 2·x·c)
+    // ---- round 0: assign to nearest seed (score = ‖c‖² − 2·x·c);
+    // ties → lowest seed id (seeds are id-sorted, argmin takes the
+    // first minimum)
     def seedScore(c: Seq[Long]): Column = {
       val cn2 = c.map(x => x * x).sum
       lit(cn2) - lit(2L) * Vectors.intDot(col("q"), array(c.map(lit): _*))
     }
-    var a = q.withColumn("cl", argmin(seedVecs.map(seedScore)) - 1)
+    var a = q.withColumn("cl",
+      element_at(seedIds, argmin(seedVecs.map(seedScore)).cast("int")))
     var cents = refit(a)
     for (_ <- 2 to refits) {
       a = reassign(q, cents)

@@ -354,9 +354,12 @@ class PlanSpec extends SparkSpec {
       "the rank vector must broadcast to the edge side each round")
   }
 
-  test("emb_kmeans: both assignment passes stay in the scan stage (one scan, no joins)") {
+  test("emb_kmeans: final pass reads the pinned quantized frame, no joins") {
     val p = planOf("emb_kmeans")
-    assert("Scan parquet".r.findAllIn(p).length === 1)
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "the final assignment must read the localCheckpointed quantized " +
+        "frame — a parquet scan here means every refit job re-scans and " +
+        "re-quantizes the raw corpus")
     assert(!p.contains("Join"), "centroids must ride as literals, not a join")
   }
 
