@@ -1525,6 +1525,22 @@ object ExtensionQueries {
       .orderBy("cluster")
   }
 
+  /** [[qEmbKmeans]] with farthest-point (Gonzalez k-center) seeding
+    * instead of lowest-id seeds — the deterministic k-means++ stand-in
+    * AND a diversity-sampling primitive (the seeds themselves are k
+    * maximally-spread exemplars). The traversal and the Lloyd round
+    * are both integer-exact, so the full chain — including the
+    * non-contiguous seed ids the traversal picks — hash-matches the
+    * generated CTE mirror. */
+  private def qEmbKmeansFp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ids = graft.ops.SemanticCluster.farthestPointSeedIds(
+      emb, col("embedding"), col("vec_id"), k = 4)
+    graft.ops.SemanticCluster.lloydOnce(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id").isin(ids: _*)))
+      .orderBy("cluster")
+  }
+
   /** The canonical ending of the near-dup pipeline: every MinHash-LSH
     * cluster keeps exactly ONE member — the highest-quality one
     * (longest text, tie → lowest id) — and every singleton keeps
@@ -1721,6 +1737,7 @@ object ExtensionQueries {
     "emb_kmeans2" -> (qEmbKmeans2 _),
     "corpus_interleave" -> (qCorpusInterleave _),
     "sim_topk_ivf_filtered" -> (qSimTopkIvfFiltered _),
+    "emb_kmeans_fp" -> (qEmbKmeansFp _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -1795,12 +1812,17 @@ object ExtensionQueries {
     * (m_r, sums_r, cent_r) truncated-integer-mean refit and a dd_r /
     * a_{r+1} full-distance re-assignment; the final summary reads
     * a_{refits+1}. */
-  private def kmeansOracleSql(refits: Int): String = {
+  private def kmeansOracleSql(refits: Int, seedsCte: String = ""): String = {
     val dim = EMB_DIM
+    // default seeds: the k lowest-id vectors; callers may supply any
+    // CTE chain ending in seeds(cid, cq, cn2) — e.g. the farthest-point
+    // traversal of kcenterSeedsCte
+    val seeds = if (seedsCte.nonEmpty) seedsCte else
+      s"""seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4)""".stripMargin
     val head =
       s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
-         |seeds AS (SELECT vec_id AS cid, q AS cq,
-         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4),
+         |$seeds,
          |d1 AS (SELECT v.vec_id, v.q, s.cid,
          |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
          |       FROM q v CROSS JOIN seeds s),
@@ -1834,6 +1856,36 @@ object ExtensionQueries {
          |FROM a$fin a JOIN rep r ON a.cl = r.cl
          |GROUP BY a.cl ORDER BY cluster""".stripMargin
     head + rounds + tail
+  }
+
+  /** CTE chain for [[kmeansOracleSql]]'s `seedsCte` mirroring
+    * [[graft.ops.SemanticCluster.farthestPointSeedIds]]: fc1 = lowest
+    * id, then each fc_j takes the max-min-distance row (ties → lowest
+    * id), with fd_j folding the new center into the running min. */
+  private def kcenterSeedsCte(k: Int): String = {
+    val dim = EMB_DIM
+    val head =
+      s"""n AS (SELECT vec_id, q, ${Vectors.intNorm2Sql("q", dim)} AS n2 FROM q),
+         |fc1 AS (SELECT vec_id, q, n2 FROM n ORDER BY vec_id LIMIT 1),
+         |fd1 AS (SELECT v.vec_id, v.q, v.n2,
+         |        v.n2 + c.n2 - 2 * ${Vectors.intDotSql("v.q", "c.q", dim)} AS dmin
+         |        FROM n v CROSS JOIN fc1 c)""".stripMargin
+    val steps = (2 to k).map { j =>
+      val pick =
+        s""",
+           |fc$j AS (SELECT vec_id, q, n2 FROM fd${j - 1}
+           |        ORDER BY dmin DESC, vec_id ASC LIMIT 1)""".stripMargin
+      val fold = if (j == k) "" else
+        s""",
+           |fd$j AS (SELECT d.vec_id, d.q, d.n2,
+           |        least(d.dmin, d.n2 + c.n2 - 2 * ${Vectors.intDotSql("d.q", "c.q", dim)}) AS dmin
+           |        FROM fd${j - 1} d CROSS JOIN fc$j c)""".stripMargin
+      pick + fold
+    }.mkString
+    val union = (1 to k)
+      .map(j => s"SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM fc$j")
+      .mkString(" UNION ALL ")
+    s"$head$steps,\nseeds AS ($union)"
   }
 
   private lazy val dedupClustersCtes: String =
@@ -2850,6 +2902,7 @@ object ExtensionQueries {
 
     "emb_kmeans" -> kmeansOracleSql(refits = 1),
     "emb_kmeans2" -> kmeansOracleSql(refits = 2),
+    "emb_kmeans_fp" -> kmeansOracleSql(refits = 1, seedsCte = kcenterSeedsCte(4)),
 
     "corpus_interleave" ->
       s"""WITH t AS (SELECT COUNT(*) AS t FROM documents),

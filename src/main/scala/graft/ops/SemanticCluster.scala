@@ -124,4 +124,37 @@ object SemanticCluster {
   def lloydOnce(emb: DataFrame, vecCol: Column, idCol: Column,
                 seeds: DataFrame): DataFrame =
     lloyd(emb, vecCol, idCol, seeds, refits = 1)
+
+  /** Farthest-point (k-center / maxmin) traversal — the deterministic
+    * stand-in for k-means++ seeding, and a diversity-sampling
+    * primitive in its own right (pick k maximally-spread exemplar
+    * documents). Start from the lowest-id vector; each step adds the
+    * vector maximizing its minimum distance to the chosen set (ties →
+    * lowest id). Gonzalez's greedy 2-approximation to the k-center
+    * optimum, here in exact integer arithmetic so the SQL mirror picks
+    * the identical ids.
+    *
+    * Scale shape: the quantized frame pins once; each of the k−1
+    * steps is one scan-stage min-of-literal-distances expression plus
+    * a TakeOrdered(1) — no shuffle carries a vector, and only k rows
+    * ever reach the driver. */
+  def farthestPointSeedIds(emb: DataFrame, vecCol: Column, idCol: Column,
+                           k: Int): Seq[Long] = {
+    require(k >= 1, "k >= 1")
+    val q = emb.select(idCol.cast("long").as("vec_id"),
+        Vectors.quantize(vecCol).as("q"))
+      .withColumn("n2", Vectors.intNorm2(col("q")))
+      .localCheckpoint(true)
+    def distTo(c: org.apache.spark.sql.Row): Column =
+      col("n2") + lit(c.getLong(2)) -
+        lit(2L) * Vectors.intDot(col("q"), array(c.getSeq[Long](1).map(lit): _*))
+    var chosen = List(q.orderBy(col("vec_id").asc).limit(1).collect().head)
+    for (_ <- 2 to k) {
+      val dmin = chosen.map(distTo).reduce(least(_, _))
+      chosen ::= q.withColumn("dmin", dmin)
+        .orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("q"), col("n2")).collect().head
+    }
+    chosen.reverse.map(_.getLong(0))
+  }
 }

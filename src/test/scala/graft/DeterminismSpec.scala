@@ -46,7 +46,8 @@ class DeterminismSpec extends SparkSpec {
     "corpus_dedup_keep_best", // cluster argmax + singleton anti-join
     "events_itemset_pairs", // pinned basket self-join + integer lift
     "emb_random_projection", // JL ±1 projection components
-    "corpus_interleave")   // per-source hash rank spread to order keys
+    "corpus_interleave",   // per-source hash rank spread to order keys
+    "emb_kmeans_fp")       // farthest-point traversal + Lloyd round
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

@@ -71,6 +71,37 @@ class SemanticClusterSpec extends SparkSpec {
     assert(r1(0)._3 === 222500L && r2(0)._3 === 171876L)
   }
 
+  test("farthest-point seeding picks the spread extremes, deterministically") {
+    // 1-d values 0, 10, 5, 9, 1 with ids 0..4: start = id 0 (value 0);
+    // next = value 10 (id 1); next = value 5 (id 2, min-dist 5² beats
+    // 9's 1² and 1's 1²); next = value 9? no — after {0,10,5}, 9 has
+    // min-dist 1², 1 has 1² → tie at 1e6 quantized² → lowest id wins
+    // (id 3, value 9... wait id order: ids 3=9, 4=1 → id 3)
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(10.0f)), (2L, Array(5.0f)),
+      (3L, Array(9.0f)), (4L, Array(1.0f))
+    ).toDF("vec_id", "embedding")
+    val ids = SemanticCluster.farthestPointSeedIds(
+      emb, col("embedding"), col("vec_id"), k = 4)
+    assert(ids === Seq(0L, 1L, 2L, 3L))
+    // determinism under repartitioning
+    val again = SemanticCluster.farthestPointSeedIds(
+      emb.repartition(3, col("vec_id")), col("embedding"), col("vec_id"), k = 4)
+    assert(again === ids)
+  }
+
+  test("lloyd with non-contiguous seed ids labels clusters by the seed's own id") {
+    val emb = Seq(
+      (2L, Array(1.0f, 0.0f)), (7L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)), (9L, Array(-0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SemanticCluster.lloydOnce(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id").isin(2L, 7L)))
+      .orderBy("cluster").as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(2L, 7L), "labels must be the seed ids")
+    assert(got.map(_._2).toSeq === Seq(2L, 2L))
+  }
+
   test("result is identical under adversarial repartitioning") {
     val a = SemanticCluster.lloydOnce(fixture, col("embedding"), col("vec_id"),
       fixture.where(col("vec_id") < 2)).orderBy("cluster").collect().toSeq
