@@ -102,6 +102,60 @@ class SemanticClusterSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === Seq(2L, 2L))
   }
 
+  test("lloyd matches a driver-side reference fold on randomized fixtures") {
+    // independent reimplementation of the whole algorithm (quantize →
+    // seed-assign → truncated-mean refit → re-assign → summarize) as
+    // plain Scala folds; any divergence in tie-breaks, truncation, or
+    // labeling between the DataFrame pipeline and the spec'd semantics
+    // fails here on inputs the fixed fixtures never exercise
+    def reference(vecs: Seq[(Long, Array[Float])], seedIds: Seq[Long],
+                  refits: Int): Seq[(Long, Long, Long, Long)] = {
+      val q = vecs.map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1000)).toSeq
+      }.sortBy(_._1)
+      val seeds = q.filter(s => seedIds.contains(s._1))
+      def d2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      // seed assignment: argmin of ‖c‖²−2xc, ties → lowest seed id
+      var assign: Map[Long, Long] = q.map { case (id, v) =>
+        id -> seeds.minBy { case (sid, sv) =>
+          (sv.map(x => x * x).sum - 2 * sv.zip(v).map { case (x, y) => x * y }.sum, sid)
+        }._1
+      }.toMap
+      var cents: Seq[(Long, Seq[Long])] = Nil
+      for (_ <- 1 to refits) {
+        cents = assign.groupBy(_._2).toSeq.sortBy(_._1).map { case (cl, members) =>
+          val vs = members.keys.toSeq.sorted.map(id => q.find(_._1 == id).get._2)
+          cl -> vs.transpose.map(col => col.sum / vs.size).toSeq
+        }
+        assign = q.map { case (id, v) =>
+          id -> cents.minBy { case (cl, c) => (d2(v, c), cl) }._1
+        }.toMap
+      }
+      assign.groupBy(_._2).toSeq.sortBy(_._1).map { case (cl, members) =>
+        val c = cents.find(_._1 == cl).get._2
+        val ds = members.keys.toSeq.sorted.map(id => (id, d2(q.find(_._1 == id).get._2, c)))
+        (cl, members.size.toLong, ds.map(_._2).sum,
+          ds.minBy { case (id, d) => (d, id) }._1)
+      }
+    }
+    val rnd = new scala.util.Random(0xC10AL)
+    for (trial <- 0 until 3) {
+      val n = 30 + rnd.nextInt(30)
+      val dim = 4
+      val vecs = (0L until n.toLong).map(i =>
+        (i, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)))
+      val seedIds = rnd.shuffle(vecs.map(_._1)).take(3).sorted
+      val refits = 1 + rnd.nextInt(2)
+      val emb = vecs.toDF("vec_id", "embedding")
+      val got = SemanticCluster.lloyd(emb, col("embedding"), col("vec_id"),
+          emb.where(col("vec_id").isin(seedIds: _*)), refits)
+        .orderBy("cluster").as[(Long, Long, Long, Long)].collect().toSeq
+      val want = reference(vecs, seedIds, refits)
+      assert(got === want, s"trial $trial (n=$n seeds=$seedIds refits=$refits)")
+    }
+  }
+
   test("result is identical under adversarial repartitioning") {
     val a = SemanticCluster.lloydOnce(fixture, col("embedding"), col("vec_id"),
       fixture.where(col("vec_id") < 2)).orderBy("cluster").collect().toSeq
