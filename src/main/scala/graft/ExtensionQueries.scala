@@ -1057,6 +1057,33 @@ object ExtensionQueries {
   private def qSimTopkIvfFiltered(s: SparkSession, dir: String): DataFrame =
     annAudit(simTopkIvfFilteredRows(s, dir), minRecallX100 = 45)
 
+  /** Filtered search on the FULL IVF-PQ construction: the label rides
+    * in `cellOf` (build metaCols) and the predicate prunes candidates
+    * before any ADC scoring; the shortlist and exact re-rank inherit
+    * the filter by construction. Audits recall vs the filtered brute
+    * force under the same oracle-pinned contract. */
+  private[graft] def simTopkIvfPqFilteredRows(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 8)
+    val qs = emb.where(col("vec_id") < 8)
+    val index = graft.ops.AnnCache.memo(s, s"ivfpq-meta:$dir:c8m8k16") {
+      val i = graft.ops.IvfPq.build(corpus, col("embedding"), col("vec_id"),
+        dim = EMB_DIM, cells = 8, m = 8, k = 16,
+        metaCols = Seq("label" -> col("label")))
+      i.copy(pq = i.pq.copy(codes = graft.ops.AnnCache.pin(i.pq.codes),
+          cents = graft.ops.AnnCache.pin(i.pq.cents)),
+        cellOf = graft.ops.AnnCache.pin(i.cellOf),
+        cents = graft.ops.AnnCache.pin(i.cents))
+    }
+    val got = graft.ops.IvfPq.topK(index, corpus, qs,
+      col("embedding"), col("vec_id"), k = 10, nProbe = 6, shortlist = 50,
+      candFilter = col("label") < 5)
+    withRecallCheck(got, corpus.where(col("label") < 5), qs, k = 10)
+  }
+
+  private def qSimTopkIvfPqFiltered(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfPqFilteredRows(s, dir), minRecallX100 = 15)
+
   private def qSimTopkPq(s: SparkSession, dir: String): DataFrame =
     annAudit(simTopkPqRows(s, dir), minRecallX100 = 15)
 
@@ -1738,6 +1765,7 @@ object ExtensionQueries {
     "corpus_interleave" -> (qCorpusInterleave _),
     "sim_topk_ivf_filtered" -> (qSimTopkIvfFiltered _),
     "emb_kmeans_fp" -> (qEmbKmeansFp _),
+    "sim_topk_ivfpq_filtered" -> (qSimTopkIvfPqFiltered _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -2801,6 +2829,11 @@ object ExtensionQueries {
     // filtered-brute-force recall floor cleared; the neighbor SETS are
     // not SQL-expressible (k-means training)
     "sim_topk_ivf_filtered" ->
+      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    "sim_topk_ivfpq_filtered" ->
       """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,

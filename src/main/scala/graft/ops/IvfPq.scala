@@ -32,10 +32,13 @@ object IvfPq {
   private def residual(v: Column, centroid: Column): Column =
     zip_with(v, centroid, (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
 
-  /** Coarse-quantize into `cells`, then PQ-encode residuals. */
+  /** Coarse-quantize into `cells`, then PQ-encode residuals.
+    * `metaCols` ride into `cellOf` (the per-vector cell map), so a
+    * filtered search evaluates its predicate as a scan filter on the
+    * pinned index — the same seam as [[Ivf.build]]. */
   def build(corpus: DataFrame, vecCol: Column, idCol: Column, dim: Int,
             cells: Int = 8, m: Int = 8, k: Int = 16,
-            seed: Long = 42L): Index = {
+            seed: Long = 42L, metaCols: Seq[(String, Column)] = Nil): Index = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // the coarse quantizer only needs roughly balanced cells (recall
@@ -43,7 +46,7 @@ object IvfPq {
     // Ivf.build's own scaladoc), and the residual codebook re-centers
     // whatever the cells leave over: half the default Lloyd rounds
     val ivf = Ivf.build(corpus, vecCol, idCol, k = cells, seed = seed,
-      maxIter = 4)
+      maxIter = 4, metaCols = metaCols)
     val cents = ivf.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -59,7 +62,8 @@ object IvfPq {
     val pq = Pq.build(resid, col("rv"), col("vec_id"), dim, m, k)
     // cell assignment comes straight from the IVF index — routing it
     // through resid would drag the centroid join into every query
-    Index(pq, ivf.assigned.select(col("vec_id"), col("cell")), cents, dim)
+    Index(pq, ivf.assigned.select(col("vec_id") +: col("cell") +:
+      metaCols.map { case (n, _) => col(n) }: _*), cents, dim)
   }
 
   /** ADC over residual codes within the probed cells, shortlist, then
@@ -74,7 +78,7 @@ object IvfPq {
     * correct decomposition. */
   def topK(index: Index, corpus: DataFrame, queries: DataFrame,
            vecCol: Column, idCol: Column, k: Int, nProbe: Int,
-           shortlist: Int): DataFrame = {
+           shortlist: Int, candFilter: Column = lit(true)): DataFrame = {
     val spark = queries.sparkSession
     val adc = GraftFunctions.registerAdcSum(spark)
     val m = index.pq.m
@@ -105,8 +109,12 @@ object IvfPq {
         .as("tbl"))
     // candidates pair with the queries probing their cell (cell-key
     // join — the probe prunes |corpus|·nProbe/cells BEFORE scoring),
-    // then add the shared table's lookup sum to the cell constant
-    val scored = index.pq.codes.join(index.cellOf, "vec_id")
+    // then add the shared table's lookup sum to the cell constant.
+    // candFilter evaluates on cellOf's metadata BEFORE any scoring, so
+    // filtered search costs less than unfiltered; the shortlist then
+    // only ever contains in-filter ids, and the exact re-rank inherits
+    // that by construction
+    val scored = index.pq.codes.join(index.cellOf.where(candFilter), "vec_id")
       .join(broadcast(probes), "cell")
       .join(broadcast(qtables), "q_vec_id")
       .withColumn("score", col("qc") + adc(col("codes"), col("tbl"), index.pq.k))
