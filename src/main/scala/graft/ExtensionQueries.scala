@@ -1087,6 +1087,29 @@ object ExtensionQueries {
   private def qSimTopkPq(s: SparkSession, dir: String): DataFrame =
     annAudit(simTopkPqRows(s, dir), minRecallX100 = 15)
 
+  /** Filtered search on the plain-PQ path — completing the filtered
+    * family (brute force, IVF, IVF-PQ, PQ): the label rides the coded
+    * table (build metaCols), pruning candidates before any ADC lookup;
+    * shortlist + exact re-rank inherit the filter by construction. */
+  private[graft] def simTopkPqFilteredRows(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 8)
+    val qs = emb.where(col("vec_id") < 8)
+    val index = graft.ops.AnnCache.memo(s, s"pq-meta:$dir:m8k16") {
+      val i = graft.ops.Pq.build(corpus, col("embedding"), col("vec_id"),
+        dim = EMB_DIM, m = 8, k = 16, metaCols = Seq("label" -> col("label")))
+      i.copy(codes = graft.ops.AnnCache.pin(i.codes),
+        cents = graft.ops.AnnCache.pin(i.cents))
+    }
+    val got = graft.ops.Pq.topKReranked(index, corpus, qs,
+      col("embedding"), col("vec_id"), k = 10, shortlist = 50,
+      candFilter = col("label") < 5)
+    withRecallCheck(got, corpus.where(col("label") < 5), qs, k = 10)
+  }
+
+  private def qSimTopkPqFiltered(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkPqFilteredRows(s, dir), minRecallX100 = 15)
+
   /** IVF-PQ ANN ([[graft.ops.IvfPq]]): coarse cells prune the search,
     * PQ residual codes score the survivors, exact q_dot re-ranks the
     * shortlist — the full billion-vector construction. [[annAudit]]
@@ -1766,6 +1789,7 @@ object ExtensionQueries {
     "sim_topk_ivf_filtered" -> (qSimTopkIvfFiltered _),
     "emb_kmeans_fp" -> (qEmbKmeansFp _),
     "sim_topk_ivfpq_filtered" -> (qSimTopkIvfPqFiltered _),
+    "sim_topk_pq_filtered" -> (qSimTopkPqFiltered _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -2834,6 +2858,11 @@ object ExtensionQueries {
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
     "sim_topk_ivfpq_filtered" ->
+      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    "sim_topk_pq_filtered" ->
       """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,

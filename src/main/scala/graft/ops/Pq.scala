@@ -73,7 +73,8 @@ object Pq {
     * code-boundary wobble. */
   def build(corpus: DataFrame, vecCol: Column, idCol: Column, dim: Int,
             m: Int = 8, k: Int = 16,
-            sampleFraction: Double = 1.0, maxIter: Int = 4): Index = {
+            sampleFraction: Double = 1.0, maxIter: Int = 4,
+            metaCols: Seq[(String, Column)] = Nil): Index = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -139,16 +140,22 @@ object Pq {
       .withColumn("d2", subL2)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
-    val codes = assigned.groupBy(col("vec_id"))
+    val codes0 = assigned.groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
         .as("codes"))
+    // metaCols ride INSIDE the coded table (one build-time join), so a
+    // filtered search evaluates its predicate as a scan filter on the
+    // pinned codes — the same seam as Ivf/IvfPq
+    val codes = if (metaCols.isEmpty) codes0 else
+      codes0.join(corpus.select(idCol.cast("long").as("vec_id") +:
+        metaCols.map { case (n, c) => c.as(n) }: _*), "vec_id")
     Index(codes, cents, m, k)
   }
 
   /** ADC top-k: per-query m×k inner-product tables broadcast against
     * the coded corpus; score = sum of m table lookups per pair. */
   def topK(index: Index, queries: DataFrame, vecCol: Column, idCol: Column,
-           k: Int): DataFrame = {
+           k: Int, candFilter: Column = lit(true)): DataFrame = {
     val ip = expr(
       "aggregate(zip_with(subv, centroid, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
     // flat table ordered by (sub, code): entry sub*k + code
@@ -166,7 +173,7 @@ object Pq {
     // with the HOF aggregate/element_at form is property-tested in
     // QuantizedDotSpec
     val adc = graft.functions.GraftFunctions.registerAdcSum(queries.sparkSession)
-    index.codes.crossJoin(broadcast(qtables))
+    index.codes.where(candFilter).crossJoin(broadcast(qtables))
       .withColumn("score", adc(col("codes"), col("tbl"), index.k))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_vec_id")).orderBy(col("score").desc, col("vec_id").asc)))
@@ -202,7 +209,8 @@ object Pq {
     * ADC order, which is what makes lossy codes usable. */
   def topKReranked(index: Index, corpus: DataFrame, queries: DataFrame,
                    vecCol: Column, idCol: Column, k: Int,
-                   shortlist: Int): DataFrame =
+                   shortlist: Int, candFilter: Column = lit(true)): DataFrame =
     rerankExact(corpus, queries,
-      topK(index, queries, vecCol, idCol, shortlist), vecCol, idCol, k)
+      topK(index, queries, vecCol, idCol, shortlist, candFilter),
+      vecCol, idCol, k)
 }

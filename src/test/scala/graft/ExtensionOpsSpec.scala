@@ -194,6 +194,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(audit.forall { case (_, n, ok) => n == 10L && ok })
   }
 
+  test("filtered PQ: coded-table filter keeps the shortlist pure, audit clears") {
+    val dir = "/root/testdata/sf0.001"
+    val df = ExtensionQueries.simTopkPqFilteredRows(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val hits = df.select("vec_id").as[Long].collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(emb(_) < 5), "result leaked a filtered-out candidate")
+    val audit = ExtensionQueries.queries("sim_topk_pq_filtered")(spark, dir)
+      .select($"q_vec_id", $"n_results", $"recall_ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(audit.length === 8)
+    assert(audit.forall { case (_, n, ok) => n == 10L && ok })
+  }
+
   test("registered IVF query self-reports recall >= 0.8 on the fixture") {
     val df = ExtensionQueries.simTopkIvfRows(spark, "/root/testdata/sf0.001")
     val recalls = df.select("recall_x100").as[Long].collect()
