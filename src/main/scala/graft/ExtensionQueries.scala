@@ -264,12 +264,46 @@ object ExtensionQueries {
 
   // ------------------------------------------------------------- dedup
 
+  /** Memoized MinHash-LSH near-dup pair graph over the `documents`
+    * table at `dir` (default parameters). Five registered queries
+    * consume this exact frame (`dedup_minhash`, both cluster paths,
+    * `split_contamination`, `corpus_dedup_keep_best`); at 100 TB the
+    * pair graph is the expensive artifact of the whole dedup family,
+    * and recomputing it per downstream consumer is the scale-killer —
+    * the production shape is "write the pair table once, every
+    * consumer scans it". [[graft.ops.AnnCache]] is the single-JVM
+    * analog: first caller pays the shingle→band→verify pipeline
+    * (shingles persisted across its two internal consumers), the
+    * localCheckpoint pin survives inter-query cache hygiene, and the
+    * memo dies with the SparkContext. */
+  private def dedupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"dedup-pairs:$dir") {
+      graft.ops.AnnCache.pin(
+        Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"),
+          persistShingles = true))
+    }
+
+  /** Memoized connected-component labels over [[dedupPairs]]
+    * (label-propagation fixpoint). Shared by `dedup_clusters` and
+    * `corpus_dedup_keep_best` — the keep-best ending is a per-cluster
+    * argmax on top of the SAME labeling, so deriving the labels twice
+    * would re-run the iterative fixpoint for an identical answer.
+    * (`dedup_clusters_star` deliberately does NOT consume this: its
+    * point is exercising the structurally different star-contraction
+    * fixpoint against the same oracle.) */
+  private def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"dedup-comp:$dir") {
+      graft.ops.AnnCache.pin(
+        graft.ops.Components.connectedComponents(
+          dedupPairs(s, dir).select("doc_a", "doc_b")))
+    }
+
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, dir), col("text"), col("doc_id"))
       .orderBy("fingerprint")
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
+    dedupPairs(s, dir)
       .orderBy("doc_a", "doc_b")
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -283,9 +317,7 @@ object ExtensionQueries {
     * recursive CTE (min reachable id per node) — an independent
     * formulation of the identical semantics. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
-      .select("doc_a", "doc_b")
-    val comp = graft.ops.Components.connectedComponents(pairs)
+    val comp = dedupComponents(s, dir)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("rep_doc_id"),
@@ -300,8 +332,7 @@ object ExtensionQueries {
     * recursive-CTE oracle. Covers the deep-component path at driver
     * level; ComponentsSpec covers it at property level. */
   private def qDedupClustersStar(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
-      .select("doc_a", "doc_b")
+    val pairs = dedupPairs(s, dir).select("doc_a", "doc_b")
     val comp = graft.ops.Components.connectedComponentsStar(pairs)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "comp")
@@ -626,7 +657,7 @@ object ExtensionQueries {
     * training pipeline runs exactly this before shipping a split. */
   private def qSplitContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"))
+    val pairs = dedupPairs(s, dir)
     val splits = docs.select(col("doc_id"),
       graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
     pairs
@@ -1598,13 +1629,14 @@ object ExtensionQueries {
     * per-cluster argmax; the extra cost over dedup_clusters is one
     * keyed window on the (small) clustered subset plus an anti-join
     * for the singleton majority, which broadcasts the cluster
-    * membership (near-dups are a small fraction of any real corpus). */
+    * membership (near-dups are a small fraction of any real corpus).
+    * The pair graph + labels come from the [[dedupComponents]] memo —
+    * the ending consumes the SAME materialized cluster artifact the
+    * rest of the family reads, not a private recomputation. */
   private def qCorpusDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val pairs = Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"))
-      .select("doc_a", "doc_b")
-    val comp = graft.ops.Components.connectedComponents(pairs)
+    val comp = dedupComponents(s, dir)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     val best = comp.join(sizes, "comp")
       .join(docs, col("id") === col("doc_id"))
