@@ -29,6 +29,25 @@ object Components {
   /** (id, comp) for every node appearing in `pairs` (columns
     * doc_a/doc_b); comp = min id of the node's component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (labels, converged) = labelPropCore(pairs, maxIter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations; " +
+          "labels would be split mid-propagation. Raise maxIter (component " +
+          "diameter exceeds it).")
+    labels
+  }
+
+  /** Min-label-propagation loop shared by [[connectedComponents]] and
+    * [[connectedComponentsAdaptive]]: returns the labels after at most
+    * `maxIter` rounds plus whether the fixpoint was reached. A
+    * non-converged label frame is still a sound CONTRACTION — every
+    * label is the id of some node in the same component, and the
+    * minimum node of each component always keeps itself (labels are
+    * monotone non-increasing and only node ids of the component ever
+    * propagate) — which is exactly what the adaptive fallback builds
+    * on. */
+  private def labelPropCore(pairs: DataFrame, maxIter: Int): (DataFrame, Boolean) = {
     // Both edge directions in ONE pass over `pairs` (explode of a
     // 2-struct array): a union of two selects would execute the whole
     // upstream pair pipeline twice before the persist materializes —
@@ -75,12 +94,49 @@ object Components {
       i += 1
     }
     edges.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge after $maxIter iterations; " +
-          "labels would be split mid-propagation. Raise maxIter (component " +
-          "diameter exceeds it).")
-    labels
+    (labels, converged)
+  }
+
+  /** Depth-adaptive connected components: probe with min-label
+    * propagation (the optimal algorithm when rounds ≈ component
+    * diameter is small — the common case for near-dup cluster graphs,
+    * which are star-or-clique shaped with diameter 2–4), and only if
+    * the probe has NOT converged after `probeRounds`, finish with
+    * Large-Star/Small-Star — but on the label-CONTRACTED graph, not
+    * the original: each probe label is the id of a node in the same
+    * component, so collapsing endpoints to their labels preserves the
+    * component structure while shrinking both the node set and (for
+    * partially-converged regions) the edge set before the O(log² n)
+    * machinery starts. Composition: a node's final component is the
+    * star label of its probe label, and the minimum node of every
+    * component keeps itself under the probe (labels are monotone,
+    * nothing smaller exists), so the composed label is still the
+    * component-wide minimum id — the same output contract as both
+    * parents, property-pinned equal in ComponentsSpec on shallow AND
+    * deep graphs.
+    *
+    * Scale shape: shallow graphs pay exactly label-prop (no star
+    * rounds at all); adversarially deep graphs pay `probeRounds`
+    * cheap label rounds, then star on a graph that the probe already
+    * contracted by up to 2^probeRounds in diameter. This is the
+    * production entry point when the input depth is unknown. */
+  def connectedComponentsAdaptive(pairs: DataFrame, probeRounds: Int = 4,
+                                  maxIter: Int = 30): DataFrame = {
+    val (labels, converged) = labelPropCore(pairs, probeRounds)
+    if (converged) return labels
+    val pinned = labels // already localCheckpoint-ed by the loop
+    val contracted = pairs
+      .join(pinned.select(col("id").as("doc_a"), col("comp").as("ca")), "doc_a")
+      .join(pinned.select(col("id").as("doc_b"), col("comp").as("cb")), "doc_b")
+      .where(col("ca") =!= col("cb"))
+      .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+    val starLabels = connectedComponentsStar(contracted, maxIter)
+    // regions the probe fully contracted have no cross-label edge, so
+    // their labels never reach the star stage — fall back to the probe
+    // label itself
+    pinned.join(starLabels.select(col("id").as("comp"), col("comp").as("root")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("root"), col("comp")).as("comp"))
   }
 
   /** Both edge directions of a canonical (hi, lo) edge set, with each

@@ -68,6 +68,41 @@ class ComponentsSpec extends SparkSpec {
     assert(star60 === prop)
   }
 
+  test("adaptive selector matches both parents on shallow graphs (probe branch)") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 30L)
+    ).toDF("doc_a", "doc_b")
+    val prop = Components.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val adaptive = Components.connectedComponentsAdaptive(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(adaptive === prop)
+  }
+
+  test("adaptive selector finishes deep graphs through the star fallback") {
+    // diameter-200 path: the 4-round probe cannot converge, so the
+    // star stage must run — on the label-CONTRACTED graph — and the
+    // composed labels must still be the exact component minima. A
+    // second shallow component rides along to exercise the
+    // probe-converged-region fallback (its label never reaches the
+    // star stage and must survive the final left join).
+    val n = 200
+    val path = (0 until n).map(i => (i.toLong, i + 1L)) ++
+      Seq((500L, 501L), (501L, 502L))
+    val adaptive = Components.connectedComponentsAdaptive(
+        path.toDF("doc_a", "doc_b"), probeRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(adaptive.size === n + 4)
+    (0 to n).foreach(i => assert(adaptive(i.toLong) === 0L, s"node $i"))
+    Seq(500L, 501L, 502L).foreach(i => assert(adaptive(i) === 500L, s"node $i"))
+    // and the star formulation agrees on the identical fixpoint
+    val star = Components.connectedComponentsStar(path.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(adaptive === star)
+  }
+
   test("star labels are permutation-robust on a shuffled multi-component graph") {
     // two interleaved deep paths (evens and odds) plus a shared bridge
     // only in one of them, with edges listed in scrambled order
