@@ -1984,17 +1984,21 @@ object ExtensionQueries {
          |fc1 AS (SELECT vec_id, q, n2 FROM n ORDER BY vec_id LIMIT 1),
          |fd1 AS (SELECT v.vec_id, v.q, v.n2,
          |        v.n2 + c.n2 - 2 * ${Vectors.intDotSql("v.q", "c.q", dim)} AS dmin
-         |        FROM n v CROSS JOIN fc1 c)""".stripMargin
+         |        FROM n v CROSS JOIN fc1 c WHERE v.vec_id <> c.vec_id)""".stripMargin
     val steps = (2 to k).map { j =>
       val pick =
         s""",
            |fc$j AS (SELECT vec_id, q, n2 FROM fd${j - 1}
            |        ORDER BY dmin DESC, vec_id ASC LIMIT 1)""".stripMargin
+      // each fold also DROPS the picked row (d.vec_id <> c.vec_id),
+      // mirroring the engine's exclusion of already-chosen ids: a
+      // duplicate vector would otherwise tie its chosen twin at
+      // dmin = 0 and the lowest-id tie-break could re-pick it
       val fold = if (j == k) "" else
         s""",
            |fd$j AS (SELECT d.vec_id, d.q, d.n2,
            |        least(d.dmin, d.n2 + c.n2 - 2 * ${Vectors.intDotSql("d.q", "c.q", dim)}) AS dmin
-           |        FROM fd${j - 1} d CROSS JOIN fc$j c)""".stripMargin
+           |        FROM fd${j - 1} d CROSS JOIN fc$j c WHERE d.vec_id <> c.vec_id)""".stripMargin
       pick + fold
     }.mkString
     val union = (1 to k)
@@ -2902,41 +2906,60 @@ object ExtensionQueries {
          |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
          |WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin,
 
-    // the ANN audit contract: every query vector yields exactly k=10
-    // results and clears its calibrated recall floor. The neighbor
-    // SETS can't be SQL-expressed (iterative k-means training), but
-    // this summary is deterministic on the seeded fixture — the
-    // engine-side recall_ok is computed against the in-engine exact
-    // brute-force top-k, so a broken index (empty cells, collapsed
-    // codebook, lost shortlist) fails the hash compare
+    // the ANN audit contract: every query vector yields exactly
+    // least(k=10, candidate availability) results and clears its
+    // calibrated recall floor. The neighbor SETS can't be
+    // SQL-expressed (iterative k-means training), but this summary is
+    // deterministic on the seeded fixture — the engine-side recall_ok
+    // is computed against the in-engine exact brute-force top-k, so a
+    // broken index (empty cells, collapsed codebook, lost shortlist)
+    // fails the hash compare. The expected count derives from the
+    // fixture (LEAST over the candidate pool), not a hard-coded 10,
+    // so a regenerated fixture with a scarcer pool fails as a recall
+    // problem, not a spurious row-count mismatch. Residual
+    // assumption, probed-cells-local and NOT SQL-derivable: whenever
+    // the GLOBAL pool holds ≥ k candidates, the probed cells retain
+    // ≥ k too — true by a wide margin on all measured fixtures
+    // (calibration next to the 45/15 recall floors).
     "sim_topk_ivf" ->
-      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8)) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
-    // same audit contract as sim_topk_ivf: k results per query with the
-    // filtered-brute-force recall floor cleared; the neighbor SETS are
-    // not SQL-expressible (k-means training)
+    // same audit contract as sim_topk_ivf, with the candidate pool
+    // restricted by the engine's metadata predicate (label < 5)
     "sim_topk_ivf_filtered" ->
-      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8 AND label < 5)) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
     "sim_topk_ivfpq_filtered" ->
-      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8 AND label < 5)) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 
     "sim_topk_pq_filtered" ->
-      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8 AND label < 5)) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
     "sim_topk_pq" ->
-      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8)) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
     "sim_topk_ivfpq" ->
-      """SELECT vec_id AS q_vec_id, CAST(10 AS BIGINT) AS n_results,
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8)) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
 

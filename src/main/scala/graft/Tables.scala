@@ -57,6 +57,15 @@ object Tables {
     import org.apache.spark.sql.types._
     if (spark.conf.get(nanosConf, "false") != "true")
       spark.conf.set(nanosConf, "true")
+    // Same defensive guard for the session timezone: the NTZ branch
+    // below normalizes via cast(TimestampType), which interprets the
+    // wall-clock in the SESSION zone — correct only under the UTC
+    // session every entry point sets. An ad-hoc non-UTC session would
+    // get silently shifted instants, so pin UTC here exactly like
+    // nanosConf (the library's documented session contract is UTC;
+    // oracle parity for every timestamp column depends on it).
+    val tzConf = "spark.sql.session.timeZone"
+    if (spark.conf.get(tzConf) != "UTC") spark.conf.set(tzConf, "UTC")
     val raw = load(spark, dir, "events")
     val norm = raw.schema("ts").dataType match {
       // TIMESTAMP(NANOS) vintage, surfaced as epoch-nanos long

@@ -148,12 +148,26 @@ object SemanticCluster {
     def distTo(c: org.apache.spark.sql.Row): Column =
       col("n2") + lit(c.getLong(2)) -
         lit(2L) * Vectors.intDot(col("q"), array(c.getSeq[Long](1).map(lit): _*))
-    var chosen = List(q.orderBy(col("vec_id").asc).limit(1).collect().head)
+    val first = q.orderBy(col("vec_id").asc).limit(1).collect()
+    require(first.nonEmpty, "farthestPointSeedIds: empty input")
+    var chosen = List(first.head)
     for (_ <- 2 to k) {
       val dmin = chosen.map(distTo).reduce(least(_, _))
-      chosen ::= q.withColumn("dmin", dmin)
+      // Already-chosen ids are excluded from the argmax: with exact
+      // duplicate vectors in the corpus, a chosen point ties any of
+      // its twins at dmin = 0 and the lowest-id tie-break would
+      // re-pick it — silently collapsing the seed set below k. The
+      // SQL mirror (kcenterSeedsCte) drops the picked row from each
+      // fd_j fold for the identical reason, keeping both traversals
+      // exact. k larger than the corpus now fails loudly instead.
+      val chosenIds = chosen.map(_.getLong(0))
+      val next = q.where(!col("vec_id").isin(chosenIds: _*))
+        .withColumn("dmin", dmin)
         .orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id"), col("q"), col("n2")).collect().head
+        .select(col("vec_id"), col("q"), col("n2")).collect()
+      require(next.nonEmpty,
+        s"farthestPointSeedIds: k = $k exceeds the number of vectors")
+      chosen ::= next.head
     }
     chosen.reverse.map(_.getLong(0))
   }

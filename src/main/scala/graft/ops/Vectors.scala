@@ -59,8 +59,14 @@ object Vectors {
     val hp = hyperplanes(bits, dim)
     (0 until bits).map { j =>
       val w = array(hp(j).map(lit): _*)
-      val proj = aggregate(zip_with(v, w, (x, y) => coalesce(x * y, lit(0L))),
-        lit(0L), (acc, x) => acc + x)
+      // the OUTER coalesce covers a null vector (zip_with of a null
+      // array is null, so the per-element coalesce never runs): the
+      // projection degrades to 0, exactly what the SQL mirror's
+      // COALESCE(list_sum(...), 0) yields — without it the two engines
+      // diverge (null ≥ 0 is null in Spark, so every bit would fall to
+      // 0 while DuckDB's 0 ≥ 0 sets every bit)
+      val proj = coalesce(aggregate(zip_with(v, w, (x, y) => coalesce(x * y, lit(0L))),
+        lit(0L), (acc, x) => acc + x), lit(0L))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -82,13 +88,17 @@ object Vectors {
     * is engine/partitioning-exact. Dimensionality falls `dim →
     * planes` (64 → 16 is a 4× cut in ANN memory and per-pair compute);
     * the projection itself is a pure scan-stage expression. Null
-    * semantics match signBucket (null-padded terms coalesce to 0). */
+    * semantics match signBucket: null-padded TERMS coalesce to 0, and
+    * a fully-null VECTOR coalesces to the zero projection — the same
+    * answer the SQL mirror's COALESCE(list_sum(...), 0) produces, so
+    * a null embedding in a future fixture vintage cannot split the
+    * hash compare. */
   def signProject(v: Column, planes: Int, dim: Int = 64): Column = {
     val hp = hyperplanes(planes, dim)
     array(hp.map { p =>
       val w = array(p.map(lit): _*)
-      aggregate(zip_with(v, w, (x, y) => coalesce(x * y, lit(0L))),
-        lit(0L), (acc, x) => acc + x)
+      coalesce(aggregate(zip_with(v, w, (x, y) => coalesce(x * y, lit(0L))),
+        lit(0L), (acc, x) => acc + x), lit(0L))
     }: _*)
   }
 

@@ -90,6 +90,24 @@ class SemanticClusterSpec extends SparkSpec {
     assert(again === ids)
   }
 
+  test("farthest-point seeding never re-picks a chosen id on duplicate vectors") {
+    // ids 0 and 1 share a vector; previously, once every remaining
+    // dmin hit 0 the lowest-id tie-break re-selected id 0 and the
+    // downstream isin() seed filter silently collapsed below k
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(0.0f)), (2L, Array(10.0f))
+    ).toDF("vec_id", "embedding")
+    val ids = SemanticCluster.farthestPointSeedIds(
+      emb, col("embedding"), col("vec_id"), k = 3)
+    assert(ids === Seq(0L, 2L, 1L))
+    assert(ids.distinct.size === 3)
+    // k beyond the corpus now fails loudly instead of duplicating
+    assertThrows[IllegalArgumentException] {
+      SemanticCluster.farthestPointSeedIds(
+        emb, col("embedding"), col("vec_id"), k = 4)
+    }
+  }
+
   test("lloyd with non-contiguous seed ids labels clusters by the seed's own id") {
     val emb = Seq(
       (2L, Array(1.0f, 0.0f)), (7L, Array(-1.0f, 0.0f)),

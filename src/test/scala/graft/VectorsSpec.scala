@@ -33,6 +33,27 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("null vector degrades to the zero projection / all-set bucket on BOTH engines") {
+    // a fully-null embedding array must agree with the SQL mirrors'
+    // COALESCE(list_sum(...), 0): projection components 0, and every
+    // bucket bit set (0 >= 0) — Spark's null-propagating aggregate
+    // would otherwise yield NULL components and a zero bucket,
+    // splitting the driver's hash compare on a null-bearing fixture
+    val bits = 5
+    val df = Seq((0L, Option(Array(0.5f, -1.0f, 0.25f, 2.0f))), (1L, None))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Vectors.signProject(Vectors.quantize(col("embedding")), bits, 4).as("p"),
+        Vectors.signBucket(Vectors.quantize(col("embedding")), bits, 4).as("b"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map { case (k, p, b) => k -> ((p, b)) }.toMap
+    val (pNull, bNull) = df(1L)
+    assert(pNull === Seq.fill(bits)(0L))
+    assert(bNull === (1L << bits) - 1)
+    val (pReal, _) = df(0L)
+    assert(pReal.exists(_ != 0L)) // non-null rows unaffected
+  }
+
   test("signBucket is the sign pattern of signProject") {
     val bits = 5
     val df = vecs.toDF("vec_id", "embedding")
