@@ -41,6 +41,30 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Stage-level attribution: wall-clock alone can't distinguish a
+    // query that does more work from one that hit a noisy-neighbor
+    // stall (this host swings 1.2-2× between identical runs, and
+    // round verdicts have repeatedly burned turns re-auditing noise,
+    // e.g. dedup_containment 1.62→2.30 s on unchanged code in r10).
+    // The listener accumulates executor-side metrics; per query we
+    // snapshot the delta and, for residents, print a [bench-stages]
+    // stderr line. executorRunTime ≈ wall×cores means real work;
+    // wall inflated over a flat executorRunTime means the host.
+    val stageStats = new java.util.concurrent.atomic.AtomicLongArray(5)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          stageStats.addAndGet(0, 1L)
+          stageStats.addAndGet(1, m.executorRunTime)
+          stageStats.addAndGet(2, m.shuffleReadMetrics.totalBytesRead)
+          stageStats.addAndGet(3, m.shuffleWriteMetrics.bytesWritten)
+          stageStats.addAndGet(4, m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    def stageSnap(): Array[Long] = Array.tabulate(5)(stageStats.get)
     val rt = Runtime.getRuntime
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -66,14 +90,30 @@ object Bench {
       // round comparisons read noise as regressions; the extra ~1 s
       // per fast query buys a stable floor.
       val first = Seq.fill(3)(once(name))
+      val isResident = first.forall(_ >= 0) && first.min > 1.5
+      // Residents get ONE extra steady-state run with stage metrics
+      // snapshotted around exactly that execution (the min-of-N loop
+      // interleaves codegen/JIT warmup into any wider delta); fast
+      // queries keep the unchanged 3(+2) sampling.
+      val s0 = stageSnap()
+      val attributed = if (isResident) once(name) else -1.0
+      val s1 = stageSnap()
+      val runs0 = if (isResident) first :+ attributed else first
       val runs =
-        if (first.exists(r => r >= 0 && r < 0.3)) first ++ Seq.fill(2)(once(name))
-        else first
+        if (first.exists(r => r >= 0 && r < 0.3)) runs0 ++ Seq.fill(2)(once(name))
+        else runs0
       val (gc1, gt1) = gcStats()
       val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       System.err.println(
         f"[bench] $name%-24s ${runs.map(r => f"$r%7.2f").mkString(" ")}s " +
           f"gc=${gc1 - gc0}%3d gcMs=${gt1 - gt0}%6d heapMb=$usedMb%6d")
+      if (isResident) {
+        val d = s1.zip(s0).map { case (a, b) => a - b }
+        System.err.println(
+          f"[bench-stages] $name%-24s wall=$attributed%6.2fs stages=${d(0)}%3d " +
+            f"execSec=${d(1) / 1e3}%8.2f shufReadMb=${d(2) / 1e6}%7.1f " +
+            f"shufWriteMb=${d(3) / 1e6}%7.1f spillMb=${d(4) / 1e6}%7.1f")
+      }
       cleanup()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }

@@ -22,14 +22,85 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `orders` / `lineitem` with their date columns normalized to
+    * TIMESTAMP_NTZ — the vintage the driver ships today and the type
+    * every TPC-H query (and its DuckDB mirror) compares against. Round 9
+    * lost 44 queries to exactly this class of silent fixture drift on
+    * `events.ts`; the same read-type dispatch now guards the other
+    * temporal columns the driver generates. See [[normalizeNtz]].
+    */
+  def orders(s: SparkSession, d: String): DataFrame = {
+    sessionContract(s)
+    normalizeNtz(load(s, d, "orders"), "o_orderdate")
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame = {
+    sessionContract(s)
+    normalizeNtz(load(s, d, "lineitem"), "l_shipdate")
+  }
+
+  /** `documents` / `embeddings` with integer widths and the embedding
+    * element type pinned to the current vintage (doc ids/counts BIGINT,
+    * `label` INT, `embedding` ARRAY<FLOAT>). A regenerated fixture that
+    * widens an id or ships float64 embeddings must not crash the typed
+    * kernels (QuantizedDotProduct requires ArrayType(FloatType)) or
+    * drift the quantized integer arithmetic both engines round from.
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    widen(load(s, d, "documents"), Map("doc_id" -> LongType, "n_chars" -> LongType))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    widen(load(s, d, "embeddings"),
+      Map("vec_id" -> LongType, "label" -> IntegerType,
+          "embedding" -> ArrayType(FloatType)))
+  }
+
+  private def widen(df: DataFrame, want: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
+    want.foldLeft(df) { case (acc, (name, t)) =>
+      if (acc.schema.fieldNames.contains(name) && acc.schema(name).dataType != t)
+        acc.withColumn(name, col(name).cast(t))
+      else acc
+    }
+
+  /** Dispatch on the type Spark actually read and converge every
+    * plausible vintage of a date/timestamp column onto TIMESTAMP_NTZ
+    * with the same wall-clock: epoch-nanos LONG (TIMESTAMP(NANOS) under
+    * [[nanosConf]]), session-tz TIMESTAMP, DATE (midnight), and ISO
+    * string all cast through the UTC session [[sessionContract]] pins,
+    * so the instant a query compares against `TIMESTAMP '1998-01-01'`
+    * literals is identical in Spark and the DuckDB oracle for each
+    * vintage. TablesSpec pins one written fixture per vintage.
+    */
+  private def normalizeNtz(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (!df.schema.fieldNames.contains(name)) df
+    else df.schema(name).dataType match {
+      case TimestampNTZType => df
+      case LongType =>
+        df.withColumn(name,
+          expr(s"timestamp_micros($name div 1000)").cast(TimestampNTZType))
+      case _ => df.withColumn(name, col(name).cast(TimestampNTZType))
+    }
+  }
 
   /** Session conf the library needs; our mains and the test harness set
     * it at session build. */
   val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** The library's documented session contract: nanos-parquet readable
+    * and UTC wall-clock. Entry points set both at session build; this
+    * guard repairs ad-hoc sessions that skipped setup, because every
+    * temporal normalization in this file casts through the session
+    * zone and [[nanosConf]] gates whether a NANOS vintage loads at all.
+    */
+  private def sessionContract(spark: SparkSession): Unit = {
+    if (spark.conf.get(nanosConf, "false") != "true")
+      spark.conf.set(nanosConf, "true")
+    val tzConf = "spark.sql.session.timeZone"
+    if (spark.conf.get(tzConf) != "UTC") spark.conf.set(tzConf, "UTC")
+  }
 
   /** `events` with `ts` normalized to a proper TimestampType (µs)
     * regardless of how the fixture generation stored it. The driver's
@@ -55,17 +126,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    if (spark.conf.get(nanosConf, "false") != "true")
-      spark.conf.set(nanosConf, "true")
-    // Same defensive guard for the session timezone: the NTZ branch
-    // below normalizes via cast(TimestampType), which interprets the
-    // wall-clock in the SESSION zone — correct only under the UTC
-    // session every entry point sets. An ad-hoc non-UTC session would
-    // get silently shifted instants, so pin UTC here exactly like
-    // nanosConf (the library's documented session contract is UTC;
-    // oracle parity for every timestamp column depends on it).
-    val tzConf = "spark.sql.session.timeZone"
-    if (spark.conf.get(tzConf) != "UTC") spark.conf.set(tzConf, "UTC")
+    // The NTZ branch below normalizes via cast(TimestampType), which
+    // interprets the wall-clock in the SESSION zone — correct only
+    // under the UTC session every entry point sets; sessionContract
+    // repairs ad-hoc sessions (and gates the NANOS vintage read).
+    sessionContract(spark)
     val raw = load(spark, dir, "events")
     val norm = raw.schema("ts").dataType match {
       // TIMESTAMP(NANOS) vintage, surfaced as epoch-nanos long

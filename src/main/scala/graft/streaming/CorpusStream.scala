@@ -13,6 +13,15 @@ case class NearDupCandidate(doc_id: Long, band: Int, first_doc_id: Long)
   * admission rank within its source across the stream's lifetime. */
 case class CappedDoc(doc_id: Long, source: String, seq: Long)
 
+/** The winner of a streaming keep-best decision: the highest-quality
+  * doc under `key` seen inside the decision horizon. */
+case class BestPick(key: String, doc_id: Long, quality: Long)
+
+/** A doc admitted by the streaming weighted sample for its
+  * (source, window); `rk` is its 1-based priority rank. */
+case class WeightedPick(source: String, window_start: java.sql.Timestamp,
+                        doc_id: Long, rk: Int)
+
 /** Streaming corpus ingest: the batch cleaning pass (`corpus_clean`'s
   * quality gate + exact dedup) as a continuous pipeline — documents
   * arrive as a stream, low-quality docs are dropped, and the first
@@ -121,6 +130,130 @@ object CorpusStream {
           if (picked.nonEmpty) state.update(admitted + picked.size)
           picked.iterator.zipWithIndex.map { case (id, i) =>
             CappedDoc(id, src, admitted + i + 1)
+          }
+        })
+  }
+
+  /** Streaming KEEP-BEST decision — the continuous form of
+    * `corpus_dedup_keep_best`'s per-cluster argmax: docs sharing a
+    * caller-supplied near-dup key (a SimHash bucket, a normalized
+    * fingerprint, an upstream cluster label — exact dupes would tie on
+    * any length-based quality, so the key is a parameter, not baked to
+    * [[Text.fingerprint]]) race inside an event-time horizon, and when
+    * the watermark passes `maxEventTime + gap` the group emits its ONE
+    * winner (highest `quality`, tie → lowest doc_id) and drops its
+    * state. [[ingest]]'s first-writer-wins answers "which copy arrived
+    * first"; this answers the batch ending's actual question — "which
+    * copy is best" — which a stream can only decide once the horizon
+    * closes, hence the timeout-driven emit rather than Append-per-row.
+    *
+    * Late data: rows older than the watermark are dropped BEFORE the
+    * state update (standard flatMapGroupsWithState pre-filtering), so
+    * an expired decision is never resurrected and never double-emits.
+    *
+    * State shape at scale: one (quality, doc_id, maxEvent) triple per
+    * in-flight key, sharded by key, and the timeout bounds its
+    * lifetime to the horizon — unlike [[ingest]]'s unbounded
+    * fingerprint set, this state self-evicts.
+    *
+    * `docs` needs (doc_id, ts) plus whatever `key`/`quality` read, and
+    * a caller-set watermark on `ts` (the horizon gap must be ≤ the
+    * watermark delay or groups time out while siblings can still
+    * legally arrive).
+    */
+  def keepBestByKey(docs: DataFrame, key: org.apache.spark.sql.Column,
+                    quality: org.apache.spark.sql.Column,
+                    gapMs: Long): Dataset[BestPick] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(key.cast("string").as("key"),
+        col("doc_id").cast("long").as("doc_id"),
+        quality.cast("long").as("quality"),
+        col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) => {
+          if (state.hasTimedOut) {
+            val (q, id, _) = state.get
+            state.remove()
+            Iterator.single(BestPick(k, id, q))
+          } else {
+            // fold the batch into (quality desc, id asc)-best + max event time
+            val init = if (state.exists) state.get else (Long.MinValue, Long.MaxValue, 0L)
+            val (q, id, maxEv) = rows.foldLeft(init) { case ((bq, bid, mx), r) =>
+              val better = r._3 > bq || (r._3 == bq && r._2 < bid)
+              (if (better) r._3 else bq, if (better) r._2 else bid,
+                math.max(mx, r._4.getTime))
+            }
+            state.update((q, id, maxEv))
+            // must exceed the current watermark or the update throws;
+            // max() covers a first batch whose events trail it
+            state.setTimeoutTimestamp(
+              math.max(maxEv + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** Streaming WEIGHTED sample — the continuous form of
+    * [[graft.ops.Sampling.weightedCapPerGroup]]: per (source,
+    * event-time window) keep the `cap` docs with the smallest integer
+    * priority `hash(id)·2²⁰ div max(weight,1)` — the SAME
+    * Efraimidis–Spirakis-style race as the batch operator, computed by
+    * the same column expression, so a window's winners equal the batch
+    * operator run over that window's in-watermark rows. The race is
+    * only decidable once no contender can arrive, so winners emit when
+    * the watermark passes the window end (timeout), ranked.
+    *
+    * State shape at scale: at most `cap` (priority, id) pairs per
+    * in-flight (source, window) — bounded by construction, timeout-
+    * evicted; arrivals fold in as a running top-`cap`, so a window
+    * that sees millions of rows still holds `cap` entries.
+    */
+  def weightedSampleByWindow(docs: DataFrame, weight: org.apache.spark.sql.Column,
+                             windowDur: String, cap: Int): Dataset[WeightedPick] = {
+    import docs.sparkSession.implicits._
+    val win = window(col("ts"), windowDur)
+    docs
+      .select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"),
+        weight.cast("long").as("__w"), col("ts"))
+      // integer div (not fractional divide): the batch operator's
+      // priority is `(hash·2^20) div w` and replay determinism rests
+      // on both forms truncating identically
+      .withColumn("wp", expr(
+        s"(${graft.ops.Sampling.hashValSql("doc_id")} * 1048576) div greatest(__w, 1)"))
+      .withColumn("wstart", win.getField("start"))
+      .withColumn("wend", win.getField("end"))
+      // `ts` rides along so the stateful operator's late-row
+      // pre-filter still sees the watermarked event-time column
+      .select(col("source"), col("doc_id"), col("wp").cast("long").as("wp"),
+        col("wstart"), col("wend"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._4.getTime))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long),
+         rows: Iterator[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Long)]]) => {
+          if (state.hasTimedOut) {
+            val winners = state.get.sorted
+            state.remove()
+            winners.iterator.zipWithIndex.map { case ((_, id), i) =>
+              WeightedPick(key._1, new java.sql.Timestamp(key._2), id, i + 1)
+            }
+          } else {
+            val init = if (state.exists) state.get else Nil
+            var endMs = 0L
+            val merged = rows.foldLeft(init) { case (acc, r) =>
+              endMs = math.max(endMs, r._5.getTime)
+              ((r._3, r._2) :: acc).sorted.take(cap)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(
+              math.max(endMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
         })
   }

@@ -129,4 +129,77 @@ class CorpusStreamSpec extends SparkSpec {
     assert(byDoc(4L) === Set(3L))
     assert(!byDoc.contains(1L))
   }
+
+  private def ts(min: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + min * 60000L) // 2024-01-01 + min
+
+  test("streaming keep-best: horizon close emits one best per key, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "grp", "quality", "ts")
+      .withWatermark("ts", "10 minutes")
+    val out = CorpusStream.keepBestByKey(docs, org.apache.spark.sql.functions.col("grp"),
+      org.apache.spark.sql.functions.col("quality"), gapMs = 5 * 60000L)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("keep_best").start()
+
+    // group a: doc 3 (q=50) should beat doc 1 (q=40) and tie-loser 4
+    input.addData((1L, "a", 40L, ts(0)), (3L, "a", 50L, ts(1)), (4L, "a", 50L, ts(1)))
+    q.processAllAvailable()
+    // group b opens; watermark still behind group a's timeout
+    input.addData((7L, "b", 10L, ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("keep_best").count() === 0L) // no horizon closed yet
+    // advance the watermark far past both horizons: both groups decide
+    input.addData((99L, "c", 1L, ts(60)))
+    q.processAllAvailable()
+    val decided = spark.table("keep_best")
+      .select($"key", $"doc_id", $"quality").as[(String, Long, Long)].collect().toSet
+    assert(decided === Set(("a", 3L, 50L), ("b", 7L, 10L)))
+    // a LATE higher-quality doc for the already-decided group a
+    // (event time far behind the watermark) must not resurrect it
+    input.addData((8L, "a", 99L, ts(1)))
+    q.processAllAvailable()
+    input.addData((100L, "d", 1L, ts(120))) // push watermark again
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("keep_best")
+      .where($"key" === "a").select($"doc_id").as[Long].collect().toSet
+    assert(after === Set(3L), s"late data resurrected a decided group: $after")
+  }
+
+  test("streaming weighted sample matches the batch priority race per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "source", "weight", "ts")
+      .withWatermark("ts", "10 minutes")
+    val out = CorpusStream.weightedSampleByWindow(
+      docs, $"weight", windowDur = "30 minutes", cap = 2)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("weighted_win").start()
+
+    // one 30-min window for s1 with 4 contenders across two batches
+    val contenders = Seq((1L, 3L), (2L, 1L), (3L, 9L), (4L, 4L)) // (id, weight)
+    input.addData((1L, "s1", 3L, ts(0)), (2L, "s1", 1L, ts(5)))
+    q.processAllAvailable()
+    input.addData((3L, "s1", 9L, ts(10)), (4L, "s1", 4L, ts(20)))
+    q.processAllAvailable()
+    assert(spark.table("weighted_win").count() === 0L) // window still open
+    input.addData((50L, "s2", 1L, ts(90))) // watermark past window end
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("weighted_win").where($"source" === "s1")
+      .select($"doc_id", $"rk").as[(Long, Int)].collect().toSet
+
+    // expected = the BATCH operator's race on the same rows
+    val batch = graft.ops.Sampling.weightedCapPerGroup(
+        contenders.toDF("doc_id", "weight")
+          .withColumn("source", org.apache.spark.sql.functions.lit("s1")),
+        $"source", $"doc_id", $"weight", cap = 2)
+      .select($"doc_id", $"rk").as[(Long, Long)].collect()
+      .map { case (id, rk) => (id, rk.toInt) }.toSet
+    assert(got === batch, s"streaming $got != batch $batch")
+    assert(got.size === 2)
+  }
 }

@@ -71,4 +71,113 @@ class TablesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType === TimestampType)
     assert(ev.where(col("ts").isNotNull).count() > 0)
   }
+
+  // ---- orders/lineitem date-column vintages -------------------------
+  // Same drift class as events.ts, canonical type TIMESTAMP_NTZ (what
+  // every TPC-H query and DuckDB mirror compares against). Each test
+  // writes one plausible vintage and pins the loaded wall-clock.
+
+  // 1998-07-22T00:00:00 — a representative o_orderdate wall-clock
+  private val dayMicros = 901065600000000L
+  private val dayLdt = java.time.LocalDateTime.ofEpochSecond(
+    dayMicros / 1000000L, 0, java.time.ZoneOffset.UTC)
+
+  private def ordersSchemaWith(dt: DataType): StructType = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", dt), StructField("o_orderpriority", StringType)))
+
+  private def ordersRow(d: Any): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(1L, 2L, "O", 10.0, d, "1-URGENT")
+
+  private def checkOrders(dir: String): Unit = {
+    val got = Tables.orders(spark, dir)
+    assert(got.schema("o_orderdate").dataType === TimestampNTZType,
+      s"o_orderdate must normalize to TIMESTAMP_NTZ, got ${got.schema("o_orderdate").dataType}")
+    val wall = got.select(col("o_orderdate").cast("string")).head.getString(0)
+    assert(wall === "1998-07-22 00:00:00", s"wall-clock drifted: $wall")
+  }
+
+  private def writeOrders(tag: String, dt: DataType, v: Any): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_ord_$tag").toString
+    spark.createDataFrame(List(ordersRow(v)).asJava, ordersSchemaWith(dt))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("orders loader passes through TIMESTAMP_NTZ vintage (current)") {
+    checkOrders(writeOrders("ntz", TimestampNTZType, dayLdt))
+  }
+
+  test("orders loader normalizes epoch-nanos LONG vintage") {
+    checkOrders(writeOrders("long", LongType, dayMicros * 1000L))
+  }
+
+  test("orders loader normalizes session-tz TIMESTAMP vintage") {
+    checkOrders(writeOrders("ts", TimestampType,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(dayMicros / 1000000L))))
+  }
+
+  test("orders loader normalizes DATE vintage to midnight NTZ") {
+    checkOrders(writeOrders("date", DateType,
+      java.sql.Date.valueOf(dayLdt.toLocalDate)))
+  }
+
+  test("lineitem loader normalizes DATE-vintage l_shipdate to midnight NTZ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_li_date").toString
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_shipdate", DateType)))
+    spark.createDataFrame(
+        List(org.apache.spark.sql.Row(1L, 5.0, java.sql.Date.valueOf(dayLdt.toLocalDate))).asJava,
+        schema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Tables.lineitem(spark, dir)
+    assert(got.schema("l_shipdate").dataType === TimestampNTZType)
+    val wall = got.select(col("l_shipdate").cast("string")).head.getString(0)
+    assert(wall === "1998-07-22 00:00:00", s"wall-clock drifted: $wall")
+  }
+
+  // ---- documents/embeddings width vintages --------------------------
+
+  test("embeddings loader pins float64 embedding vintage back to ARRAY<FLOAT> and widths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_f64").toString
+    val schema = StructType(Seq(
+      StructField("vec_id", IntegerType),
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("label", LongType)))
+    spark.createDataFrame(
+        List(org.apache.spark.sql.Row(7, Seq(0.25, -1.5), 3L)).asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Tables.embeddings(spark, dir)
+    assert(got.schema("vec_id").dataType === LongType)
+    assert(got.schema("label").dataType === IntegerType)
+    assert(got.schema("embedding").dataType === ArrayType(FloatType, containsNull = true))
+    val r = got.select(col("vec_id"), col("embedding"), col("label")).head
+    assert(r.getLong(0) === 7L)
+    assert(r.getSeq[Float](1) === Seq(0.25f, -1.5f))
+    assert(r.getInt(2) === 3)
+  }
+
+  test("documents loader widens int32 id/count vintage to BIGINT") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc_i32").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", IntegerType), StructField("text", StringType),
+      StructField("n_chars", IntegerType)))
+    spark.createDataFrame(
+        List(org.apache.spark.sql.Row(5, "hello", 5)).asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Tables.documents(spark, dir)
+    assert(got.schema("doc_id").dataType === LongType)
+    assert(got.schema("n_chars").dataType === LongType)
+    assert(got.select(col("doc_id")).head.getLong(0) === 5L)
+  }
+
+  test("real orders/lineitem fixtures load with NTZ date columns") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val l = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    assert(o.schema("o_orderdate").dataType === TimestampNTZType)
+    assert(l.schema("l_shipdate").dataType === TimestampNTZType)
+    assert(o.count() > 0 && l.count() > 0)
+  }
 }
