@@ -699,6 +699,75 @@ object ExtensionQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Bloom-filter contamination screen ([[graft.ops.Bloom]]): the test
+    * split's content hashes build a 4096-bit filter (ONE bounded
+    * aggregation over the SMALL split, ≤128 words collected), and every
+    * train doc probes it as a scan-stage expression against the inlined
+    * word array — at 100 TB the exact anti-join shuffles every train
+    * fingerprint, while this probe never shuffles the corpus at all.
+    * The output is the exact confusion table of the sketch against the
+    * exact join (bloom_hit × actually-contaminated): false positives
+    * are the sketch's documented price, and a (false, true) row can
+    * never appear — Bloom filters have no false negatives, so "clean"
+    * verdicts are definitive and only flagged docs need the exact
+    * recheck. Both engines run the same integer double-hashing, so the
+    * table is oracle-exact, FP rows included.
+    */
+  private def qSplitBloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      graft.ops.Text.rollingHash(col("text")).as("h"),
+      graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    val test = docs.where(col("split") === "test").select(col("h"))
+    val words = graft.ops.Bloom.filterWords(graft.ops.Bloom.build(test, col("h")))
+    val testKeys = test.distinct().withColumnRenamed("h", "th")
+    docs.where(col("split") === "train")
+      .withColumn("bloom_hit", graft.ops.Bloom.hitExpr(col("h"), words))
+      .join(broadcast(testKeys), col("h") === col("th"), "left")
+      .groupBy(col("bloom_hit"), col("th").isNotNull.as("actual"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bloom_hit", "actual")
+  }
+
+  /** Exact duplicated-substring dedup ([[graft.ops.Spans]]): doc pairs
+    * sharing a verbatim run of ≥ 20 tokens, with the longest shared
+    * span — the Lee et al. ACL'22 signal that set-similarity dedup
+    * under-weights (one long quoted block inside two otherwise
+    * different docs). Positioned 8-gram diagonals + one
+    * gaps-and-islands window; the gram join is keyed by an integer
+    * gram hash with a 50-doc boilerplate cap, so the shuffle stays
+    * ~|corpus grams| at any scale.
+    */
+  private def qDedupSubstringSpan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spans.sharedSpans(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Corpus-LM commonness score — the integer-exact stand-in for
+    * KenLM-style perplexity filtering: score each doc by the mean
+    * corpus frequency of its bigram OCCURRENCES (multiplicity kept —
+    * a doc repeating a rare bigram stays rare). Log-probabilities
+    * can't be engine-exact, raw counts can: rank order matches the
+    * unigram-normalized LM on this statistic, and the quotient rides
+    * integer `div`. Two keyed shuffles total (corpus bigram count,
+    * per-doc fold) — the canonical count-then-join LM shape that
+    * scales to any corpus because nothing ever leaves the bigram/doc
+    * key spaces.
+    */
+  private def qTextBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val counts = bi.groupBy("bigram").agg(count(lit(1)).as("bn"))
+    bi.join(counts, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(bn) div count(1)").as("commonness"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition quality signals per document (bigram
     * duplicate/top fractions in basis points). */
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
@@ -1785,6 +1854,9 @@ object ExtensionQueries {
     "events_funnel" -> (qEventsFunnel _),
     "events_retention" -> (qEventsRetention _),
     "split_contamination" -> (qSplitContamination _),
+    "split_bloom_contamination" -> (qSplitBloomContamination _),
+    "text_bigram_lm" -> (qTextBigramLm _),
+    "dedup_substring_span" -> (qDedupSubstringSpan _),
     "text_repetition" -> (qTextRepetition _),
     "corpus_stratified_sample" -> (qCorpusStratified _),
     "corpus_source_cap" -> (qCorpusSourceCap _),
@@ -2410,6 +2482,48 @@ object ExtensionQueries {
          |  ${graft.ops.Redact.countPhonesSql("text")} AS n_phones,
          |  md5(${graft.ops.Redact.redactSql("text")}) AS redacted_md5
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "split_bloom_contamination" -> {
+      val normExpr = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+      val B = graft.ops.Bloom
+      s"""WITH d AS (SELECT doc_id,
+         |             ${graft.ops.Text.polyHashSql("norm")} AS h,
+         |             ${graft.ops.Sampling.assignSplitSql("doc_id")} AS split
+         |           FROM (SELECT doc_id, $normExpr AS norm FROM documents)),
+         |tkeys AS (SELECT h FROM d WHERE split = 'test'),
+         |f AS (${B.buildSql("tkeys")}),
+         |tr AS (SELECT doc_id, h FROM d WHERE split = 'train'),
+         |pos AS (SELECT doc_id,
+         |          unnest(list_value(${(0 until B.Hashes).map(i => B.positionSql("h", i)).mkString(", ")})) AS pos
+         |        FROM tr),
+         |hit AS (SELECT p.doc_id,
+         |          SUM(CASE WHEN f.bits IS NOT NULL
+         |                    AND (f.bits >> CAST(p.pos % 32 AS INT)) % 2 = 1
+         |                   THEN 1 ELSE 0 END) AS nhit
+         |        FROM pos p LEFT JOIN f ON CAST(p.pos // 32 AS INT) = f.word
+         |        GROUP BY 1),
+         |act AS (SELECT DISTINCT h FROM tkeys)
+         |SELECT (hit.nhit = ${B.Hashes}) AS bloom_hit,
+         |       (a.h IS NOT NULL) AS actual,
+         |       CAST(COUNT(*) AS BIGINT) AS n
+         |FROM tr JOIN hit ON tr.doc_id = hit.doc_id
+         |LEFT JOIN act a ON tr.h = a.h
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "dedup_substring_span" ->
+      (graft.ops.Spans.sharedSpansSql(TK) + "\nORDER BY 1, 2"),
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |b0 AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS l, unnest(tk[2:len(tk)]) AS r
+         |       FROM t WHERE len(tk) >= 2),
+         |b AS (SELECT doc_id, l || ' ' || r AS bigram FROM b0),
+         |c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bn FROM b GROUP BY 1)
+         |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(c.bn) // COUNT(*) AS BIGINT) AS commonness
+         |FROM b JOIN c USING (bigram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "split_ngram_leakage" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
