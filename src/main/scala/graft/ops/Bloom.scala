@@ -34,7 +34,12 @@ object Bloom {
   val Hashes = 3
 
   /** h1/h2 of Kirsch–Mitzenmacher double hashing from one 64-bit key
-    * (the key is already a [[Text.polyHash]]-style mixed value). */
+    * (the key is already a [[Text.polyHash]]-style mixed value).
+    *
+    * `divide(...).cast(long)` is a double division truncated back —
+    * exact here because keys live in [0, polyHashMod) < 2^53, where
+    * IEEE-754 division by 4096 loses nothing; the DuckDB mirror's
+    * integer `//` therefore agrees bit-for-bit on this domain. */
   private def h1(h: Column): Column = pmod(h, lit(MBits.toLong))
   private def h2(h: Column): Column =
     lit(1L) + pmod(h.divide(lit(MBits.toLong)).cast("long"), lit((MBits - 1).toLong))

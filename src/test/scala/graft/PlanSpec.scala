@@ -387,4 +387,27 @@ class PlanSpec extends SparkSpec {
       "the basket self-join must co-partition on user_id, not re-shuffle " +
         "per consumer")
   }
+
+  test("split_bloom_contamination: the probe is scan-stage, no corpus-keyed shuffle") {
+    val p = planOf("split_bloom_contamination")
+    // the filter rides the plan as a literal array and the only join is
+    // the broadcast of the tiny exact-audit key set — a sort-merge join
+    // or a hash exchange on the content hash would mean the corpus
+    // shuffled for a 512-byte sketch
+    assert(!p.contains("SortMergeJoin"),
+      "probe must not shuffle the train corpus")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 1,
+      "exactly one broadcast join: the exact-audit key set")
+    assert("Exchange hashpartitioning\\(h".r.findAllIn(p).length <= 1,
+      "only the TEST split's distinct may exchange on the content " +
+        "hash — a second h-keyed exchange means the train corpus " +
+        "shuffled for a 512-byte sketch")
+  }
+
+  test("dedup_substring_span: gram join keyed on the hash, windows share its shuffle") {
+    val p = planOf("dedup_substring_span")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Exchange hashpartitioning(gh"),
+      "the candidate join must key on the gram hash")
+  }
 }
