@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: the join is keyed by gram hash — mostly-unique keys, so
   * the shuffle is ~|corpus grams| with no hot partitions — EXCEPT
-  * boilerplate grams (headers, license blocks) which would go
-  * quadratic; `maxGramDocs` drops grams shared by more than that many
-  * docs before the self-join, the same hot-bucket cap discipline as
-  * the LSH channel (a gram in 1000 docs is boilerplate by definition,
-  * not an interesting span — and the count audit is one cheap
-  * aggregation). Grams hash through [[Text.polyHash]], so the whole
-  * chain is integer-exact and oracle-mirrorable; a hash collision
-  * would affect both engines identically.
+  * repeated grams (headers, license blocks, degenerate "spam spam
+  * spam" docs) which would go quadratic; `maxGramOcc` drops grams with
+  * more than that many total OCCURRENCES before the self-join — the
+  * same hot-bucket cap discipline as the LSH channel, and occurrences
+  * (not distinct docs) is the load-bearing choice: it bounds every
+  * join key's fanout to ≤ maxGramOcc² rows even when one doc repeats
+  * a gram thousands of times, where a distinct-doc cap would let a
+  * single self-repetitive doc pair go quadratic. (A gram over the cap
+  * is boilerplate or degenerate repetition by definition — the
+  * within-doc case is text_repetition's signal, not a span.) Grams
+  * hash through [[Text.polyHash]], so the whole chain is
+  * integer-exact and oracle-mirrorable; a hash collision would affect
+  * both engines identically.
   */
 object Spans {
 
@@ -43,12 +48,12 @@ object Spans {
     */
   def sharedSpans(docs: DataFrame, textCol: Column, idCol: Column,
                   n: Int = 8, minTokens: Int = 20,
-                  maxGramDocs: Int = 50): DataFrame = {
+                  maxGramOcc: Int = 50): DataFrame = {
     val grams = positionedGrams(docs, textCol, idCol, n)
-    // boilerplate cap: one aggregation, then only surviving grams join
+    // hot-gram cap: one aggregation, then only surviving grams join
     val freq = grams.groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("nf"))
-      .where(col("nf") <= maxGramDocs)
+      .agg(count(lit(1)).as("nf"))
+      .where(col("nf") <= maxGramOcc)
       .select("gh")
     val ok = grams.join(freq, "gh")
     val pairs = ok.as("x").join(ok.as("y"),
@@ -69,15 +74,15 @@ object Spans {
   /** DuckDB mirror of [[sharedSpans]] over a `documents(doc_id, text)`
     * view; `tkExpr` is the tokens-array SQL (the caller's TK macro). */
   def sharedSpansSql(tkExpr: String, n: Int = 8, minTokens: Int = 20,
-                     maxGramDocs: Int = 50): String = {
+                     maxGramOcc: Int = 50): String = {
     val gram = (0 until n).map(o => s"tk[i + $o]").mkString(" || ' ' || ")
     s"""WITH t AS (SELECT doc_id, $tkExpr AS tk FROM documents),
        |g AS (SELECT doc_id, i AS pos,
        |        ${Text.polyHashSql(s"($gram)")} AS gh
        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - ${n - 1})) AS i) s
        |      WHERE len(tk) >= $n),
-       |f AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nf FROM g GROUP BY 1)
-       |      WHERE nf <= $maxGramDocs),
+       |f AS (SELECT gh FROM (SELECT gh, COUNT(*) AS nf FROM g GROUP BY 1)
+       |      WHERE nf <= $maxGramOcc),
        |ok AS (SELECT g.* FROM g JOIN f USING (gh)),
        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
        |      FROM ok x JOIN ok y ON x.gh = y.gh AND x.doc_id < y.doc_id),

@@ -134,6 +134,73 @@ object CorpusStream {
         })
   }
 
+  /** [[dedupBatch]] with a Bloom pre-filter — the 100 TB shape of the
+    * store-backed incremental dedup: beside each batch's fingerprint
+    * partition the sink persists that batch's [[graft.ops.Bloom]] word
+    * rows (≤128 longs), and the NEXT batch merges all filter partitions
+    * word-wise (bit_or — the filter is a monoid, so per-batch shards
+    * merge exactly), probes the batch as a scan-stage expression, and
+    * pays the exact store recheck ONLY for bloom hits. A Bloom miss is
+    * definitive (no false negatives), so the store — the part that
+    * grows with corpus lifetime — is scanned semi-joined against the
+    * (tiny) hit set instead of anti-joined against the whole batch;
+    * false positives cost one extra exact lookup each, never a wrong
+    * answer. Same batchId-keyed overwrite discipline as [[dedupBatch]],
+    * for both the fingerprint and the filter partition, so crash-replay
+    * stays idempotent.
+    */
+  def dedupBatchBloom(storeDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    val fpSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fingerprint", StringType),
+      StructField("batch", LongType)))
+    val bfSchema = StructType(Seq(
+      StructField("word", IntegerType), StructField("bits", LongType),
+      StructField("batch", LongType)))
+    def readOr(dir: String, schema: StructType, empty: StructType): DataFrame =
+      try s.read.schema(schema).parquet(dir).where(col("batch") =!= batchId)
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+      }
+    // keyed on the SAME hash family as the batch probe below
+    val hashOf = graft.ops.Text.polyHash(col("fingerprint"))
+    val priorFilters = readOr(s"$storeDir/bloom", bfSchema, bfSchema)
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    val words = graft.ops.Bloom.filterWords(priorFilters)
+    // dedup only — same contract as [[dedupBatch]]; compose the quality
+    // gate upstream ([[ingest]]'s filter) when the pipeline wants both
+    val fp = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"))
+      .withColumn("bloom_hit", graft.ops.Bloom.hitExpr(hashOf, words))
+    // exact recheck only for hits: semi-join the store against the hit
+    // set (broadcast — bloom hits are the small side by construction)
+    val hits = fp.where(col("bloom_hit")).select(col("fingerprint"))
+    val confirmed = readOr(storeDir + "/fp", fpSchema, fpSchema)
+      .join(broadcast(hits), Seq("fingerprint"), "left_semi")
+      .select(col("fingerprint"))
+    // first-writer-wins inside the batch (same contract as
+    // Dedup.incrementalExact, which would re-fingerprint the text),
+    // then drop confirmed store hits; Bloom misses pass by
+    // construction — `confirmed` only ever contains hit fingerprints
+    val survivors = fp
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint")).orderBy(col("doc_id"))))
+      .where(col("_rn") === 1)
+      .join(confirmed, Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"))
+    survivors.write.mode("overwrite").parquet(s"$storeDir/fp/batch=$batchId")
+    // this batch's filter shard, from the rows that actually landed
+    graft.ops.Bloom.build(
+        s.read.schema(StructType(fpSchema.dropRight(1)))
+          .parquet(s"$storeDir/fp/batch=$batchId"),
+        graft.ops.Text.polyHash(col("fingerprint")))
+      .write.mode("overwrite").parquet(s"$storeDir/bloom/batch=$batchId")
+  }
+
   /** Streaming KEEP-BEST decision — the continuous form of
     * `corpus_dedup_keep_best`'s per-cluster argmax: docs sharing a
     * caller-supplied near-dup key (a SimHash bucket, a normalized

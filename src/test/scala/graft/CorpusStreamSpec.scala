@@ -61,6 +61,34 @@ class CorpusStreamSpec extends SparkSpec {
     assert(stored.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
   }
 
+  test("bloom-accelerated store dedup: same survivors as the plain store, idempotent replay") {
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-bloom-store").toString + "/store"
+    val novel = "completely novel content here today friends"
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.dedupBatchBloom(storeDir)(rows.toDF("doc_id", "text"), id)
+
+    run(Seq((1L, good1), (2L, good2), (3L, good1)), 0L) // 3 loses in-batch
+    run(Seq((4L, good1), (5L, novel)), 1L) // 4 = bloom-hit store dup, dropped
+    def stored = spark.read.parquet(s"$storeDir/fp")
+    assert(stored.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+
+    // the per-batch filter shards merge into a filter that hits every
+    // stored fingerprint (no false negatives across shards)
+    val merged = graft.ops.Bloom.filterWords(
+      spark.read.parquet(s"$storeDir/bloom")
+        .groupBy($"word").agg(org.apache.spark.sql.functions.expr("bit_or(bits)").as("bits")))
+    val missed = stored.where(!graft.ops.Bloom.hitExpr(
+      graft.ops.Text.polyHash($"fingerprint"), merged)).count()
+    assert(missed === 0L)
+
+    // crash-replay of batch 1 REPLACES its own fp and filter shards
+    run(Seq((5L, novel)), 1L)
+    assert(stored.count() === 3L)
+    assert(spark.read.parquet(s"$storeDir/bloom")
+      .select($"batch").distinct().count() === 2L)
+  }
+
   test("streaming per-source cap: first-N-by-arrival across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

@@ -45,14 +45,56 @@ class SpansSpec extends SparkSpec {
     assert(got === 24L)
   }
 
-  test("boilerplate grams shared by more than maxGramDocs docs are capped out") {
+  test("boilerplate grams over the occurrence cap are dropped before the join") {
     val boiler = words("b", 30)
-    // 60 docs all carry the same 30-token block > maxGramDocs=50
+    // 60 docs all carry the same 30-token block → 60 occurrences > 50
     val docs = (1L to 60L).map(i => (i, boiler + " " + words(s"u$i", 10)))
       .toDF("doc_id", "text")
     assert(Spans.sharedSpans(docs, $"text", $"doc_id").count() === 0L)
     // the same corpus under a higher cap sees all pairs
-    assert(Spans.sharedSpans(docs, $"text", $"doc_id", maxGramDocs = 100)
+    assert(Spans.sharedSpans(docs, $"text", $"doc_id", maxGramOcc = 4000)
       .count() === 60L * 59L / 2L)
+  }
+
+  test("within-doc repetition counts against the cap (no quadratic self-repeat fanout)") {
+    // one degenerate doc repeats a 8-token phrase 60 times: every gram
+    // inside the repeated region exceeds the occurrence cap from TWO
+    // docs alone, so the pair emits nothing (text_repetition's signal,
+    // not a span) instead of joining 60×60 positions per gram
+    val phrase = words("p", 8)
+    val spam = Seq.fill(60)(phrase).mkString(" ")
+    val docs = Seq((1L, spam), (2L, spam)).toDF("doc_id", "text")
+    assert(Spans.sharedSpans(docs, $"text", $"doc_id").count() === 0L)
+  }
+
+  test("matches a brute-force longest-common-token-run on random docs") {
+    val rnd = new scala.util.Random(7)
+    // small vocabulary forces plenty of chance n-gram collisions
+    def doc(len: Int): Array[String] =
+      Array.fill(len)("t" + rnd.nextInt(12))
+    val toks = (1L to 12L).map(i => i -> doc(40 + rnd.nextInt(40))).toMap
+    val docs = toks.toSeq.map { case (i, t) => (i, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    // brute force: longest common substring over token arrays
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val n = 3; val minTok = 4
+    val expected = (for {
+      a <- 1L to 12L; b <- (a + 1) to 12L
+      s = lcs(toks(a), toks(b)) if s >= minTok
+    } yield (a, b, s.toLong)).toSet
+    val got = Spans.sharedSpans(docs, $"text", $"doc_id",
+        n = n, minTokens = minTok, maxGramOcc = 100000)
+      .select($"doc_a", $"doc_b", $"span_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
   }
 }
