@@ -741,6 +741,29 @@ object ExtensionQueries {
     graft.ops.Spans.sharedSpans(Tables.documents(s, dir), col("text"), col("doc_id"))
       .orderBy("doc_a", "doc_b")
 
+  /** Fixed weight vector for [[qTextClassifierScore]] — stands in for
+    * an offline-trained model; single source of truth for BOTH the
+    * Spark literal and the SQL mirror so the inference contract (not
+    * the training) is what the gate pins. Knuth-hash spread, centered
+    * so scores land on both sides of the keep threshold. */
+  private val clfWeights: Seq[Long] =
+    (0 until 64).map(b => ((b * 2654435761L) % 1009L) - 504L)
+
+  /** Feature-hashed linear classifier inference
+    * ([[graft.ops.Text.hashedLinearScore]]): the fastText/CCNet-style
+    * quality-filter serving path as a PURE scan-stage projection — the
+    * 64-weight vector rides the plan as a literal, each doc's score is
+    * one aggregate() HOF over its token array, and no shuffle touches
+    * the corpus (the explode→groupBy formulation would shuffle every
+    * token at 100 TB for the same answer).
+    */
+  private def qTextClassifierScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ops.Text.hashedLinearScore(col("text"), clfWeights).as("score"))
+      .withColumn("keep", col("score") >= 0L)
+      .orderBy("doc_id")
+
   /** Corpus-LM commonness score — the integer-exact stand-in for
     * KenLM-style perplexity filtering: score each doc by the mean
     * corpus frequency of its bigram OCCURRENCES (multiplicity kept —
@@ -1857,6 +1880,7 @@ object ExtensionQueries {
     "split_bloom_contamination" -> (qSplitBloomContamination _),
     "text_bigram_lm" -> (qTextBigramLm _),
     "dedup_substring_span" -> (qDedupSubstringSpan _),
+    "text_classifier_score" -> (qTextClassifierScore _),
     "text_repetition" -> (qTextRepetition _),
     "corpus_stratified_sample" -> (qCorpusStratified _),
     "corpus_source_cap" -> (qCorpusSourceCap _),
@@ -2513,6 +2537,13 @@ object ExtensionQueries {
 
     "dedup_substring_span" ->
       (graft.ops.Spans.sharedSpansSql(TK) + "\nORDER BY 1, 2"),
+
+    "text_classifier_score" ->
+      s"""WITH s AS (SELECT doc_id,
+         |             CAST(${graft.ops.Text.hashedLinearScoreSql(TK, clfWeights)} AS BIGINT) AS score
+         |           FROM documents)
+         |SELECT doc_id, score, (score >= 0) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),

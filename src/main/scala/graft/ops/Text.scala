@@ -221,4 +221,33 @@ object Text {
         .map(o => col(s"s_${o._1}")).reduce((a, b) => greatest(a, b))
       when(col(s"s_$lang") > 0 && col(s"s_$lang") >= others, lang).otherwise(els)
     }
+
+  /** Feature-hashed linear classifier inference (the fastText/CCNet
+    * quality-filter serving shape; feature hashing per Weinberger et
+    * al., ICML'09): each token hashes into one of `weights.length`
+    * buckets and the document score is the sum of its tokens' bucket
+    * weights. The WEIGHTS are a parameter — trained offline, shipped
+    * as a literal vector — because the serving contract is the part
+    * the engine owns: at 100 TB, classifier inference must be a pure
+    * scan-stage projection (token explode → groupBy(doc) would pay a
+    * corpus-wide shuffle for what one aggregate() HOF computes in
+    * place, inside whole-stage codegen, with the weight vector inlined
+    * exactly like the Bloom words). All-integer, so Spark and the SQL
+    * mirror agree bit-for-bit.
+    */
+  def hashedLinearScore(text: Column, weights: Seq[Long]): Column = {
+    val w = typedLit(weights)
+    aggregate(
+      transform(tokens(text), t =>
+        element_at(w, pmod(polyHash(t), lit(weights.length.toLong)).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DuckDB mirror of [[hashedLinearScore]]; `tkExpr` is the tokens-
+    * array SQL (the caller's TK macro — [[tkSql]] is Spark-dialect). */
+  def hashedLinearScoreSql(tkExpr: String, weights: Seq[Long]): String = {
+    val list = weights.mkString("[", ", ", "]")
+    s"COALESCE(list_sum(list_transform($tkExpr, t -> " +
+      s"($list)[CAST(${polyHashSql("t")} % ${weights.length} AS INT) + 1])), 0)"
+  }
 }

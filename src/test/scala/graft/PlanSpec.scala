@@ -404,6 +404,15 @@ class PlanSpec extends SparkSpec {
         "shuffled for a 512-byte sketch")
   }
 
+  test("text_classifier_score: inference is a pure projection, no corpus shuffle") {
+    val p = planOf("text_classifier_score")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "classifier inference must not shuffle — the weight vector is a " +
+        "literal and the score is an aggregate() HOF over each row's " +
+        "token array")
+    assert(!p.contains("Generate"), "no token explode — scoring is in-row")
+  }
+
   test("dedup_substring_span: gram join keyed on the hash, windows share its shuffle") {
     val p = planOf("dedup_substring_span")
     assert(!p.contains("CartesianProduct"))

@@ -7,6 +7,30 @@ import graft.ops.Text
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hashedLinearScore matches a driver-side fold of the same arithmetic") {
+    val weights: Seq[Long] = (0 until 64).map(b => ((b * 2654435761L) % 1009L) - 504L)
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 1000000007L)
+    def score(text: String): Long =
+      text.trim.toLowerCase.split("\\s+")
+        .map(t => weights((polyHash(t) % 64L).toInt)).sum
+    val docs = Seq((1L, "The quick brown fox"), (2L, "foo Bar baz foo foo"),
+        (3L, "  padded   whitespace  doc  "))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        Text.hashedLinearScore($"text", weights).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val want = Map(
+      1L -> score("The quick brown fox"),
+      2L -> score("foo Bar baz foo foo"),
+      3L -> score("  padded   whitespace  doc  "))
+    assert(got === want)
+    // repeated tokens count with multiplicity, so doc 2's repeats move
+    // the score by exactly 2x the "foo" bucket weight vs one mention
+    val oneFoo = score("foo Bar baz")
+    assert(want(2L) === oneFoo + 2L * weights((polyHash("foo") % 64L).toInt))
+  }
+
   test("repetitionStats: duplicate and top bigram fractions") {
     // "a b a b a" → bigrams: (a b), (b a), (a b), (b a): 4 total,
     // 2 distinct, top count 2 → dup 5000bp, top 5000bp.
