@@ -741,6 +741,44 @@ object ExtensionQueries {
     graft.ops.Spans.sharedSpans(Tables.documents(s, dir), col("text"), col("doc_id"))
       .orderBy("doc_a", "doc_b")
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup with
+    * k-means cells as the blocking structure — embeddings assign to
+    * their nearest seed centroid ([[graft.ops.SemanticCluster
+    * .seedAssignments]], the oracle-mirrored round-0 labeling), pairs
+    * are scored ONLY within a cell (cos ≥ 0.4, the same fused `q_dot`
+    * + DECIMAL(38) cross-multiplication as dedup_embedding_cos), and
+    * each duplicate group keeps its min-id representative via the
+    * connected-components machinery. vs the hyperplane-LSH channel:
+    * k-means cells are the SemDeDup paper's trade — k scales with the
+    * corpus so cells stay bounded and the within-cell quadratic never
+    * exceeds |cell|², while LSH buckets need no training. Emits every
+    * vector with its cell and keep verdict.
+    */
+  private def qEmbSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qdot = graft.functions.GraftFunctions.registerQDot(s)
+    val a = graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
+        col("vec_id"), emb.where(col("vec_id") < 4))
+      .withColumn("n2", qdot(col("v"), col("v")))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        qdot(col("x.v"), col("y.v")).as("dot"),
+        col("x.n2").as("n2a"), col("y.n2").as("n2b"))
+      .where(col("dot") > 0 &&
+        lit(10000L).cast("decimal(38,0)") *
+          col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") >=
+        lit(1600L).cast("decimal(38,0)") *
+          col("n2a").cast("decimal(38,0)") * col("n2b").cast("decimal(38,0)"))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = graft.ops.Components.connectedComponents(pairs)
+    a.select(col("vec_id"), col("cl"))
+      .join(comp, col("vec_id") === comp("id"), "left")
+      .select(col("vec_id"), col("cl").as("cluster"),
+        (col("comp").isNull || col("comp") === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Fixed weight vector for [[qTextClassifierScore]] — stands in for
     * an offline-trained model; single source of truth for BOTH the
     * Spark literal and the SQL mirror so the inference contract (not
@@ -1881,6 +1919,7 @@ object ExtensionQueries {
     "text_bigram_lm" -> (qTextBigramLm _),
     "dedup_substring_span" -> (qDedupSubstringSpan _),
     "text_classifier_score" -> (qTextClassifierScore _),
+    "emb_semdedup" -> (qEmbSemdedup _),
     "text_repetition" -> (qTextRepetition _),
     "corpus_stratified_sample" -> (qCorpusStratified _),
     "corpus_source_cap" -> (qCorpusSourceCap _),
@@ -2537,6 +2576,38 @@ object ExtensionQueries {
 
     "dedup_substring_span" ->
       (graft.ops.Spans.sharedSpansSql(TK) + "\nORDER BY 1, 2"),
+
+    "emb_semdedup" -> {
+      val dim = EMB_DIM
+      s"""WITH RECURSIVE q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4),
+         |d1 AS (SELECT v.vec_id, v.q, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, q, cid AS cl FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
+         |n AS (SELECT vec_id, cl, q, ${Vectors.intNorm2Sql("q", dim)} AS n2 FROM a1),
+         |p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+         |       ${Vectors.intDotSql("x.q", "y.q", dim)} AS dot,
+         |       x.n2 AS n2a, y.n2 AS n2b
+         |      FROM n x JOIN n y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |  WHERE dot > 0 AND 10000 * CAST(dot AS HUGEINT) * dot >= 1600 * CAST(n2a AS HUGEINT) * n2b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT a1.vec_id, a1.cl AS cluster,
+         |       (cc.comp IS NULL OR cc.comp = a1.vec_id) AS keep
+         |FROM a1 LEFT JOIN cc ON a1.vec_id = cc.id
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "text_classifier_score" ->
       s"""WITH s AS (SELECT doc_id,

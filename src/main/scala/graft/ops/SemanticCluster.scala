@@ -125,6 +125,33 @@ object SemanticCluster {
                 seeds: DataFrame): DataFrame =
     lloyd(emb, vecCol, idCol, seeds, refits = 1)
 
+  /** Seed-nearest assignment frame `(vec_id, v, q, cl)` — [[lloyd]]'s
+    * round-0 labeling exposed for consumers that need the PER-VECTOR
+    * cluster labels rather than the cluster summary (SemDeDup's
+    * blocking structure). Same exact-integer `‖c‖² − 2·x·c` argmin and
+    * lowest-seed-id tie-break as lloyd, so the kmeans oracle's `a1`
+    * CTE mirrors it verbatim. The raw vector `v` rides along for
+    * downstream fused `q_dot` scoring; the frame is localCheckpoint-
+    * pinned because callers typically self-join it.
+    */
+  def seedAssignments(emb: DataFrame, vecCol: Column, idCol: Column,
+                      seeds: DataFrame): DataFrame = {
+    val seedRows = seeds.select(idCol.cast("long").as("id"),
+        Vectors.quantize(vecCol).as("q"))
+      .orderBy("id").collect()
+    val seedVecs: Seq[Seq[Long]] = seedRows.map(_.getSeq[Long](1).toSeq).toSeq
+    val seedIds = array(seedRows.map(r => lit(r.getLong(0))): _*)
+    def seedScore(c: Seq[Long]): Column = {
+      val cn2 = c.map(x => x * x).sum
+      lit(cn2) - lit(2L) * Vectors.intDot(col("q"), array(c.map(lit): _*))
+    }
+    emb.select(idCol.cast("long").as("vec_id"), vecCol.as("v"),
+        Vectors.quantize(vecCol).as("q"))
+      .withColumn("cl",
+        element_at(seedIds, argmin(seedVecs.map(seedScore)).cast("int")))
+      .localCheckpoint(true)
+  }
+
   /** Farthest-point (k-center / maxmin) traversal — the deterministic
     * stand-in for k-means++ seeding, and a diversity-sampling
     * primitive in its own right (pick k maximally-spread exemplar

@@ -404,6 +404,17 @@ class PlanSpec extends SparkSpec {
         "shuffled for a 512-byte sketch")
   }
 
+  test("emb_semdedup: pair search reads the pinned assignment, joins on the cell") {
+    val p = planOf("emb_semdedup")
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "both join sides and the verdict pass must read the checkpoint-" +
+        "pinned assignment frame, not re-run quantize+assign per consumer")
+    assert(!p.contains("CartesianProduct"))
+    // the cl-keyed pair exchange itself lives inside the eager
+    // components checkpoint (like the PageRank edge aggregate), so the
+    // final plan only joins two pinned frames — which is the point
+  }
+
   test("text_classifier_score: inference is a pure projection, no corpus shuffle") {
     val p = planOf("text_classifier_score")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -31,6 +31,18 @@ class SemanticClusterSpec extends SparkSpec {
     assert(Set(0L, 2L, 4L).contains(got(0)._4))
   }
 
+  test("seedAssignments labels every vector with its nearest seed's own id") {
+    val emb = fixture
+    val got = SemanticCluster.seedAssignments(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id") < 2))
+      .select($"vec_id", $"cl").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L))
+    // per-vector labels aggregate to exactly lloyd's round-0 sizes
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ===
+      Map(0L -> 3, 1L -> 4))
+  }
+
   test("a duplicated seed leaves an empty cluster that vanishes") {
     // both seeds identical → every row ties to cluster 0 in pass 1,
     // cluster 1 is empty and must not resurface with a 0-distance
