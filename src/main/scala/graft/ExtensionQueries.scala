@@ -1895,6 +1895,149 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Top-20 bigram collocations by integer lift — the PMI-family
+    * collocation miner (Church & Hanks, CL 1990) that surfaces
+    * multi-word expressions worth protecting from tokenizer splits.
+    * Log-PMI can't be engine-exact; the lift RATIO can: lift =
+    * P(a,b) / (P(a)·P(b)) = cab·T² / (B·ca·cb) in basis points, with
+    * the multiply order (((10⁴·cab·T) div ca)·T) div (B·cb) chosen so
+    * the largest intermediate is bounded by 10⁴·T·T (cab ≤ ca keeps
+    * the first quotient ≤ 10⁴·T) — inside DECIMAL(38,0) even at
+    * T ~ 10¹³ tokens. Shape: two map-side-combined group-bys (unigram,
+    * bigram counts), two token-keyed joins of bigram counts against
+    * the unigram table, one broadcast scalar total, and a global
+    * top-20 that runs as TakeOrderedAndProject (per-partition top-20,
+    * never a full sort). Shuffle volume is the distinct-bigram count,
+    * not the token count.
+    */
+  private def qTextCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toks.where(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 20)
+    val tot = toks.agg(
+      sum(size(col("tk")).cast("long")).as("t"),
+      sum(greatest(size(col("tk")) - 1, lit(0)).cast("long")).as("b"))
+    bi.join(uni.select(col("w").as("l"), col("cw").as("ca")), "l")
+      .join(uni.select(col("w").as("r"), col("cw").as("cb")), "r")
+      .crossJoin(broadcast(tot))
+      .select(concat(col("l"), lit(" "), col("r")).as("bigram"), col("cab"),
+        expr("CAST((((10000 * CAST(cab AS DECIMAL(38,0)) * t) div ca) * t) " +
+          "div (CAST(b AS DECIMAL(38,0)) * cb) AS BIGINT)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Chunk granularity for [[qCorpusChunkDedup]]; shared by the SQL
+    * mirror. */
+  private val ChunkTokens = 16
+
+  /** C4-style sub-document dedup (Raffel et al., JMLR 2020 dedup every
+    * three-sentence span; RefinedWeb dedups lines): each doc splits
+    * into consecutive 16-token chunks, every chunk occurrence after
+    * the corpus-wide first (by (doc_id, pos)) is marked a duplicate,
+    * and the query emits per-doc retention stats — the REMOVAL
+    * operator that document-level near-dup detection stops short of
+    * (a boilerplate header repeated across 10⁶ docs never makes the
+    * docs near-dups, but every copy after the first is noise).
+    * Winner selection is a group-by min over the chunk key, NOT a
+    * row_number window: partial aggregation collapses a hot chunk
+    * (the 100 TB boilerplate case) map-side, where a window would
+    * drag every occurrence of the hot key into one task. The
+    * (doc_id, pos) pair rides one BIGINT (pos < 2²⁰ — docs beyond 16M
+    * tokens would need a wider packing) so MIN stays a single-column
+    * aggregate in both engines. Two chunk-keyed shuffles (winner agg +
+    * join back) co-partition; the per-doc rollup is the third, keyed
+    * by doc.
+    */
+  private def qCorpusChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val C = ChunkTokens
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .withColumn("nc", expr(s"(size(tk) - 1) div $C"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nc")),
+        i => array_join(slice(col("tk"), i * C + lit(1), lit(C)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
+      .withColumn("k", col("doc_id") * 1048576L + col("pos"))
+    val winners = chunks.groupBy("chunk").agg(min(col("k")).as("wk"))
+    chunks.join(winners, "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("k") === col("wk"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dup", col("n_chunks") - col("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Literal query for [[qTextBm25Topk]] — one rare term (df ≈ 5%)
+    * against two common ones, so the idf weighting is what the gate
+    * actually exercises. */
+  private val bm25Terms = Seq("dup", "spark", "hash")
+
+  /** Integer-exact BM25 top-10 ([[graft.ops.Retrieval.bm25TopK]]) —
+    * the ranked-retrieval serving shape (search / RAG context
+    * selection) as one corpus scan: literal-term tf via scan-stage
+    * array filters, one broadcast stats row, TakeOrderedAndProject
+    * top-k. See Retrieval's scaladoc for the bit-length idf and
+    * cross-multiplied tf-saturation arithmetic.
+    */
+  private def qTextBm25Topk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir),
+      col("text"), col("doc_id"), bm25Terms, 10)
+
+  /** DSIR-flavored importance resampling (Xie et al., NeurIPS 2023:
+    * Data Selection via Importance Resampling, hashed n-gram
+    * features): score every doc by how target-like its token
+    * distribution is, where the target is the `lang = 'en'` slice.
+    * Training pass: token occurrences hash into 64 buckets (the
+    * feature-hashing trick, same `poly_hash` as the classifier) and
+    * one 64-key group-by yields raw and target counts; the per-bucket
+    * importance ratio w_b = 10⁶·P_target(b)/P_raw(b) =
+    * (10⁶·tb·Tr) div (rb·Tt) is computed driver-side in BigInt (the
+    * 64-row collect is bounded model metadata, the same pattern as
+    * k-means centroids and PQ codebooks). Serving pass: the 64
+    * weights ride the plan as a literal array and each doc's score —
+    * the MEAN token importance ratio (DSIR's per-token log-ratio sum,
+    * made integer-exact as a scaled ratio mean) — is one aggregate()
+    * HOF over its token array: a pure scan-stage projection, zero
+    * shuffles over the corpus at any scale. keep = score ≥ 10⁶ (doc
+    * looks at least corpus-average target-like).
+    */
+  private def qCorpusImportanceResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .select(col("lang"), (Text.polyHash(col("w")) % 64).as("b"))
+    val bk = tok.groupBy("b").agg(count(lit(1)).as("rb"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb")).collect()
+    val tr = bk.map(_.getAs[Long]("rb")).sum
+    val tt = bk.map(_.getAs[Long]("tb")).sum
+    val w = Array.fill(64)(0L)
+    bk.foreach { r =>
+      val (b, rb, tb) =
+        (r.getAs[Long]("b").toInt, r.getAs[Long]("rb"), r.getAs[Long]("tb"))
+      if (tb > 0 && tt > 0)
+        w(b) = ((BigInt(1000000) * tb * tr) / (BigInt(rb) * tt)).toLong
+    }
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    docs.select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), size(col("tk")).cast("long").as("n_tokens"),
+        aggregate(col("tk"), lit(0L), (acc, x) =>
+          acc + element_at(wLit, (Text.polyHash(x) % 64).cast("int") + 1)).as("sw"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("sw div n_tokens").as("score"),
+        (expr("sw div n_tokens") >= 1000000L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1988,6 +2131,10 @@ object ExtensionQueries {
     "emb_kmeans_fp" -> (qEmbKmeansFp _),
     "sim_topk_ivfpq_filtered" -> (qSimTopkIvfPqFiltered _),
     "sim_topk_pq_filtered" -> (qSimTopkPqFiltered _),
+    "text_collocations" -> (qTextCollocations _),
+    "corpus_chunk_dedup" -> (qCorpusChunkDedup _),
+    "text_bm25_topk" -> (qTextBm25Topk _),
+    "corpus_importance_resample" -> (qCorpusImportanceResample _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3319,5 +3466,55 @@ object ExtensionQueries {
          |SELECT vec_id, p[1] AS p0, p[2] AS p1, p[3] AS p2, p[4] AS p3,
          |       ${Vectors.intNorm2Sql("p", 16)} AS pnorm2
          |FROM p ORDER BY vec_id""".stripMargin,
+
+    "text_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+         |       FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+         |bc AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cab
+         |       FROM (SELECT unnest(tk[1:len(tk)-1]) AS l, unnest(tk[2:len(tk)]) AS r
+         |             FROM t WHERE len(tk) >= 2)
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+         |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS t,
+         |               CAST(SUM(GREATEST(len(tk) - 1, 0)) AS BIGINT) AS b FROM t)
+         |SELECT bc.l || ' ' || bc.r AS bigram, bc.cab AS cab,
+         |       CAST((((10000 * CAST(bc.cab AS HUGEINT) * tot.t) // ua.cw) * tot.t)
+         |            // (CAST(tot.b AS HUGEINT) * ub.cw) AS BIGINT) AS lift_bp
+         |FROM bc JOIN uc ua ON bc.l = ua.w JOIN uc ub ON bc.r = ub.w CROSS JOIN tot
+         |ORDER BY lift_bp DESC, bigram LIMIT 20""".stripMargin,
+
+    "corpus_chunk_dedup" -> {
+      val C = ChunkTokens
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |c AS (SELECT doc_id, i AS pos,
+         |        array_to_string(tk[(i*$C+1):(i*$C+$C)], ' ') AS chunk
+         |      FROM t, LATERAL (SELECT unnest(generate_series(0, (len(tk)-1)//$C)) AS i) g),
+         |w AS (SELECT chunk, MIN(doc_id*1048576 + pos) AS wk FROM c GROUP BY 1)
+         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN c.doc_id*1048576 + c.pos = w.wk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(COUNT(*) - SUM(CASE WHEN c.doc_id*1048576 + c.pos = w.wk THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |FROM c JOIN w USING (chunk) GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "text_bm25_topk" -> graft.ops.Retrieval.bm25TopKSql(bm25Terms, 10),
+
+    "corpus_importance_resample" ->
+      s"""WITH t AS (SELECT doc_id, lang, $TK AS tk FROM documents),
+         |tok AS (SELECT doc_id, lang, ${graft.ops.Text.polyHashSql("w")} % 64 AS b
+         |        FROM (SELECT doc_id, lang, unnest(tk) AS w FROM t)),
+         |bk AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+         |       FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(rb) AS BIGINT) AS tr, CAST(SUM(tb) AS BIGINT) AS tt FROM bk),
+         |wt AS (SELECT b, CASE WHEN tb > 0 AND tt > 0
+         |         THEN (1000000 * CAST(tb AS HUGEINT) * tr) // (CAST(rb AS HUGEINT) * tt)
+         |         ELSE 0 END AS wb FROM bk CROSS JOIN tot),
+         |ds AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(wt.wb) AS sw
+         |       FROM tok JOIN wt USING (b) GROUP BY 1)
+         |SELECT d.doc_id, d.lang, ds.n_tokens,
+         |       CAST(ds.sw // ds.n_tokens AS BIGINT) AS score,
+         |       (ds.sw // ds.n_tokens >= 1000000) AS keep
+         |FROM ds JOIN documents d ON ds.doc_id = d.doc_id
+         |ORDER BY 1""".stripMargin,
   )
 }

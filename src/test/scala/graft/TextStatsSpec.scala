@@ -76,4 +76,74 @@ class TextStatsSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(got - 3.0 * math.log(10.0 / 3.0)) < 1e-12)
   }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("text_collocations matches a driver-side fold of the lift arithmetic") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].collect()
+    val tk = texts.map(_.trim.toLowerCase.split("\\s+").toSeq)
+    val uni = tk.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = tk.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = tk.map(_.size.toLong).sum
+    val b = tk.map(x => math.max(x.size - 1, 0).toLong).sum
+    val want = bi.toSeq.filter(_._2 >= 20L).map { case ((l, r), cab) =>
+      val lift = ((BigInt(10000) * cab * t / uni(l)) * t) / (BigInt(b) * uni(r))
+      (s"$l $r", cab, lift.toLong)
+    }.sortBy { case (bg, _, lift) => (-lift, bg) }.take(20)
+    val got = ExtensionQueries.queries("text_collocations")(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("corpus_chunk_dedup matches a driver-side first-occurrence fold") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val chunks = docs.flatMap { case (id, text) =>
+      text.trim.toLowerCase.split("\\s+").grouped(16).zipWithIndex
+        .map { case (c, pos) => (id, pos.toLong, c.mkString(" ")) }
+    }
+    val winner = chunks.groupBy(_._3).view
+      .mapValues(_.map(c => c._1 * 1048576L + c._2).min).toMap
+    val want = chunks.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.count(c => c._1 * 1048576L + c._2 == winner(c._3)).toLong
+      (id, cs.size.toLong, kept, cs.size - kept)
+    }.toSet
+    val got = ExtensionQueries.queries("corpus_chunk_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // the fixture corpus genuinely contains cross-doc duplicate chunks
+    // (otherwise the operator is vacuous on it)
+    assert(got.exists(_._4 > 0L))
+  }
+
+  test("corpus_importance_resample matches a driver-side DSIR fold") {
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % 1000000007L)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.trim.toLowerCase.split("\\s+").toSeq.map(w => (polyHash(w) % 64L).toInt))
+    }
+    val rb = Array.fill(64)(0L); val tb = Array.fill(64)(0L)
+    toks.foreach { case (_, lang, bs) =>
+      bs.foreach { b => rb(b) += 1; if (lang == "en") tb(b) += 1 }
+    }
+    val tr = rb.sum; val tt = tb.sum
+    val w = (0 until 64).map(b =>
+      if (tb(b) > 0 && tt > 0) ((BigInt(1000000) * tb(b) * tr) / (BigInt(rb(b)) * tt)).toLong
+      else 0L)
+    val want = toks.map { case (id, lang, bs) =>
+      val score = bs.map(w).sum / bs.size
+      (id, lang, bs.size.toLong, score, score >= 1000000L)
+    }.toSet
+    val got = ExtensionQueries.queries("corpus_importance_resample")(spark, sfDir)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+    // non-degenerate on the fixture: scores differ across docs and the
+    // keep threshold actually separates (some kept, some dropped)
+    assert(got.map(_._4).size > 1)
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
 }
