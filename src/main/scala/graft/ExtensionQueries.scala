@@ -2038,6 +2038,23 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Principal-direction projection ([[graft.ops.Pca]]): the corpus
+    * Gram matrix aggregates distributed (4096-long bounded collect),
+    * three integer power-iteration rounds run driver-side in BigInt,
+    * and every vector projects onto the literal converged direction as
+    * a scan-stage dot — the anisotropy-axis / whitening primitive for
+    * embedding spaces. Oracle replays the identical integer recurrence
+    * as CTEs, so pc1 is bit-exact across engines.
+    */
+  private def qEmbPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dirV = graft.ops.Pca.powerIterate(
+      graft.ops.Pca.gram(emb, col("embedding"), EMB_DIM), rounds = 3)
+    emb.select(col("vec_id"), col("label"),
+        graft.ops.Pca.project(Vectors.quantize(col("embedding")), dirV).as("pc1"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2135,6 +2152,7 @@ object ExtensionQueries {
     "corpus_chunk_dedup" -> (qCorpusChunkDedup _),
     "text_bm25_topk" -> (qTextBm25Topk _),
     "corpus_importance_resample" -> (qCorpusImportanceResample _),
+    "emb_pca_project" -> (qEmbPcaProject _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3516,5 +3534,7 @@ object ExtensionQueries {
          |       (ds.sw // ds.n_tokens >= 1000000) AS keep
          |FROM ds JOIN documents d ON ds.doc_id = d.doc_id
          |ORDER BY 1""".stripMargin,
+
+    "emb_pca_project" -> graft.ops.Pca.projectSql(EMB_DIM, rounds = 3),
   )
 }

@@ -430,4 +430,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(gh"),
       "the candidate join must key on the gram hash")
   }
+
+  test("text_bm25_topk: scoring is one scan, stats broadcast, heap-based top-k") {
+    val p = planOf("text_bm25_topk")
+    assert(!p.contains("Generate"),
+      "literal-term tf must be scan-stage array filters, not a token explode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "BM25 over a literal query must never shuffle the corpus")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row stats aggregate must broadcast back onto the scan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must run as per-partition heaps, not a global sort")
+  }
+
+  test("corpus_chunk_dedup: winner pick is a combinable aggregate, not a window") {
+    val p = planOf("corpus_chunk_dedup")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindowFunction") &&
+      !p.contains("Window "),
+      "first-occurrence must be groupBy-min (map-side combinable); a " +
+        "window would drag every occurrence of a hot boilerplate chunk " +
+        "into one task")
+    assert(p.contains("partial_min") || p.contains("partial_count") ||
+      "HashAggregate".r.findAllIn(p).length >= 4,
+      "winner aggregate must partial-combine map-side")
+  }
+
+  test("text_collocations: global top-20 runs as TakeOrderedAndProject") {
+    val p = planOf("text_collocations")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("corpus_importance_resample: serving pass is a pure projection") {
+    val q = SparkEntry.queries("corpus_importance_resample")(spark, dir)
+    q.count()
+    val p = q.queryExecution.executedPlan.toString
+    // the plan of the RETURNED frame is the serving pass (training ran
+    // eagerly inside the builder); it must not shuffle or explode
+    assert(!p.contains("Exchange hashpartitioning"),
+      "scoring must ride the literal weight array, not a bucket join")
+    assert(!p.contains("Generate"), "no token explode in the serving pass")
+  }
+
+  test("emb_pca_project: projection reads one scan with no joins") {
+    val q = SparkEntry.queries("emb_pca_project")(spark, dir)
+    q.count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "the direction is a literal, not a joined table")
+    assert(!p.contains("Generate"), "no per-component explode in the serving pass")
+  }
 }
