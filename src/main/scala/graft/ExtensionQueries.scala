@@ -2055,6 +2055,60 @@ object ExtensionQueries {
       .orderBy("vec_id")
   }
 
+  /** Triangle census over the user co-presence graph
+    * ([[graft.ops.Graph.triangleStats]]): users sharing ≥ 2
+    * (event_type, hour) cells are edges — blocking through cells with
+    * the same deterministic hash-rank cap (50 users/cell) every dedup
+    * blocker uses, so a viral cell can never go quadratic — and the
+    * degree-ordered orientation bounds wedge volume at m^1.5
+    * regardless of hub skew. One summary row; every count
+    * engine-exact because the (deg, id) orientation order is total.
+    */
+  private def qEventsTriangles(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"), concat(col("event_type"), lit("|"),
+        date_trunc("hour", col("ts")).cast("string")).as("cell"))
+      .distinct()
+    val capped = graft.ops.Sampling
+      .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
+      .select(col("cell"), col("user_id"))
+    val pairs = capped.select(col("cell"), col("user_id").as("a"))
+      .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ns"))
+      .where(col("ns") >= 2)
+      .select(col("a"), col("b"))
+    graft.ops.Graph.triangleStats(pairs)
+  }
+
+  /** Literal merge table for [[qTextBpeEncode]] — 8 rules in priority
+    * order, with hierarchical composition ((sc,an) consumes (s,c) and
+    * (a,n) output; (tabl,e) completes a whole-word merge chain). Single
+    * source of truth for the Spark expression and the SQL mirror. */
+  private val bpeMerges = Seq(
+    "s" -> "c", "a" -> "n", "t" -> "a", "b" -> "l",
+    "e" -> "r", "sc" -> "an", "ta" -> "bl", "tabl" -> "e")
+
+  /** BPE tokenizer application ([[graft.ops.Text.bpeMergedCount]]):
+    * per-doc subword token counts under the literal 8-rule merge
+    * table, next to the raw pre-token count — the tokenizer-serving
+    * pipeline stage (token budgeting, packing inputs, per-doc cost
+    * estimates run on MERGED counts, not whitespace counts). Pure
+    * scan-stage projection; compression_bp = how much the merges
+    * shrank the symbol stream, exact in basis points.
+    */
+  private def qTextBpeEncode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.bpeTokenCount(col("text")).as("n_pretokens"),
+        Text.bpeMergedCount(bpeMerges).cast("long").as("n_bpe_tokens"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+          .cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_pretokens"), col("n_bpe_tokens"),
+        expr("CAST(10000 * n_bpe_tokens div greatest(n_chars, 1) AS BIGINT)")
+          .as("compression_bp"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2153,6 +2207,8 @@ object ExtensionQueries {
     "text_bm25_topk" -> (qTextBm25Topk _),
     "corpus_importance_resample" -> (qCorpusImportanceResample _),
     "emb_pca_project" -> (qEmbPcaProject _),
+    "events_triangles" -> (qEventsTriangles _),
+    "text_bpe_encode" -> (qTextBpeEncode _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3536,5 +3592,33 @@ object ExtensionQueries {
          |ORDER BY 1""".stripMargin,
 
     "emb_pca_project" -> graft.ops.Pca.projectSql(EMB_DIM, rounds = 3),
+
+    "events_triangles" ->
+      s"""WITH cells AS (SELECT DISTINCT user_id,
+         |    event_type || '|' || CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell
+         |  FROM events),
+         |cap AS (SELECT cell, user_id FROM (
+         |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk FROM cells)
+         |  WHERE rk <= 50),
+         |ed AS (SELECT x.user_id AS a, y.user_id AS b
+         |       FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |${graft.ops.Graph.triangleStatsSql}
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "text_bpe_encode" -> {
+      val pat = graft.ops.Text.bpeTokenPattern
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(trim(text)), '$pat', 0)) AS BIGINT) AS n_pretokens,
+         |    CAST(${graft.ops.Text.bpeMergedCountSql(bpeMerges)} AS BIGINT) AS n_bpe_tokens,
+         |    CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, n_pretokens, n_bpe_tokens,
+         |       CAST(10000 * n_bpe_tokens // GREATEST(n_chars, 1) AS BIGINT) AS compression_bp
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -91,4 +91,70 @@ object Graph {
        |         SUM(CAST((CAST(p.pr AS HUGEINT) * ew.w) // ew.out_w AS BIGINT)) AS in_sum
        |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst
        |) i ON nn.node = i.dst""".stripMargin
+
+  /** Exact triangle census over an undirected edge set `(a, b)`
+    * (distinct, a < b) — the clustering-coefficient / community-
+    * density primitive of graph mining.
+    *
+    * Degree-ordered node-iterator (Schank & Wagner, WEA 2005; the
+    * MapReduce form is Suri & Vassilvitskii, WWW 2011): every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one,
+    * wedges enumerate ONLY over out-neighbors, and a wedge (v, w)
+    * closes iff the oriented edge v→w exists. Orientation is the
+    * whole scale story: out-degree under it is O(√m), so wedge volume
+    * is Σ d_out² ~ m^1.5 instead of Σ d² — a star node with 10⁸
+    * neighbors (the 100 TB skew case) generates ZERO wedges at its
+    * center because all its edges point inward. Every triangle is
+    * counted exactly once, anchored at its lowest-ordered vertex.
+    *
+    * Shape: one degree aggregate, two keyed joins to attach degrees,
+    * one `u`-keyed wedge self-join on the pinned oriented table, one
+    * (v, w)-keyed semi probe back into it. The (deg, id) order is
+    * total, so orientation — and with it every count — is engine- and
+    * partitioning-exact. Returns one row (n_edges, n_wedges,
+    * n_triangles).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw")), "u")
+      .where(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+  }
+
+  /** DuckDB mirror of [[triangleStats]], given a CTE `ed(a, b)` with
+    * the same distinct a < b edge set. */
+  def triangleStatsSql: String =
+    s"""dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+       |      FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+       |ori AS (SELECT CASE WHEN (x.da, x.a) < (x.db, x.b) THEN x.a ELSE x.b END AS src,
+       |               CASE WHEN (x.da, x.a) < (x.db, x.b) THEN x.b ELSE x.a END AS dst,
+       |               CASE WHEN (x.da, x.a) < (x.db, x.b) THEN x.db ELSE x.da END AS dd
+       |        FROM (SELECT ed.a, ed.b, na.d AS da, nb.d AS db
+       |              FROM ed JOIN dg na ON ed.a = na.v JOIN dg nb ON ed.b = nb.v) x),
+       |wg AS (SELECT e1.dst AS v, e2.dst AS w
+       |       FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+       |       WHERE (e1.dd, e1.dst) < (e2.dd, e2.dst)),
+       |tri AS (SELECT wg.v, wg.w FROM wg
+       |        WHERE EXISTS (SELECT 1 FROM ori o WHERE o.src = wg.v AND o.dst = wg.w))
+       |""".stripMargin
 }

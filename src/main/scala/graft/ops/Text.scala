@@ -57,6 +57,55 @@ object Text {
       .agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** BPE tokenizer APPLICATION: count each doc's subword tokens after
+    * applying a literal merge table in priority order (Sennrich et
+    * al., ACL 2016 — [[pairStats]] is the training statistic, this is
+    * the serving side). Each pre-token becomes a space-delimited
+    * symbol sequence (" t a b l e ") and every merge (a, b) is one
+    * `replace(' a b ', ' ab ')` pass — leftmost non-overlapping
+    * replacement is exactly BPE's greedy left-to-right merge sweep,
+    * and later merges see earlier merges' output, so hierarchical
+    * rules like (sc, an) compose. The whole count is ONE codegen'd
+    * expression (regexp pre-tokenize → per-token replace chain →
+    * symbol count → aggregate sum): a pure scan-stage projection,
+    * zero shuffles at any corpus size — the explode-per-token
+    * formulation would shuffle 10¹³ tokens for the same number.
+    * The merge table is a literal for the same reason the classifier
+    * weights are: tokenizers are trained offline; the engine's
+    * contract is applying them.
+    */
+  def bpeMergedCount(merges: Seq[(String, String)], textExpr: String = "text"): Column = {
+    // Each symbol is SELF-delimited — "␟a␟␟b␟", not space-joined — so
+    // one leftmost non-overlapping replace("␟a␟␟b␟" → "␟ab␟") pass IS
+    // the full greedy sweep for that rule: in a run like a a a a a
+    // consecutive matches don't share a delimiter char (the
+    // space-joined encoding does share it, which silently skips every
+    // other pair), and a replacement emits "␟ab␟", never a bare "␟a␟",
+    // so a single pass leaves no residual occurrence. ␟ (unit
+    // separator, chr 31) is stripped from the text first so it can
+    // never masquerade as a symbol.
+    val spaced = "concat(char(31), array_join(split(t, ''), concat(char(31), char(31))), char(31))"
+    val chain = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, concat(char(31), '$a', char(31), char(31), '$b', char(31)), " +
+        s"concat(char(31), '$a$b', char(31)))"
+    }
+    expr("aggregate(regexp_extract_all(" +
+      s"replace(lower(trim($textExpr)), char(31), ''), '$bpeTokenPattern', 0), " +
+      s"0L, (acc, t) -> acc + (length($chain) - length(replace($chain, char(31), ''))) div 2)")
+  }
+
+  /** DuckDB mirror of [[bpeMergedCount]]. */
+  def bpeMergedCountSql(merges: Seq[(String, String)], textExpr: String = "text"): String = {
+    val spaced = "(chr(31) || array_to_string(string_split(t, ''), chr(31) || chr(31)) || chr(31))"
+    val chain = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, chr(31) || '$a' || chr(31) || chr(31) || '$b' || chr(31), " +
+        s"chr(31) || '$a$b' || chr(31))"
+    }
+    s"COALESCE(list_sum(list_transform(" +
+      s"regexp_extract_all(replace(lower(trim($textExpr)), chr(31), ''), '$bpeTokenPattern', 0), " +
+      s"t -> (length($chain) - length(replace($chain, chr(31), ''))) // 2)), 0)"
+  }
+
   /** Polynomial hash of a string column's characters
     * (h = (h·31 + codepoint) mod 1e9+7) — pure integer arithmetic,
     * exactly reproducible in SQL, and crucially NOT a crypto digest:

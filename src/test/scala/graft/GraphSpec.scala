@@ -54,4 +54,49 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(base === shuffled)
   }
+
+  // brute-force triangle count for the property tests
+  private def bruteTriangles(es: Seq[(Long, Long)]): Long = {
+    val set = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = set.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    nodes.combinations(3).count { case Seq(x, y, z) =>
+      set((x, y)) && set((x, z)) && set((y, z))
+    }.toLong
+  }
+
+  private def triCount(es: Seq[(Long, Long)]): (Long, Long, Long) =
+    Graph.triangleStats(es.toDF("a", "b"))
+      .as[(Long, Long, Long)].head()
+
+  test("triangleStats counts a planted clique exactly: K4 has 4 triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val (ne, nw, nt) = triCount(k4)
+    assert(ne === 6L)
+    assert(nt === 4L)
+    assert(nt === bruteTriangles(k4))
+    assert(nw >= nt) // every triangle is a closed wedge
+  }
+
+  test("a star graph has zero triangles and zero wedges at its hub") {
+    // hub 1 with 5 leaves: orientation points every edge leaf→hub, so
+    // the hub anchors no wedges — this IS the skew bound the
+    // degree-ordering buys
+    val star = (2L to 6L).map(l => (math.min(1L, l), math.max(1L, l)))
+    val (ne, nw, nt) = triCount(star)
+    assert(ne === 5L && nw === 0L && nt === 0L)
+  }
+
+  test("triangleStats matches brute force on a mixed graph") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 6L), (6L, 7L), (1L, 7L), (2L, 7L), (1L, 4L))
+    assert(triCount(g)._3 === bruteTriangles(g))
+  }
+
+  test("triangle census is partition-independent") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val a = triCount(g)
+    val b = Graph.triangleStats(g.toDF("a", "b").repartition(5, col("b")))
+      .as[(Long, Long, Long)].head()
+    assert(a === b)
+  }
 }

@@ -146,4 +146,32 @@ class TextStatsSpec extends SparkSpec {
     assert(got.map(_._4).size > 1)
     assert(got.exists(_._5) && got.exists(!_._5))
   }
+
+  private def bpeCount(text: String, merges: Seq[(String, String)]): Long =
+    Seq((1L, text)).toDF("doc_id", "text")
+      .select(Text.bpeMergedCount(merges).cast("long")).as[Long].head()
+
+  test("bpeMergedCount applies merges hierarchically and in priority order") {
+    val m = Seq("s" -> "c", "a" -> "n", "t" -> "a", "b" -> "l",
+      "e" -> "r", "sc" -> "an", "ta" -> "bl", "tabl" -> "e")
+    assert(bpeCount("scan", m) === 1L)        // s c a n → sc an → scan
+    assert(bpeCount("table", m) === 1L)       // t a b l e → ta bl e → tabl e → table
+    assert(bpeCount("scanner", m) === 3L)     // scan n er — (e,r) fires before (sc,an)
+    assert(bpeCount("scan table", m) === 2L)  // per-pre-token, summed
+    assert(bpeCount("xyz", m) === 3L)         // no rule applies → chars
+    assert(bpeCount("", m) === 0L)            // empty doc → zero symbols
+  }
+
+  test("bpeMergedCount merge sweep is greedy left-to-right (BPE semantics)") {
+    val m = Seq("a" -> "a")
+    assert(bpeCount("aaaa", m) === 2L) // aa | aa
+    assert(bpeCount("aaa", m) === 2L)  // aa | a — leftmost pair merges first
+    assert(bpeCount("aaaaa", m) === 3L) // aa | aa | a
+  }
+
+  test("bpeMergedCount handles digits and punctuation pre-tokens") {
+    val m = Seq("1" -> "2")
+    // "ab12, x" → pre-tokens [ab, 12, ',', x] → a b | 12 | , | x
+    assert(bpeCount("ab12, x", m) === 2L + 1L + 1L + 1L)
+  }
 }
