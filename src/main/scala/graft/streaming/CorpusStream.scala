@@ -102,6 +102,65 @@ object CorpusStream {
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
+  /** foreachBatch body for streaming CHUNK-level dedup — the
+    * continuous form of `corpus_chunk_dedup` (C4-style sub-document
+    * removal): each micro-batch splits its docs into consecutive
+    * `chunkTokens`-token chunks, a chunk occurrence survives only if
+    * it is BOTH the batch's first occurrence (min (doc_id, pos), the
+    * same packed-key rule as the batch operator) AND absent from the
+    * chunk store accumulated by every earlier batch — so a
+    * boilerplate block that arrived last week stays dead forever
+    * without ever rescanning old batches. Writes per-doc retention
+    * stats to `statsDir/batch=N` and the batch's surviving chunk
+    * hashes to `storeDir/batch=N`, both batchId-keyed + overwrite:
+    * crash-replay REPLACES a batch's output (the store read excludes
+    * the replaying batch's own partition, exactly like [[dedupBatch]]).
+    *
+    * Scale shape: the store read prunes to one md5 column; the
+    * anti-join shuffles the BATCH's first-occurrences (already
+    * chunk-deduped within the batch by a map-side-combinable
+    * group-by min), never the store, when the batch side broadcasts.
+    */
+  def chunkDedupBatch(storeDir: String, statsDir: String, chunkTokens: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_md5",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+    val seen =
+      try s.read.schema(storeSchema).parquet(storeDir)
+        .where(col("batch") =!= batchId)
+        .select(col("chunk_md5").as("seen_md5")).distinct()
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("seen_md5",
+                org.apache.spark.sql.types.StringType))))
+      }
+    val C = chunkTokens
+    val chunks = batch.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .withColumn("nc", expr(s"(size(tk) - 1) div $C"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nc")),
+        i => array_join(slice(col("tk"), i * C + lit(1), lit(C)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("col")).as("chunk_md5"))
+      .withColumn("k", col("doc_id") * 1048576L + col("pos"))
+    val winners = chunks.groupBy("chunk_md5").agg(min(col("k")).as("wk"))
+    val marked = chunks.join(winners, "chunk_md5")
+      .join(seen, col("chunk_md5") === col("seen_md5"), "left")
+      .withColumn("kept", col("k") === col("wk") && col("seen_md5").isNull)
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch=$batchId")
+    marked.where(col("kept")).select(col("chunk_md5"))
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
+
   /** Streaming per-source admission cap — the continuous form of
     * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
     * `cap` docs over the stream's lifetime, later arrivals drop. The

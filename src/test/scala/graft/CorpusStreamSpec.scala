@@ -230,4 +230,40 @@ class CorpusStreamSpec extends SparkSpec {
     assert(got === batch, s"streaming $got != batch $batch")
     assert(got.size === 2)
   }
+
+  test("streaming chunk dedup: intra-batch and cross-batch suppression, idempotent replay") {
+    val base = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    val storeDir = base + "/store"; val statsDir = base + "/stats"
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.chunkDedupBatch(storeDir, statsDir)(
+        rows.toDF("doc_id", "text"), id)
+    def stats(id: Long): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$statsDir/batch=$id")
+        .select($"doc_id", $"n_chunks", $"n_kept")
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, c, k) => d -> (c, k) }.toMap
+
+    val A = (1 to 16).map(i => s"a$i").mkString(" ")
+    val B = (1 to 16).map(i => s"b$i").mkString(" ")
+    val C = (1 to 16).map(i => s"c$i").mkString(" ")
+    val D = (1 to 16).map(i => s"d$i").mkString(" ")
+
+    // batch 0: doc 2 repeats doc 1's chunk A inside the batch — the
+    // lower (doc_id, pos) occurrence wins
+    run(Seq((1L, s"$A $B"), (2L, s"$A $C")), 0L)
+    assert(stats(0L) === Map(1L -> (2L, 2L), 2L -> (2L, 1L)))
+
+    // batch 1: chunk B arrived in batch 0 → store hit, only D survives
+    run(Seq((3L, s"$B $D")), 1L)
+    assert(stats(1L) === Map(3L -> (2L, 1L)))
+
+    // crash-replay of batch 1: its own store partition is excluded
+    // from the read, so the outcome is identical, and the store holds
+    // each chunk exactly once
+    run(Seq((3L, s"$B $D")), 1L)
+    assert(stats(1L) === Map(3L -> (2L, 1L)))
+    val stored = spark.read.parquet(storeDir).select($"chunk_md5")
+      .as[String].collect().toSeq
+    assert(stored.size === 4 && stored.distinct.size === 4)
+  }
 }
