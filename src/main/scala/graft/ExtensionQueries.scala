@@ -2109,6 +2109,70 @@ object ExtensionQueries {
           .as("compression_bp"))
       .orderBy("doc_id")
 
+  /** Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007 —
+    * "Large Language Models in Machine Translation": at web scale the
+    * unnormalized 0.4-backoff score replaces Kneser-Ney and quality
+    * converges with data). Counts come from the TRAIN split only and
+    * the val/test docs are scored against them — held-out scoring is
+    * what makes backoff real (a corpus scored on its own counts never
+    * backs off). Per trigram position, scaled 10⁶ and integer-exact:
+    * c₃>0 → 10⁶·c₃ div c₂(w₁w₂); else bigram seen → 0.4-discounted
+    * 4·10⁵·c₂(w₂w₃) div c₁(w₂); else unigram seen → 0.4²-discounted
+    * 16·10⁴·c₁(w₃) div T; else 0 (OOV). Doc score = mean over
+    * positions. Shape: three map-side-combined count tables from the
+    * train split, five gram-keyed joins against the EVAL positions
+    * only (the small side), one doc-keyed rollup — the canonical
+    * count-then-join LM pipeline; nothing ever shuffles on more than
+    * a gram key.
+    */
+  private def qTextTrigramBackoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"),
+        graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    val train = docs.where(col("split") === "train")
+    def grams(src: DataFrame, n: Int): DataFrame = {
+      val sliced = (0 until n).map(o =>
+        slice(col("tk"), lit(o + 1), size(col("tk")) - (n - 1)).as(s"w$o"))
+      src.where(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(arrays_zip(sliced: _*)).as("g"))
+        .select((col("doc_id") +: (0 until n).map(o => col(s"g.w$o").as(s"w$o"))): _*)
+    }
+    val uni = train.select(explode(col("tk")).as("u1"))
+      .groupBy("u1").agg(count(lit(1)).as("c1"))
+    val big = grams(train, 2).groupBy(col("w0").as("b1"), col("w1").as("b2"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = grams(train, 3).groupBy(col("w0").as("t1"), col("w1").as("t2"),
+        col("w2").as("t3")).agg(count(lit(1)).as("c3"))
+    val tot = train.agg(sum(size(col("tk")).cast("long")).as("t"))
+    val pos = grams(docs.where(col("split") =!= "train"), 3)
+    val scored = pos
+      .join(tri, col("w0") === col("t1") && col("w1") === col("t2") &&
+        col("w2") === col("t3"), "left")
+      .join(big.select(col("b1").as("p1"), col("b2").as("p2"), col("c2").as("cp")),
+        col("w0") === col("p1") && col("w1") === col("p2"), "left")
+      .join(big.select(col("b1").as("q1"), col("b2").as("q2"), col("c2").as("cb")),
+        col("w1") === col("q1") && col("w2") === col("q2"), "left")
+      .join(uni.select(col("u1").as("m1"), col("c1").as("cm")),
+        col("w1") === col("m1"), "left")
+      .join(uni.select(col("u1").as("m3"), col("c1").as("cw")),
+        col("w2") === col("m3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        // counts reach 10¹³ at full scale: the ×10⁶ product rides
+        // DECIMAL(38,0); the quotient is ≤ 10⁶ so it lands in BIGINT
+        when(col("c3").isNotNull,
+          expr("CAST(1000000 * CAST(c3 AS DECIMAL(38,0)) div cp AS BIGINT)"))
+          .when(col("cb").isNotNull,
+            expr("CAST(400000 * CAST(cb AS DECIMAL(38,0)) div cm AS BIGINT)"))
+          .when(col("cw").isNotNull,
+            expr("CAST(160000 * CAST(cw AS DECIMAL(38,0)) div t AS BIGINT)"))
+          .otherwise(0L).as("contrib"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        expr("sum(contrib) div count(1)").as("score"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2209,6 +2273,7 @@ object ExtensionQueries {
     "emb_pca_project" -> (qEmbPcaProject _),
     "events_triangles" -> (qEventsTriangles _),
     "text_bpe_encode" -> (qTextBpeEncode _),
+    "text_trigram_backoff" -> (qTextTrigramBackoff _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3620,5 +3685,41 @@ object ExtensionQueries {
          |       CAST(10000 * n_bpe_tokens // GREATEST(n_chars, 1) AS BIGINT) AS compression_bp
          |FROM b ORDER BY doc_id""".stripMargin
     },
+
+    "text_trigram_backoff" ->
+      s"""WITH d AS (SELECT doc_id, $TK AS tk,
+         |             ${graft.ops.Sampling.assignSplitSql("doc_id")} AS split FROM documents),
+         |tr AS (SELECT * FROM d WHERE split = 'train'),
+         |uni AS (SELECT w AS u1, CAST(COUNT(*) AS BIGINT) AS c1
+         |        FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY 1),
+         |big AS (SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+         |          SELECT unnest(tk[1:len(tk)-1]) AS b1, unnest(tk[2:len(tk)]) AS b2
+         |          FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
+         |tri AS (SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+         |          SELECT unnest(tk[1:len(tk)-2]) AS t1, unnest(tk[2:len(tk)-1]) AS t2,
+         |                 unnest(tk[3:len(tk)]) AS t3
+         |          FROM tr WHERE len(tk) >= 3) GROUP BY 1, 2, 3),
+         |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS t FROM tr),
+         |pos AS (SELECT doc_id, unnest(tk[1:len(tk)-2]) AS w0,
+         |               unnest(tk[2:len(tk)-1]) AS w1, unnest(tk[3:len(tk)]) AS w2
+         |        FROM d WHERE split <> 'train' AND len(tk) >= 3),
+         |sc AS (SELECT pos.doc_id,
+         |         CASE WHEN tri.c3 IS NOT NULL
+         |                THEN CAST(1000000 * CAST(tri.c3 AS HUGEINT) // bp.c2 AS BIGINT)
+         |              WHEN bq.c2 IS NOT NULL
+         |                THEN CAST(400000 * CAST(bq.c2 AS HUGEINT) // um.c1 AS BIGINT)
+         |              WHEN uw.c1 IS NOT NULL
+         |                THEN CAST(160000 * CAST(uw.c1 AS HUGEINT) // tot.t AS BIGINT)
+         |              ELSE 0 END AS contrib
+         |       FROM pos
+         |       LEFT JOIN tri ON pos.w0 = tri.t1 AND pos.w1 = tri.t2 AND pos.w2 = tri.t3
+         |       LEFT JOIN big bp ON pos.w0 = bp.b1 AND pos.w1 = bp.b2
+         |       LEFT JOIN big bq ON pos.w1 = bq.b1 AND pos.w2 = bq.b2
+         |       LEFT JOIN uni um ON pos.w1 = um.u1
+         |       LEFT JOIN uni uw ON pos.w2 = uw.u1
+         |       CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |       CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS score
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

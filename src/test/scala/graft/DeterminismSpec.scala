@@ -47,7 +47,14 @@ class DeterminismSpec extends SparkSpec {
     "events_itemset_pairs", // pinned basket self-join + integer lift
     "emb_random_projection", // JL ±1 projection components
     "corpus_interleave",   // per-source hash rank spread to order keys
-    "emb_kmeans_fp")       // farthest-point traversal + Lloyd round
+    "emb_kmeans_fp",       // farthest-point traversal + Lloyd round
+    "text_collocations",   // cross-multiplied lift + top-20 tiebreak
+    "corpus_chunk_dedup",  // packed-key first-occurrence winners
+    "text_bm25_topk",      // bit-length idf + saturation quotients + top-k cut
+    "corpus_importance_resample", // bucket-ratio model + HOF scoring
+    "emb_pca_project",     // gram collect + BigInt iteration + literal dot
+    "events_triangles",    // (deg, id)-oriented wedge join census
+    "text_trigram_backoff") // train counts + 0.4-discounted quotients
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

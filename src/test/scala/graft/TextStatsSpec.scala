@@ -147,6 +147,37 @@ class TextStatsSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("text_trigram_backoff matches a driver-side stupid-backoff fold") {
+    val P = 1000000007L; val A = 2862933555L % P; val B = 1442695040888963L % P
+    def split(id: Long): String = {
+      val b = (((id % P + P) % P * A + B) % P) % 10000L
+      if (b < 9000) "train" else if (b < 9500) "val" else "test"
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.trim.toLowerCase.split("\\s+").toSeq) }
+    val train = docs.filter(d => split(d._1) == "train").map(_._2)
+    val uni = train.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = train.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = train.flatMap(t => t.lazyZip(t.drop(1)).lazyZip(t.drop(2)).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = train.map(_.size.toLong).sum
+    val want = docs.filter(d => split(d._1) != "train").filter(_._2.size >= 3)
+      .map { case (id, t) =>
+        val cs = t.lazyZip(t.drop(1)).lazyZip(t.drop(2)).toSeq.map { case (a, b2, c) =>
+          if (tri.contains((a, b2, c))) 1000000L * tri((a, b2, c)) / big((a, b2))
+          else if (big.contains((b2, c))) 400000L * big((b2, c)) / uni(b2)
+          else if (uni.contains(c)) 160000L * uni(c) / tot
+          else 0L
+        }
+        (id, cs.size.toLong, cs.sum / cs.size)
+      }.toSet
+    val got = ExtensionQueries.queries("text_trigram_backoff")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   private def bpeCount(text: String, merges: Seq[(String, String)]): Long =
     Seq((1L, text)).toDF("doc_id", "text")
       .select(Text.bpeMergedCount(merges).cast("long")).as[Long].head()
