@@ -2173,6 +2173,19 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** Mutual 5-NN graph over the embedding corpus
+    * ([[graft.ops.Similarity.mutualKnn]], bits = 6 so buckets hold
+    * enough peers for a meaningful top-5): the reciprocal-neighbor
+    * edge set that k-NN-graph clustering and agreement-based semantic
+    * dedup consume. Bucket-keyed self-join, WindowGroupLimit top-k,
+    * one semi join for reciprocity — engine-exact by integer dot +
+    * total rank order.
+    */
+  private def qEmbMutualKnn(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.mutualKnn(Tables.embeddings(s, dir),
+        col("embedding"), col("vec_id"), k = 5, bits = 6)
+      .orderBy("vec_a", "vec_b")
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2274,6 +2287,7 @@ object ExtensionQueries {
     "events_triangles" -> (qEventsTriangles _),
     "text_bpe_encode" -> (qTextBpeEncode _),
     "text_trigram_backoff" -> (qTextTrigramBackoff _),
+    "emb_mutual_knn" -> (qEmbMutualKnn _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3721,5 +3735,22 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
          |       CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS score
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "emb_mutual_knn" -> {
+      val dim = EMB_DIM
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS qz FROM embeddings),
+         |bkt AS (SELECT vec_id, qz, ${Vectors.signBucketSql("qz", 6, dim)} AS bucket FROM q),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |             ${Vectors.intDotSql("x.qz", "y.qz", dim)} AS dot
+         |      FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (SELECT a, b, dot,
+         |             row_number() OVER (PARTITION BY a ORDER BY dot DESC, b) AS rnk
+         |      FROM p),
+         |t AS (SELECT a, b, dot FROM r WHERE rnk <= 5)
+         |SELECT t.a AS vec_a, t.b AS vec_b, t.dot AS dot
+         |FROM t JOIN t t2 ON t.b = t2.a AND t.a = t2.b
+         |WHERE t.a < t.b
+         |ORDER BY 1, 2""".stripMargin
+    },
   )
 }

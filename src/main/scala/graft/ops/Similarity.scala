@@ -60,4 +60,38 @@ object Similarity {
       .select(col("q_vec_id"), col("vec_id"), qdot(col("v"), col("qv")).as("dot"))
     ranked(scored, k)
   }
+
+  /** Mutual k-NN graph construction — corpus×corpus, not query×corpus:
+    * every vector's top-k inner-product neighbors among its LSH-bucket
+    * peers, kept only when the relation is RECIPROCAL (a ∈ top-k(b) and
+    * b ∈ top-k(a)). Mutual-NN is the standard symmetrization for
+    * k-NN-graph clustering and agreement-based dedup: one-sided
+    * neighbors of a hub vector are dropped, which is exactly the hub
+    * suppression the literature wants.
+    *
+    * Scale shape: the self-join is keyed on the sign bucket
+    * (co-partitioned, never all-pairs — in-bucket volume ~ n·E[|bucket|]),
+    * the per-vector top-k pre-reduces map-side via WindowGroupLimit,
+    * and the reciprocity check is one (a, b)-keyed semi join of the
+    * ranked table against its own reversal. Integer dot + total
+    * (dot desc, id) rank order keep the graph engine- and
+    * partitioning-exact.
+    */
+  def mutualKnn(emb: DataFrame, vecCol: Column, idCol: Column,
+      k: Int, bits: Int, dim: Int = 64): DataFrame = {
+    val qdot = GraftFunctions.registerQDot(emb.sparkSession)
+    val v = emb.select(idCol.as("vec_id"), vecCol.as("v"),
+        Vectors.quantize(vecCol).as("qz"))
+      .withColumn("bucket", Vectors.signBucket(col("qz"), bits, dim)).drop("qz")
+    val pairs = v.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
+      .join(v.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb")), "bucket")
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), qdot(col("va"), col("vb")).as("dot"))
+    val ranked = pairs.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("dot").desc, col("b").asc)))
+      .where(col("rnk") <= k)
+    ranked.where(col("a") < col("b")).select(col("a"), col("b"), col("dot"))
+      .join(ranked.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("dot"))
+  }
 }

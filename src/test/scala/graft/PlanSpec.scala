@@ -472,6 +472,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no token explode in the serving pass")
   }
 
+  test("emb_mutual_knn: self-join keyed on the bucket, top-k pre-reduces map-side") {
+    val p = planOf("emb_mutual_knn")
+    assert(!p.contains("CartesianProduct"), "candidate gen must stay bucket-keyed")
+    assert(p.contains("WindowGroupLimit"),
+      "rnk <= k must pre-reduce each map task before the window exchange")
+    assert(p.contains("Exchange hashpartitioning(bucket") ||
+      p.contains("BroadcastHashJoin [bucket"),
+      "the self-join must key on the sign bucket (shuffled or broadcast), " +
+        "never evaluate pairs unkeyed")
+  }
+
   test("emb_pca_project: projection reads one scan with no joins") {
     val q = SparkEntry.queries("emb_pca_project")(spark, dir)
     q.count()

@@ -11,6 +11,40 @@ import graft.ops.Vectors
 class VectorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mutualKnn matches a driver-side fold of the bucket/top-k/reciprocity pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toList
+    val hp = Vectors.hyperplanes(6, 64)
+    val q: List[(Long, Seq[Long])] = emb.map { case (id, v) =>
+      (id, v.map(x => math.round(x.toDouble * 1000)))
+    }
+    def bucket(x: Seq[Long]): Long =
+      hp.zipWithIndex.map { case (p, j) =>
+        val proj = p.zip(x).map { case (w, c) => w * c }.sum
+        if (proj >= 0) 1L << j else 0L
+      }.sum
+    val byBucket = q.groupBy(x => bucket(x._2))
+    val topk: Map[(Long, Long), Long] = byBucket.values.toList.flatMap { vs =>
+      vs.flatMap { case (a, qa) =>
+        vs.filter(_._1 != a)
+          .map { case (b, qb) => (b, qa.zip(qb).map { case (x, y) => x * y }.sum) }
+          .sortBy { case (b, dot) => (-dot, b) }.take(5)
+          .map { case (b, dot) => ((a, b), dot) }
+      }
+    }.toMap
+    val want = topk.collect { case ((a, b), dot)
+      if a < b && topk.contains((b, a)) => (a, b, dot) }.toSet
+    val got = ExtensionQueries.queries("emb_mutual_knn")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // reciprocity by construction: no one-sided edge survives
+    got.foreach { case (a, b, _) =>
+      assert(topk.contains((a, b)) && topk.contains((b, a)))
+    }
+  }
+
   private val vecs = Seq(
     (0L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
     (1L, Array(-0.1f, 0.0f, 1.5f, -0.75f)),
