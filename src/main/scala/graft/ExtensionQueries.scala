@@ -2186,6 +2186,41 @@ object ExtensionQueries {
         col("embedding"), col("vec_id"), k = 5, bits = 6)
       .orderBy("vec_a", "vec_b")
 
+  /** Corpus data card (Gebru et al., "Datasheets for Datasets", CACM
+    * 2021) — the one-row corpus summary a dataset release ships:
+    * volume (docs/tokens/vocab), composition (languages, split
+    * sizes), and hygiene (exact-dup count, low-quality count, mean
+    * length), every number exact and every signal THE SAME expression
+    * the corresponding gate operator uses (fingerprint, isLowQuality,
+    * assignSplit) so the card can't drift from the pipeline it
+    * describes. One wide aggregate over one scan (the three
+    * COUNT(DISTINCT) ride a single Expand, the lineitem_profile
+    * pattern — at 100 TB swap the KMV/HLL sketch family in, same as
+    * documented there) plus a vocab distinct on the exploded tokens.
+    */
+  private def qCorpusDatacard(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      Text.tokens(col("text")).as("tk"), Text.fingerprint(col("text")).as("fp"),
+      Text.isLowQuality(col("text")).as("lq"),
+      graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    val a = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("fp")).as("n_unique_docs"),
+      sum(when(col("lq"), 1L).otherwise(0L)).as("n_low_quality"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val vocab = base.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab_size"))
+    a.crossJoin(broadcast(vocab))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        (col("n_docs") - col("n_unique_docs")).as("n_exact_dups"),
+        col("n_low_quality"), col("n_train"), col("n_val"), col("n_test"),
+        col("vocab_size"), expr("n_tokens div n_docs").as("mean_tokens"))
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2288,6 +2323,7 @@ object ExtensionQueries {
     "text_bpe_encode" -> (qTextBpeEncode _),
     "text_trigram_backoff" -> (qTextTrigramBackoff _),
     "emb_mutual_knn" -> (qEmbMutualKnn _),
+    "corpus_datacard" -> (qCorpusDatacard _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3752,5 +3788,31 @@ object ExtensionQueries {
          |WHERE t.a < t.b
          |ORDER BY 1, 2""".stripMargin
     },
+
+    "corpus_datacard" ->
+      s"""WITH b AS (SELECT doc_id, lang, $TK AS tk,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    ${graft.ops.Sampling.assignSplitSql("doc_id")} AS split,
+         |    text FROM documents),
+         |q AS (SELECT *, (len(tk) < 10 OR
+         |        100 * len(list_filter(tk, t -> t IN ($stopList))) > 60 * len(tk)) AS lq
+         |      FROM b),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
+         |        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |        CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+         |        CAST(SUM(CASE WHEN lq THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |        CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |        CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |        CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |      FROM q),
+         |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+         |      FROM (SELECT unnest(tk) AS w FROM b))
+         |SELECT a.n_docs, a.n_tokens, a.n_langs,
+         |       a.n_docs - a.n_unique_docs AS n_exact_dups,
+         |       a.n_low_quality, a.n_train, a.n_val, a.n_test,
+         |       v.vocab_size,
+         |       CAST(a.n_tokens // a.n_docs AS BIGINT) AS mean_tokens
+         |FROM a CROSS JOIN v""".stripMargin,
   )
 }

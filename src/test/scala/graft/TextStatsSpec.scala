@@ -147,6 +147,24 @@ class TextStatsSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("corpus_datacard: one row, internally consistent, matches direct recounts") {
+    val row = ExtensionQueries.queries("corpus_datacard")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val r = row.head
+    def g(n: String): Long = r.getAs[Long](n)
+    assert(g("n_train") + g("n_val") + g("n_test") === g("n_docs"))
+    assert(g("n_exact_dups") >= 0L && g("n_exact_dups") < g("n_docs"))
+    assert(g("mean_tokens") === g("n_tokens") / g("n_docs"))
+    // recount two fields independently of the query's expressions
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].collect()
+    assert(g("n_docs") === docs.length.toLong)
+    assert(g("n_tokens") ===
+      docs.map(_.trim.toLowerCase.split("\\s+").length.toLong).sum)
+    assert(g("vocab_size") ===
+      docs.flatMap(_.trim.toLowerCase.split("\\s+")).distinct.length.toLong)
+  }
+
   test("text_trigram_backoff matches a driver-side stupid-backoff fold") {
     val P = 1000000007L; val A = 2862933555L % P; val B = 1442695040888963L % P
     def split(id: Long): String = {
