@@ -2250,6 +2250,44 @@ object ExtensionQueries {
       .orderBy("user_id")
   }
 
+  /** Semi-supervised label spreading over the mutual-kNN graph (Zhu &
+    * Ghahramani 2002 label propagation, in the data-annotation role:
+    * a 10% labeled seed set annotates the rest of the corpus through
+    * embedding-neighborhood majority votes). Two rounds; each
+    * unlabeled vector adopts the majority label of its CURRENTLY
+    * labeled mutual neighbors (count desc, label asc — a total order,
+    * so the spread is engine-exact), seeds never change, and vectors
+    * with no labeled neighbor stay null. Rides the same mutual-kNN
+    * edge set as `emb_mutual_knn` (pinned once; each round is one
+    * edge-keyed join + one majority window on the src key).
+    */
+  private def qEmbLabelSpread(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val mk = graft.ops.Similarity.mutualKnn(emb, col("embedding"), col("vec_id"),
+      k = 5, bits = 6)
+    val edges = mk.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(mk.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint(true) // 2 rounds re-read it; the kNN build runs once
+    val seeds = emb.select(col("vec_id"),
+      when(col("vec_id") % 10 === 0, col("label").cast("long")).as("lab"))
+    var lab = seeds
+    for (_ <- 1 to 2) {
+      val nbr = edges
+        .join(lab.select(col("vec_id").as("dst"), col("lab").as("nlab")), "dst")
+        .where(col("nlab").isNotNull)
+        .groupBy(col("src"), col("nlab")).agg(count(lit(1)).as("cnt"))
+      val top = nbr.withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("nlab").asc)))
+        .where(col("rn") === 1).select(col("src"), col("nlab"))
+      lab = lab.join(top, lab("vec_id") === top("src"), "left")
+        .select(col("vec_id"), coalesce(col("lab"), col("nlab")).as("lab"))
+    }
+    seeds.select(col("vec_id"), col("lab").as("seed_label"))
+      .join(lab.withColumnRenamed("lab", "spread_label"), "vec_id")
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2354,6 +2392,7 @@ object ExtensionQueries {
     "emb_mutual_knn" -> (qEmbMutualKnn _),
     "corpus_datacard" -> (qCorpusDatacard _),
     "events_user_streaks" -> (qEventsUserStreaks _),
+    "emb_label_spread" -> (qEmbLabelSpread _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3802,22 +3841,35 @@ object ExtensionQueries {
          |       CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS score
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "emb_mutual_knn" -> {
-      val dim = EMB_DIM
-      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS qz FROM embeddings),
-         |bkt AS (SELECT vec_id, qz, ${Vectors.signBucketSql("qz", 6, dim)} AS bucket FROM q),
-         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-         |             ${Vectors.intDotSql("x.qz", "y.qz", dim)} AS dot
-         |      FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-         |r AS (SELECT a, b, dot,
-         |             row_number() OVER (PARTITION BY a ORDER BY dot DESC, b) AS rnk
-         |      FROM p),
-         |t AS (SELECT a, b, dot FROM r WHERE rnk <= 5)
-         |SELECT t.a AS vec_a, t.b AS vec_b, t.dot AS dot
-         |FROM t JOIN t t2 ON t.b = t2.a AND t.a = t2.b
-         |WHERE t.a < t.b
-         |ORDER BY 1, 2""".stripMargin
-    },
+    "emb_mutual_knn" ->
+      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, EMB_DIM)}
+         |SELECT vec_a, vec_b, dot FROM mk ORDER BY 1, 2""".stripMargin,
+
+    "emb_label_spread" ->
+      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, EMB_DIM)},
+         |ed AS (SELECT vec_a AS src, vec_b AS dst FROM mk
+         |       UNION ALL SELECT vec_b, vec_a FROM mk),
+         |l0 AS (SELECT vec_id,
+         |         CASE WHEN vec_id % 10 = 0 THEN CAST(label AS BIGINT) END AS lab
+         |       FROM embeddings),
+         |n1 AS (SELECT ed.src, l0.lab AS nlab, COUNT(*) AS cnt
+         |       FROM ed JOIN l0 ON ed.dst = l0.vec_id
+         |       WHERE l0.lab IS NOT NULL GROUP BY 1, 2),
+         |t1 AS (SELECT src, nlab FROM (
+         |         SELECT src, nlab, row_number() OVER (PARTITION BY src
+         |           ORDER BY cnt DESC, nlab) AS rn FROM n1) WHERE rn = 1),
+         |l1 AS (SELECT l0.vec_id, COALESCE(l0.lab, t1.nlab) AS lab
+         |       FROM l0 LEFT JOIN t1 ON l0.vec_id = t1.src),
+         |n2 AS (SELECT ed.src, l1.lab AS nlab, COUNT(*) AS cnt
+         |       FROM ed JOIN l1 ON ed.dst = l1.vec_id
+         |       WHERE l1.lab IS NOT NULL GROUP BY 1, 2),
+         |t2 AS (SELECT src, nlab FROM (
+         |         SELECT src, nlab, row_number() OVER (PARTITION BY src
+         |           ORDER BY cnt DESC, nlab) AS rn FROM n2) WHERE rn = 1),
+         |l2 AS (SELECT l1.vec_id, COALESCE(l1.lab, t2.nlab) AS lab
+         |       FROM l1 LEFT JOIN t2 ON l1.vec_id = t2.src)
+         |SELECT l0.vec_id, l0.lab AS seed_label, l2.lab AS spread_label
+         |FROM l0 JOIN l2 ON l0.vec_id = l2.vec_id ORDER BY 1""".stripMargin,
 
     "corpus_datacard" ->
       s"""WITH b AS (SELECT doc_id, lang, $TK AS tk,

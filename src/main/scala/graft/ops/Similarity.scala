@@ -94,4 +94,20 @@ object Similarity {
       .join(ranked.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("dot"))
   }
+
+  /** DuckDB CTE body shared by the mutual-kNN oracles: defines
+    * `q/bkt/p/r/t` and finally `mk(vec_a, vec_b, dot)` with a < b. */
+  def mutualKnnSqlCtes(k: Int, bits: Int, dim: Int): String =
+    s"""q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS qz FROM embeddings),
+       |bkt AS (SELECT vec_id, qz, ${Vectors.signBucketSql("qz", bits, dim)} AS bucket FROM q),
+       |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |             ${Vectors.intDotSql("x.qz", "y.qz", dim)} AS dot
+       |      FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |r AS (SELECT a, b, dot,
+       |             row_number() OVER (PARTITION BY a ORDER BY dot DESC, b) AS rnk
+       |      FROM p),
+       |t AS (SELECT a, b, dot FROM r WHERE rnk <= $k),
+       |mk AS (SELECT t.a AS vec_a, t.b AS vec_b, t.dot AS dot
+       |       FROM t JOIN t t2 ON t.b = t2.a AND t.a = t2.b
+       |       WHERE t.a < t.b)""".stripMargin
 }

@@ -53,6 +53,35 @@ class VectorsSpec extends SparkSpec {
   private def quantized(v: Array[Float]): Seq[Long] =
     v.map(x => math.round(x.toDouble * 1000)).toSeq
 
+  test("emb_label_spread matches a 2-round driver fold over the verified edge set") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = ExtensionQueries.queries("emb_mutual_knn")(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toList
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    var lab: Map[Long, Option[Long]] = labels.map { case (id, l) =>
+      id -> (if (id % 10 == 0) Some(l) else None)
+    }
+    for (_ <- 1 to 2) {
+      lab = lab.map {
+        case (id, Some(l)) => id -> Some(l)
+        case (id, None) =>
+          val votes = adj.getOrElse(id, Nil).flatMap(lab(_))
+          id -> (if (votes.isEmpty) None
+            else Some(votes.groupBy(identity).view.mapValues(_.size).toList
+              .maxBy { case (l, c) => (c, -l) }._1))
+      }
+    }
+    val got = ExtensionQueries.queries("emb_label_spread")(spark, dir)
+      .select($"vec_id", $"spread_label").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got === lab)
+    // non-vacuous: spreading labeled vectors beyond the 10% seed set
+    assert(lab.count(_._2.isDefined) > lab.keys.count(_ % 10 == 0))
+  }
+
   test("signProject matches a driver-side fold over the shared hyperplanes") {
     val planes = 6
     val hp = Vectors.hyperplanes(planes, 4)
