@@ -2288,6 +2288,39 @@ object ExtensionQueries {
       .orderBy("vec_id")
   }
 
+  /** ABC / Pareto classification of parts by revenue (the 80/20
+    * inventory analysis): parts rank by lineitem revenue, the running
+    * share of total revenue classifies A (≤ 70%), B (≤ 90%), C
+    * (rest), and the query emits the 3-row class summary. Exactness:
+    * revenue rides DECIMAL(18,2)→cents BIGINT, the running share is a
+    * cross-multiplied comparison (100·cum vs k·total — no division at
+    * all), and the (revenue desc, partkey) rank order is total. Scale
+    * shape: the fact-table aggregate is one keyed shuffle; the window
+    * then runs over the PART DIMENSION (≤ |parts| rows, 200k/SF in
+    * TPC-H terms — dimension-scale by construction), and the class
+    * rollup is 3 groups. The single-partition window is confined to
+    * the pre-aggregated dimension, never the facts.
+    */
+  private def qPartsAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(SparkEntry.decSumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "decimal(18,4)", 10000, "rev_x10k"))
+    val w = Window.orderBy(col("rev_x10k").desc, col("partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev_x10k")).as("total_x10k"))
+    rev.withColumn("cum_x10k", sum(col("rev_x10k")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(expr("100 * CAST(cum_x10k AS DECIMAL(38,0)) <= 70 * total_x10k"), "A")
+          .when(expr("100 * CAST(cum_x10k AS DECIMAL(38,0)) <= 90 * total_x10k"), "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_x10k")).as("class_rev_x10k"))
+      .orderBy("cls")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2393,6 +2426,7 @@ object ExtensionQueries {
     "corpus_datacard" -> (qCorpusDatacard _),
     "events_user_streaks" -> (qEventsUserStreaks _),
     "emb_label_spread" -> (qEmbLabelSpread _),
+    "parts_abc_analysis" -> (qPartsAbcAnalysis _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3908,5 +3942,22 @@ object ExtensionQueries {
         |       CAST(SUM(len) AS BIGINT) AS n_active_days,
         |       CAST(COUNT(*) AS BIGINT) AS n_streaks
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "parts_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey AS partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_x10k
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev_x10k) AS BIGINT) AS total_x10k FROM rev),
+        |c AS (SELECT partkey, rev_x10k,
+        |        SUM(rev_x10k) OVER (ORDER BY rev_x10k DESC, partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_x10k
+        |      FROM rev),
+        |k AS (SELECT CASE WHEN 100 * CAST(cum_x10k AS HUGEINT) <= 70 * CAST(total_x10k AS HUGEINT) THEN 'A'
+        |                  WHEN 100 * CAST(cum_x10k AS HUGEINT) <= 90 * CAST(total_x10k AS HUGEINT) THEN 'B'
+        |                  ELSE 'C' END AS cls, rev_x10k
+        |      FROM c CROSS JOIN tot)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST(SUM(rev_x10k) AS BIGINT) AS class_rev_x10k
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -54,7 +54,12 @@ class DeterminismSpec extends SparkSpec {
     "corpus_importance_resample", // bucket-ratio model + HOF scoring
     "emb_pca_project",     // gram collect + BigInt iteration + literal dot
     "events_triangles",    // (deg, id)-oriented wedge join census
-    "text_trigram_backoff") // train counts + 0.4-discounted quotients
+    "text_trigram_backoff", // train counts + 0.4-discounted quotients
+    "emb_mutual_knn",      // bucket self-join + reciprocal top-k
+    "emb_label_spread",    // synchronous majority rounds, total vote order
+    "corpus_datacard",     // wide Expand distincts + vocab
+    "events_user_streaks", // island keys from the user-keyed window
+    "parts_abc_analysis")  // dimension-window cumulative shares
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

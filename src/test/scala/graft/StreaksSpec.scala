@@ -26,4 +26,19 @@ class StreaksSpec extends SparkSpec {
     // the fixture genuinely contains multi-day streaks and gaps
     assert(got.exists(_._2 > 1L) && got.exists(r => r._4 > 1L))
   }
+
+  test("parts_abc_analysis: classes partition the parts, mean revenue strictly tiers") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ExtensionQueries.queries("parts_abc_analysis")(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map { case (c, n, r) => c -> ((n, r)) }.toMap
+    assert(rows.keySet === Set("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, dir)
+      .select($"l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum === nParts)
+    // cumulative-share classification means per-part revenue can only
+    // fall from A to B to C
+    def mean(c: String): Double = rows(c)._2.toDouble / rows(c)._1
+    assert(mean("A") > mean("B") && mean("B") > mean("C"))
+  }
 }
