@@ -2321,6 +2321,26 @@ object ExtensionQueries {
       .orderBy("cls")
   }
 
+  /** Personalized PageRank over the same event-type transition graph
+    * as `events_pagerank`, seeded on the types below 'm' (click,
+    * error) — behavioral proximity to the seed behaviors, the
+    * related-items form. Same pinned-edge/broadcast-rank shape and
+    * 10¹² fixed-point arithmetic; only the teleport changes.
+    */
+  private def qEventsPpr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.personalizedPageRank(edges, iters = 3, col("node") < "m")
+      .select(col("node").as("event_type"), col("pr"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2427,6 +2447,7 @@ object ExtensionQueries {
     "events_user_streaks" -> (qEventsUserStreaks _),
     "emb_label_spread" -> (qEmbLabelSpread _),
     "parts_abc_analysis" -> (qPartsAbcAnalysis _),
+    "events_ppr" -> (qEventsPpr _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3959,5 +3980,29 @@ object ExtensionQueries {
         |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
         |       CAST(SUM(rev_x10k) AS BIGINT) AS class_rev_x10k
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_ppr" -> {
+      import graft.ops.Graph
+      s"""WITH o AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |e AS (SELECT src, event_type AS dst, COUNT(*) AS w
+         |      FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow ON e.src = ow.src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT node, node < 'm' AS seed,
+         |         (SELECT COUNT(*) FROM nodes WHERE node < 'm') AS n_seeds
+         |       FROM nodes),
+         |r0 AS (SELECT node, seed, n_seeds,
+         |         CASE WHEN seed THEN ${Graph.Scale} // n_seeds ELSE 0 END AS pr
+         |       FROM nn),
+         |r1 AS (${Graph.pprStepSql("r0")}),
+         |r2 AS (${Graph.pprStepSql("r1")}),
+         |r3 AS (${Graph.pprStepSql("r2")})
+         |SELECT node AS event_type, CAST(pr AS BIGINT) AS pr
+         |FROM r3 ORDER BY event_type""".stripMargin
+    },
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph algorithms over (src, dst, w) edge DataFrames.
@@ -85,6 +85,53 @@ object Graph {
   def rankStepSql(prev: String): String =
     s"""SELECT nn.node, nn.n_nodes,
        |       ((15 * $Scale // 100) // nn.n_nodes)
+       |       + ($DampPct * COALESCE(i.in_sum, 0)) // 100 AS pr
+       |FROM nn LEFT JOIN (
+       |  SELECT ew.dst,
+       |         SUM(CAST((CAST(p.pr AS HUGEINT) * ew.w) // ew.out_w AS BIGINT)) AS in_sum
+       |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst
+       |) i ON nn.node = i.dst""".stripMargin
+
+  /** Personalized PageRank (Haveliwala, WWW 2002; the random surfer
+    * teleports ONLY to the seed set, so rank mass measures proximity
+    * to the seeds — the recommendation / related-items form of
+    * PageRank). Identical fixed-point integer arithmetic and plan
+    * shape as [[pageRank]] (pinned edge aggregate, rank vector
+    * broadcast per round); the only change is the teleport term:
+    * seeds get (15·Scale div 100) div |seeds|, non-seeds get 0, and
+    * the initial mass starts entirely on the seeds.
+    */
+  def personalizedPageRank(edges: DataFrame, iters: Int, isSeed: Column): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val ew = e.join(outW, Seq("src"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("seed", isSeed)
+    val ns = nodes.agg(sum(when(col("seed"), 1L).otherwise(0L)).as("n_seeds"))
+    val withN = nodes.crossJoin(broadcast(ns))
+    var rank = withN.select(col("node"), col("seed"), col("n_seeds"),
+      when(col("seed"), expr(s"$Scale div n_seeds")).otherwise(0L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(broadcast(rank.select(col("node"), col("pr"))), col("src") === col("node"))
+        .select(col("dst"),
+          expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div out_w AS BIGINT)").as("c"))
+      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      rank = withN.join(inSum, col("node") === col("dst"), "left")
+        .select(col("node"), col("seed"), col("n_seeds"),
+          (when(col("seed"), expr(s"(15 * $Scale div 100) div n_seeds")).otherwise(0L)
+            + expr(s"($DampPct * coalesce(in_sum, 0L)) div 100")).as("pr"))
+    }
+    rank.select(col("node"), col("pr"))
+  }
+
+  /** DuckDB mirror of one personalized rank update; expects
+    * `nn(node, seed, n_seeds)` and `ew` CTEs. */
+  def pprStepSql(prev: String): String =
+    s"""SELECT nn.node, nn.seed, nn.n_seeds,
+       |       (CASE WHEN nn.seed THEN (15 * $Scale // 100) // nn.n_seeds ELSE 0 END)
        |       + ($DampPct * COALESCE(i.in_sum, 0)) // 100 AS pr
        |FROM nn LEFT JOIN (
        |  SELECT ew.dst,

@@ -46,6 +46,44 @@ class GraphSpec extends SparkSpec {
     assert(got("d") === (15 * Graph.Scale / 100) / 4)
   }
 
+  /** Driver fold of the personalized recurrence (seeded teleport). */
+  private def pprFold(es: Seq[(String, String, Long)], iters: Int,
+      seeds: Set[String]): Map[String, Long] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val ns = nodes.count(seeds)
+    val outW = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(nd => nd -> (if (seeds(nd)) Graph.Scale / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+        (BigInt(pr(s)) * w / outW(s)).toLong
+      }.sum).toMap
+      pr = nodes.map { nd =>
+        nd -> ((if (seeds(nd)) (15 * Graph.Scale / 100) / ns else 0L) +
+          (Graph.DampPct * in.getOrElse(nd, 0L)) / 100)
+      }.toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank matches the driver-side fold exactly") {
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        iters = 3, col("node") === "a")
+      .as[(String, Long)].collect().toMap
+    assert(got === pprFold(edges, 3, Set("a")))
+  }
+
+  test("personalized mass never reaches nodes unreachable from the seeds") {
+    // d → a exists but nothing points to d, and d is not a seed: its
+    // personalized rank must be exactly 0 (uniform PageRank would give
+    // it the teleport floor)
+    val es = edges :+ ("d", "a", 1L)
+    val got = Graph.personalizedPageRank(es.toDF("src", "dst", "w"),
+        iters = 3, col("node") === "a")
+      .as[(String, Long)].collect().toMap
+    assert(got("d") === 0L)
+    assert(got("a") > 0L && got("b") > 0L)
+  }
+
   test("result is identical under adversarial repartitioning") {
     val base = Graph.pageRank(edges.toDF("src", "dst", "w"), 3)
       .as[(String, Long)].collect().toMap
