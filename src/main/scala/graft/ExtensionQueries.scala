@@ -2070,7 +2070,9 @@ object ExtensionQueries {
     * count engine-exact because the (deg, id) orientation order is
     * total.
     */
-  private def qEventsTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** Shared co-presence edge builder for the graph-mining family:
+    * users sharing ≥ 4 capped (event_type, hour) cells. */
+  private def coPresenceEdges(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(s, dir)
       .select(col("user_id"), concat(col("event_type"), lit("|"),
         date_trunc("hour", col("ts")).cast("string")).as("cell"))
@@ -2078,14 +2080,25 @@ object ExtensionQueries {
     val capped = graft.ops.Sampling
       .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
       .select(col("cell"), col("user_id"))
-    val pairs = capped.select(col("cell"), col("user_id").as("a"))
+    capped.select(col("cell"), col("user_id").as("a"))
       .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("ns"))
       .where(col("ns") >= 4)
       .select(col("a"), col("b"))
-    graft.ops.Graph.triangleStats(pairs)
   }
+
+  private def qEventsTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(coPresenceEdges(s, dir))
+
+  /** 3-core of the co-presence graph ([[graft.ops.Graph.kCore]],
+    * 4 peeling rounds — fixture graphs converge in ≤ 2, and the
+    * `converged` column in the output certifies it as data): the
+    * dense-community extractor over the same edge set the triangle
+    * census reads.
+    */
+  private def qEventsKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCore(coPresenceEdges(s, dir), k = 3, rounds = 4)
 
   /** Literal merge table for [[qTextBpeEncode]] — 8 rules in priority
     * order, with hierarchical composition ((sc,an) consumes (s,c) and
@@ -2448,6 +2461,7 @@ object ExtensionQueries {
     "emb_label_spread" -> (qEmbLabelSpread _),
     "parts_abc_analysis" -> (qPartsAbcAnalysis _),
     "events_ppr" -> (qEventsPpr _),
+    "events_kcore" -> (qEventsKcore _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -3840,7 +3854,7 @@ object ExtensionQueries {
          |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
          |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk FROM cells)
          |  WHERE rk <= 50),
-         |ed AS (SELECT x.user_id AS a, y.user_id AS b
+         |ed AS MATERIALIZED (SELECT x.user_id AS a, y.user_id AS b
          |       FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
          |       GROUP BY 1, 2 HAVING COUNT(*) >= 4),
          |${graft.ops.Graph.triangleStatsSql}
@@ -4004,5 +4018,21 @@ object ExtensionQueries {
          |SELECT node AS event_type, CAST(pr AS BIGINT) AS pr
          |FROM r3 ORDER BY event_type""".stripMargin
     },
+
+    "events_kcore" ->
+      s"""WITH cells AS MATERIALIZED (SELECT DISTINCT user_id,
+         |    event_type || '|' || CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell
+         |  FROM events),
+         |cap AS MATERIALIZED (SELECT cell, user_id FROM (
+         |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk FROM cells)
+         |  WHERE rk <= 50),
+         |ed AS MATERIALIZED (SELECT x.user_id AS a, y.user_id AS b
+         |       FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         |${graft.ops.Graph.kCoreSql(3, 4)}
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dg4) AS n_core_nodes,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e4) AS n_core_edges,
+         |       COALESCE((SELECT MIN(d) >= 3 FROM dg4), TRUE) AS converged""".stripMargin,
   )
 }

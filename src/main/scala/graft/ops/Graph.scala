@@ -139,6 +139,66 @@ object Graph {
        |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst
        |) i ON nn.node = i.dst""".stripMargin
 
+  /** k-core decomposition by bounded-round peeling (Seidman 1983;
+    * Batagelj–Zaveršnik): repeatedly drop nodes of degree < k until
+    * the k-core remains — the dense-subgraph extractor that separates
+    * genuinely connected communities from incidental edges. Peeling
+    * is non-monotone (deleting a node lowers its neighbors' degrees),
+    * so the distributed form runs a FIXED number of synchronous
+    * rounds — each round one degree aggregate + two semi joins, edges
+    * pinned per round like the components loop — and emits a
+    * `converged` flag computed FROM THE DATA (min remaining degree ≥
+    * k, vacuously true when empty): a graph needing more rounds
+    * reports converged = false rather than silently returning a
+    * non-core. Fixture graphs converge in ≤ 2 rounds (measured);
+    * rounds is a parameter precisely so the flag stays honest if a
+    * future fixture needs more.
+    *
+    * Returns one row (n_core_nodes, n_core_edges, converged).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val good = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("v"))
+      e = e.join(good.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(good.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    e.agg(count(lit(1)).as("n_core_edges"))
+      .crossJoin(broadcast(deg.agg(
+        count(lit(1)).as("n_core_nodes"),
+        coalesce(min(col("d")) >= k, lit(true)).as("converged"))))
+      .select(col("n_core_nodes"), col("n_core_edges"), col("converged"))
+  }
+
+  /** DuckDB mirror of [[kCore]] given `ed(a, b)`; defines `e$rounds`
+    * as the peeled edge set and `dg$rounds` as its degree table. Every
+    * round CTE is MATERIALIZED: each `e_i` references `e_{i-1}` three
+    * times (degree table twice, filter once), so inlined CTEs would
+    * re-expand the whole chain 3^rounds times — the oracle hangs
+    * without the hint. */
+  def kCoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "ed" else s"e${i - 1}"
+      s"""g$i AS MATERIALIZED (SELECT v FROM (
+         |  SELECT v, COUNT(*) AS d FROM (
+         |    SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1)
+         |  WHERE d >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT v FROM g$i) AND b IN (SELECT v FROM g$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$steps,
+       |dg$rounds AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1)"""
+      .stripMargin
+  }
+
   /** Exact triangle census over an undirected edge set `(a, b)`
     * (distinct, a < b) — the clustering-coefficient / community-
     * density primitive of graph mining.
@@ -191,17 +251,20 @@ object Graph {
   /** DuckDB mirror of [[triangleStats]], given a CTE `ed(a, b)` with
     * the same distinct a < b edge set. */
   def triangleStatsSql: String =
-    s"""dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+    // MATERIALIZED: ori is referenced 3× (two wedge sides + the close
+    // probe) and dg 2× — inlined CTEs would re-expand the edge builder
+    // multiplicatively (the k-core oracle measurably hangs without it)
+    s"""dg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
        |      FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
-       |ori AS (SELECT CASE WHEN (x.da, x.a) < (x.db, x.b) THEN x.a ELSE x.b END AS src,
+       |ori AS MATERIALIZED (SELECT CASE WHEN (x.da, x.a) < (x.db, x.b) THEN x.a ELSE x.b END AS src,
        |               CASE WHEN (x.da, x.a) < (x.db, x.b) THEN x.b ELSE x.a END AS dst,
        |               CASE WHEN (x.da, x.a) < (x.db, x.b) THEN x.db ELSE x.da END AS dd
        |        FROM (SELECT ed.a, ed.b, na.d AS da, nb.d AS db
        |              FROM ed JOIN dg na ON ed.a = na.v JOIN dg nb ON ed.b = nb.v) x),
-       |wg AS (SELECT e1.dst AS v, e2.dst AS w
+       |wg AS MATERIALIZED (SELECT e1.dst AS v, e2.dst AS w
        |       FROM ori e1 JOIN ori e2 ON e1.src = e2.src
        |       WHERE (e1.dd, e1.dst) < (e2.dd, e2.dst)),
-       |tri AS (SELECT wg.v, wg.w FROM wg
+       |tri AS MATERIALIZED (SELECT wg.v, wg.w FROM wg
        |        WHERE EXISTS (SELECT 1 FROM ori o WHERE o.src = wg.v AND o.dst = wg.w))
        |""".stripMargin
 }

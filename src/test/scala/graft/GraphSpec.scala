@@ -130,6 +130,27 @@ class GraphSpec extends SparkSpec {
     assert(triCount(g)._3 === bruteTriangles(g))
   }
 
+  test("kCore peels to the planted dense core and certifies convergence") {
+    // K4 on 1-4 plus a pendant path 4-5-6: the 3-core is exactly the K4
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val (n, m, conv) = Graph.kCore(g.toDF("a", "b"), k = 3, rounds = 3)
+      .as[(Long, Long, Boolean)].head()
+    assert((n, m, conv) === ((4L, 6L, true)))
+  }
+
+  test("kCore reports converged = false when the round budget is too small") {
+    // a 10-node path at k = 2 peels two endpoints per round: 2 rounds
+    // leave degree-1 nodes behind and the flag must say so
+    val path = (1L to 9L).map(i => (i, i + 1))
+    val under = Graph.kCore(path.toDF("a", "b"), k = 2, rounds = 2)
+      .as[(Long, Long, Boolean)].head()
+    assert(!under._3)
+    val enough = Graph.kCore(path.toDF("a", "b"), k = 2, rounds = 5)
+      .as[(Long, Long, Boolean)].head()
+    assert(enough === ((0L, 0L, true))) // a path has no 2-core
+  }
+
   test("triangle census is partition-independent") {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
     val a = triCount(g)
