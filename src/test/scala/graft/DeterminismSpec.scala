@@ -59,7 +59,9 @@ class DeterminismSpec extends SparkSpec {
     "emb_label_spread",    // synchronous majority rounds, total vote order
     "corpus_datacard",     // wide Expand distincts + vocab
     "events_user_streaks", // island keys from the user-keyed window
-    "parts_abc_analysis")  // dimension-window cumulative shares
+    "parts_abc_analysis",  // dimension-window cumulative shares
+    "events_ppr",          // seeded-teleport fixed-point iterations
+    "events_kcore")        // synchronous peeling rounds + converged flag
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
