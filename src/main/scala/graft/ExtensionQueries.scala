@@ -2354,6 +2354,65 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** k-anonymity audit (Sweeney 2002) over the events table: treat
+    * (event_type, day) as the quasi-identifier and measure
+    * re-identification risk — how many quasi-identifier groups have
+    * fewer than k = 5 distinct users, and how many users sit in such
+    * groups. The governance-side counterpart of text_pii_redact: one
+    * keyed aggregate over (type, day), one rollup — no row-level data
+    * leaves the aggregate. Emits one row per k-anonymity status so
+    * the risky population is a first-class number.
+    */
+  private def qEventsKanonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("anonymous", col("group_size") >= 5)
+      .groupBy(col("anonymous"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("group_size")).as("n_memberships"))
+      .orderBy("anonymous")
+
+  /** Benford first-digit distribution scaled to the leading digit
+    * of each ×10⁶ expected share so both engines carry identical
+    * literals. */
+  private val benfordX1m: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit over order totals — the fraud /
+    * synthetic-data detector (Nigrini's digital analysis; naturally
+    * occurring amounts follow P(d) = log10(1 + 1/d), fabricated ones
+    * rarely do). Exact arithmetic: the first digit comes from the
+    * integer cents string, the observed share is ×10⁶ via integer
+    * division, the expected share is a hard-coded public constant
+    * table (log10 evaluated OFFLINE so no engine's libm enters the
+    * result), and the deviation is an exact difference. One scan-stage
+    * projection + a 9-group aggregate.
+    */
+  private def qOrdersBenford(s: SparkSession, dir: String): DataFrame = {
+    val expected = benfordX1m.toSeq.sortBy(_._1)
+      .map { case (d, e) => (lit(d), lit(e)) }
+    val expCol = expected.tail.foldLeft(
+      when(col("digit") === expected.head._1, expected.head._2)) {
+      case (acc, (d, e)) => acc.when(col("digit") === d, e)
+    }
+    val digits = Tables.orders(s, dir)
+      .select(substring(expr("CAST(CAST(abs(o_totalprice) * 100 AS DECIMAL(18,0)) AS STRING)"),
+        1, 1).cast("int").as("digit"))
+      .where(col("digit") >= 1) // zero-total orders carry no leading digit
+    val tot = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("CAST(1000000 * CAST(n AS DECIMAL(38,0)) div n_total AS BIGINT)")
+          .as("share_x1m"),
+        expCol.as("benford_x1m"))
+      .withColumn("dev_x1m", col("share_x1m") - col("benford_x1m"))
+      .orderBy("digit")
+  }
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2462,6 +2521,8 @@ object ExtensionQueries {
     "parts_abc_analysis" -> (qPartsAbcAnalysis _),
     "events_ppr" -> (qEventsPpr _),
     "events_kcore" -> (qEventsKcore _),
+    "events_kanonymity" -> (qEventsKanonymity _),
+    "orders_benford" -> (qOrdersBenford _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4034,5 +4095,31 @@ object ExtensionQueries {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dg4) AS n_core_nodes,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e4) AS n_core_edges,
          |       COALESCE((SELECT MIN(d) >= 3 FROM dg4), TRUE) AS converged""".stripMargin,
+
+    "events_kanonymity" ->
+      """WITH d AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+        |g AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS group_size
+        |      FROM d GROUP BY 1, 2)
+        |SELECT (group_size >= 5) AS anonymous, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(group_size) AS BIGINT) AS n_memberships
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orders_benford" -> {
+      val cases = benfordX1m.toSeq.sortBy(_._1)
+        .map { case (d, e) => s"WHEN $d THEN $e" }.mkString(" ")
+      s"""WITH dg AS (SELECT CAST(substr(
+         |    CAST(CAST(abs(o_totalprice) * 100 AS DECIMAL(18,0)) AS VARCHAR), 1, 1)
+         |    AS INT) AS digit FROM orders),
+         |f AS (SELECT digit FROM dg WHERE digit >= 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM f),
+         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+         |j AS (SELECT c.digit, c.n,
+         |        CAST(1000000 * CAST(c.n AS HUGEINT) // t.n_total AS BIGINT) AS share_x1m,
+         |        CAST(CASE c.digit $cases END AS BIGINT) AS benford_x1m
+         |      FROM c CROSS JOIN t)
+         |SELECT digit, n, share_x1m, benford_x1m,
+         |       share_x1m - benford_x1m AS dev_x1m
+         |FROM j ORDER BY digit""".stripMargin
+    },
   )
 }

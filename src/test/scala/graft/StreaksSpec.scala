@@ -1,7 +1,10 @@
 package graft
 
-/** Gaps-and-islands streak mining pinned against a driver-side fold
-  * over the raw fixture. */
+import org.apache.spark.sql.functions.to_date
+
+/** Gaps-and-islands streak mining, ABC classification, and the audit
+  * queries (Benford, k-anonymity), each pinned against a driver-side
+  * fold over the raw fixture. */
 class StreaksSpec extends SparkSpec {
   import spark.implicits._
 
@@ -40,5 +43,42 @@ class StreaksSpec extends SparkSpec {
     // fall from A to B to C
     def mean(c: String): Double = rows(c)._2.toDouble / rows(c)._1
     assert(mean("A") > mean("B") && mean("B") > mean("C"))
+  }
+
+  test("orders_benford recounts exactly and carries the public expected table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ExtensionQueries.queries("orders_benford")(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map { case (d, n, s, b, dev) => d -> ((n, s, b, dev)) }.toMap
+    val want = Tables.orders(spark, dir)
+      .select($"o_totalprice").as[Double].collect()
+      .map(p => BigDecimal(math.abs(p) * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toBigInt.toString.head.asDigit)
+      .filter(_ >= 1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === want)
+    // shares are exact floor(1e6·n/total) and devs are exact differences
+    val total = want.values.sum
+    got.foreach { case (d, (n, s, b, dev)) =>
+      assert(s === 1000000L * n / total)
+      assert(dev === s - b)
+    }
+    // the expected column is the published Benford table
+    assert(got(1)._3 === 301030L && got(9)._3 === 45757L)
+  }
+
+  test("events_kanonymity recounts the risky population exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val groups = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"user_id").distinct()
+      .groupBy($"event_type", $"day").count()
+      .select($"count").as[Long].collect()
+    val want = groups.groupBy(_ >= 5L).map { case (anon, gs) =>
+      anon -> ((gs.size.toLong, gs.sum))
+    }
+    val got = ExtensionQueries.queries("events_kanonymity")(spark, dir)
+      .as[(Boolean, Long, Long)].collect()
+      .map { case (a, g, m) => a -> ((g, m)) }.toMap
+    assert(got === want)
   }
 }
