@@ -2413,6 +2413,21 @@ object ExtensionQueries {
       .orderBy("digit")
   }
 
+  /** Language-ID confusion matrix — the operator-evaluation query for
+    * the langid heuristic (same pattern as the Bloom confusion table:
+    * the engine measures its OWN classifier against the fixture's
+    * ground-truth lang column, and the matrix is first-class data a
+    * pipeline owner reads before trusting the filter). One scan-stage
+    * classification + one (truth, guess)-keyed aggregate.
+    */
+  private def qTextLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select((Seq(col("doc_id"), col("lang")) ++ Text.langScores("text")): _*)
+      .withColumn("lang_guess", Text.langGuess)
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_guess")
+
   // ---------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2523,6 +2538,7 @@ object ExtensionQueries {
     "events_kcore" -> (qEventsKcore _),
     "events_kanonymity" -> (qEventsKanonymity _),
     "orders_benford" -> (qOrdersBenford _),
+    "text_langid_confusion" -> (qTextLangidConfusion _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4121,5 +4137,14 @@ object ExtensionQueries {
          |       share_x1m - benford_x1m AS dev_x1m
          |FROM j ORDER BY digit""".stripMargin
     },
+
+    "text_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, $TK AS tk FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |       $langScoreSql
+         |  FROM t),
+         |g AS (SELECT lang, $langGuessSql AS lang_guess FROM s)
+         |SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
