@@ -483,6 +483,31 @@ class PlanSpec extends SparkSpec {
         "never evaluate pairs unkeyed")
   }
 
+  test("events_ppr: iterations run on the pinned edges with broadcast ranks") {
+    val p = planOf("events_ppr")
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "personalized iterations must read the localCheckpointed edge " +
+        "aggregate, never the raw events")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "the rank vector must broadcast to the edge side each round")
+  }
+
+  test("events_kcore: peeled rounds read pinned frames, not the raw events") {
+    val p = planOf("events_kcore")
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "each peeling round must read the previous round's pinned edges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("parts_abc_analysis: the global window sits on the pre-aggregated dimension") {
+    val p = planOf("parts_abc_analysis")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2,
+      "only the dimension-sized cumulative window (and the scalar " +
+        "total) may serialize — the fact table must aggregate first")
+    assert(p.contains("partial_sum") || "HashAggregate".r.findAllIn(p).length >= 2,
+      "the revenue aggregate must partial-combine before any window")
+  }
+
   test("emb_pca_project: projection reads one scan with no joins") {
     val q = SparkEntry.queries("emb_pca_project")(spark, dir)
     q.count()
