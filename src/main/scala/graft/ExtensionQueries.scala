@@ -1936,9 +1936,9 @@ object ExtensionQueries {
       .limit(20)
   }
 
-  /** Chunk granularity for [[qCorpusChunkDedup]]; shared by the SQL
-    * mirror. */
-  private val ChunkTokens = 16
+  /** Chunk granularity ([[graft.ops.Dedup.ChunkTokens]]) — aliased for
+    * the SQL mirror. */
+  private val ChunkTokens = Dedup.ChunkTokens
 
   /** C4-style sub-document dedup (Raffel et al., JMLR 2020 dedup every
     * three-sentence span; RefinedWeb dedups lines): each doc splits
@@ -1959,15 +1959,7 @@ object ExtensionQueries {
     * by doc.
     */
   private def qCorpusChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val C = ChunkTokens
-    val chunks = Tables.documents(s, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-      .withColumn("nc", expr(s"(size(tk) - 1) div $C"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), col("nc")),
-        i => array_join(slice(col("tk"), i * C + lit(1), lit(C)), " "))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
-      .withColumn("k", col("doc_id") * 1048576L + col("pos"))
+    val chunks = Dedup.tokenChunks(Tables.documents(s, dir), col("text"), col("doc_id"))
     val winners = chunks.groupBy("chunk").agg(min(col("k")).as("wk"))
     chunks.join(winners, "chunk")
       .groupBy("doc_id")
@@ -2055,23 +2047,16 @@ object ExtensionQueries {
       .orderBy("vec_id")
   }
 
-  /** Triangle census over the user co-presence graph
-    * ([[graft.ops.Graph.triangleStats]]): users sharing ≥ 4
-    * (event_type, hour) cells are edges — blocking through cells with
-    * the same deterministic hash-rank cap (50 users/cell) every dedup
-    * blocker uses, so a viral cell can never go quadratic — and the
-    * degree-ordered orientation bounds wedge volume at m^1.5
-    * regardless of hub skew. The ≥ 4 support threshold is the edge
-    * analog of every blocker's candidate-verify step: at ≥ 2 the
-    * fixture's co-presence graph is near-complete (384k edges over
-    * 1.5k users at sf0.1, avg degree 512 — measured) and wedge volume
-    * explodes on co-presence NOISE; ≥ 4 keeps real affinity (39k
-    * edges, 44k triangles) at 1/60th the work. One summary row; every
-    * count engine-exact because the (deg, id) orientation order is
-    * total.
-    */
   /** Shared co-presence edge builder for the graph-mining family:
-    * users sharing ≥ 4 capped (event_type, hour) cells. */
+    * users sharing ≥ 4 capped (event_type, hour) cells. Blocking runs
+    * through cells with the same deterministic hash-rank cap (50
+    * users/cell) every dedup blocker uses, so a viral cell can never
+    * go quadratic. The ≥ 4 support threshold is the edge analog of
+    * every blocker's candidate-verify step: at ≥ 2 the fixture's
+    * co-presence graph is near-complete (384k edges over 1.5k users
+    * at sf0.1, avg degree 512 — measured) and downstream wedge volume
+    * explodes on co-presence NOISE; ≥ 4 keeps real affinity (39k
+    * edges, 44k triangles) at 1/60th the work. */
   private def coPresenceEdges(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(s, dir)
       .select(col("user_id"), concat(col("event_type"), lit("|"),
@@ -2088,6 +2073,11 @@ object ExtensionQueries {
       .select(col("a"), col("b"))
   }
 
+  /** Triangle census over the co-presence graph
+    * ([[graft.ops.Graph.triangleStats]]): degree-ordered orientation
+    * bounds wedge volume at m^1.5 regardless of hub skew. One summary
+    * row; every count engine-exact because the (deg, id) orientation
+    * order is total. */
   private def qEventsTriangles(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.triangleStats(coPresenceEdges(s, dir))
 
@@ -2544,7 +2534,23 @@ object ExtensionQueries {
   // ------------------------------------------------------- oracle SQL
 
   private val L = Fixtures.cdcLogSql
-  private val TK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val TK = graft.ops.Text.tokensSql()
+
+  /** Shared DuckDB CTEs for the co-presence edge builder — one source
+    * of truth for every graph-mining oracle, mirroring
+    * [[coPresenceEdges]] the same way TK mirrors Text.tokens. All
+    * MATERIALIZED: the consumers reference `ed` multiple times. */
+  private val coPresenceSql: String =
+    s"""cells AS MATERIALIZED (SELECT DISTINCT user_id,
+       |    event_type || '|' || CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell
+       |  FROM events),
+       |cap AS MATERIALIZED (SELECT cell, user_id FROM (
+       |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
+       |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk FROM cells)
+       |  WHERE rk <= 50),
+       |ed AS MATERIALIZED (SELECT x.user_id AS a, y.user_id AS b
+       |       FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 4)""".stripMargin
   private val VALID_WHERE =
     """WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
       |             OR emp_salary <= 100 OR emp_id < 0)""".stripMargin
@@ -2912,14 +2918,14 @@ object ExtensionQueries {
         |FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
 
     "text_fingerprint" ->
-      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS lt,
+      s"""WITH t AS (SELECT doc_id,
          |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents)
          |SELECT doc_id, md5(norm) AS fingerprint,
          |  list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
-         |  CAST(len(regexp_extract_all(lt, '${Text.bpeTokenPattern}', 0)) AS BIGINT) AS n_bpe_tokens
+         |  CAST(len(regexp_extract_all(norm, '${Text.bpeTokenPattern}', 0)) AS BIGINT) AS n_bpe_tokens
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->
@@ -3900,7 +3906,7 @@ object ExtensionQueries {
          |FROM c JOIN w USING (chunk) GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
-    "text_bm25_topk" -> graft.ops.Retrieval.bm25TopKSql(bm25Terms, 10),
+    "text_bm25_topk" -> graft.ops.Retrieval.bm25TopKSql(bm25Terms, 10, TK),
 
     "corpus_importance_resample" ->
       s"""WITH t AS (SELECT doc_id, lang, $TK AS tk FROM documents),
@@ -3924,16 +3930,7 @@ object ExtensionQueries {
     "emb_pca_project" -> graft.ops.Pca.projectSql(EMB_DIM, rounds = 3),
 
     "events_triangles" ->
-      s"""WITH cells AS (SELECT DISTINCT user_id,
-         |    event_type || '|' || CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell
-         |  FROM events),
-         |cap AS (SELECT cell, user_id FROM (
-         |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
-         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk FROM cells)
-         |  WHERE rk <= 50),
-         |ed AS MATERIALIZED (SELECT x.user_id AS a, y.user_id AS b
-         |       FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
-         |       GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      s"""WITH $coPresenceSql,
          |${graft.ops.Graph.triangleStatsSql}
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
@@ -3942,7 +3939,7 @@ object ExtensionQueries {
     "text_bpe_encode" -> {
       val pat = graft.ops.Text.bpeTokenPattern
       s"""WITH b AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(trim(text)), '$pat', 0)) AS BIGINT) AS n_pretokens,
+         |    CAST(len(regexp_extract_all(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '$pat', 0)) AS BIGINT) AS n_pretokens,
          |    CAST(${graft.ops.Text.bpeMergedCountSql(bpeMerges)} AS BIGINT) AS n_bpe_tokens,
          |    CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS BIGINT) AS n_chars
          |  FROM documents)
@@ -4097,16 +4094,7 @@ object ExtensionQueries {
     },
 
     "events_kcore" ->
-      s"""WITH cells AS MATERIALIZED (SELECT DISTINCT user_id,
-         |    event_type || '|' || CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell
-         |  FROM events),
-         |cap AS MATERIALIZED (SELECT cell, user_id FROM (
-         |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
-         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk FROM cells)
-         |  WHERE rk <= 50),
-         |ed AS MATERIALIZED (SELECT x.user_id AS a, y.user_id AS b
-         |       FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
-         |       GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      s"""WITH $coPresenceSql,
          |${graft.ops.Graph.kCoreSql(3, 4)}
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dg4) AS n_core_nodes,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e4) AS n_core_edges,

@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Chunk granularity for sub-document dedup — single source of truth
+    * for the batch operator, its SQL mirror, and the streaming twin. */
+  val ChunkTokens = 16
+
+  /** Consecutive `chunkTokens`-token chunks per doc: (doc_id, pos,
+    * chunk, k) where `k` packs (doc_id, pos) into one BIGINT
+    * (pos < 2²⁰ — docs beyond 16M tokens would need a wider packing)
+    * so first-occurrence-wins stays a single-column MIN in any
+    * engine. The chunking itself is scan-stage (sequence + slice +
+    * posexplode); shared by `corpus_chunk_dedup` and
+    * [[graft.streaming.CorpusStream.chunkDedupBatch]] so the batch
+    * and streaming forms can never chunk differently.
+    */
+  def tokenChunks(docs: DataFrame, textCol: Column, idCol: Column,
+      chunkTokens: Int = ChunkTokens): DataFrame =
+    docs.select(idCol.as("doc_id"), Text.tokens(textCol).as("tk"))
+      .withColumn("nc", expr(s"(size(tk) - 1) div $chunkTokens"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nc")),
+        i => array_join(slice(col("tk"), i * chunkTokens + lit(1), lit(chunkTokens)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
+      .withColumn("k", col("doc_id") * 1048576L + col("pos"))
+
   /** Exact dedup groups by content fingerprint: one hash-shuffle.
     * `rep_doc_id` = min id is the canonical survivor (first-writer-wins
     * like A1).

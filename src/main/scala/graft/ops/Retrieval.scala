@@ -73,9 +73,11 @@ object Retrieval {
       .limit(k)
   }
 
-  /** DuckDB mirror of [[bm25TopK]] over the `documents` table. */
+  /** DuckDB mirror of [[bm25TopK]] over the `documents` table; the
+    * tokenizer expression defaults to [[Text.tokensSql]] — the same
+    * single source every other oracle uses. */
   def bm25TopKSql(terms: Seq[String], k: Int,
-      tkExpr: String = "regexp_split_to_array(lower(trim(text)), '\\s+')"): String = {
+      tkExpr: String = Text.tokensSql()): String = {
     val tfCols = terms.indices.map(i =>
       s"len(list_filter(tk, x -> x = '${terms(i)}')) AS tf$i").mkString(",\n|        ")
     val dfCols = terms.indices.map(i =>

@@ -20,6 +20,11 @@ object Text {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** THE DuckDB mirror of [[tokens]] — single source of truth for
+    * every oracle that tokenizes (ExtensionQueries.TK aliases it). */
+  def tokensSql(textExpr: String = "text"): String =
+    s"regexp_split_to_array(lower(trim($textExpr)), '\\s+')"
+
   /** MD5 fingerprint of the normal form — exact-dup key (content
     * addressing; md5 is fine for dedup, not security). */
   def fingerprint(text: Column): Column = md5(normalized(text))
@@ -29,8 +34,12 @@ object Text {
     * tokenizers apply before merges. Count = size of the match list.
     */
   val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  // pre-tokenization runs on the whitespace-NORMALIZED form: the
+  // pattern's [^a-z0-9 ] class excludes only the literal space, so an
+  // un-collapsed tab or newline would count as a phantom punctuation
+  // pre-token
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(trim(text)), lit(bpeTokenPattern), lit(0))).cast("long")
+    size(regexp_extract_all(normalized(text), lit(bpeTokenPattern), lit(0))).cast("long")
 
   /** Adjacent-pair frequency table over the BPE pre-tokens — the inner
     * step of BPE tokenizer training (Sennrich et al., ACL 2016: each
@@ -83,14 +92,19 @@ object Text {
     // other pair), and a replacement emits "␟ab␟", never a bare "␟a␟",
     // so a single pass leaves no residual occurrence. ␟ (unit
     // separator, chr 31) is stripped from the text first so it can
-    // never masquerade as a symbol.
+    // never masquerade as a symbol. Whitespace collapses to single
+    // spaces BEFORE pre-tokenization — the class [^a-z0-9 ] excludes
+    // only the literal space, so an un-normalized tab or newline
+    // would count as a phantom 1-char symbol that the n_chars
+    // denominator strips, inflating the compression ratio.
     val spaced = "concat(char(31), array_join(split(t, ''), concat(char(31), char(31))), char(31))"
     val chain = merges.foldLeft(spaced) { case (acc, (a, b)) =>
       s"replace($acc, concat(char(31), '$a', char(31), char(31), '$b', char(31)), " +
         s"concat(char(31), '$a$b', char(31)))"
     }
     expr("aggregate(regexp_extract_all(" +
-      s"replace(lower(trim($textExpr)), char(31), ''), '$bpeTokenPattern', 0), " +
+      s"replace(regexp_replace(lower(trim($textExpr)), '\\\\s+', ' '), char(31), ''), " +
+      s"'$bpeTokenPattern', 0), " +
       s"0L, (acc, t) -> acc + (length($chain) - length(replace($chain, char(31), ''))) div 2)")
   }
 
@@ -102,7 +116,8 @@ object Text {
         s"chr(31) || '$a$b' || chr(31))"
     }
     s"COALESCE(list_sum(list_transform(" +
-      s"regexp_extract_all(replace(lower(trim($textExpr)), chr(31), ''), '$bpeTokenPattern', 0), " +
+      s"regexp_extract_all(replace(regexp_replace(lower(trim($textExpr)), '\\s+', ' ', 'g'), chr(31), ''), " +
+      s"'$bpeTokenPattern', 0), " +
       s"t -> (length($chain) - length(replace($chain, chr(31), ''))) // 2)), 0)"
   }
 

@@ -121,7 +121,8 @@ object CorpusStream {
     * chunk-deduped within the batch by a map-side-combinable
     * group-by min), never the store, when the batch side broadcasts.
     */
-  def chunkDedupBatch(storeDir: String, statsDir: String, chunkTokens: Int = 16)(
+  def chunkDedupBatch(storeDir: String, statsDir: String,
+      chunkTokens: Int = Dedup.ChunkTokens)(
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val storeSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -140,19 +141,15 @@ object CorpusStream {
               org.apache.spark.sql.types.StructField("seen_md5",
                 org.apache.spark.sql.types.StringType))))
       }
-    val C = chunkTokens
-    val chunks = batch.select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-      .withColumn("nc", expr(s"(size(tk) - 1) div $C"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), col("nc")),
-        i => array_join(slice(col("tk"), i * C + lit(1), lit(C)), " "))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("col")).as("chunk_md5"))
-      .withColumn("k", col("doc_id") * 1048576L + col("pos"))
+    val chunks = Dedup.tokenChunks(batch, col("text"), col("doc_id"), chunkTokens)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_md5"), col("k"))
     val winners = chunks.groupBy("chunk_md5").agg(min(col("k")).as("wk"))
+    // pinned: BOTH writes below read it — without the checkpoint the
+    // store scan, chunking, and both shuffles would run twice per batch
     val marked = chunks.join(winners, "chunk_md5")
       .join(seen, col("chunk_md5") === col("seen_md5"), "left")
       .withColumn("kept", col("k") === col("wk") && col("seen_md5").isNull)
+      .localCheckpoint(true)
     marked.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))

@@ -47,13 +47,19 @@ class PcaSpec extends SparkSpec {
     assert(Pca.powerIterate(g, 3) === Seq(0L, 0L, 0L, 0L))
   }
 
-  test("registered query is deterministic across partitionings") {
+  test("registered query is deterministic across shuffle widths") {
     val dir = "/root/testdata/sf0.001"
-    val a = ExtensionQueries.queries("emb_pca_project")(spark, dir)
-      .collect().map(_.toSeq).toSeq
-    val b = ExtensionQueries.queries("emb_pca_project")(spark, dir)
-      .collect().map(_.toSeq).toSeq
-    assert(a === b)
-    assert(a.nonEmpty)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "3")
+      val a = ExtensionQueries.queries("emb_pca_project")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set(key, "11")
+      val b = ExtensionQueries.queries("emb_pca_project")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(a === b)
+      assert(a.nonEmpty)
+    } finally spark.conf.set(key, saved)
   }
 }
