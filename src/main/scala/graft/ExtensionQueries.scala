@@ -2056,8 +2056,19 @@ object ExtensionQueries {
     * co-presence graph is near-complete (384k edges over 1.5k users
     * at sf0.1, avg degree 512 — measured) and downstream wedge volume
     * explodes on co-presence NOISE; ≥ 4 keeps real affinity (39k
-    * edges, 44k triangles) at 1/60th the work. */
-  private def coPresenceEdges(s: SparkSession, dir: String): DataFrame = {
+    * edges, 44k triangles) at 1/60th the work.
+    *
+    * Memoized (AnnCache pattern, like the dedup pair graph): the
+    * triangle census and the k-core both consume the identical edge
+    * set, and at 100 TB the pair generation is the expensive artifact
+    * — each family member reads the pinned build instead of re-paying
+    * the cells self-join (~9 core-seconds per consumer at sf0.1). */
+  private def coPresenceEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"copresence:$dir") {
+      graft.ops.AnnCache.pin(coPresenceEdgesBuild(s, dir))
+    }
+
+  private def coPresenceEdgesBuild(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(s, dir)
       .select(col("user_id"), concat(col("event_type"), lit("|"),
         date_trunc("hour", col("ts")).cast("string")).as("cell"))
