@@ -61,7 +61,11 @@ class DeterminismSpec extends SparkSpec {
     "events_user_streaks", // island keys from the user-keyed window
     "parts_abc_analysis",  // dimension-window cumulative shares
     "events_ppr",          // seeded-teleport fixed-point iterations
-    "events_kcore")        // synchronous peeling rounds + converged flag
+    "events_kcore",        // synchronous peeling rounds + converged flag
+    "orders_benford",      // digit shares vs literal expected table
+    "events_kanonymity",   // group-size rollup boundaries
+    "text_langid_confusion", // classifier scores + argmax tie-break
+    "text_bpe_encode")     // per-row merge sweep + ratio quotients
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
