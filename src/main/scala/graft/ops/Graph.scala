@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: the edge aggregation is ONE keyed shuffle over the raw
   * data; every iteration after that runs on the aggregated edge table
   * (|node|² at worst, |distinct edges| in practice), with the rank
-  * vector broadcast to the edge side — at 100 TB of events the
-  * iterations never touch the raw data again. Dangling nodes (no
+  * vector joined to the edge side — broadcast below
+  * [[Graph.BroadcastNodeBudget]] nodes, keyed shuffle join above it
+  * (the rank frame is |nodes| rows, bounded by the data, so an
+  * unconditional broadcast would blow up on a 10⁹-node graph) — at
+  * 100 TB of events the iterations never touch the raw data again.
+  * Dangling nodes (no
   * out-edges) keep their teleport share and simply stop forwarding
   * mass; total mass is then conserved only up to the dangling leak,
   * which is the standard simplification and — being deterministic — is
@@ -31,6 +35,16 @@ object Graph {
   /** Damping factor in percent (85 = the canonical 0.85). */
   val DampPct = 85L
 
+  /** Rank-vector broadcast budget in rows. The rank frame is |nodes|
+    * rows — bounded by the DATA, not by a model constant, unlike every
+    * other broadcast in this library. Below the budget it broadcasts
+    * to the edge side each round (zero rank shuffle); above it the
+    * per-iteration join falls back to a keyed shuffle join — at 10⁸–10⁹
+    * nodes a multi-GB per-round broadcast would exceed executor memory
+    * and the broadcast limit. 2M rows of (node, pr) is ≲100 MB, safely
+    * under a default executor's broadcast headroom. */
+  val BroadcastNodeBudget = 2000000L
+
   /** `iters` rounds of damped PageRank over `edges(src, dst, w)`.
     * Returns (node, pr) with pr in [[Scale]] fixed-point.
     *
@@ -38,11 +52,16 @@ object Graph {
     *   contrib(e) = (pr(src) · w) div W(src)
     *   pr'(n) = ((15 · Scale) div 100) div N + (85 · Σ contrib_in(n)) div 100
     *
-    * The rank frame is ≤ N rows and is re-broadcast each round; plan
+    * The rank frame is ≤ N rows, re-joined to the edges each round —
+    * broadcast when N ≤ `broadcastNodeBudget`, keyed shuffle join
+    * above it (see [[BroadcastNodeBudget]]). N itself comes from one
+    * driver-side count over the pinned node frame: a bounded scalar
+    * action, and the same frame every iteration reads anyway. Plan
     * depth grows linearly in `iters` (each round references the
     * previous rank exactly once — no exponential-plan trap).
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int,
+               broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
     // The aggregated edge table is tiny (≤ |nodes|²) but every frame
     // below derives from it — without pinning, each of the 2 + 3·iters
     // references re-runs the full raw-data aggregation (observed: 22
@@ -53,28 +72,32 @@ object Graph {
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val ew = e.join(outW, Seq("src")) // (src, dst, w, out_w)
 
+    // pinned: referenced by every round's left join plus the count
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // scalar N rides a broadcast cross join: no collect, one row
-    val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    val withN = nodes.crossJoin(broadcast(n))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    // Scala Long `/` and Spark/DuckDB integer `div` agree on
+    // non-negative operands, so driver-side literals stay oracle-exact
+    val hintRank: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeBudget) broadcast else identity
 
-    var rank = withN.select(col("node"), expr(s"$Scale div n_nodes").as("pr"))
+    var rank = nodes.select(col("node"), lit(Scale / nNodes).as("pr"))
     for (_ <- 1 to iters) {
-      // `rank` is referenced exactly once per round (and `withN` is a
+      // `rank` is referenced exactly once per round (and `nodes` is a
       // fixed non-growing frame), so plan depth is linear in `iters` —
       // no exponential-plan trap. pr·w rides DECIMAL(38,0): at real
       // event volumes an edge weight can exceed 2^63/Scale ≈ 9·10^6,
       // and Spark's long multiply wraps SILENTLY; the quotient is ≤ pr
       // so the result is safely BIGINT again
-      val contrib = ew.join(broadcast(rank), col("src") === col("node"))
+      val contrib = ew.join(hintRank(rank), col("src") === col("node"))
         .select(col("dst"),
           expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div out_w AS BIGINT)").as("c"))
       val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      rank = withN.join(inSum, col("node") === col("dst"), "left")
+      rank = nodes.join(inSum, col("node") === col("dst"), "left")
         .select(col("node"),
-          expr(s"(15 * $Scale div 100) div n_nodes" +
-            s" + ($DampPct * coalesce(in_sum, 0L)) div 100").as("pr"))
+          (lit((15L * Scale / 100L) / nNodes)
+            + expr(s"($DampPct * coalesce(in_sum, 0L)) div 100")).as("pr"))
     }
     rank.select(col("node"), col("pr"))
   }
@@ -96,12 +119,19 @@ object Graph {
     * teleports ONLY to the seed set, so rank mass measures proximity
     * to the seeds — the recommendation / related-items form of
     * PageRank). Identical fixed-point integer arithmetic and plan
-    * shape as [[pageRank]] (pinned edge aggregate, rank vector
-    * broadcast per round); the only change is the teleport term:
-    * seeds get (15·Scale div 100) div |seeds|, non-seeds get 0, and
-    * the initial mass starts entirely on the seeds.
+    * shape as [[pageRank]] (pinned edge aggregate, size-gated rank
+    * join per round); the only change is the teleport term: seeds get
+    * (15·Scale div 100) div |seeds|, non-seeds get 0, and the initial
+    * mass starts entirely on the seeds.
+    *
+    * PRECONDITION: the seed set must be non-empty — an empty set has
+    * no teleport target and the division is undefined. Enforced with
+    * an eager `require` (the SQL mirror's `// 0` raises in DuckDB;
+    * without the guard Spark's non-ANSI `div` would yield NULL ranks
+    * and silently diverge from the oracle).
     */
-  def personalizedPageRank(edges: DataFrame, iters: Int, isSeed: Column): DataFrame = {
+  def personalizedPageRank(edges: DataFrame, iters: Int, isSeed: Column,
+                           broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(true)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
@@ -109,19 +139,25 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("seed", isSeed)
-    val ns = nodes.agg(sum(when(col("seed"), 1L).otherwise(0L)).as("n_seeds"))
-    val withN = nodes.crossJoin(broadcast(ns))
-    var rank = withN.select(col("node"), col("seed"), col("n_seeds"),
-      when(col("seed"), expr(s"$Scale div n_seeds")).otherwise(0L).as("pr"))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    val nSeeds = nodes.where(col("seed")).count()
+    require(nSeeds > 0,
+      "personalizedPageRank: the seed predicate matched no node — the " +
+        "teleport distribution is undefined on an empty seed set")
+    val hintRank: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeBudget) broadcast else identity
+    var rank = nodes.select(col("node"), col("seed"),
+      when(col("seed"), lit(Scale / nSeeds)).otherwise(0L).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = ew
-        .join(broadcast(rank.select(col("node"), col("pr"))), col("src") === col("node"))
+        .join(hintRank(rank.select(col("node"), col("pr"))), col("src") === col("node"))
         .select(col("dst"),
           expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div out_w AS BIGINT)").as("c"))
       val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      rank = withN.join(inSum, col("node") === col("dst"), "left")
-        .select(col("node"), col("seed"), col("n_seeds"),
-          (when(col("seed"), expr(s"(15 * $Scale div 100) div n_seeds")).otherwise(0L)
+      rank = nodes.join(inSum, col("node") === col("dst"), "left")
+        .select(col("node"), col("seed"),
+          (when(col("seed"), lit((15L * Scale / 100L) / nSeeds)).otherwise(0L)
             + expr(s"($DampPct * coalesce(in_sum, 0L)) div 100")).as("pr"))
     }
     rank.select(col("node"), col("pr"))

@@ -84,6 +84,42 @@ class GraphSpec extends SparkSpec {
     assert(got("a") > 0L && got("b") > 0L)
   }
 
+  test("rank join falls back to a keyed shuffle join past the broadcast budget") {
+    // 40 nodes, budget 10: the size gate must drop the broadcast hint.
+    // autoBroadcastJoinThreshold is disabled so neither the planner nor
+    // AQE can re-convert the tiny test frame — at the real scale the
+    // gate exists for (10⁹ nodes) the frame is over the threshold anyway.
+    val es = (1L to 120L).map(i => (s"n$i", s"n${(i % 40) + 1}", 1L))
+    val df = es.toDF("src", "dst", "w")
+    val viaBroadcast = Graph.pageRank(df, iters = 2)
+      .as[(String, Long)].collect().toMap
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = Graph.pageRank(df, iters = 2, broadcastNodeBudget = 10)
+      val got = gated.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === viaBroadcast,
+        "join strategy must not change the fixed-point values")
+      val p = gated.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "past the node budget the rank vector must NOT broadcast — " +
+          "that is the 100 TB executor-memory killer the gate exists for")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the per-iteration rank join must plan as a keyed shuffle join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("personalizedPageRank fails fast on an empty seed set") {
+    // Spark's non-ANSI div would otherwise yield NULL pr for every seed
+    // while the DuckDB mirror's // 0 raises — a silent cross-engine
+    // divergence mode, closed by the eager require
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        iters = 2, col("node") === "no-such-node")
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
+
   test("result is identical under adversarial repartitioning") {
     val base = Graph.pageRank(edges.toDF("src", "dst", "w"), 3)
       .as[(String, Long)].collect().toMap
