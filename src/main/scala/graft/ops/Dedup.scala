@@ -17,11 +17,14 @@ object Dedup {
   val ChunkTokens = 16
 
   /** Consecutive `chunkTokens`-token chunks per doc: (doc_id, pos,
-    * chunk, k) where `k` packs (doc_id, pos) into one BIGINT
-    * (pos < 2²⁰ — docs beyond 16M tokens would need a wider packing)
-    * so first-occurrence-wins stays a single-column MIN in any
-    * engine. The chunking itself is scan-stage (sequence + slice +
-    * posexplode); shared by `corpus_chunk_dedup` and
+    * chunk, k) where `k` packs (doc_id, pos) into one BIGINT so
+    * first-occurrence-wins stays a single-column MIN in any engine.
+    * The packing is CHECKED: it requires 0 ≤ doc_id < 2⁴³ and
+    * pos < 2²⁰ (docs beyond 16M tokens, negative ids, or an id space
+    * past 8.8·10¹² would silently wrap and corrupt winner selection),
+    * and an out-of-range row raises instead of wrapping. The chunking
+    * itself is scan-stage (sequence + slice + posexplode); shared by
+    * `corpus_chunk_dedup` and
     * [[graft.streaming.CorpusStream.chunkDedupBatch]] so the batch
     * and streaming forms can never chunk differently.
     */
@@ -33,7 +36,12 @@ object Dedup {
         sequence(lit(0), col("nc")),
         i => array_join(slice(col("tk"), i * chunkTokens + lit(1), lit(chunkTokens)), " "))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("chunk"))
-      .withColumn("k", col("doc_id") * 1048576L + col("pos"))
+      .withColumn("k",
+        when(col("doc_id").between(0L, (1L << 43) - 1) && col("pos") < 1048576L,
+          col("doc_id") * 1048576L + col("pos"))
+        .otherwise(expr("raise_error('tokenChunks: (doc_id, pos) outside " +
+          "[0, 2^43) x [0, 2^20) — the BIGINT packing would wrap and " +
+          "corrupt first-occurrence winner selection')")))
 
   /** Exact dedup groups by content fingerprint: one hash-shuffle.
     * `rep_doc_id` = min id is the canonical survivor (first-writer-wins

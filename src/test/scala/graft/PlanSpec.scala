@@ -473,7 +473,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("emb_mutual_knn: self-join keyed on the bucket, top-k pre-reduces map-side") {
-    val p = planOf("emb_mutual_knn")
+    // the registered query reads the memoized pinned edge set (shared
+    // with emb_label_spread), so the candidate-generation guards run
+    // on the builder's own plan
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.Similarity.mutualKnn(Tables.embeddings(spark, dir),
+      col("embedding"), col("vec_id"), k = 5, bits = 6)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "candidate gen must stay bucket-keyed")
     assert(p.contains("WindowGroupLimit"),
       "rnk <= k must pre-reduce each map task before the window exchange")
@@ -481,6 +488,9 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin [bucket"),
       "the self-join must key on the sign bucket (shuffled or broadcast), " +
         "never evaluate pairs unkeyed")
+    val q = planOf("emb_mutual_knn")
+    assert("Scan parquet".r.findAllIn(q).length === 0,
+      "the registered query must read the pinned memo, not rebuild the kNN graph")
   }
 
   test("events_ppr: iterations run on the pinned edges with broadcast ranks") {
@@ -497,6 +507,15 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length === 0,
       "each peeling round must read the previous round's pinned edges")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lineitem_profile_approx: sketch pass has no Expand, scans prune to one column") {
+    val p = planOf("lineitem_profile_approx")
+    assert(!p.contains("Expand"),
+      "the HLL aggregate must NOT multiply rows 5× — dropping the " +
+        "Expand is the entire point of the sketch swap at 100 TB")
+    assert(p.contains("ReadSchema: struct<l_discount:double>"),
+      "each exact-audit distinct must scan exactly its own column")
   }
 
   test("parts_abc_analysis: the global window sits on the pre-aggregated dimension") {

@@ -40,4 +40,26 @@ class SketchSpec extends SparkSpec {
       assert(out.isEmpty, s"quantile sketch out of rank bound at sf$sf: ${out.mkString(",")}")
     }
   }
+
+  test("lineitem profile HLL distincts within 6% of exact at sf0.001 and sf0.01") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val rows = SparkEntry.queries("lineitem_profile_approx")(
+          spark, s"/root/testdata/sf$sf")
+        .select($"col_name", $"within_bound").as[(String, Boolean)].collect()
+      assert(rows.length === 5)
+      val out = rows.filterNot(_._2)
+      assert(out.isEmpty, s"profile sketch out of bound at sf$sf: ${out.mkString(",")}")
+    }
+  }
+
+  test("the exact p90 sits inside the approx query's own rank window") {
+    // the oracle-pinned exact half and the sketch half must agree on
+    // the target rank arithmetic — a drift in one shows up here
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("events_quantiles_exact")(spark, dir)
+      .select($"event_type", $"target_rank").as[(String, Long)].collect().toMap
+    val approx = SparkEntry.queries("events_approx_quantiles")(spark, dir)
+      .select($"event_type", $"target_rank").as[(String, Long)].collect().toMap
+    assert(exact === approx)
+  }
 }
