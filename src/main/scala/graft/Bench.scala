@@ -28,6 +28,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev tooling: SPARK_GRAFT_ONLY=q1,q2 profiles a subset (per-query
+    // stage attribution without a 90 s full sweep); unset = everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,7 +83,13 @@ object Bench {
       spark.catalog.clearCache()
       System.gc() // lets ContextCleaner collect dead shuffles/broadcasts
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // residents' executor-metric deltas, embedded in the stdout JSON:
+    // the driver keeps only stdout, and wall-vs-execSec is the one
+    // signal that separates real work from this host's noisy neighbors
+    val residentStages = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       val (gc0, gt0) = gcStats()
       // min of 3: the first run pays codegen/JIT, and this host has
       // noisy neighbors (observed 2-5x wall-time swings) — one slow
@@ -113,6 +123,9 @@ object Bench {
           f"[bench-stages] $name%-24s wall=$attributed%6.2fs stages=${d(0)}%3d " +
             f"execSec=${d(1) / 1e3}%8.2f shufReadMb=${d(2) / 1e6}%7.1f " +
             f"shufWriteMb=${d(3) / 1e6}%7.1f spillMb=${d(4) / 1e6}%7.1f")
+        residentStages += name -> String.format(java.util.Locale.ROOT,
+          "[%.2f,%d,%.2f,%.1f,%.1f]", Double.box(attributed), Long.box(d(0)),
+          Double.box(d(1) / 1e3), Double.box(d(2) / 1e6), Double.box(d(4) / 1e6))
       }
       cleanup()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
@@ -130,7 +143,14 @@ object Bench {
     // the capture window. The full map still goes to stderr.
     System.err.println(
       "[bench-full] " + results.map(ent).mkString("{", ",", "}"))
-    val budget = 1500
+    // the stage map publishes the residents' attribution in the
+    // driver-captured artifact: [wall s, stages, execSec, shufReadMb,
+    // spillMb] per resident. Capped so the whole line stays inside the
+    // driver's ~2000-char stdout window; queries budget shrinks to
+    // compensate.
+    val stages = residentStages.take(8)
+      .map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val budget = 1500 - stages.length
     // failed queries (-1 sentinel) lead the map unconditionally — a
     // failure must be visible in the parsed line, not just on stderr,
     // or it reads as budget truncation
@@ -142,7 +162,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries_slowest":${kept.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries_slowest":${kept.size},"stages":$stages,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

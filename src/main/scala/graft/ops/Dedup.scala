@@ -284,9 +284,14 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, textCol: Column, idCol: Column,
                       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                       num: Int = 1, den: Int = 2, maxBucket: Int = 100,
-                      persistShingles: Boolean = false): DataFrame = {
-    val base = Text.distinctShingles(docs, textCol, idCol, shingleN)
-    val sh = if (persistShingles)
+                      persistShingles: Boolean = false,
+                      shingles: Option[DataFrame] = None): DataFrame = {
+    // `shingles`: caller-supplied pre-built (doc_id, shingle) table —
+    // the cross-operator sharing shape (one shingle table feeds the
+    // whole dedup family); must equal distinctShingles(docs, shingleN)
+    val base = shingles.getOrElse(
+      Text.distinctShingles(docs, textCol, idCol, shingleN))
+    val sh = if (persistShingles && shingles.isEmpty)
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base
     // Signatures use the aggregated form, NOT [[bandKeyArray]]: the
@@ -314,8 +319,10 @@ object Dedup {
   def minhashContainmentDups(docs: DataFrame, textCol: Column, idCol: Column,
                              shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                              num: Int = 8, den: Int = 10,
-                             maxBucket: Int = 100): DataFrame = {
-    val sh = Text.distinctShingles(docs, textCol, idCol, shingleN)
+                             maxBucket: Int = 100,
+                             shingles: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles.getOrElse(
+      Text.distinctShingles(docs, textCol, idCol, shingleN))
     containmentVerify(
       lshCandidates(minhashBandKeys(sh, bands, rowsPerBand), maxBucket),
       sh, num, den)
@@ -497,7 +504,8 @@ object Dedup {
     */
   def prefixFilterPairs(docs: DataFrame, textCol: Column, idCol: Column,
                         shingleN: Int = 3, num: Int = 1, den: Int = 2,
-                        persistShingles: Boolean = false): DataFrame = {
+                        persistShingles: Boolean = false,
+                        shingles: Option[DataFrame] = None): DataFrame = {
     require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
     // unlike the LSH channel (where ReuseExchange shares the banded
     // shuffle), the shingle table here feeds FIVE consumers behind
@@ -506,9 +514,12 @@ object Dedup {
     // re-runs per consumer unless materialized. Default OFF, matching
     // minhashNearDups: the library must not leak a cache entry the
     // caller has no handle to unpersist; turn it on where inter-query
-    // clearCache hygiene exists (the registered query does).
-    val sh0 = Text.distinctShingles(docs, textCol, idCol, shingleN)
-    val sh = if (persistShingles)
+    // clearCache hygiene exists (the registered query does). A
+    // caller-supplied `shingles` frame (the family-memo shape)
+    // supersedes both paths.
+    val sh0 = shingles.getOrElse(
+      Text.distinctShingles(docs, textCol, idCol, shingleN))
+    val sh = if (persistShingles && shingles.isEmpty)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))

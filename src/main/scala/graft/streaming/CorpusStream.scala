@@ -158,6 +158,81 @@ object CorpusStream {
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
+  /** Compaction + TTL for [[chunkDedupBatch]]'s append-only chunk
+    * store — the lifecycle that keeps the store from growing one
+    * partition per micro-batch forever (the state the reference's
+    * watermark analog would bound).
+    *
+    * Folds every per-batch partition with id ≤ `upToBatch` (plus any
+    * earlier compacted generation) into ONE new compacted partition
+    * under a NEGATIVE batch id, which no streaming batch ever uses —
+    * so the per-batch reader's `batch =!= batchId` self-exclusion
+    * always INCLUDES compacted data, and a replaying batch can never
+    * accidentally exclude history that was folded.
+    *
+    * Safety contract:
+    *  - `upToBatch` must only cover batches the streaming checkpoint
+    *    has committed: folding a batch that can still replay would
+    *    put its own chunks in a partition the replay cannot exclude,
+    *    so the replay would see them as "seen" and emit nothing.
+    *    foreachBatch replays at most the last uncommitted batch, so
+    *    `currentBatch - 1` is the natural horizon.
+    *  - Crash-safe by superset: the new generation is written to a
+    *    FRESH directory first and folded partitions are deleted only
+    *    after the write commits. A crash at any point leaves a
+    *    superset of the store (duplicates are fine — the reader
+    *    `distinct()`s), and re-running the compaction converges.
+    *
+    * TTL: `expireBefore` drops chunks ADMITTED before that batch id —
+    * admission time is all an append-only store records (a suppressed
+    * re-occurrence is never re-written), so this is admission-age
+    * TTL, the honest analog of a watermark bound: an expired chunk
+    * that arrives again is simply re-admitted and starts a fresh TTL.
+    * Compacted generations carry `last_batch` (max admission batch per
+    * chunk) so the horizon survives repeated compactions; the
+    * per-batch reader's explicit schema simply prunes that column.
+    *
+    * Scale shape: one column-pruned scan of the folded partitions,
+    * one chunk-keyed group-by, one write — no driver-side state.
+    */
+  def compactChunkStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
+      upToBatch: Long, expireBefore: Long = Long.MinValue): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch="))
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+            .map(b => (b, st.getPath))
+        else None
+      }
+    val fold = parts.filter { case (b, _) => b < 0 || b <= upToBatch }
+    if (fold.isEmpty) return
+    // next negative generation id — strictly below every existing
+    // partition so the target dir is always fresh (crash-safe superset)
+    val gen = math.min(parts.map(_._1).min, 0L) - 1
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_md5",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("last_batch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema).option("basePath", storeDir)
+      .parquet(fold.map(_._2.toString): _*)
+      .select(col("chunk_md5"),
+        coalesce(col("last_batch"), col("batch")).as("lb"))
+      .groupBy(col("chunk_md5")).agg(max(col("lb")).as("last_batch"))
+      .where(col("last_batch") >= expireBefore)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$gen")
+    // sources are deleted only after the new generation committed
+    fold.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   /** Streaming per-source admission cap — the continuous form of
     * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
     * `cap` docs over the stream's lifetime, later arrivals drop. The

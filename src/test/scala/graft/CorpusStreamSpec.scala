@@ -266,4 +266,86 @@ class CorpusStreamSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(stored.size === 4 && stored.distinct.size === 4)
   }
+
+  test("chunk store compaction: fold is a semantic no-op and replay stays idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val storeDir = base + "/store"; val statsDir = base + "/stats"
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.chunkDedupBatch(storeDir, statsDir)(
+        rows.toDF("doc_id", "text"), id)
+    def stats(id: Long): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$statsDir/batch=$id")
+        .select($"doc_id", $"n_chunks", $"n_kept")
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, c, k) => d -> (c, k) }.toMap
+    def storeSet(): Set[String] =
+      spark.read.parquet(storeDir).select($"chunk_md5")
+        .as[String].collect().toSet
+
+    val A = (1 to 16).map(i => s"a$i").mkString(" ")
+    val B = (1 to 16).map(i => s"b$i").mkString(" ")
+    val C = (1 to 16).map(i => s"c$i").mkString(" ")
+    val D = (1 to 16).map(i => s"d$i").mkString(" ")
+
+    run(Seq((1L, s"$A $B")), 0L)
+    run(Seq((2L, s"$C")), 1L)
+    run(Seq((3L, s"$B $D")), 2L) // B suppressed by batch 0, D admitted
+    assert(stats(2L) === Map(3L -> (2L, 1L)))
+    val before = storeSet()
+    assert(before.size === 4)
+
+    // compact batches ≤ 1 (batch 2 is the replayable frontier and
+    // stays out of the fold)
+    CorpusStream.compactChunkStore(spark, storeDir, upToBatch = 1L)
+    assert(storeSet() === before, "compaction must not change the chunk set")
+    // the folded partitions are gone; one negative generation replaces them
+    val parts = new java.io.File(storeDir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts === Set("batch=-1", "batch=2"))
+
+    // crash-replay of batch 2 across the compaction boundary: its own
+    // partition is still excluded, folded history still suppresses B
+    run(Seq((3L, s"$B $D")), 2L)
+    assert(stats(2L) === Map(3L -> (2L, 1L)))
+    assert(storeSet() === before)
+
+    // a second compaction folds the frontier + the first generation
+    CorpusStream.compactChunkStore(spark, storeDir, upToBatch = 2L)
+    assert(storeSet() === before)
+
+    // chunk A still dead long after its partition was folded twice
+    run(Seq((4L, s"$A")), 3L)
+    assert(stats(3L) === Map(4L -> (1L, 0L)))
+  }
+
+  test("chunk store TTL: admission-age expiry re-admits a returning chunk") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val storeDir = base + "/store"; val statsDir = base + "/stats"
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.chunkDedupBatch(storeDir, statsDir)(
+        rows.toDF("doc_id", "text"), id)
+    def stats(id: Long): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$statsDir/batch=$id")
+        .select($"doc_id", $"n_chunks", $"n_kept")
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, c, k) => d -> (c, k) }.toMap
+
+    val A = (1 to 16).map(i => s"a$i").mkString(" ")
+    val B = (1 to 16).map(i => s"b$i").mkString(" ")
+
+    run(Seq((1L, s"$A")), 0L) // A admitted at batch 0
+    run(Seq((2L, s"$B")), 5L) // B admitted at batch 5
+    // expire admissions older than batch 5: A falls out, B survives
+    CorpusStream.compactChunkStore(spark, storeDir, upToBatch = 5L,
+      expireBefore = 5L)
+    assert(spark.read.parquet(storeDir).select($"chunk_md5")
+      .as[String].collect().toSet.size === 1)
+    // the expired chunk is re-admitted on return (fresh TTL), the
+    // retained one still suppresses
+    run(Seq((3L, s"$A $B")), 6L)
+    assert(stats(6L) === Map(3L -> (2L, 1L)))
+    // and after re-admission it suppresses again
+    run(Seq((4L, s"$A")), 7L)
+    assert(stats(7L) === Map(4L -> (1L, 0L)))
+  }
 }
