@@ -557,6 +557,18 @@ object ExtensionQueries {
         shingles = Some(docShingles(s, dir)))
       .orderBy("doc_a", "doc_b")
 
+  /** The containment-COMPLETE channel
+    * ([[graft.ops.Dedup.containmentPrefixPairs]]): prefix filtering
+    * with the pigeonhole on the smaller set, prefix ⋈ full-table join
+    * — closes the LSH containment channel's documented recall caveat
+    * (skewed-size near-subset pairs whose Jaccard sits far below the
+    * band tuning). Same exact verify tail and threshold as
+    * `dedup_containment`; rides the family shingle memo. */
+  private def qDedupContainmentPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPrefixPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingles = Some(docShingles(s, dir)))
+      .orderBy("doc_a", "doc_b")
+
   /** Per-event-type top-5 users by total value: keyed aggregation with
     * map-side partials first, then a rank window over the (already
     * reduced) per-user totals — WindowGroupLimit caps each partition's
@@ -2656,6 +2668,7 @@ object ExtensionQueries {
     "events_cms_exact" -> (qEventsCmsExact _),
     "events_quantiles_exact" -> (qEventsQuantilesExact _),
     "lineitem_profile_approx" -> (qLineitemProfileApprox _),
+    "dedup_containment_prefix" -> (qDedupContainmentPrefix _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4278,5 +4291,22 @@ object ExtensionQueries {
         |       rn AS target_rank
         |FROM r JOIN n USING (event_type)
         |WHERE rn = (9 * n.n + 9) // 10 ORDER BY 1""".stripMargin,
+
+    "dedup_containment_prefix" ->
+      s"""WITH $SHINGLE3,
+         |freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY 1),
+         |rk AS (SELECT doc_id, sh.shingle, f,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, sh.shingle) AS rn,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |       FROM sh JOIN freq USING (shingle)),
+         |pre AS (SELECT doc_id, shingle FROM rk
+         |        WHERE rn <= n - ((n * 8 + 9) // 10) + 1 AND f <= 100),
+         |ful AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)
+         |        WHERE f <= 100),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |                greatest(x.doc_id, y.doc_id) AS doc_b
+         |         FROM pre x JOIN ful y
+         |         ON x.shingle = y.shingle AND x.doc_id <> y.doc_id),
+         |${containmentTail(8, 10)}""".stripMargin,
   )
 }

@@ -328,6 +328,61 @@ object Dedup {
       sh, num, den)
   }
 
+  /** Containment-COMPLETE candidate channel — the second channel
+    * [[minhashContainmentDups]]'s recall caveat calls for: prefix
+    * filtering adapted to the containment threshold. The pigeonhole
+    * runs on the SMALLER set: a pair with inter/min(|A|,|B|) ≥ num/den
+    * shares ≥ ⌈num·|A|/den⌉ of A's shingles, so it cannot miss ALL of
+    * A's first L = |A| − ⌈num·|A|/den⌉ + 1 rarest shingles (global
+    * rarest-first order, ties by shingle — total, engine-exact).
+    * Unlike the Jaccard prefix join (prefix ⋈ prefix), the witness
+    * shingle only needs to appear ANYWHERE in the larger doc, so
+    * candidates join each doc's prefix against the FULL shingle
+    * table — complete for skewed-size near-subset pairs at any length
+    * ratio, where LSH bands tuned for Jaccard almost never collide.
+    *
+    * Scale shape: prefixes hold each doc's rarest shingles, so the
+    * rarest-first order keeps join blocks small; on top of that both
+    * join sides drop shingles with global frequency > `maxOcc` (an
+    * occurrence cap like the span-dedup gram cap — it bounds every
+    * block at maxOcc², and a qualifying pair is lost only when the
+    * smaller doc's ENTIRE prefix is corpus-hot boilerplate, the case
+    * exact/chunk dedup owns). Verify is the exact containment tail,
+    * candidate-pairs-only. With maxOcc ≥ the max global shingle
+    * frequency the channel is exactly complete (property-pinned
+    * against brute force in PrefixFilterSpec).
+    */
+  def containmentPrefixPairs(docs: DataFrame, textCol: Column, idCol: Column,
+                             shingleN: Int = 3, num: Int = 8, den: Int = 10,
+                             maxOcc: Int = 100,
+                             shingles: Option[DataFrame] = None): DataFrame = {
+    require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
+    val sh = shingles.getOrElse(
+      Text.distinctShingles(docs, textCol, idCol, shingleN))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
+    val nW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(nW))
+    // ranking uses TRUE global frequencies; the occurrence cap only
+    // prunes the join sides (dropping hot shingles from the order
+    // would silently change which shingles count as "rarest")
+    val prefix = ranked
+      .where(col("rn") <=
+        col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1 &&
+        col("f") <= maxOcc)
+      .select(col("doc_id"), col("shingle"))
+    val full = sh.join(freq.where(col("f") <= maxOcc).select(col("shingle")), "shingle")
+    val cand = prefix.as("x").join(full.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    containmentVerify(cand, sh, num, den)
+  }
+
   /** 16-bit SimHash (Charikar, "Similarity estimation techniques
     * from rounding algorithms", STOC 2002) over the token multiset:
     * per bit j, sign of

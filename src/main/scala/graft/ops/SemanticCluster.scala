@@ -164,7 +164,21 @@ object SemanticCluster {
     * Scale shape: the quantized frame pins once; each of the k−1
     * steps is one scan-stage min-of-literal-distances expression plus
     * a TakeOrdered(1) — no shuffle carries a vector, and only k rows
-    * ever reach the driver. */
+    * ever reach the driver.
+    *
+    * Driver-loop budget: the k−1 steps are SEQUENTIAL driver
+    * round-trips by the algorithm's nature (step j's distance
+    * expression needs step j−1's pick), so wall time is
+    * k × (scan + job-launch latency). That is the right trade at the
+    * small k this seeding targets (k ≤ ~64: the per-step scan
+    * dominates and each scan is embarrassingly parallel); past that
+    * the launch latency serializes and the honest alternatives change
+    * algorithm, not plan shape — k-means‖ style oversampling (sample
+    * O(k) candidates per pass in ~log k passes, then cluster the
+    * candidate set driver-side) or cell-blocked seeding. Batching
+    * multiple maxmin steps per action is NOT one of them: within one
+    * pass the 2nd pick depends on the 1st, so a "batch" can only
+    * guess. */
   def farthestPointSeedIds(emb: DataFrame, vecCol: Column, idCol: Column,
                            k: Int): Seq[Long] = {
     require(k >= 1, "k >= 1")

@@ -65,7 +65,10 @@ class DeterminismSpec extends SparkSpec {
     "orders_benford",      // digit shares vs literal expected table
     "events_kanonymity",   // group-size rollup boundaries
     "text_langid_confusion", // classifier scores + argmax tie-break
-    "text_bpe_encode")     // per-row merge sweep + ratio quotients
+    "text_bpe_encode",     // per-row merge sweep + ratio quotients
+    "events_cms_exact",    // deterministic top-20 cut (count desc, id)
+    "events_quantiles_exact", // rank-targeted exact p90 per type
+    "lineitem_profile_approx") // HLL register merge is order-insensitive
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
@@ -74,15 +77,22 @@ class DeterminismSpec extends SparkSpec {
     try {
       for (n <- names) {
         spark.conf.set(key, "4")
+        // AnnCache memos (dedup pair graph, shingles, kNN edges) must
+        // also drop between runs, or run B reads run A's pinned frame
+        // and the comparison never re-executes the build under the
+        // changed partitioning — the exact case this spec targets
+        graft.ops.AnnCache.clear()
         val a = SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq
         // queries that persist internally (customer_rfm) must not serve
         // run B from run A's cache — the CacheManager substitutes the
         // cached plan by analyzed-plan equality, which would silently
         // skip the very re-execution this spec exists to compare
         spark.catalog.clearCache()
+        graft.ops.AnnCache.clear()
         spark.conf.set(key, "7")
         val b = SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq
         spark.catalog.clearCache()
+        graft.ops.AnnCache.clear()
         assert(a.nonEmpty, s"$n returned no rows")
         assert(a === b, s"$n diverged under repartitioning")
       }

@@ -33,6 +33,49 @@ class PrefixFilterSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("containment-prefix pairs == brute-force all-pairs containment >= 8/10") {
+    val docs = Tables.documents(spark, dir)
+    // maxOcc above any fixture shingle frequency -> exactly complete
+    val got = Dedup.containmentPrefixPairs(docs, col("text"), col("doc_id"),
+        maxOcc = 1000000)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 3)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .where(lit(10) * col("inter") >= lit(8) * least(col("ca.n"), col("cb.n")))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("containment-prefix finds the skewed near-subset pair LSH bands miss") {
+    // short doc (8 distinct shingles) fully contained in a long doc of
+    // 200: containment = 1 but Jaccard = 8/200 = 0.04 — at J=0.04 the
+    // 8-band/4-row s-curve collision chance is 1-(1-J^4)^8 ~ 2e-5, so
+    // the Jaccard-tuned LSH channel essentially never surfaces it; the
+    // prefix channel MUST, deterministically
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = (1 to 202).map(i => s"w$i").mkString(" ")
+    val noise = (300 to 340).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, noise)).toDF("doc_id", "text")
+    val got = Dedup.containmentPrefixPairs(docs, col("text"), col("doc_id"))
+      .select($"doc_a", $"doc_b", $"inter", $"min_sz")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 8L, 8L)), s"got $got")
+    val lsh = Dedup.minhashContainmentDups(docs, col("text"), col("doc_id"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!lsh.contains((1L, 2L)),
+      "if the LSH channel starts finding this pair, the premise of the " +
+        "second channel changed — re-check the band tuning")
+  }
+
   test("prefix length arithmetic: n - ceil(n/2) + 1 over threshold 1/2") {
     // a doc with 4 distinct tokens keeps a 3-token prefix; sharing
     // only the doc's 2 MOST-frequent tokens cannot reach J >= 1/2
