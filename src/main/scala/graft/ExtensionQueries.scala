@@ -907,6 +907,89 @@ object ExtensionQueries {
       .withColumn("keep", col("score") >= 0L)
       .orderBy("doc_id")
 
+  /** Skip-gram co-occurrence pairs (Mikolov et al. 2013's word2vec
+    * training-pair generation; also the GloVe co-occurrence-matrix
+    * builder): every (center, context) token pair within a ±2 window,
+    * counted corpus-wide, top-30 by (count desc, center, context) —
+    * a total order, so the cut is engine-exact. Pair generation is
+    * ONE scan-stage nested-HOF expression per doc (sequence +
+    * filter + transform + flatten inside codegen — the posexplode +
+    * position-band self-join spelling would shuffle every token ~4×
+    * at 100 TB for the same pairs); shuffle volume is the DISTINCT
+    * pair vocabulary, map-side combined, and the top-30 runs as
+    * TakeOrderedAndProject.
+    */
+  private def qTextSkipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    val pairs = when(size(tk) >= 2, flatten(
+        transform(sequence(lit(1), size(tk)), i =>
+          transform(
+            filter(sequence(greatest(lit(1), i - 2), least(size(tk), i + 2)),
+              j => j =!= i),
+            j => struct(element_at(tk, i).as("c"), element_at(tk, j).as("x"))))))
+      .otherwise(array().cast("array<struct<c:string,x:string>>"))
+    Tables.documents(s, dir)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.c").as("center"), col("p.x").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(30)
+  }
+
+  /** Zipf-law corpus-health audit: for the top-30 terms by frequency,
+    * emit rank r, frequency f(r), and the cross-multiplied Zipf ratio
+    * zipf_bp = 10000·f(r)·r div f(1) — exactly 10000 for a perfectly
+    * Zipfian corpus, so systematic drift flags synthetic/templated
+    * text (machine-generated corpora flatten the head) without any
+    * float log-log fit. The (f desc, term) order is total, so ranks
+    * are engine-exact. One token count group-by (map-side combined) +
+    * TakeOrderedAndProject top-30 + one broadcast f(1) scalar — the
+    * corpus never shuffles more than its distinct vocabulary.
+    */
+  private def qTextZipfAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term")).limit(30)
+    // the window runs over 30 rows (post-limit), not the vocabulary
+    val ranked = tf.withColumn("rank",
+      row_number().over(Window.orderBy(col("f").desc, col("term"))).cast("long"))
+    val top1 = ranked.where(col("rank") === 1).select(col("f").as("f1"))
+    ranked.crossJoin(broadcast(top1))
+      // DECIMAL(38,0): 10⁴·f·rank crosses 2^63 once f passes ~3·10¹⁴
+      // token occurrences — the quotient is ≤ 10⁴·rank, safely BIGINT
+      .select(col("rank"), col("term"), col("f"),
+        expr("CAST((10000 * CAST(f AS DECIMAL(38,0)) * rank) div f1 AS BIGINT)")
+          .as("zipf_bp"))
+      .orderBy("rank")
+  }
+
+  /** Classifier CALIBRATION audit — the reliability-diagram table the
+    * governance family was missing: per fixed-width score bin, how
+    * often does the rule-based quality gate ([[Text.isLowQuality]],
+    * standing in for held-out labels) disagree with the learned
+    * filter? A well-calibrated filter shows low_rate_bp falling
+    * monotonically with the bin; a flat table means the classifier
+    * ranks noise. Bins are LITERAL edges applied scan-stage (the
+    * production calibration shape) — never an ntile over the corpus,
+    * which would be a global sort; the +16384 shift keeps the `div`
+    * operands non-negative, where Spark's truncating div and DuckDB's
+    * flooring `//` agree. One scan, one 16-key aggregate.
+    */
+  private def qTextClfCalibration(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(graft.ops.Text.hashedLinearScore(col("text"), clfWeights).as("score"),
+        Text.isLowQuality(col("text")).as("lq"))
+      .withColumn("bin",
+        least(greatest(expr("(score + 16384) div 2000"), lit(0L)), lit(15L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lq"), 1L).otherwise(0L)).as("n_low_quality"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .withColumn("low_rate_bp", expr("(10000 * n_low_quality) div n_docs"))
+      .orderBy("bin")
+
   /** Corpus-LM commonness score — the integer-exact stand-in for
     * KenLM-style perplexity filtering: score each doc by the mean
     * corpus frequency of its bigram OCCURRENCES (multiplicity kept —
@@ -2669,6 +2752,9 @@ object ExtensionQueries {
     "events_quantiles_exact" -> (qEventsQuantilesExact _),
     "lineitem_profile_approx" -> (qLineitemProfileApprox _),
     "dedup_containment_prefix" -> (qDedupContainmentPrefix _),
+    "text_clf_calibration" -> (qTextClfCalibration _),
+    "text_zipf_audit" -> (qTextZipfAudit _),
+    "text_skipgram_pairs" -> (qTextSkipgramPairs _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4308,5 +4394,44 @@ object ExtensionQueries {
          |         FROM pre x JOIN ful y
          |         ON x.shingle = y.shingle AND x.doc_id <> y.doc_id),
          |${containmentTail(8, 10)}""".stripMargin,
+
+    "text_clf_calibration" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |s AS (SELECT CAST(${graft.ops.Text.hashedLinearScoreSql("tk", clfWeights)} AS BIGINT) AS score,
+         |        (len(tk) < 10
+         |         OR 100 * len(list_filter(tk, t -> t IN ($stopList))) > 60 * len(tk)) AS lq
+         |      FROM t),
+         |b AS (SELECT least(greatest((score + 16384) // 2000, 0), 15) AS bin,
+         |             score, lq FROM s)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN lq THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |       MIN(score) AS min_score, MAX(score) AS max_score,
+         |       CAST((10000 * SUM(CASE WHEN lq THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS low_rate_bp
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "text_zipf_audit" ->
+      s"""WITH t AS (SELECT $TK AS tk FROM documents),
+         |tf AS (SELECT u.term, CAST(COUNT(*) AS BIGINT) AS f
+         |       FROM t, LATERAL (SELECT unnest(tk) AS term) u
+         |       GROUP BY 1 ORDER BY f DESC, u.term LIMIT 30),
+         |r AS (SELECT term, f,
+         |        CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS rank
+         |      FROM tf),
+         |f1 AS (SELECT f AS f1 FROM r WHERE rank = 1)
+         |SELECT rank, term, f,
+         |       CAST((10000 * CAST(f AS HUGEINT) * rank) // f1 AS BIGINT) AS zipf_bp
+         |FROM r CROSS JOIN f1 ORDER BY rank""".stripMargin,
+
+    "text_skipgram_pairs" ->
+      s"""WITH t AS (SELECT $TK AS tk FROM documents),
+         |p AS (SELECT tk[i] AS center, tk[j] AS context
+         |      FROM t,
+         |        LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) gi,
+         |        LATERAL (SELECT unnest(generate_series(greatest(1, i - 2),
+         |                               least(len(tk), i + 2))) AS j) gj
+         |      WHERE j <> i AND len(tk) >= 2)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2
+         |ORDER BY n DESC, center, context LIMIT 30""".stripMargin,
   )
 }
