@@ -907,6 +907,27 @@ object ExtensionQueries {
       .withColumn("keep", col("score") >= 0L)
       .orderBy("doc_id")
 
+  /** Leakage-safe split assignment — the decontamination-CORRECT
+    * split: every doc gets the split of its near-dup CLUSTER
+    * representative (min id in the pair-graph component; singletons
+    * represent themselves), so a near-dup pair can never straddle
+    * train/test — the failure mode `split_contamination` exists to
+    * MEASURE becomes impossible by construction (the doc-level hash
+    * split treats near-identical docs as independent coins; cluster-
+    * level assignment is the fix GPT-3/PaLM-style decontamination
+    * approximates after the fact by deleting eval look-alikes).
+    * Rides the memoized pair graph + components; one left join plus
+    * the same scan-stage id-hash split as corpus_split, keyed on the
+    * representative. */
+  private def qCorpusLeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(s, dir)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(comp, col("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep_doc_id"))
+      .withColumn("split", graft.ops.Sampling.assignSplit(col("rep_doc_id")))
+      .orderBy("doc_id")
+  }
+
   /** Skip-gram co-occurrence pairs (Mikolov et al. 2013's word2vec
     * training-pair generation; also the GloVe co-occurrence-matrix
     * builder): every (center, context) token pair within a ±2 window,
@@ -2755,6 +2776,7 @@ object ExtensionQueries {
     "text_clf_calibration" -> (qTextClfCalibration _),
     "text_zipf_audit" -> (qTextZipfAudit _),
     "text_skipgram_pairs" -> (qTextSkipgramPairs _),
+    "corpus_leakage_safe_split" -> (qCorpusLeakageSafeSplit _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4433,5 +4455,13 @@ object ExtensionQueries {
          |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p GROUP BY 1, 2
          |ORDER BY n DESC, center, context LIMIT 30""".stripMargin,
+
+    "corpus_leakage_safe_split" ->
+      s"""$dedupClustersCtes
+         |SELECT d.doc_id,
+         |       COALESCE(cc.comp, d.doc_id) AS rep_doc_id,
+         |       ${graft.ops.Sampling.assignSplitSql("COALESCE(cc.comp, d.doc_id)")} AS split
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+         |ORDER BY doc_id""".stripMargin,
   )
 }
