@@ -300,6 +300,17 @@ object ExtensionQueries {
         Text.distinctShingles(Tables.documents(s, dir), col("text"), col("doc_id"), 3))
     }
 
+  /** Memoized rarest-first ranking scaffold over [[docShingles]]
+    * ([[graft.ops.Dedup.rankShingles]]) — threshold-independent, so
+    * the Jaccard prefix filter and the containment prefix channel
+    * both read ONE pinned (doc_id, shingle, f, rn, n) table instead
+    * of each paying the freq group-by + join + doc-keyed window
+    * pass. */
+  private def docShinglesRanked(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"shingles3-ranked:$dir") {
+      graft.ops.AnnCache.pin(Dedup.rankShingles(docShingles(s, dir)))
+    }
+
   /** Memoized connected-component labels over [[dedupPairs]]
     * (label-propagation fixpoint). Shared by `dedup_clusters` and
     * `corpus_dedup_keep_best` — the keep-best ending is a per-cluster
@@ -397,7 +408,8 @@ object ExtensionQueries {
     * arithmetic) in SQL. */
   private def qDedupPrefixFilter(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixFilterPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
-        shingles = Some(docShingles(s, dir))) // family memo, clearCache-proof
+        shingles = Some(docShingles(s, dir)), // family memo, clearCache-proof
+        rankedShingles = Some(docShinglesRanked(s, dir)))
       .orderBy("doc_a", "doc_b")
 
   /** Count-Min sketch frequency estimates next to their exact audits —
@@ -566,7 +578,8 @@ object ExtensionQueries {
     * `dedup_containment`; rides the family shingle memo. */
   private def qDedupContainmentPrefix(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPrefixPairs(Tables.documents(s, dir), col("text"), col("doc_id"),
-        shingles = Some(docShingles(s, dir)))
+        shingles = Some(docShingles(s, dir)),
+        rankedShingles = Some(docShinglesRanked(s, dir)))
       .orderBy("doc_a", "doc_b")
 
   /** Per-event-type top-5 users by total value: keyed aggregation with
@@ -907,6 +920,47 @@ object ExtensionQueries {
       .withColumn("keep", col("score") >= 0L)
       .orderBy("doc_id")
 
+  /** Overlapping retrieval chunking — the RAG indexing shape (32-token
+    * windows, stride 16, 50% overlap, the LangChain/LlamaIndex default
+    * family): each doc yields ⌈(n−W)/S⌉+1 windows, the final window
+    * clamped to the doc end, emitted as (chunk_idx, start_tok, n_tok,
+    * chunk_md5) — the md5 stands in for the chunk payload so the gate
+    * pins identity without hauling text. Pure scan-stage
+    * sequence+slice+posexplode like the chunk-dedup splitter; zero
+    * shuffles before the output sort.
+    */
+  private def qCorpusRagChunks(s: SparkSession, dir: String): DataFrame = {
+    val W = 32; val S = 16
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 1)
+      .withColumn("nc", expr(
+        s"CASE WHEN size(tk) <= $W THEN 0 ELSE (size(tk) - $W + ${S - 1}) div $S END"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nc")), i =>
+          struct((i * S + 1).as("start_tok"),
+            least(size(col("tk")) - i * S, lit(W)).as("n_tok"),
+            md5(array_join(slice(col("tk"), i * S + lit(1), lit(W)), " "))
+              .as("chunk_md5")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.start_tok").cast("long").as("start_tok"),
+        col("col.n_tok").cast("long").as("n_tok"),
+        col("col.chunk_md5").as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** MMR diversity re-rank over the query-0 retrieval shortlist
+    * ([[graft.ops.Similarity.mmrRerank]]): top-20 by exact integer
+    * dot, then 5 greedy λ=1/2 MMR picks — the near-dup-suppressing
+    * context-window selection RAG serving needs after ANN retrieval.
+    * The greedy loop runs driver-side over the bounded shortlist (the
+    * PQ-codebook pattern); the oracle replays the identical fold as a
+    * generated CTE chain. */
+  private def qSimMmrRerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.mmrRerank(Tables.embeddings(s, dir), col("embedding"),
+        col("vec_id"), queryId = 0L, shortlist = 20, k = 5)
+      .orderBy("rank")
+
   /** Leakage-safe split assignment — the decontamination-CORRECT
     * split: every doc gets the split of its near-dup CLUSTER
     * representative (min id in the pair-graph component; singletons
@@ -933,23 +987,32 @@ object ExtensionQueries {
     * builder): every (center, context) token pair within a ±2 window,
     * counted corpus-wide, top-30 by (count desc, center, context) —
     * a total order, so the cut is engine-exact. Pair generation is
-    * ONE scan-stage nested-HOF expression per doc (sequence +
-    * filter + transform + flatten inside codegen — the posexplode +
-    * position-band self-join spelling would shuffle every token ~4×
-    * at 100 TB for the same pairs); shuffle volume is the DISTINCT
-    * pair vocabulary, map-side combined, and the top-30 runs as
+    * scan-stage zip_with over shifted slices — one zipped array per
+    * (offset, direction), the same machinery as text_collocations
+    * (an earlier nested sequence+filter+transform spelling built a
+    * fresh offset array PER TOKEN POSITION and measured 24 s at
+    * sf0.1 against 0.6 s for this form — per-position array
+    * allocation is the scan-stage analog of the token self-join this
+    * operator exists to avoid); shuffle volume is the DISTINCT pair
+    * vocabulary, map-side combined, and the top-30 runs as
     * TakeOrderedAndProject.
     */
   private def qTextSkipgramPairs(s: SparkSession, dir: String): DataFrame = {
-    val tk = Text.tokens(col("text"))
-    val pairs = when(size(tk) >= 2, flatten(
-        transform(sequence(lit(1), size(tk)), i =>
-          transform(
-            filter(sequence(greatest(lit(1), i - 2), least(size(tk), i + 2)),
-              j => j =!= i),
-            j => struct(element_at(tk, i).as("c"), element_at(tk, j).as("x"))))))
-      .otherwise(array().cast("array<struct<c:string,x:string>>"))
+    val tk = col("tk")
+    def shiftPairs(d: Int, fwd: Boolean) = {
+      val left = slice(tk, lit(1), size(tk) - d)
+      val right = slice(tk, lit(d + 1), size(tk) - d)
+      val zipped =
+        if (fwd) zip_with(left, right, (a, b) => struct(a.as("c"), b.as("x")))
+        else zip_with(right, left, (a, b) => struct(a.as("c"), b.as("x")))
+      when(size(tk) > d, zipped)
+        .otherwise(array().cast("array<struct<c:string,x:string>>"))
+    }
+    val pairs = concat(
+      shiftPairs(1, fwd = true), shiftPairs(1, fwd = false),
+      shiftPairs(2, fwd = true), shiftPairs(2, fwd = false))
     Tables.documents(s, dir)
+      .select(Text.tokens(col("text")).as("tk"))
       .select(explode(pairs).as("p"))
       .groupBy(col("p.c").as("center"), col("p.x").as("context"))
       .agg(count(lit(1)).as("n"))
@@ -2777,6 +2840,8 @@ object ExtensionQueries {
     "text_zipf_audit" -> (qTextZipfAudit _),
     "text_skipgram_pairs" -> (qTextSkipgramPairs _),
     "corpus_leakage_safe_split" -> (qCorpusLeakageSafeSplit _),
+    "corpus_rag_chunks" -> (qCorpusRagChunks _),
+    "sim_mmr_rerank" -> (qSimMmrRerank _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4463,5 +4528,22 @@ object ExtensionQueries {
          |       ${graft.ops.Sampling.assignSplitSql("COALESCE(cc.comp, d.doc_id)")} AS split
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_rag_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |t2 AS (SELECT * FROM t WHERE len(tk) >= 1),
+         |c AS (SELECT doc_id, i AS chunk_idx, i * 16 + 1 AS start_tok,
+         |        least(len(tk) - i * 16, 32) AS n_tok,
+         |        md5(array_to_string(tk[(i*16+1):(i*16+32)], ' ')) AS chunk_md5
+         |      FROM t2, LATERAL (SELECT unnest(generate_series(0,
+         |        CASE WHEN len(tk) <= 32 THEN 0 ELSE (len(tk) - 32 + 15) // 16 END)) AS i) g)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(start_tok AS BIGINT) AS start_tok,
+         |       CAST(n_tok AS BIGINT) AS n_tok, chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sim_mmr_rerank" ->
+      s"""WITH ${graft.ops.Similarity.mmrRerankSql(0L, 20, 5, EMB_DIM)}
+         |SELECT rank, vec_id, dot_q, mmr FROM picks ORDER BY rank""".stripMargin,
   )
 }

@@ -355,17 +355,12 @@ object Dedup {
   def containmentPrefixPairs(docs: DataFrame, textCol: Column, idCol: Column,
                              shingleN: Int = 3, num: Int = 8, den: Int = 10,
                              maxOcc: Int = 100,
-                             shingles: Option[DataFrame] = None): DataFrame = {
+                             shingles: Option[DataFrame] = None,
+                             rankedShingles: Option[DataFrame] = None): DataFrame = {
     require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
     val sh = shingles.getOrElse(
       Text.distinctShingles(docs, textCol, idCol, shingleN))
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
-    val nW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ranked = sh.join(freq, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(nW))
+    val ranked = rankedShingles.getOrElse(rankShingles(sh))
     // ranking uses TRUE global frequencies; the occurrence cap only
     // prunes the join sides (dropping hot shingles from the order
     // would silently change which shingles count as "rarest")
@@ -374,7 +369,8 @@ object Dedup {
         col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1 &&
         col("f") <= maxOcc)
       .select(col("doc_id"), col("shingle"))
-    val full = sh.join(freq.where(col("f") <= maxOcc).select(col("shingle")), "shingle")
+    val full = ranked.where(col("f") <= maxOcc)
+      .select(col("doc_id"), col("shingle"))
     val cand = prefix.as("x").join(full.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
@@ -557,10 +553,30 @@ object Dedup {
     * candidate-pairs-only cost; PrefixFilterSpec pins the output
     * equal to brute-force all-pairs.
     */
+  /** Global rarest-first ranking scaffold shared by the prefix-filter
+    * channels: each (doc_id, shingle) row with the shingle's global
+    * frequency `f`, the doc's rarest-first rank `rn` ((f, shingle)
+    * order — total, engine-exact), and the doc's set size `n`. The
+    * construction is threshold-INDEPENDENT (one freq group-by, one
+    * freq join, one doc-keyed window pass), so one ranked table
+    * serves every prefix channel at any threshold — the cross-
+    * operator memo shape, like the raw shingle table one level
+    * below. */
+  def rankShingles(sh: DataFrame): DataFrame = {
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
+    val nW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(nW))
+  }
+
   def prefixFilterPairs(docs: DataFrame, textCol: Column, idCol: Column,
                         shingleN: Int = 3, num: Int = 1, den: Int = 2,
                         persistShingles: Boolean = false,
-                        shingles: Option[DataFrame] = None): DataFrame = {
+                        shingles: Option[DataFrame] = None,
+                        rankedShingles: Option[DataFrame] = None): DataFrame = {
     require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
     // unlike the LSH channel (where ReuseExchange shares the banded
     // shuffle), the shingle table here feeds FIVE consumers behind
@@ -571,21 +587,17 @@ object Dedup {
     // caller has no handle to unpersist; turn it on where inter-query
     // clearCache hygiene exists (the registered query does). A
     // caller-supplied `shingles` frame (the family-memo shape)
-    // supersedes both paths.
+    // supersedes both paths; `rankedShingles` additionally skips the
+    // freq/rank scaffold ([[rankShingles]] of the same shingle set).
     val sh0 = shingles.getOrElse(
       Text.distinctShingles(docs, textCol, idCol, shingleN))
     val sh = if (persistShingles && shingles.isEmpty)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
-    val nW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = rankedShingles.getOrElse(rankShingles(sh))
     // L = n − ceil(num·n/den) + 1; ceil(a/b) = (a+b−1) div b, all
     // non-negative so truncating and flooring division agree
-    val prefix = sh.join(freq, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(nW))
+    val prefix = ranked
       .where(col("rn") <=
         col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
       .select(col("doc_id"), col("shingle"))

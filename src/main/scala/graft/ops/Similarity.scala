@@ -95,6 +95,85 @@ object Similarity {
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("dot"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — diversity-aware selection over a retrieval shortlist, the
+    * standard fix for near-duplicate results crowding a RAG context
+    * window. Greedy, λ = 1/2 cross-multiplied away: step j picks
+    * argmax over remaining shortlist docs of
+    * `dq(d) − max_{c∈chosen} dot(d, c)` (pure relevance on the first
+    * pick), ties → lowest id — a total order, so the selection is
+    * engine-exact in the quantized integer dot space.
+    *
+    * Scale shape: relevance scoring is the brute-force one-pass scan
+    * (query broadcast, TakeOrdered shortlist); the greedy loop then
+    * runs DRIVER-SIDE over the collected shortlist — `shortlist` rows
+    * of quantized vectors, bounded model-metadata like the PQ
+    * codebooks, NOT corpus data. The O(k·shortlist) pairwise dots are
+    * driver-trivial at any corpus size because the shortlist never
+    * grows with the corpus.
+    */
+  def mmrRerank(emb: DataFrame, vecCol: Column, idCol: Column,
+                queryId: Long, shortlist: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val q = emb.select(idCol.cast("long").as("vec_id"),
+      Vectors.quantize(vecCol).as("qz"))
+    val qv = q.where(col("vec_id") === queryId).select(col("qz").as("qqz"))
+    val sl = q.crossJoin(broadcast(qv)).where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("qz"), Vectors.intDot(col("qz"), col("qqz")).as("dq"))
+      .orderBy(col("dq").desc, col("vec_id").asc).limit(shortlist)
+      .as[(Long, Seq[Long], Long)].collect()
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var remaining = sl.toList
+    var chosen = List.empty[(Long, Seq[Long], Long)]
+    val picks = (1 to math.min(k, sl.length)).map { rank =>
+      val scored = remaining.map { case d @ (id, qz, dq) =>
+        val mmr = if (chosen.isEmpty) dq
+          else dq - chosen.map(c => dot(qz, c._2)).max
+        (d, mmr)
+      }
+      val (best, mmr) = scored.minBy { case ((id, _, _), m) => (-m, id) }
+      chosen ::= best
+      remaining = remaining.filterNot(_._1 == best._1)
+      (rank.toLong, best._1, best._3, mmr)
+    }
+    picks.toDF("rank", "vec_id", "dot_q", "mmr")
+  }
+
+  /** DuckDB mirror of [[mmrRerank]] as a generated CTE chain (the
+    * k-center seeding pattern: one fold CTE per greedy step, each
+    * dropping the picked row and accumulating the max-similarity
+    * term). Expects `embeddings(vec_id, embedding)`. */
+  def mmrRerankSql(queryId: Long, shortlist: Int, k: Int, dim: Int): String = {
+    val head =
+      s"""q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS qz FROM embeddings),
+         |qq AS (SELECT qz AS qqz FROM q WHERE vec_id = $queryId),
+         |sl AS (SELECT vec_id, qz, ${Vectors.intDotSql("qz", "qqz", dim)} AS dq
+         |       FROM q CROSS JOIN qq WHERE vec_id <> $queryId
+         |       ORDER BY dq DESC, vec_id LIMIT $shortlist),
+         |fc1 AS (SELECT vec_id, qz, dq, dq AS mmr FROM sl
+         |        ORDER BY dq DESC, vec_id LIMIT 1),
+         |fd1 AS (SELECT d.vec_id, d.qz, d.dq,
+         |               ${Vectors.intDotSql("d.qz", "c.qz", dim)} AS mx
+         |        FROM sl d CROSS JOIN fc1 c WHERE d.vec_id <> c.vec_id)""".stripMargin
+    val steps = (2 to k).map { j =>
+      val pick =
+        s""",
+           |fc$j AS (SELECT vec_id, qz, dq, dq - mx AS mmr FROM fd${j - 1}
+           |        ORDER BY dq - mx DESC, vec_id LIMIT 1)""".stripMargin
+      val fold = if (j == k) "" else
+        s""",
+           |fd$j AS (SELECT d.vec_id, d.qz, d.dq,
+           |               greatest(d.mx, ${Vectors.intDotSql("d.qz", "c.qz", dim)}) AS mx
+           |        FROM fd${j - 1} d CROSS JOIN fc$j c WHERE d.vec_id <> c.vec_id)""".stripMargin
+      pick + fold
+    }.mkString
+    val union = (1 to k)
+      .map(j => s"SELECT CAST($j AS BIGINT) AS rank, vec_id, dq AS dot_q, mmr FROM fc$j")
+      .mkString(" UNION ALL ")
+    s"$head$steps,\npicks AS ($union)"
+  }
+
   /** DuckDB CTE body shared by the mutual-kNN oracles: defines
     * `q/bkt/p/r/t` and finally `mk(vec_a, vec_b, dot)` with a < b. */
   def mutualKnnSqlCtes(k: Int, bits: Int, dim: Int): String =

@@ -129,4 +129,36 @@ class VectorsSpec extends SparkSpec {
       assert(b === want)
     }
   }
+
+  test("mmrRerank trades the redundant near-dup for a diverse pick") {
+    // The query must NOT coincide with the top hit: with chosen₁ == q,
+    // λ=1/2 cancels relevance against redundancy identically for every
+    // doc (dot(d,q) − dot(d,q) = 0) and the re-rank degenerates to id
+    // order — the first version of this test planted exactly that.
+    // Here: doc 1 is the top hit, doc 2 its near-dup (tiny marginal
+    // score once 1 is chosen), doc 3 the diverse direction that MMR
+    // must promote over 2 despite lower raw relevance.
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.2f, 0.0f, 0.0f)), // query
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Seq(0.3f, 0.9f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.mmrRerank(docs, col("embedding"),
+        col("vec_id"), queryId = 0L, shortlist = 10, k = 2)
+      .select($"rank", $"vec_id", $"dot_q", $"mmr")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._2) === List(1L, 3L), s"got $got")
+    // driver recheck of the exact integers: quantized vectors
+    def qz(v: Seq[Float]) = v.map(x => math.round(x.toDouble * 1000))
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val (v1, v2, v3) = (qz(Seq(1f, 0f, 0f, 0f)), qz(Seq(0.99f, 0.01f, 0f, 0f)),
+      qz(Seq(0.3f, 0.9f, 0f, 0f)))
+    val vq = qz(Seq(1f, 0.2f, 0f, 0f))
+    assert(got.head._3 === dot(v1, vq) && got.head._4 === dot(v1, vq))
+    assert(got(1)._3 === dot(v3, vq))
+    assert(got(1)._4 === dot(v3, vq) - dot(v3, v1))
+    // and the near-dup would have scored lower — the inequality that
+    // makes the re-rank DO something
+    assert(dot(v2, vq) - dot(v2, v1) < dot(v3, vq) - dot(v3, v1))
+  }
 }
