@@ -920,6 +920,67 @@ object ExtensionQueries {
       .withColumn("keep", col("score") >= 0L)
       .orderBy("doc_id")
 
+  /** Winsorization / robust clipping — the feature-engineering
+    * operator that tames heavy-tailed numeric columns before
+    * training: per event type, values clip to the exact [p1, p99]
+    * rank bounds (the same ⌈q·n⌉ rank arithmetic as
+    * events_quantiles_exact, both bounds read from ONE window pass
+    * via conditional aggregates), and the query emits per-type
+    * clipped-tail counts and the clipped decimal sum. The per-type
+    * rank window is the audit-grade exact form; at 100 TB the GK
+    * sketch supplies the bounds and the clip itself stays a
+    * scan-stage projection against the broadcast bounds row.
+    */
+  private def qEventsWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v").asc)
+    val bounds = ev.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(n), "event_type")
+      .groupBy("event_type")
+      .agg(min(when(col("rn") === expr("(n + 99) div 100"), col("v"))).as("p1"),
+        min(when(col("rn") === expr("(99 * n + 99) div 100"), col("v"))).as("p99"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        greatest(col("p1"), least(col("p99"), col("v"))).as("cv"),
+        (col("v") < col("p1")).as("lo"), (col("v") > col("p99")).as("hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        (sum(col("cv")) * 100).cast("long").as("clipped_sum_x100"))
+      .orderBy("event_type")
+  }
+
+  /** Tokenizer-vocabulary coverage audit: per-doc out-of-vocabulary
+    * rate against the corpus's own top-100 token vocabulary — the
+    * health check run before committing to a tokenizer (a rising OOV
+    * tail means the vocab under-fits the mixture). The vocabulary is
+    * a bounded driver collect (top-100 by (count desc, term) — a
+    * total order), then serving is a PURE scan-stage projection: each
+    * doc counts its non-vocab tokens with one filter() HOF against
+    * the literal array, zero shuffles after the vocab build (the
+    * classifier-serving pattern; the explode + anti-join spelling
+    * would shuffle every token). */
+  private def qTextOovRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 1)
+    val vocab = docs.select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(100)
+      .select(col("t")).as[String].collect().toSeq
+    docs
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => !t.isin(vocab: _*))).cast("long").as("n_oov"))
+      .withColumn("oov_bp", expr("(10000 * n_oov) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping retrieval chunking — the RAG indexing shape (32-token
     * windows, stride 16, 50% overlap, the LangChain/LlamaIndex default
     * family): each doc yields ⌈(n−W)/S⌉+1 windows, the final window
@@ -2842,6 +2903,8 @@ object ExtensionQueries {
     "corpus_leakage_safe_split" -> (qCorpusLeakageSafeSplit _),
     "corpus_rag_chunks" -> (qCorpusRagChunks _),
     "sim_mmr_rerank" -> (qSimMmrRerank _),
+    "events_winsorize" -> (qEventsWinsorize _),
+    "text_oov_rate" -> (qTextOovRate _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4545,5 +4608,40 @@ object ExtensionQueries {
     "sim_mmr_rerank" ->
       s"""WITH ${graft.ops.Similarity.mmrRerankSql(0L, 20, 5, EMB_DIM)}
          |SELECT rank, vec_id, dot_q, mmr FROM picks ORDER BY rank""".stripMargin,
+
+    "events_winsorize" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+        |r AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM ev),
+        |b AS (SELECT r.event_type,
+        |        MIN(CASE WHEN rn = (n.n + 99) // 100 THEN v END) AS p1,
+        |        MIN(CASE WHEN rn = (99 * n.n + 99) // 100 THEN v END) AS p99
+        |      FROM r JOIN n USING (event_type) GROUP BY 1),
+        |c AS (SELECT ev.event_type,
+        |        greatest(b.p1, least(b.p99, ev.v)) AS cv,
+        |        (ev.v < b.p1) AS lo, (ev.v > b.p99) AS hi
+        |      FROM ev JOIN b USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |       CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |       CAST(SUM(cv) * 100 AS BIGINT) AS clipped_sum_x100
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "text_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |t2 AS (SELECT * FROM t WHERE len(tk) >= 1),
+         |v AS (SELECT u.t FROM (
+         |        SELECT u.t, COUNT(*) AS c
+         |        FROM t2, LATERAL (SELECT unnest(tk) AS t) u GROUP BY 1
+         |        ORDER BY c DESC, u.t LIMIT 100) u),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(CASE WHEN tok.t IN (SELECT t FROM v) THEN 0 ELSE 1 END)
+         |             AS BIGINT) AS n_oov
+         |      FROM t2, LATERAL (SELECT unnest(tk) AS t) tok GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       (10000 * n_oov) // n_tokens AS oov_bp
+         |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

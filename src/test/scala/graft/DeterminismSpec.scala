@@ -68,7 +68,16 @@ class DeterminismSpec extends SparkSpec {
     "text_bpe_encode",     // per-row merge sweep + ratio quotients
     "events_cms_exact",    // deterministic top-20 cut (count desc, id)
     "events_quantiles_exact", // rank-targeted exact p90 per type
-    "lineitem_profile_approx") // HLL register merge is order-insensitive
+    "lineitem_profile_approx", // HLL register merge is order-insensitive
+    "dedup_containment_prefix", // prefix ⋈ full join + containment verify
+    "corpus_leakage_safe_split", // cluster-keyed hash split
+    "text_skipgram_pairs", // shifted-slice pair counts + top-30 tiebreak
+    "text_zipf_audit",     // top-30 cut + cross-multiplied ratio
+    "text_clf_calibration", // literal bin edges + rate quotients
+    "corpus_rag_chunks",   // stride windows + md5 identity
+    "sim_mmr_rerank",      // greedy integer MMR over the shortlist
+    "events_winsorize",    // rank-bound clipping; tie ranks share a value
+    "text_oov_rate")       // top-100 vocab cut + scan-stage OOV fold
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
