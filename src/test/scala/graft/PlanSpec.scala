@@ -276,8 +276,16 @@ class PlanSpec extends SparkSpec {
     val p = planOf("dedup_prefix_filter")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "prefix candidate generation must stay an equi-join on the prefix shingle")
-    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
-      "per-doc prefix rank must plan as a window")
+    // the per-doc rarest-first rank window now lives in the memoized
+    // rankShingles build (shared with the containment channel), so the
+    // window guard runs on the builder's own plan
+    import org.apache.spark.sql.functions.col
+    val sh = graft.ops.Text.distinctShingles(
+      Tables.documents(spark, dir), col("text"), col("doc_id"), 3)
+    val ranked = graft.ops.Dedup.rankShingles(sh)
+    ranked.count()
+    val rp = ranked.queryExecution.executedPlan.toString
+    assert(rp.contains("Window"), "per-doc prefix rank must plan as a window")
   }
 
   test("orders_delta_join: every delta term broadcasts its delta side") {
@@ -516,6 +524,35 @@ class PlanSpec extends SparkSpec {
         "Expand is the entire point of the sketch swap at 100 TB")
     assert(p.contains("ReadSchema: struct<l_discount:double>"),
       "each exact-audit distinct must scan exactly its own column")
+  }
+
+  test("text_oov_rate: OOV serving is a pure projection after the vocab build") {
+    val q = SparkEntry.queries("text_oov_rate")(spark, dir)
+    q.count()
+    val p = q.queryExecution.executedPlan.toString
+    // the returned frame is the serving pass (the vocab collected
+    // eagerly in the builder); it must ride the literal array
+    assert(!p.contains("Exchange hashpartitioning"),
+      "OOV counting must not shuffle — the vocab is a literal and the " +
+        "count is a filter() HOF over each row's token array")
+    assert(!p.contains("Generate"), "no token explode in the serving pass")
+  }
+
+  test("text_skipgram_pairs: pair explode shuffles only the pair vocabulary") {
+    val p = planOf("text_skipgram_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "pair generation must be scan-stage zip_with, never a token self-join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 must run as per-partition heaps")
+    assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).length >= 2,
+      "pair counts must partial-combine map-side")
+  }
+
+  test("corpus_rag_chunks: chunking is scan-stage, no shuffle before the sort") {
+    val p = planOf("corpus_rag_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "window chunking is a per-row expression — nothing to co-locate")
+    assert(p.contains("Generate"), "chunks emit via posexplode")
   }
 
   test("parts_abc_analysis: the global window sits on the pre-aggregated dimension") {
