@@ -77,6 +77,9 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val nNodes = nodes.count()
+    // empty graph: keep the pre-gate behavior (empty result), instead
+    // of a driver-side division by zero in the literal below
+    if (nNodes == 0) return nodes.select(col("node"), lit(0L).as("pr"))
     // Scala Long `/` and Spark/DuckDB integer `div` agree on
     // non-negative operands, so driver-side literals stay oracle-exact
     val hintRank: DataFrame => DataFrame =

@@ -109,6 +109,11 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("pageRank on an empty edge frame returns an empty result, not a crash") {
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(Graph.pageRank(empty, iters = 2).count() === 0L)
+  }
+
   test("personalizedPageRank fails fast on an empty seed set") {
     // Spark's non-ANSI div would otherwise yield NULL pr for every seed
     // while the DuckDB mirror's // 0 raises — a silent cross-engine
