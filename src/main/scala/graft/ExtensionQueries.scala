@@ -920,6 +920,71 @@ object ExtensionQueries {
       .withColumn("keep", col("score") >= 0L)
       .orderBy("doc_id")
 
+  /** Time-BOUND funnel — `events_funnel` with conversion windows,
+    * the form product analytics actually ships (a purchase three
+    * weeks after the click is not attribution): each stage must land
+    * within 3 days of the previous stage's timestamp (a horizon the
+    * fixture discriminates: 15 -> 11 -> 8 users at sf0.001, where an
+    * unwindowed funnel converts all 15). Same
+    * three-conditional-min shape (no self-join over raw events — each
+    * pass joins the per-user stage table, dimension-sized, back to
+    * one events scan), the window constraint rides inside the
+    * conditional. Timestamp-interval arithmetic is engine-exact.
+    */
+  private def qEventsFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts") >= col("t_signup") &&
+        col("ts") <= col("t_signup") + expr("INTERVAL 3 DAY"),
+        col("ts"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 3 DAY"),
+        col("ts"))).as("t_purchase"))
+    s3.agg(
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_click").isNotNull, 1)).as("n_click_3d"),
+        count(when(col("t_purchase").isNotNull, 1)).as("n_purchase_3d"))
+      .select(expr("stack(3, 'signup', n_signup, 'click_3d', n_click_3d, " +
+        "'purchase_3d', n_purchase_3d) as (stage, n_users)"))
+      .orderBy("stage")
+  }
+
+  /** Token-budget recipe sampler — the Dolma/RedPajama "data recipe"
+    * operator: each source contributes documents up to a fixed token
+    * budget, selected as the PREFIX of the source's deterministic
+    * hash-priority order (cumulative tokens ≤ budget; the running sum
+    * is monotone along the order, so the filter IS a prefix — no
+    * driver-side greedy loop). One source-keyed window shuffle, the
+    * sanctioned per-group shape (the window never sees more than one
+    * source's docs per task); emits each selected doc with its rank
+    * and running total so downstream mixtures consume the selection
+    * directly.
+    */
+  private def qCorpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 20000L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.ops.Sampling.bucket(col("doc_id")).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("rk"), col("n_tok"),
+        col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Winsorization / robust clipping — the feature-engineering
     * operator that tames heavy-tailed numeric columns before
     * training: per event type, values clip to the exact [p1, p99]
@@ -2905,6 +2970,8 @@ object ExtensionQueries {
     "sim_mmr_rerank" -> (qSimMmrRerank _),
     "events_winsorize" -> (qEventsWinsorize _),
     "text_oov_rate" -> (qTextOovRate _),
+    "events_funnel_windowed" -> (qEventsFunnelWindowed _),
+    "corpus_token_budget" -> (qCorpusTokenBudget _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4629,6 +4696,32 @@ object ExtensionQueries {
         |       CAST(SUM(cv) * 100 AS BIGINT) AS clipped_sum_x100
         |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    "events_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM ev GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t_signup,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_signup
+        |        AND e.ts <= s1.t_signup + INTERVAL 3 DAY
+        |        THEN e.ts END) AS t_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |        AND e.ts <= s2.t_click + INTERVAL 3 DAY
+        |        THEN e.ts END) AS t_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1, 2, 3),
+        |agg AS (SELECT
+        |    COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        |    COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click_3d,
+        |    COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase_3d
+        |  FROM s3)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'signup' AS stage, n_signup AS n_users FROM agg
+        |  UNION ALL SELECT 'click_3d', n_click_3d FROM agg
+        |  UNION ALL SELECT 'purchase_3d', n_purchase_3d FROM agg)
+        |ORDER BY stage""".stripMargin,
+
     "text_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
          |t2 AS (SELECT * FROM t WHERE len(tk) >= 1),
@@ -4643,5 +4736,18 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens, n_oov,
          |       (10000 * n_oov) // n_tokens AS oov_bp
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "corpus_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($TK) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |r AS (SELECT doc_id, source, n_tok,
+         |        CAST(row_number() OVER w AS BIGINT) AS rk,
+         |        CAST(SUM(n_tok) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |                              AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM d
+         |      WINDOW w AS (PARTITION BY source
+         |                   ORDER BY ${graft.ops.Sampling.bucketSql("doc_id")}, doc_id))
+         |SELECT doc_id, source, rk, n_tok, cum_tokens
+         |FROM r WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
   )
 }

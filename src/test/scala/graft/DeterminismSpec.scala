@@ -77,7 +77,9 @@ class DeterminismSpec extends SparkSpec {
     "corpus_rag_chunks",   // stride windows + md5 identity
     "sim_mmr_rerank",      // greedy integer MMR over the shortlist
     "events_winsorize",    // rank-bound clipping; tie ranks share a value
-    "text_oov_rate")       // top-100 vocab cut + scan-stage OOV fold
+    "text_oov_rate",       // top-100 vocab cut + scan-stage OOV fold
+    "events_funnel_windowed", // interval-bounded conditional min chain
+    "corpus_token_budget") // hash-priority prefix under a running sum
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
