@@ -233,6 +233,78 @@ object CorpusStream {
     fold.foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** foreachBatch body for STORE-BACKED incremental NEAR-dup
+    * detection — the MinHash-LSH analog of [[dedupBatch]] (exact) and
+    * [[chunkDedupBatch]] (chunks), completing the incremental family:
+    * each micro-batch finds its verified near-dup pairs against ALL
+    * history without ever rescanning old batches.
+    *
+    * Per batch: (1) distinct shingles and banded MinHash keys compute
+    * for the batch only; (2) cross-batch candidates come from probing
+    * the persistent band-claim store — read-side `min(doc_id)` per
+    * (band, bk) mirrors [[nearDupCandidates]]'s first-writer claim AND
+    * caps a hot band key at ONE historical representative, so a
+    * boilerplate signature claimed by 10⁶ old docs contributes one
+    * candidate per colliding new doc, not 10⁶; (3) intra-batch
+    * candidates go through the standard capped LSH channel; (4) exact
+    * Jaccard verification reads the shingle store SEMI-JOINED to the
+    * candidate docs (full shingle sets of touched docs only — the
+    * store scan is pruned by the candidate set, which is the part
+    * that stays small as history grows). Three outputs, all
+    * batchId-keyed + overwrite (claims, shingles, verified pairs), so
+    * crash-replay REPLACES a batch's output and the store reads
+    * exclude the replaying batch's own partitions — the same
+    * idempotence discipline as every store-backed operator here.
+    */
+  def nearDupBatch(storeDir: String, shingleN: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, num: Int = 1, den: Int = 2, maxBucket: Int = 100)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    val bandSchema = StructType(Seq(StructField("band", IntegerType),
+      StructField("bk", StringType), StructField("doc_id", LongType),
+      StructField("batch", LongType)))
+    val shSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("shingle", StringType), StructField("batch", LongType)))
+    def readOr(dir: String, schema: StructType): DataFrame =
+      try s.read.schema(schema).parquet(dir).where(col("batch") =!= batchId)
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // pinned: feeds the band build, the verify side, and its own write
+    val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), shingleN)
+      .localCheckpoint(true)
+    val banded = Dedup.minhashBandKeys(sh, bands, rowsPerBand)
+      .localCheckpoint(true) // probed, self-joined, and written
+    // first-writer claim per key across history (min doc id)
+    val priorClaims = readOr(s"$storeDir/bands", bandSchema)
+      .groupBy(col("band"), col("bk")).agg(min(col("doc_id")).as("old_doc"))
+    val cross = banded.select(col("band"), col("bk"), col("doc_id").as("new_doc"))
+      .join(priorClaims, Seq("band", "bk"))
+      .where(col("new_doc") =!= col("old_doc"))
+      .select(least(col("new_doc"), col("old_doc")).as("doc_a"),
+        greatest(col("new_doc"), col("old_doc")).as("doc_b"))
+    val intra = Dedup.lshCandidates(banded, maxBucket)
+    val cand = intra.unionAll(cross).distinct().localCheckpoint(true)
+    val touched = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // full shingle sets of touched docs only; distinct() guards the
+    // pathological re-sent-doc-id case from double-counting overlaps
+    val verifySh = sh.select(col("doc_id"), col("shingle"))
+      .unionAll(readOr(s"$storeDir/shingles", shSchema)
+        .select(col("doc_id"), col("shingle")))
+      .join(touched, Seq("doc_id"), "left_semi")
+      .distinct()
+    Dedup.jaccardVerify(cand, verifySh, num, den)
+      .write.mode("overwrite").parquet(s"$storeDir/pairs/batch=$batchId")
+    banded.select(col("band"), col("bk"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
+    sh.select(col("doc_id"), col("shingle"))
+      .write.mode("overwrite").parquet(s"$storeDir/shingles/batch=$batchId")
+  }
+
   /** Streaming per-source admission cap — the continuous form of
     * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
     * `cap` docs over the stream's lifetime, later arrivals drop. The

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.explode
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.OutputMode
+import graft.ops.Dedup
 import graft.streaming.CorpusStream
 
 /** Streaming corpus ingest: quality gate and exact dedup hold across
@@ -316,6 +317,47 @@ class CorpusStreamSpec extends SparkSpec {
     // chunk A still dead long after its partition was folded twice
     run(Seq((4L, s"$A")), 3L)
     assert(stats(3L) === Map(4L -> (1L, 0L)))
+  }
+
+  test("incremental near-dup: cross-batch pairs verified, replay idempotent") {
+    val store = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.nearDupBatch(store)(rows.toDF("doc_id", "text"), id)
+    def pairs(id: Long): Set[(Long, Long)] =
+      spark.read.parquet(s"$store/pairs/batch=$id")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    // two near-dup texts (high shingle overlap) and an unrelated one
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val noise = (100 to 140).map(i => s"n$i").mkString(" ")
+
+    run(Seq((1L, base), (2L, noise)), 0L)
+    assert(pairs(0L) === Set.empty, "no near-dups inside batch 0")
+
+    // batch 1 brings the near-dup of a BATCH-0 doc: the pair must
+    // surface without rescanning batch 0's raw text
+    run(Seq((3L, nearDup)), 1L)
+    assert(pairs(1L) === Set((1L, 3L)))
+
+    // crash-replay of batch 1: own store partitions excluded, output
+    // identical, store holds each claim/shingle once per batch
+    run(Seq((3L, nearDup)), 1L)
+    assert(pairs(1L) === Set((1L, 3L)))
+
+    // intra-batch near-dups still go through the capped LSH channel
+    val v1 = (200 to 230).map(i => s"v$i").mkString(" ")
+    val v2 = ((200 to 228).map(i => s"v$i") ++ Seq("y1", "y2")).mkString(" ")
+    run(Seq((4L, v1), (5L, v2)), 2L)
+    assert(pairs(2L) === Set((4L, 5L)))
+
+    // and the union of per-batch pairs equals the batch operator run
+    // over the full corpus — the incremental form loses nothing here
+    val all = Seq((1L, base), (2L, noise), (3L, nearDup), (4L, v1), (5L, v2))
+    val batchPairs = Dedup.minhashNearDups(all.toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert((pairs(0L) ++ pairs(1L) ++ pairs(2L)) === batchPairs)
   }
 
   test("chunk store TTL: admission-age expiry re-admits a returning chunk") {
