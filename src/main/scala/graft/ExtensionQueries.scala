@@ -920,6 +920,67 @@ object ExtensionQueries {
       .withColumn("keep", col("score") >= 0L)
       .orderBy("doc_id")
 
+  /** Embedding-outlier screen: the 20 vectors farthest (exact integer
+    * squared distance) from their assigned k-means seed centroid —
+    * the corrupt-embedding / out-of-distribution detector an index
+    * build runs first (a zeroed or garbage vector poisons cosine
+    * buckets and recall audits). Rides the SAME seed-assignment frame
+    * as SemDeDup (d2 comes free with the argmin); rank-based cut, no
+    * magic distance threshold. TakeOrdered top-20, window over 20
+    * rows post-cut.
+    */
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
+        col("vec_id"), emb.where(col("vec_id") < 4))
+      .select(col("vec_id"), col("cl"), col("d2"))
+      .orderBy(col("d2").desc, col("vec_id").asc).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("d2").desc, col("vec_id").asc))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("cl"), col("d2"))
+      .orderBy("rank")
+  }
+
+  /** Distribution-drift audit between the event stream's first and
+    * second half (by day, pivot = exact midpoint of the observed
+    * range): per fixed-width value bin, row counts and share deltas
+    * in basis points — the monitoring table a PSI/KS drift alarm
+    * reads, with the log-free integer form of the comparison (share
+    * deltas, not Σ(a−b)·ln(a/b), so both engines agree bit-for-bit).
+    * One scan + one 16-key aggregate; the date bounds ride one
+    * broadcast row.
+    */
+  private def qEventsDriftHalves(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(b))
+      .withColumn("in_a",
+        col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .withColumn("bin",
+        least(lit(15L), expr("CAST(v * 100 AS BIGINT) div 2000")))
+      .groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .crossJoin(broadcast(
+        ev.crossJoin(broadcast(b)).agg(
+          sum(when(col("day") <=
+            expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"), 1L)
+            .otherwise(0L)).as("tot_a"),
+          sum(when(col("day") >
+            expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"), 1L)
+            .otherwise(0L)).as("tot_b"))))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("(10000 * n_a) div tot_a").as("share_a_bp"),
+        expr("(10000 * n_b) div tot_b").as("share_b_bp"),
+        expr("(10000 * n_a) div tot_a - (10000 * n_b) div tot_b").as("drift_bp"))
+      .orderBy("bin")
+  }
+
   /** Time-BOUND funnel — `events_funnel` with conversion windows,
     * the form product analytics actually ships (a purchase three
     * weeks after the click is not attribution): each stage must land
@@ -2972,6 +3033,8 @@ object ExtensionQueries {
     "text_oov_rate" -> (qTextOovRate _),
     "events_funnel_windowed" -> (qEventsFunnelWindowed _),
     "corpus_token_budget" -> (qCorpusTokenBudget _),
+    "emb_outliers" -> (qEmbOutliers _),
+    "events_drift_halves" -> (qEventsDriftHalves _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4749,5 +4812,41 @@ object ExtensionQueries {
          |                   ORDER BY ${graft.ops.Sampling.bucketSql("doc_id")}, doc_id))
          |SELECT doc_id, source, rk, n_tok, cum_tokens
          |FROM r WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+
+    "emb_outliers" -> {
+      val dim = EMB_DIM
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4),
+         |d1 AS (SELECT v.vec_id, v.q, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, q, cid AS cl, sc FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
+         |o AS (SELECT vec_id, cl, ${Vectors.intNorm2Sql("q", dim)} + sc AS d2
+         |      FROM a1 ORDER BY d2 DESC, vec_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank,
+         |       vec_id, cl, d2
+         |FROM o ORDER BY rank""".stripMargin
+    },
+
+    "events_drift_halves" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |h AS (SELECT CASE WHEN ev.day <= b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+        |             THEN 1 ELSE 0 END AS in_a,
+        |             least(15, CAST(v * 100 AS BIGINT) // 2000) AS bin
+        |      FROM ev CROSS JOIN b),
+        |t AS (SELECT CAST(SUM(in_a) AS BIGINT) AS tot_a,
+        |             CAST(SUM(1 - in_a) AS BIGINT) AS tot_b FROM h),
+        |g AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS n_a,
+        |             CAST(SUM(1 - in_a) AS BIGINT) AS n_b FROM h GROUP BY 1)
+        |SELECT bin, n_a, n_b,
+        |       (10000 * n_a) // tot_a AS share_a_bp,
+        |       (10000 * n_b) // tot_b AS share_b_bp,
+        |       (10000 * n_a) // tot_a - (10000 * n_b) // tot_b AS drift_bp
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
   )
 }

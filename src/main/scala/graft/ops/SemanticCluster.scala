@@ -145,10 +145,15 @@ object SemanticCluster {
       val cn2 = c.map(x => x * x).sum
       lit(cn2) - lit(2L) * Vectors.intDot(col("q"), array(c.map(lit): _*))
     }
+    val scores = seedVecs.map(seedScore)
+    // d2 = ‖x‖² + min score = the exact squared distance to the
+    // ASSIGNED centroid (assignment IS the score argmin) — rides along
+    // for outlier screens; scan-stage like the assignment itself
     emb.select(idCol.cast("long").as("vec_id"), vecCol.as("v"),
         Vectors.quantize(vecCol).as("q"))
       .withColumn("cl",
-        element_at(seedIds, argmin(seedVecs.map(seedScore)).cast("int")))
+        element_at(seedIds, argmin(scores).cast("int")))
+      .withColumn("d2", Vectors.intNorm2(col("q")) + scores.reduce(least(_, _)))
       .localCheckpoint(true)
   }
 

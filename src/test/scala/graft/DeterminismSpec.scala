@@ -79,7 +79,9 @@ class DeterminismSpec extends SparkSpec {
     "events_winsorize",    // rank-bound clipping; tie ranks share a value
     "text_oov_rate",       // top-100 vocab cut + scan-stage OOV fold
     "events_funnel_windowed", // interval-bounded conditional min chain
-    "corpus_token_budget") // hash-priority prefix under a running sum
+    "corpus_token_budget", // hash-priority prefix under a running sum
+    "emb_outliers",        // exact d2 argmin + rank cut
+    "events_drift_halves") // midpoint pivot + integer share deltas
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
