@@ -13,6 +13,11 @@ case class NearDupCandidate(doc_id: Long, band: Int, first_doc_id: Long)
   * admission rank within its source across the stream's lifetime. */
 case class CappedDoc(doc_id: Long, source: String, seq: Long)
 
+/** A doc admitted by the streaming token budget; `cum_tokens` is the
+  * source's running token total INCLUDING this doc. */
+case class BudgetedDoc(doc_id: Long, source: String, n_tok: Long,
+                       cum_tokens: Long)
+
 /** The winner of a streaming keep-best decision: the highest-quality
   * doc under `key` seen inside the decision horizon. */
 case class BestPick(key: String, doc_id: Long, quality: Long)
@@ -334,6 +339,46 @@ object CorpusStream {
           picked.iterator.zipWithIndex.map { case (id, i) =>
             CappedDoc(id, src, admitted + i + 1)
           }
+        })
+  }
+
+  /** Streaming token budget — the continuous form of
+    * `corpus_token_budget`'s per-source data recipe: each source
+    * admits documents until its cumulative TOKEN total would exceed
+    * `budget`, then drops the rest forever. The batch form selects
+    * the prefix of a deterministic hash-priority order, which needs
+    * the whole group in hand; a stream cannot rank globally, so the
+    * streaming contract (exactly [[capBySource]]'s) is
+    * first-by-arrival admission — deterministic under replay because
+    * intra-batch ties break by doc_id, and monotone: an admitted doc
+    * is never evicted. A doc that would overflow the remaining budget
+    * is SKIPPED (not truncated), and later smaller docs may still fit
+    * — the same greedy-prefix-with-skips a budget admission gate
+    * actually runs.
+    *
+    * State shape at scale: ONE long (token total) per distinct
+    * source, the [[capBySource]] footprint; no timeout needed.
+    */
+  def tokenBudgetBySource(docs: DataFrame, tokens: org.apache.spark.sql.Column,
+                          budget: Long): Dataset[BudgetedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"),
+        tokens.cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) => {
+          var used = if (state.exists) state.get else 0L
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+            if (used + n <= budget) {
+              used += n
+              Some(BudgetedDoc(id, src, n, used))
+            } else None
+          }
+          state.update(used)
+          out.iterator
         })
   }
 

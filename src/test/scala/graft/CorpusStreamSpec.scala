@@ -117,6 +117,33 @@ class CorpusStreamSpec extends SparkSpec {
       (10L, "s2", 1L), (11L, "s2", 2L), (12L, "s2", 3L)))
   }
 
+  test("streaming token budget: admits by arrival, skips overflow, later fits still admit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val out = CorpusStream.tokenBudgetBySource(
+      input.toDF().toDF("doc_id", "source", "n_tok"), col("n_tok"), budget = 100L)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("token_budget").start()
+
+    input.addData((1L, "s1", 60L), (2L, "s1", 30L))
+    q.processAllAvailable()
+    // 90/100 used: doc 3 (20 tok) would overflow and is SKIPPED, but
+    // doc 4 (10 tok) in the same batch still fits — greedy with skips,
+    // intra-batch order by doc_id
+    input.addData((3L, "s1", 20L), (4L, "s1", 10L))
+    q.processAllAvailable()
+    // budget exactly exhausted: everything drops
+    input.addData((5L, "s1", 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("token_budget")
+      .select($"doc_id", $"source", $"n_tok", $"cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (1L, "s1", 60L, 60L), (2L, "s1", 30L, 90L), (4L, "s1", 10L, 100L)))
+  }
+
   private val base = (0 until 60).map(i => s"w$i").mkString(" ")
 
   test("per-row band keys match the aggregated MinHash signature form") {
