@@ -961,8 +961,11 @@ object ExtensionQueries {
     ev.crossJoin(broadcast(b))
       .withColumn("in_a",
         col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      // non-negative dividend: a negative value would split the
+      // engines on trunc-vs-floor division (none in the fixture, but
+      // the guard costs nothing and survives drift)
       .withColumn("bin",
-        least(lit(15L), expr("CAST(v * 100 AS BIGINT) div 2000")))
+        least(lit(15L), expr("greatest(CAST(v * 100 AS BIGINT), 0L) div 2000")))
       .groupBy("bin")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
@@ -1252,8 +1255,13 @@ object ExtensionQueries {
     Tables.documents(s, dir)
       .select(graft.ops.Text.hashedLinearScore(col("text"), clfWeights).as("score"),
         Text.isLowQuality(col("text")).as("lq"))
+      // the dividend clamps non-negative BEFORE the division: a score
+      // below −2¹⁴ would otherwise make Spark's truncating div and
+      // DuckDB's flooring // disagree by one bin (the fixture's min is
+      // −11.8k today, but score magnitude grows with doc length —
+      // exactly the drift-unsafe class the r11 ADVICE flagged)
       .withColumn("bin",
-        least(greatest(expr("(score + 16384) div 2000"), lit(0L)), lit(15L)))
+        least(expr("greatest(score + 16384, 0L) div 2000"), lit(15L)))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("lq"), 1L).otherwise(0L)).as("n_low_quality"),
@@ -4681,7 +4689,7 @@ object ExtensionQueries {
          |        (len(tk) < 10
          |         OR 100 * len(list_filter(tk, t -> t IN ($stopList))) > 60 * len(tk)) AS lq
          |      FROM t),
-         |b AS (SELECT least(greatest((score + 16384) // 2000, 0), 15) AS bin,
+         |b AS (SELECT least(greatest(score + 16384, 0) // 2000, 15) AS bin,
          |             score, lq FROM s)
          |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(CASE WHEN lq THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
@@ -4837,7 +4845,7 @@ object ExtensionQueries {
         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
         |h AS (SELECT CASE WHEN ev.day <= b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
         |             THEN 1 ELSE 0 END AS in_a,
-        |             least(15, CAST(v * 100 AS BIGINT) // 2000) AS bin
+        |             least(15, greatest(CAST(v * 100 AS BIGINT), 0) // 2000) AS bin
         |      FROM ev CROSS JOIN b),
         |t AS (SELECT CAST(SUM(in_a) AS BIGINT) AS tot_a,
         |             CAST(SUM(1 - in_a) AS BIGINT) AS tot_b FROM h),
