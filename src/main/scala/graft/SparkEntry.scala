@@ -609,6 +609,125 @@ object SparkEntry {
       .orderBy(col("n_waits").desc, col("s_suppkey").asc)
   }
 
+  /** Q2-style min-cost supplier (reference TPC-H Q2 over the derived
+    * [[Tables.partsupp]]): for each STANDARD part of mid size, the
+    * EUROPE supplier(s) offering the minimum supply cost. The classic
+    * correlated-scalar-subquery shape — the DuckDB oracle states it as
+    * `ps_supplycost_cents = (SELECT min(...) WHERE ps2.ps_partkey =
+    * p_partkey)`; the Spark plan is the decorrelated form Catalyst
+    * itself would produce: compute the per-part min as a window over
+    * ONE shuffle on ps_partkey and keep the rows that meet it, so the
+    * offers frame is scanned once, never re-scanned per part.
+    *
+    * Scale shape: nation⋈region and the region's suppliers are
+    * dimensions → broadcast into partsupp's scan stage; the selected
+    * part slice broadcasts too; the only shuffle is the window's
+    * ps_partkey exchange, carrying ≤ 4 offer rows per selected part.
+    */
+  private def qQ2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eur = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supEur = Tables.supplier(s, dir)
+      .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val parts = Tables.part(s, dir)
+      .where(col("p_size").between(10, 30) && col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val offers = Tables.partsupp(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(supEur), col("ps_suppkey") === col("s_suppkey"))
+    val w = Window.partitionBy(col("ps_partkey"))
+    offers
+      .withColumn("min_cost", min(col("ps_supplycost_cents")).over(w))
+      .where(col("ps_supplycost_cents") === col("min_cost"))
+      .select(floor(col("s_acctbal") * 100).cast("long").as("s_acctbal_x100"),
+        col("s_name"), col("n_name"), col("p_partkey"),
+        col("ps_supplycost_cents"))
+      .orderBy(col("s_acctbal_x100").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11-style important-stock scan (reference TPC-H Q11): stock value
+    * per part held by ASIA suppliers, keeping parts whose value
+    * exceeds 2× the mean group value — the group-HAVING-vs-global-
+    * scalar shape. The scalar (total, n_groups) is computed FROM the
+    * grouped frame itself, so both branches consume the same
+    * ps_partkey exchange and Spark's ReuseExchange collapses them to
+    * one shuffle over one partsupp scan (asserted by PartsuppSpec);
+    * the 1-row scalar then broadcasts back into the filter. The
+    * comparison runs in DECIMAL(38,0)/HUGEINT on both engines:
+    * value·n_groups at 100 TB (value ≤ 4·10⁹ cents·qty, n_groups =
+    * |part|) can exceed int64, and a silent BIGINT wrap would split
+    * the engines exactly where the fixture can't see it.
+    */
+  private def qQ11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supAsia = Tables.supplier(s, dir)
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val grouped = Tables.partsupp(s, dir)
+      .join(broadcast(supAsia), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(checkedLong(
+        sum((col("ps_supplycost_cents") * col("ps_availqty"))
+          .cast("decimal(38,0)")), "stock_value_cents"))
+    val scalar = grouped.agg(
+      checkedLong(sum(col("stock_value_cents").cast("decimal(38,0)")), "total"),
+      count(lit(1)).as("n_groups"))
+    grouped.crossJoin(broadcast(scalar))
+      .where(col("stock_value_cents").cast("decimal(38,0)") * col("n_groups") >
+        col("total").cast("decimal(38,0)") * 2)
+      .select(col("ps_partkey"), col("stock_value_cents"))
+      .orderBy(col("stock_value_cents").desc, col("ps_partkey"))
+  }
+
+  /** Q20-style excess-inventory suppliers (reference TPC-H Q20):
+    * suppliers holding a 'red%' part whose availability exceeds 150×
+    * what they actually shipped of it in 1997 — the nested-IN +
+    * correlated-quantity-threshold shape. The oracle keeps the nested
+    * form (IN → IN → correlated SUM); the Spark plan decorrelates it:
+    * shipments pre-aggregate per (part, supplier) behind the broadcast
+    * part slice, the threshold is an inner join + integer filter (the
+    * oracle's NULL-comparison on never-shipped pairs and the inner
+    * join drop the same rows), and the supplier table sees only a
+    * left-semi probe. Quantity stays in the ×100 scaled-BIGINT basis
+    * (same discipline as q17/q18) so no float crosses the comparison.
+    *
+    * Scale shape: one (partkey, suppkey) shuffle for the shipment
+    * aggregate — partial sums fold map-side behind the broadcast part
+    * filter; partsupp joins it on the same keys; the qualifying
+    * suppkey set is a semi-join build side.
+    */
+  private def qQ20ExcessInventory(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir).where(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val shipped = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(checkedLong(sum(col("l_quantity").cast("decimal(12,2)")) * 100,
+        "sum_q_x100"))
+    val excess = Tables.partsupp(s, dir)
+      .join(broadcast(redParts.withColumnRenamed("p_partkey", "rp_partkey")),
+        col("ps_partkey") === col("rp_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .where(col("ps_availqty") * 100 > col("sum_q_x100") * 150)
+      .select(col("ps_suppkey"))
+    Tables.supplier(s, dir)
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
   /** RFM customer segmentation: recency (days since last order),
     * frequency (order count), monetary (lifetime spend in cents) per
     * customer, each cut at its exact quartile boundaries, segments
@@ -1166,6 +1285,9 @@ object SparkEntry {
     "q9_profit_proxy" -> (qQ9ProfitProxy _),
     "q12_late_shipping" -> (qQ12LateShipping _),
     "q21_slowest_supplier" -> (qQ21SlowestSupplier _),
+    "q2_min_cost_supp" -> (qQ2MinCostSupp _),
+    "q11_important_stock" -> (qQ11ImportantStock _),
+    "q20_excess_inventory" -> (qQ20ExcessInventory _),
     "customer_rfm" -> (qCustomerRfm _),
     "customer_quartiles" -> (qCustomerQuartiles _),
     "lineitem_profile" -> (qLineitemProfile _),
@@ -1192,6 +1314,7 @@ object SparkEntry {
   )
 
   private val L = Fixtures.cdcLogSql // WITH cdc_log AS (...) prefix
+  private val P = Tables.partsuppSql // WITH partsupp AS (...) prefix
 
   def oracleSql: Map[String, String] = coreOracleSql ++ ExtensionQueries.oracleSql
 
@@ -1493,6 +1616,51 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, n_waits
         |FROM supplier JOIN t ON s_suppkey = l_suppkey
         |ORDER BY n_waits DESC, s_suppkey ASC""".stripMargin,
+
+    "q2_min_cost_supp" -> (P +
+      """, eur AS (SELECT n_nationkey, n_name FROM nation
+        |           JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |se AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |       FROM supplier JOIN eur ON s_nationkey = n_nationkey)
+        |SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS s_acctbal_x100,
+        |       s_name, n_name, p_partkey, ps_supplycost_cents
+        |FROM part, partsupp, se
+        |WHERE p_partkey = ps_partkey AND ps_suppkey = s_suppkey
+        |  AND p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
+        |  AND ps_supplycost_cents = (
+        |    SELECT min(ps2.ps_supplycost_cents)
+        |    FROM partsupp ps2 JOIN se se2 ON ps2.ps_suppkey = se2.s_suppkey
+        |    WHERE ps2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal_x100 DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+
+    "q11_important_stock" -> (P +
+      """, ns AS (SELECT s_suppkey FROM supplier
+        |          JOIN nation ON s_nationkey = n_nationkey
+        |          JOIN region ON n_regionkey = r_regionkey
+        |          WHERE r_name = 'ASIA'),
+        |g AS (SELECT ps_partkey,
+        |             CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT) AS stock_value_cents
+        |      FROM partsupp JOIN ns ON ps_suppkey = s_suppkey GROUP BY 1),
+        |t AS (SELECT CAST(SUM(stock_value_cents) AS BIGINT) AS total,
+        |             COUNT(*) AS n_groups FROM g)
+        |SELECT ps_partkey, stock_value_cents
+        |FROM g, t
+        |WHERE CAST(stock_value_cents AS HUGEINT) * n_groups > CAST(total AS HUGEINT) * 2
+        |ORDER BY stock_value_cents DESC, ps_partkey""".stripMargin),
+
+    "q20_excess_inventory" -> (P +
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM partsupp
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND ps_availqty * 100 > 150 * (
+        |      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      FROM lineitem
+        |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_suppkey""".stripMargin),
 
     "customer_rfm" ->
       """WITH pc AS (

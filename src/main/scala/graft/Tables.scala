@@ -85,6 +85,62 @@ object Tables {
     }
   }
 
+  /** Deterministic `partsupp` derived from `part` × `supplier` keys —
+    * the fixture ships no partsupp table, but TPC-H's own generation
+    * rule (each part stocked by 4 suppliers, cost/availability
+    * hash-derived from the keys) is computable from the key spaces
+    * alone, the same derive-don't-ship trick the CDC log fixture uses
+    * ([[graft.cdc.Fixtures.cdcLogSql]]). Reference schema: TPC-H
+    * `partsupp` as exercised by the classic Q2/Q11/Q20 optimizer
+    * shapes (reference has no native partsupp either; this closes the
+    * SURVEY §2 TPC-H breadth items the driver fixture blocked).
+    *
+    * Every column is non-negative integer arithmetic on the dense
+    * 0-based keys, so truncating vs flooring `%`/`div` can never split
+    * Spark from the DuckDB mirror ([[partsuppSql]]):
+    *  - `ps_suppkey = (p + i·(1 + p % (S div 4))) % S`, i ∈ 0..3 with
+    *    S = |supplier|: the stride is ≤ S div 4, so 3·stride < S and
+    *    the four suppliers per part are always distinct — (ps_partkey,
+    *    ps_suppkey) is a true primary key at every SF (PartsuppSpec).
+    *  - `ps_availqty` ∈ [1, 9999], `ps_supplycost_cents` ∈ [100,
+    *    100000] (1.00–1000.00 in exact cents — scaled-BIGINT, never
+    *    float, per the oracle conventions in [[SparkEntry]]).
+    *
+    * Scale shape: the derivation is a scan-stage projection over
+    * `part` (explode of a 4-literal sequence, no shuffle) with the
+    * 1-row supplier count broadcast in — at 100 TB partsupp inherits
+    * part's partitioning and never materializes.
+    */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = supplier(s, d).agg(count(lit(1)).as("n_supp"))
+    part(s, d).select(col("p_partkey"))
+      .crossJoin(broadcast(nSupp))
+      .select(col("p_partkey").as("ps_partkey"), col("n_supp"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(
+        col("ps_partkey"),
+        expr("(ps_partkey + i * (1 + ps_partkey % (n_supp div 4))) % n_supp")
+          .cast("long").as("ps_suppkey"),
+        expr("(ps_partkey * 7 + i * 131) % 9999 + 1")
+          .cast("long").as("ps_availqty"),
+        expr("(ps_partkey * 2621 + i * 1597) % 99901 + 100")
+          .cast("long").as("ps_supplycost_cents"))
+  }
+
+  /** DuckDB CTE producing the identical partsupp — prefix for every
+    * partsupp-touching oracle. Operands are non-negative BIGINTs on
+    * both sides, so `%` and `//`/`div` agree engine-to-engine. */
+  val partsuppSql: String =
+    """WITH partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + i * (1 + p_partkey % (n_supp // 4))) % n_supp AS ps_suppkey,
+      |         (p_partkey * 7 + i * 131) % 9999 + 1 AS ps_availqty,
+      |         (p_partkey * 2621 + i * 1597) % 99901 + 100 AS ps_supplycost_cents
+      |  FROM part,
+      |       (SELECT CAST(count(*) AS BIGINT) AS n_supp FROM supplier) sc,
+      |       (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) g(i))
+      |""".stripMargin
+
   /** Session conf the library needs; our mains and the test harness set
     * it at session build. */
   val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"

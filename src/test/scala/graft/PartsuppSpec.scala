@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The derived partsupp table (Tables.partsupp) and the three classic
+  * optimizer shapes built on it: Q2's correlated-scalar min, Q11's
+  * group-HAVING vs a global scalar, Q20's nested-IN with a correlated
+  * quantity threshold. The derivation must be a true PK'd relation at
+  * every SF (the stride proof in the scaladoc), and the plans must
+  * keep the scale promises: dimension sides broadcast, the Q11 scalar
+  * reuses the grouped exchange instead of re-scanning partsupp, and
+  * Q20's supplier probe stays a semi join.
+  */
+class PartsuppSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partsupp: (ps_partkey, ps_suppkey) is a primary key, 4 suppliers per part") {
+    val ps = Tables.partsupp(spark, dir)
+    val n = ps.count()
+    assert(n == 4 * Tables.part(spark, dir).count(), "4 rows per part")
+    assert(ps.select("ps_partkey", "ps_suppkey").distinct().count() == n,
+      "duplicate (partkey, suppkey) pair — supplier stride collided")
+    val bad = ps.where(
+      col("ps_availqty") < 1 || col("ps_availqty") > 9999 ||
+      col("ps_supplycost_cents") < 100 || col("ps_supplycost_cents") > 100000 ||
+      col("ps_suppkey") < 0 || col("ps_suppkey") >= 10).count()
+    assert(bad == 0, "derived column out of documented range")
+  }
+
+  test("q2: every surviving row holds its part's true min cost over region suppliers") {
+    val out = SparkEntry.queries("q2_min_cost_supp")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // recompute the correlated min independently (per part, EUROPE only)
+    val eur = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+    val supEur = Tables.supplier(spark, dir)
+      .join(eur, col("s_nationkey") === col("n_nationkey")).select("s_suppkey")
+    val minByPart = Tables.partsupp(spark, dir)
+      .join(supEur, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey").agg(min("ps_supplycost_cents").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert(r.getAs[Long]("ps_supplycost_cents") == minByPart(pk),
+        s"part $pk row is not the min-cost offer")
+    }
+  }
+
+  test("q2/q20 plans: dims broadcast, no cartesian, q20 supplier probe is semi") {
+    def plan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count()
+      df.queryExecution.executedPlan.toString
+    }
+    val p2 = plan("q2_min_cost_supp")
+    assert("BroadcastHashJoin".r.findAllIn(p2).length >= 2,
+      "q2 part slice and region suppliers must broadcast")
+    assert(!p2.contains("CartesianProduct"))
+    val p20 = plan("q20_excess_inventory")
+    assert(p20.contains("LeftSemi"), "q20 supplier probe must be a semi join")
+    assert(!p20.contains("CartesianProduct"))
+  }
+
+  test("q11 plan: scalar branch reuses the grouped exchange (one partsupp scan per side)") {
+    val df = SparkEntry.queries("q11_important_stock")(spark, dir)
+    // execute the df ITSELF (count() builds a sibling QueryExecution and
+    // leaves this plan un-finalized): AQE stage reuse only materializes
+    // in the executed plan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      s"q11's global scalar must reuse the ps_partkey exchange, not re-scan:\n$p")
+  }
+
+  test("q11: qualifying set equals the 2x-mean rule computed independently") {
+    val out = SparkEntry.queries("q11_important_stock")(spark, dir)
+      .collect().map(r => r.getAs[Long]("ps_partkey")).toSet
+    val asia = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val supAsia = Tables.supplier(spark, dir)
+      .join(asia, col("s_nationkey") === col("n_nationkey")).select("s_suppkey")
+    val groups = Tables.partsupp(spark, dir)
+      .join(supAsia, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = groups.map(_._2).sum
+    val n = groups.length.toLong
+    val expect = groups.filter { case (_, v) =>
+      BigInt(v) * n > BigInt(total) * 2 }.map(_._1).toSet
+    assert(out == expect)
+  }
+}
