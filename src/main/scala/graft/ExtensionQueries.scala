@@ -949,15 +949,24 @@ object ExtensionQueries {
     * in basis points — the monitoring table a PSI/KS drift alarm
     * reads, with the log-free integer form of the comparison (share
     * deltas, not Σ(a−b)·ln(a/b), so both engines agree bit-for-bit).
-    * One scan + one 16-key aggregate; the date bounds ride one
-    * broadcast row.
+    * One binning pass + one 16-key aggregate; the date bounds ride one
+    * broadcast row, and the half totals are derived FROM the binned
+    * aggregate (every in-scope row lands in exactly one bin, so
+    * tot_a = Σ n_a) via a window sum over the ≤16-row post-aggregate
+    * frame — never a second events pass (plan-guarded in PlanSpec).
+    * Divisors clamp to ≥1 in both engines: a single-day fixture puts
+    * every event in half A and Spark's non-ANSI `div 0` → NULL where
+    * DuckDB's `// 0` raises — the clamp keeps the engines
+    * bit-identical under that drift (n_b = 0 forces the share to 0).
     */
   private def qEventsDriftHalves(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir)
       .where(col("value").isNotNull)
       .select(to_date(col("ts")).as("day"),
         col("value").cast("decimal(18,2)").as("v"))
     val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val wAll = Window.partitionBy(lit(1))
     ev.crossJoin(broadcast(b))
       .withColumn("in_a",
         col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
@@ -969,18 +978,13 @@ object ExtensionQueries {
       .groupBy("bin")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
-      .crossJoin(broadcast(
-        ev.crossJoin(broadcast(b)).agg(
-          sum(when(col("day") <=
-            expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"), 1L)
-            .otherwise(0L)).as("tot_a"),
-          sum(when(col("day") >
-            expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"), 1L)
-            .otherwise(0L)).as("tot_b"))))
+      .withColumn("tot_a", sum(col("n_a")).over(wAll))
+      .withColumn("tot_b", sum(col("n_b")).over(wAll))
       .select(col("bin"), col("n_a"), col("n_b"),
-        expr("(10000 * n_a) div tot_a").as("share_a_bp"),
-        expr("(10000 * n_b) div tot_b").as("share_b_bp"),
-        expr("(10000 * n_a) div tot_a - (10000 * n_b) div tot_b").as("drift_bp"))
+        expr("(10000 * n_a) div greatest(tot_a, 1L)").as("share_a_bp"),
+        expr("(10000 * n_b) div greatest(tot_b, 1L)").as("share_b_bp"),
+        expr("(10000 * n_a) div greatest(tot_a, 1L) - " +
+          "(10000 * n_b) div greatest(tot_b, 1L)").as("drift_bp"))
       .orderBy("bin")
   }
 
@@ -1084,6 +1088,43 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Sketch-served winsorize — the 100 TB form [[qEventsWinsorize]]'s
+    * scaladoc promises: the [p1, p99] bounds come from the GK sketch
+    * (`percentile_approx`: mergeable bounded state, map-side combine —
+    * no per-type rank window anywhere in the plan, guarded by
+    * SketchSpec), and the clip is a scan-stage projection against the
+    * broadcast 1-row-per-type bounds frame. Payload matches the exact
+    * form; the in-data audit pins the GK rank guarantee: each clipped
+    * tail can hold at most ⌈n/100⌉ + n/accuracy + 1 rows (the exact
+    * tail size plus the sketch's worst-case rank slack). No DuckDB
+    * oracle (sketch internals are engine-specific) — the driver's
+    * rows-only gate plus SketchSpec's `within_bound` assertion gate
+    * it, the events_approx_quantiles pattern.
+    */
+  private def qEventsWinsorizeApprox(s: SparkSession, dir: String): DataFrame = {
+    val acc = 100
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val bounds = ev.groupBy("event_type")
+      .agg(percentile_approx(col("v"), lit(0.01), lit(acc)).as("p1"),
+        percentile_approx(col("v"), lit(0.99), lit(acc)).as("p99"),
+        count(lit(1)).as("n"))
+    val tailCap = expr(s"(n + 99) div 100") + col("n") / lit(acc) + lit(1)
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("n"),
+        greatest(col("p1"), least(col("p99"), col("v"))).as("cv"),
+        (col("v") < col("p1")).as("lo"), (col("v") > col("p99")).as("hi"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        (sum(col("cv")) * 100).cast("long").as("clipped_sum_x100"))
+      .withColumn("within_bound",
+        col("n_clipped_lo") <= tailCap && col("n_clipped_hi") <= tailCap)
+      .orderBy("event_type")
+  }
+
   /** Tokenizer-vocabulary coverage audit: per-doc out-of-vocabulary
     * rate against the corpus's own top-100 token vocabulary — the
     * health check run before committing to a tokenizer (a rising OOV
@@ -1103,9 +1144,16 @@ object ExtensionQueries {
       .groupBy("t").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t")).limit(100)
       .select(col("t")).as[String].collect().toSeq
+    // membership probe is array_contains against ONE literal array —
+    // the isin spelling expands to a |vocab|-branch IN per token
+    // (O(|vocab|) per probe and a 100-arm codegen'd comparison chain);
+    // array_contains keeps the per-token cost a single array walk and
+    // the serving plan stays a zero-exchange scan projection
+    val vocabArr = array(vocab.map(lit): _*)
     docs
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-        size(filter(col("tk"), t => !t.isin(vocab: _*))).cast("long").as("n_oov"))
+        size(filter(col("tk"), t => !array_contains(vocabArr, t)))
+          .cast("long").as("n_oov"))
       .withColumn("oov_bp", expr("(10000 * n_oov) div n_tokens"))
       .orderBy("doc_id")
   }
@@ -3038,6 +3086,7 @@ object ExtensionQueries {
     "corpus_rag_chunks" -> (qCorpusRagChunks _),
     "sim_mmr_rerank" -> (qSimMmrRerank _),
     "events_winsorize" -> (qEventsWinsorize _),
+    "events_winsorize_approx" -> (qEventsWinsorizeApprox _),
     "text_oov_rate" -> (qTextOovRate _),
     "events_funnel_windowed" -> (qEventsFunnelWindowed _),
     "corpus_token_budget" -> (qCorpusTokenBudget _),
@@ -4847,14 +4896,15 @@ object ExtensionQueries {
         |             THEN 1 ELSE 0 END AS in_a,
         |             least(15, greatest(CAST(v * 100 AS BIGINT), 0) // 2000) AS bin
         |      FROM ev CROSS JOIN b),
-        |t AS (SELECT CAST(SUM(in_a) AS BIGINT) AS tot_a,
-        |             CAST(SUM(1 - in_a) AS BIGINT) AS tot_b FROM h),
         |g AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS n_a,
-        |             CAST(SUM(1 - in_a) AS BIGINT) AS n_b FROM h GROUP BY 1)
+        |             CAST(SUM(1 - in_a) AS BIGINT) AS n_b FROM h GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |             CAST(SUM(n_b) AS BIGINT) AS tot_b FROM g)
         |SELECT bin, n_a, n_b,
-        |       (10000 * n_a) // tot_a AS share_a_bp,
-        |       (10000 * n_b) // tot_b AS share_b_bp,
-        |       (10000 * n_a) // tot_a - (10000 * n_b) // tot_b AS drift_bp
+        |       (10000 * n_a) // greatest(tot_a, 1) AS share_a_bp,
+        |       (10000 * n_b) // greatest(tot_b, 1) AS share_b_bp,
+        |       (10000 * n_a) // greatest(tot_a, 1)
+        |         - (10000 * n_b) // greatest(tot_b, 1) AS drift_bp
         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
   )
 }

@@ -202,6 +202,76 @@ object CorpusStream {
     */
   def compactChunkStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
       upToBatch: Long, expireBefore: Long = Long.MinValue): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("chunk_md5", StringType),
+      StructField("last_batch", LongType),
+      StructField("batch", LongType)))
+    foldStore(s, storeDir, upToBatch, schema) { df =>
+      df.select(col("chunk_md5"),
+          coalesce(col("last_batch"), col("batch")).as("lb"))
+        .groupBy(col("chunk_md5")).agg(max(col("lb")).as("last_batch"))
+        .where(col("last_batch") >= expireBefore)
+    }
+  }
+
+  /** Compaction + TTL for [[nearDupBatch]]'s band-claim and shingle
+    * stores — the same negative-generation, crash-safe-by-superset
+    * discipline as [[compactChunkStore]] (see its safety contract;
+    * `upToBatch` obeys the identical committed-horizon rule), closing
+    * the last stores that otherwise grow one partition per batch
+    * forever.
+    *
+    * Claims compact to the `keepPerKey` LOWEST doc ids per (band, bk)
+    * — exactly the read-side semantic ([[nearDupBatch]] probes the
+    * capped first-writer set), so compaction is lossless w.r.t. every
+    * future probe. Shingle rows compact to distinct (doc_id, shingle).
+    * Both carry `last_batch` (max admission batch) so admission-age
+    * TTL survives repeated compactions; an expired doc that returns is
+    * re-admitted and starts a fresh TTL, and because both stores
+    * record the same admission batches per doc, one `expireBefore`
+    * horizon expires a doc's claims and shingles together.
+    */
+  def compactNearDupStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
+      upToBatch: Long, expireBefore: Long = Long.MinValue,
+      keepPerKey: Int = 100): Unit = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val bandSchema = StructType(Seq(
+      StructField("band", IntegerType), StructField("bk", StringType),
+      StructField("doc_id", LongType), StructField("last_batch", LongType),
+      StructField("batch", LongType)))
+    foldStore(s, s"$storeDir/bands", upToBatch, bandSchema) { df =>
+      val w = Window.partitionBy(col("band"), col("bk")).orderBy(col("doc_id"))
+      df.select(col("band"), col("bk"), col("doc_id"),
+          coalesce(col("last_batch"), col("batch")).as("lb"))
+        .groupBy(col("band"), col("bk"), col("doc_id"))
+        .agg(max(col("lb")).as("last_batch"))
+        .where(col("last_batch") >= expireBefore)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= keepPerKey).drop("rn")
+    }
+    val shSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("shingle", StringType),
+      StructField("last_batch", LongType), StructField("batch", LongType)))
+    foldStore(s, s"$storeDir/shingles", upToBatch, shSchema) { df =>
+      df.select(col("doc_id"), col("shingle"),
+          coalesce(col("last_batch"), col("batch")).as("lb"))
+        .groupBy(col("doc_id"), col("shingle"))
+        .agg(max(col("lb")).as("last_batch"))
+        .where(col("last_batch") >= expireBefore)
+    }
+  }
+
+  /** Shared fold machinery for the append-only per-batch stores: list
+    * `batch=` partitions, fold every one at or below the horizon (plus
+    * prior compacted generations) through `fold`, write the result to
+    * a FRESH strictly-lower negative generation, and delete sources
+    * only after the write commits — a crash at any point leaves a
+    * superset and re-running converges. */
+  private def foldStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
+      upToBatch: Long, schema: org.apache.spark.sql.types.StructType)(
+      fold: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storeDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -215,27 +285,16 @@ object CorpusStream {
             .map(b => (b, st.getPath))
         else None
       }
-    val fold = parts.filter { case (b, _) => b < 0 || b <= upToBatch }
-    if (fold.isEmpty) return
+    val toFold = parts.filter { case (b, _) => b < 0 || b <= upToBatch }
+    if (toFold.isEmpty) return
     // next negative generation id — strictly below every existing
     // partition so the target dir is always fresh (crash-safe superset)
     val gen = math.min(parts.map(_._1).min, 0L) - 1
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("chunk_md5",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("last_batch",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("batch",
-        org.apache.spark.sql.types.LongType)))
-    s.read.schema(schema).option("basePath", storeDir)
-      .parquet(fold.map(_._2.toString): _*)
-      .select(col("chunk_md5"),
-        coalesce(col("last_batch"), col("batch")).as("lb"))
-      .groupBy(col("chunk_md5")).agg(max(col("lb")).as("last_batch"))
-      .where(col("last_batch") >= expireBefore)
+    fold(s.read.schema(schema).option("basePath", storeDir)
+        .parquet(toFold.map(_._2.toString): _*))
       .write.mode("overwrite").parquet(s"$storeDir/batch=$gen")
     // sources are deleted only after the new generation committed
-    fold.foreach { case (_, p) => fs.delete(p, true) }
+    toFold.foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** foreachBatch body for STORE-BACKED incremental NEAR-dup
@@ -246,11 +305,14 @@ object CorpusStream {
     *
     * Per batch: (1) distinct shingles and banded MinHash keys compute
     * for the batch only; (2) cross-batch candidates come from probing
-    * the persistent band-claim store — read-side `min(doc_id)` per
-    * (band, bk) mirrors [[nearDupCandidates]]'s first-writer claim AND
-    * caps a hot band key at ONE historical representative, so a
-    * boilerplate signature claimed by 10⁶ old docs contributes one
-    * candidate per colliding new doc, not 10⁶; (3) intra-batch
+    * the persistent band-claim store — read-side the `maxBucket`
+    * LOWEST doc ids per (band, bk), the same first-writer cap
+    * semantics as [[Dedup.lshCandidates]]'s bucket cap, so the
+    * cross-batch channel's recall matches the batch channel's (any
+    * historical doc within the cap is probed, not just one
+    * representative) while a boilerplate signature claimed by 10⁶ old
+    * docs still contributes at most `maxBucket` candidates per
+    * colliding new doc; (3) intra-batch
     * candidates go through the standard capped LSH channel; (4) exact
     * Jaccard verification reads the shingle store SEMI-JOINED to the
     * candidate docs (full shingle sets of touched docs only — the
@@ -283,9 +345,16 @@ object CorpusStream {
       .localCheckpoint(true)
     val banded = Dedup.minhashBandKeys(sh, bands, rowsPerBand)
       .localCheckpoint(true) // probed, self-joined, and written
-    // first-writer claim per key across history (min doc id)
+    // capped first-writer claims per key across history: the maxBucket
+    // lowest doc ids (row_number over doc_id order plans as a
+    // WindowGroupLimit top-k — no full sort of a hot key's claims)
+    val wClaim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bk")).orderBy(col("doc_id"))
     val priorClaims = readOr(s"$storeDir/bands", bandSchema)
-      .groupBy(col("band"), col("bk")).agg(min(col("doc_id")).as("old_doc"))
+      .select(col("band"), col("bk"), col("doc_id")).distinct()
+      .withColumn("rn", row_number().over(wClaim))
+      .where(col("rn") <= maxBucket)
+      .select(col("band"), col("bk"), col("doc_id").as("old_doc"))
     val cross = banded.select(col("band"), col("bk"), col("doc_id").as("new_doc"))
       .join(priorClaims, Seq("band", "bk"))
       .where(col("new_doc") =!= col("old_doc"))

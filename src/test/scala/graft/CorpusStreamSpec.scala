@@ -379,12 +379,76 @@ class CorpusStreamSpec extends SparkSpec {
     assert(pairs(2L) === Set((4L, 5L)))
 
     // and the union of per-batch pairs equals the batch operator run
-    // over the full corpus — the incremental form loses nothing here
+    // over the full corpus — the incremental form loses nothing up to
+    // the shared bucket cap (both channels probe at most maxBucket
+    // docs per band key; beyond the cap both drop the same way)
     val all = Seq((1L, base), (2L, noise), (3L, nearDup), (4L, v1), (5L, v2))
     val batchPairs = Dedup.minhashNearDups(all.toDF("doc_id", "text"),
         col("text"), col("doc_id"))
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert((pairs(0L) ++ pairs(1L) ++ pairs(2L)) === batchPairs)
+  }
+
+  test("near-dup store: probes reach non-representative historical claimants") {
+    // the r12 recall gap: two historical docs share every band key
+    // (identical texts), a new doc near-dups BOTH — the old min-only
+    // read surfaced only the (min, new) pair; the capped claim set
+    // must surface the non-representative claimant too
+    val store = java.nio.file.Files.createTempDirectory("graft-ndrecall").toString
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.nearDupBatch(store)(rows.toDF("doc_id", "text"), id)
+    def pairs(id: Long): Set[(Long, Long)] =
+      spark.read.parquet(s"$store/pairs/batch=$id")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    run(Seq((1L, base), (2L, base)), 0L)
+    assert(pairs(0L) === Set((1L, 2L)), "identical docs pair intra-batch")
+    run(Seq((3L, nearDup)), 1L)
+    assert(pairs(1L) === Set((1L, 3L), (2L, 3L)),
+      "both historical claimants of the shared band keys must be probed")
+  }
+
+  test("near-dup store: compaction + TTL preserve probes and expire cold claims") {
+    val store = java.nio.file.Files.createTempDirectory("graft-ndcompact").toString
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      CorpusStream.nearDupBatch(store)(rows.toDF("doc_id", "text"), id)
+    def pairs(id: Long): Set[(Long, Long)] =
+      spark.read.parquet(s"$store/pairs/batch=$id")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    def bandParts(): Set[String] =
+      new java.io.File(s"$store/bands").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val other = (50 to 80).map(i => s"z$i").mkString(" ")
+    run(Seq((1L, base)), 0L)
+    run(Seq((2L, other)), 1L)
+    // fold batches 0 and 1 into one compacted generation
+    CorpusStream.compactNearDupStore(spark, store, upToBatch = 1L)
+    assert(bandParts() === Set("batch=-1"), "per-batch partitions folded")
+    // a probe against folded history still finds the cross-batch pair
+    run(Seq((3L, nearDup)), 2L)
+    assert(pairs(2L) === Set((1L, 3L)))
+    // crash-replay of batch 2 against the compacted store: identical
+    run(Seq((3L, nearDup)), 2L)
+    assert(pairs(2L) === Set((1L, 3L)))
+    // second compaction folds batch 2 into a fresh lower generation
+    CorpusStream.compactNearDupStore(spark, store, upToBatch = 2L)
+    assert(bandParts() === Set("batch=-2"))
+    run(Seq((4L, nearDup)), 3L)
+    assert(pairs(3L) === Set((1L, 4L), (3L, 4L)),
+      "repeated compaction keeps every claimant probe-able")
+    // TTL: expire everything admitted before batch 3 — doc 1 and 3's
+    // claims and shingles go; doc 4 (admitted at 3) survives, so a
+    // returning near-dup pairs only with it
+    CorpusStream.compactNearDupStore(spark, store, upToBatch = 3L,
+      expireBefore = 3L)
+    run(Seq((5L, base)), 4L)
+    assert(pairs(4L) === Set((4L, 5L)),
+      "expired claims must not pair; surviving admission must")
   }
 
   test("chunk store TTL: admission-age expiry re-admits a returning chunk") {

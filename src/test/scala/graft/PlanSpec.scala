@@ -571,4 +571,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "the direction is a literal, not a joined table")
     assert(!p.contains("Generate"), "no per-component explode in the serving pass")
   }
+
+  test("events_drift_halves: one events scan — totals derive from the binned frame") {
+    val p = planOf("events_drift_halves")
+    // the date-bounds row costs one scan, the binning pass another; a
+    // third means the totals re-run the full events pass (the r12 form
+    // paid a whole extra 100 TB read just for tot_a/tot_b)
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      "tot_a/tot_b must be a window sum over the 16-row binned " +
+        "aggregate, never a second full events scan")
+  }
 }

@@ -62,4 +62,29 @@ class SketchSpec extends SparkSpec {
       .select($"event_type", $"target_rank").as[(String, Long)].collect().toMap
     assert(exact === approx)
   }
+
+  test("winsorize sketch twin: tails within GK bound, no rank window in the plan") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val df = SparkEntry.queries("events_winsorize_approx")(
+        spark, s"/root/testdata/sf$sf")
+      val rows = df.select($"event_type", $"within_bound")
+        .as[(String, Boolean)].collect()
+      assert(rows.nonEmpty)
+      val out = rows.filterNot(_._2)
+      assert(out.isEmpty, s"clipped tail exceeds GK bound at sf$sf: ${out.mkString(",")}")
+      // the scale promise: bounds come from the sketch, not a per-type
+      // sort window (the exact form's audit-grade cost)
+      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+        "sketch-served winsorize must not plan a rank window")
+    }
+  }
+
+  test("winsorize twins agree on group counts") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("events_winsorize")(spark, dir)
+      .select($"event_type", $"n").as[(String, Long)].collect().toMap
+    val approx = SparkEntry.queries("events_winsorize_approx")(spark, dir)
+      .select($"event_type", $"n").as[(String, Long)].collect().toMap
+    assert(exact === approx)
+  }
 }
