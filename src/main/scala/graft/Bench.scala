@@ -148,9 +148,16 @@ object Bench {
     // spillMb] per resident. Capped so the whole line stays inside the
     // driver's ~2000-char stdout window; queries budget shrinks to
     // compensate.
-    val stages = residentStages.take(8)
+    // slowest-first (not name-order) so the residents that matter
+    // survive the cap; any drop is announced via stages_dropped
+    val stageEnts = residentStages
+      .sortBy { case (_, v) => -v.drop(1).takeWhile(_ != ',').toDouble }
+    val stages = stageEnts.take(8)
       .map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
-    val budget = 1500 - stages.length
+    val stagesDropped = math.max(0, stageEnts.size - 8)
+    // floor the queries budget so failed-query entries always fit even
+    // if the stage map grows — a failure must never be truncated away
+    val budget = math.max(400, 1500 - stages.length)
     // failed queries (-1 sentinel) lead the map unconditionally — a
     // failure must be visible in the parsed line, not just on stderr,
     // or it reads as budget truncation
@@ -162,7 +169,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries_slowest":${kept.size},"stages":$stages,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries_slowest":${kept.size},"stages_dropped":$stagesDropped,"stages":$stages,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,11 +98,15 @@ object Similarity {
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
     * 1998) — diversity-aware selection over a retrieval shortlist, the
     * standard fix for near-duplicate results crowding a RAG context
-    * window. Greedy, λ = 1/2 cross-multiplied away: step j picks
-    * argmax over remaining shortlist docs of
-    * `dq(d) − max_{c∈chosen} dot(d, c)` (pure relevance on the first
-    * pick), ties → lowest id — a total order, so the selection is
-    * engine-exact in the quantized integer dot space.
+    * window. Greedy, λ = lamNum/lamDen cross-multiplied away so the
+    * score stays in exact integer space: step j picks argmax over
+    * remaining shortlist docs of
+    * `lamNum·dq(d) − (lamDen−lamNum)·max_{c∈chosen} dot(d, c)`
+    * (pure relevance on the first pick), ties → lowest id — a total
+    * order, so the selection is engine-exact in the quantized integer
+    * dot space. λ = 1 (lamNum = lamDen) degenerates to pure relevance
+    * order (spec-pinned); the default 1/2 weighs relevance and
+    * diversity equally.
     *
     * Scale shape: relevance scoring is the brute-force one-pass scan
     * (query broadcast, TakeOrdered shortlist); the greedy loop then
@@ -113,7 +117,10 @@ object Similarity {
     * grows with the corpus.
     */
   def mmrRerank(emb: DataFrame, vecCol: Column, idCol: Column,
-                queryId: Long, shortlist: Int, k: Int): DataFrame = {
+                queryId: Long, shortlist: Int, k: Int,
+                lamNum: Int = 1, lamDen: Int = 2): DataFrame = {
+    require(lamNum > 0 && lamNum <= lamDen,
+      s"lambda must be in (0, 1]: got $lamNum/$lamDen")
     import emb.sparkSession.implicits._
     val q = emb.select(idCol.cast("long").as("vec_id"),
       Vectors.quantize(vecCol).as("qz"))
@@ -128,8 +135,8 @@ object Similarity {
     var chosen = List.empty[(Long, Seq[Long], Long)]
     val picks = (1 to math.min(k, sl.length)).map { rank =>
       val scored = remaining.map { case d @ (id, qz, dq) =>
-        val mmr = if (chosen.isEmpty) dq
-          else dq - chosen.map(c => dot(qz, c._2)).max
+        val mmr = if (chosen.isEmpty) lamNum * dq
+          else lamNum * dq - (lamDen - lamNum) * chosen.map(c => dot(qz, c._2)).max
         (d, mmr)
       }
       val (best, mmr) = scored.minBy { case ((id, _, _), m) => (-m, id) }
@@ -144,14 +151,18 @@ object Similarity {
     * k-center seeding pattern: one fold CTE per greedy step, each
     * dropping the picked row and accumulating the max-similarity
     * term). Expects `embeddings(vec_id, embedding)`. */
-  def mmrRerankSql(queryId: Long, shortlist: Int, k: Int, dim: Int): String = {
+  def mmrRerankSql(queryId: Long, shortlist: Int, k: Int, dim: Int,
+                   lamNum: Int = 1, lamDen: Int = 2): String = {
+    require(lamNum > 0 && lamNum <= lamDen,
+      s"lambda must be in (0, 1]: got $lamNum/$lamDen")
+    val dv = lamDen - lamNum // diversity weight, cross-multiplied
     val head =
       s"""q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS qz FROM embeddings),
          |qq AS (SELECT qz AS qqz FROM q WHERE vec_id = $queryId),
          |sl AS (SELECT vec_id, qz, ${Vectors.intDotSql("qz", "qqz", dim)} AS dq
          |       FROM q CROSS JOIN qq WHERE vec_id <> $queryId
          |       ORDER BY dq DESC, vec_id LIMIT $shortlist),
-         |fc1 AS (SELECT vec_id, qz, dq, dq AS mmr FROM sl
+         |fc1 AS (SELECT vec_id, qz, dq, $lamNum * dq AS mmr FROM sl
          |        ORDER BY dq DESC, vec_id LIMIT 1),
          |fd1 AS (SELECT d.vec_id, d.qz, d.dq,
          |               ${Vectors.intDotSql("d.qz", "c.qz", dim)} AS mx
@@ -159,8 +170,8 @@ object Similarity {
     val steps = (2 to k).map { j =>
       val pick =
         s""",
-           |fc$j AS (SELECT vec_id, qz, dq, dq - mx AS mmr FROM fd${j - 1}
-           |        ORDER BY dq - mx DESC, vec_id LIMIT 1)""".stripMargin
+           |fc$j AS (SELECT vec_id, qz, dq, $lamNum * dq - $dv * mx AS mmr FROM fd${j - 1}
+           |        ORDER BY $lamNum * dq - $dv * mx DESC, vec_id LIMIT 1)""".stripMargin
       val fold = if (j == k) "" else
         s""",
            |fd$j AS (SELECT d.vec_id, d.qz, d.dq,

@@ -161,4 +161,24 @@ class VectorsSpec extends SparkSpec {
     // makes the re-rank DO something
     assert(dot(v2, vq) - dot(v2, v1) < dot(v3, vq) - dot(v3, v1))
   }
+
+  test("mmrRerank at lambda=1 reduces to pure relevance order") {
+    // Same fixture as above: at λ = 1 the diversity term carries
+    // weight 0, so the redundant near-dup (doc 2) keeps its raw-score
+    // rank ahead of the diverse doc 3 — the exact opposite of the
+    // λ = 1/2 pick, pinning that the parameter actually steers.
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.2f, 0.0f, 0.0f)), // query
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Seq(0.3f, 0.9f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.mmrRerank(docs, col("embedding"),
+        col("vec_id"), queryId = 0L, shortlist = 10, k = 3,
+        lamNum = 1, lamDen = 1)
+      .select($"rank", $"vec_id", $"dot_q", $"mmr")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._2) === List(1L, 2L, 3L), s"got $got")
+    // every pick's mmr equals its relevance — no diversity discount
+    assert(got.forall(r => r._3 === r._4), s"got $got")
+  }
 }
