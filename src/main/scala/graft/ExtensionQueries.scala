@@ -988,6 +988,80 @@ object ExtensionQueries {
       .orderBy("bin")
   }
 
+  /** CUSUM changepoint monitor (Page, Biometrika 1954) on the daily
+    * event-count series — the sequential alarm a pipeline health
+    * check runs over ingest volume (a level shift trips the alarm
+    * within days even when each single day stays inside its own
+    * noise band). Exact integer form, log-free and division-free:
+    * deviations are scaled by the day count D so the mean never
+    * becomes a fraction (`dev_d = n_d·D − N`, zero-sum by
+    * construction), and the one-sided resets ride the prefix-extrema
+    * identity — `CUSUM⁺_d = S_d − min(0, min_{j≤d} S_j)` for the
+    * running sum S — instead of the recursive max(0, ·) fold, which
+    * no window function expresses directly. Alarm thresholds at 2·N
+    * scaled units ≈ two mean-days of accumulated excess.
+    *
+    * Scale shape: ONE shuffle for the daily aggregate; the cumsum /
+    * running-extrema windows and the (N, D) scalar all sit on the
+    * ≤|days| post-aggregate frame (the parts_abc_analysis rule:
+    * global windows only on dimension-sized frames). No division
+    * anywhere, so trunc-vs-floor can never split the engines.
+    */
+  private def qEventsCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val scalar = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("d"))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(scalar))
+      .withColumn("dev", col("n") * col("d") - col("total"))
+      .withColumn("s_run", sum(col("dev")).over(wCum))
+      .withColumn("cusum_pos",
+        col("s_run") - least(lit(0L), min(col("s_run")).over(wCum)))
+      .withColumn("cusum_neg",
+        greatest(lit(0L), max(col("s_run")).over(wCum)) - col("s_run"))
+      .select(col("day"), col("n"), col("dev"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > lit(2L) * col("total")).as("alarm_hi"),
+        (col("cusum_neg") > lit(2L) * col("total")).as("alarm_lo"))
+      .orderBy("day")
+  }
+
+  /** Half-life-decayed engagement score per user — the recency
+    * weighting a freshness-aware sampler or engagement ranker uses
+    * (yesterday's event counts double tomorrow's). The decay is
+    * EXACT dyadic arithmetic: each event contributes
+    * `v_x100 div 2^age_days` (half-life = 1 day), the power riding a
+    * bigint shift capped at 40 (beyond that the contribution is 0 at
+    * any representable value — the cap bounds the shift, it never
+    * changes a result). Dividends clamp non-negative so trunc-vs-
+    * floor division can never split the engines under fixture drift.
+    *
+    * Scale shape: the corpus max-day is a 1-row scan-level aggregate
+    * broadcast into the scan stage; contributions are per-row
+    * projections folded by ONE user-keyed partial-agg shuffle —
+    * per-event division before the sum keeps the fold order-free.
+    */
+  private def qEventsDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        greatest((col("value").cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+          .as("v_x100"))
+    val last = ev.agg(max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(last))
+      .withColumn("age", datediff(col("d1"), col("day")).cast("long"))
+      .withColumn("contrib", expr(
+        "v_x100 div shiftleft(CAST(1 AS BIGINT), CAST(least(age, 40) AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v_x100")).as("raw_x100"),
+        sum(col("contrib")).as("decayed_x100"))
+      .orderBy("user_id")
+  }
+
   /** Time-BOUND funnel — `events_funnel` with conversion windows,
     * the form product analytics actually ships (a purchase three
     * weeks after the click is not attribution): each stage must land
@@ -1198,6 +1272,51 @@ object ExtensionQueries {
     graft.ops.Similarity.mmrRerank(Tables.embeddings(s, dir), col("embedding"),
         col("vec_id"), queryId = 0L, shortlist = 20, k = 5)
       .orderBy("rank")
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) — the standard RAG serving pattern: a
+    * lexical channel (integer BM25 top-20 on the literal query terms)
+    * and a dense channel (exact integer-dot top-20 for the query
+    * embedding, doc_id ≡ vec_id in the fixture) fuse by
+    * `Σ 1e6 div (60 + rank)` — RRF's 1/(k₀+r) at scale 10⁶ in pure
+    * integer division, so the fused ORDER is engine-exact (no float
+    * reciprocal crosses the compare). A doc absent from a channel
+    * contributes 0 (rank 0 encodes absence in the output).
+    *
+    * Scale shape: each channel is its existing one-scan serving plan
+    * (BM25: zero-join scan + TakeOrdered; dense: brute/ANN top-k);
+    * the fusion then runs on two ≤20-row frames — full-outer join,
+    * score, top-10 — bounded by the channel k's, never corpus-sized,
+    * and the global row_number windows sit on post-limit frames only.
+    */
+  private def qSimHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val dense = Similarity.topKBruteForce(
+        emb.where(col("vec_id") =!= 0), emb.where(col("vec_id") === 0),
+        col("embedding"), col("vec_id"), k = 20)
+      .select(col("vec_id").as("doc_id"), col("rnk").cast("long").as("dense_rank"))
+    val lex = graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir),
+        col("text"), col("doc_id"), bm25Terms, 20)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf_x1e6",
+        when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)"))
+          .otherwise(0L) +
+        when(col("dense_rank") > 0, expr("1000000 div (60 + dense_rank)"))
+          .otherwise(0L))
+      .orderBy(col("rrf_x1e6").desc, col("doc_id"))
+      .limit(10)
+    fused
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(col("rrf_x1e6").desc, col("doc_id"))).cast("long"))
+      .select(col("fused_rank"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf_x1e6"))
+      .orderBy("fused_rank")
+  }
 
   /** Leakage-safe split assignment — the decontamination-CORRECT
     * split: every doc gets the split of its near-dup CLUSTER
@@ -1612,6 +1731,70 @@ object ExtensionQueries {
       .withColumn("boilerplate_bp", expr("(10000 * n_common) div n_shingles"))
       .withColumn("flagged", col("boilerplate_bp") >= 5000)
       .orderBy("doc_id")
+  }
+
+  /** Blocked record linkage (Fellegi & Sunter, JASA 1969 framing;
+    * blocking per Christen's survey, TKDE 2012) — entity resolution
+    * of a DIRTY re-keyed feed back to the master table, the classic
+    * data-integration op. The dirty feed derives deterministically
+    * from the master (the partsupp derive-don't-ship trick): each
+    * name gets two adjacent tail characters transposed at a
+    * key-dependent position p ∈ {10,11,12,14,15,16} (13 excluded so
+    * every perturbation leaves EITHER the 13-char prefix OR the
+    * 5-char suffix intact — the completeness invariant the two
+    * blocking passes rely on). Candidates come from the union of a
+    * prefix-block and a suffix-block equi-join (never all-pairs);
+    * verification is bounded `levenshtein(·,·, 2)` (Spark's 3-arg
+    * early-exit form; a transposition costs exactly 2, or 0 when the
+    * swapped digits are equal); the winner per dirty record is the
+    * min-(distance, key) candidate. `is_correct` exposes the
+    * ambiguity floor — a transposition CAN produce another
+    * customer's exact name, and linkage then rightly prefers the
+    * distance-0 impostor (classic ER ambiguity, measured not hidden).
+    *
+    * Scale shape: two equi-joins keyed on block strings, blocks
+    * bounded by the name space's collision structure (at 100 TB the
+    * suffix block gets the hot-bucket occupancy cap of the dedup
+    * family, same trade); the ≤2-per-pair window ranks inside
+    * dirty_id partitions only.
+    */
+  private def qCustomersRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val dirty = c
+      .withColumn("m", col("c_custkey") % 6)
+      .withColumn("p", when(col("m") < 3, col("m") + 10).otherwise(col("m") + 11)
+        .cast("int"))
+      .select(col("c_custkey").as("dirty_id"),
+        concat(
+          expr("substring(c_name, 1, p - 1)"),
+          expr("substring(c_name, p + 1, 1)"),
+          expr("substring(c_name, p, 1)"),
+          expr("substring(c_name, p + 2, 100)")).as("dn"))
+    val cb = c.select(col("c_custkey"), col("c_name"),
+      substring(col("c_name"), 1, 13).as("b1"),
+      substring(col("c_name"), 14, 5).as("b2"))
+    val db = dirty.select(col("dirty_id"), col("dn"),
+      substring(col("dn"), 1, 13).as("b1"),
+      substring(col("dn"), 14, 5).as("b2"))
+    val cand = db.join(cb, Seq("b1")).select(col("dirty_id"), col("dn"),
+        col("c_custkey"), col("c_name"))
+      .union(db.join(cb, Seq("b2")).select(col("dirty_id"), col("dn"),
+        col("c_custkey"), col("c_name")))
+      .distinct()
+    val w = Window.partitionBy(col("dirty_id"))
+    cand
+      .withColumn("lev", levenshtein(col("dn"), col("c_name"), 2))
+      .where(col("lev") >= 0)
+      .withColumn("n_cand", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("lev"), col("c_custkey"))))
+      .where(col("rn") === 1)
+      .select(col("dirty_id"), col("c_custkey").as("matched_custkey"),
+        col("lev").cast("long").as("lev_dist"),
+        col("n_cand").cast("long").as("n_cand"),
+        (col("c_custkey") === col("dirty_id")).as("is_correct"))
+      .orderBy("dirty_id")
   }
 
   // -------------------------------------------------------- similarity
@@ -3085,6 +3268,7 @@ object ExtensionQueries {
     "corpus_leakage_safe_split" -> (qCorpusLeakageSafeSplit _),
     "corpus_rag_chunks" -> (qCorpusRagChunks _),
     "sim_mmr_rerank" -> (qSimMmrRerank _),
+    "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "events_winsorize" -> (qEventsWinsorize _),
     "events_winsorize_approx" -> (qEventsWinsorizeApprox _),
     "text_oov_rate" -> (qTextOovRate _),
@@ -3092,6 +3276,9 @@ object ExtensionQueries {
     "corpus_token_budget" -> (qCorpusTokenBudget _),
     "emb_outliers" -> (qEmbOutliers _),
     "events_drift_halves" -> (qEventsDriftHalves _),
+    "events_cusum" -> (qEventsCusum _),
+    "events_decay_score" -> (qEventsDecayScore _),
+    "customers_record_linkage" -> (qCustomersRecordLinkage _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -4796,6 +4983,35 @@ object ExtensionQueries {
       s"""WITH ${graft.ops.Similarity.mmrRerankSql(0L, 20, 5, EMB_DIM)}
          |SELECT rank, vec_id, dot_q, mmr FROM picks ORDER BY rank""".stripMargin,
 
+    "sim_hybrid_rrf" ->
+      s"""WITH lexb AS (SELECT * FROM (
+         |${graft.ops.Retrieval.bm25TopKSql(bm25Terms, 20)}) x),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM lexb),
+         |q AS (SELECT vec_id, ${graft.ops.Vectors.quantizeSql("embedding")} AS qz
+         |      FROM embeddings),
+         |qq AS (SELECT qz AS qqz FROM q WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id AS doc_id,
+         |         ${graft.ops.Vectors.intDotSql("c.qz", "qqz", EMB_DIM)} AS dot
+         |       FROM q c CROSS JOIN qq WHERE c.vec_id <> 0),
+         |dense AS (SELECT doc_id, rnk AS dense_rank FROM (
+         |            SELECT doc_id, CAST(row_number() OVER (
+         |              ORDER BY dot DESC, doc_id) AS BIGINT) AS rnk FROM sc) r
+         |          WHERE rnk <= 20),
+         |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |             COALESCE(l.lex_rank, 0) AS lex_rank,
+         |             COALESCE(d.dense_rank, 0) AS dense_rank
+         |      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+         |scr AS (SELECT *,
+         |          (CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END)
+         |        + (CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END)
+         |          AS rrf_x1e6 FROM f),
+         |t AS (SELECT * FROM scr ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT)
+         |         AS fused_rank,
+         |       doc_id, lex_rank, dense_rank, CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+         |FROM t ORDER BY fused_rank""".stripMargin,
+
     "events_winsorize" ->
       """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
         |            FROM events WHERE value IS NOT NULL),
@@ -4906,5 +5122,76 @@ object ExtensionQueries {
         |       (10000 * n_a) // greatest(tot_a, 1)
         |         - (10000 * n_b) // greatest(tot_b, 1) AS drift_bp
         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "events_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(COUNT(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |sc AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |              CAST(COUNT(*) AS BIGINT) AS d FROM daily),
+        |dev AS (SELECT day, n, n * d - total AS dev, total
+        |        FROM daily CROSS JOIN sc),
+        |runs AS (SELECT *,
+        |           CAST(SUM(dev) OVER (ORDER BY day
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_run
+        |         FROM dev),
+        |ex AS (SELECT *,
+        |         CAST(MIN(s_run) OVER (ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_min,
+        |         CAST(MAX(s_run) OVER (ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_max
+        |       FROM runs)
+        |SELECT day, n, dev,
+        |       s_run - least(CAST(0 AS BIGINT), run_min) AS cusum_pos,
+        |       greatest(CAST(0 AS BIGINT), run_max) - s_run AS cusum_neg,
+        |       (s_run - least(CAST(0 AS BIGINT), run_min)) > 2 * total AS alarm_hi,
+        |       (greatest(CAST(0 AS BIGINT), run_max) - s_run) > 2 * total AS alarm_lo
+        |FROM ex ORDER BY day""".stripMargin,
+
+    "events_decay_score" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                   greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |                            CAST(0 AS BIGINT)) AS v_x100
+        |            FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT MAX(day) AS d1 FROM ev),
+        |c AS (SELECT user_id, v_x100,
+        |             v_x100 // (CAST(1 AS BIGINT) <<
+        |               least(CAST(d1 - day AS BIGINT), 40)) AS contrib
+        |      FROM ev CROSS JOIN l)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(v_x100) AS BIGINT) AS raw_x100,
+        |       CAST(SUM(contrib) AS BIGINT) AS decayed_x100
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "customers_record_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |d1 AS (SELECT c_custkey AS dirty_id, c_name AS n,
+        |              CAST(CASE WHEN c_custkey % 6 < 3 THEN c_custkey % 6 + 10
+        |                   ELSE c_custkey % 6 + 11 END AS INTEGER) AS p
+        |       FROM c),
+        |dirty AS (SELECT dirty_id,
+        |            substr(n, 1, p - 1) || substr(n, p + 1, 1) ||
+        |            substr(n, p, 1) || substr(n, p + 2, 100) AS dn
+        |          FROM d1),
+        |cb AS (SELECT c_custkey, c_name, substr(c_name, 1, 13) AS b1,
+        |              substr(c_name, 14, 5) AS b2 FROM c),
+        |db AS (SELECT dirty_id, dn, substr(dn, 1, 13) AS b1,
+        |              substr(dn, 14, 5) AS b2 FROM dirty),
+        |cand AS (SELECT d.dirty_id, d.dn, c.c_custkey, c.c_name
+        |         FROM db d JOIN cb c ON d.b1 = c.b1
+        |         UNION
+        |         SELECT d.dirty_id, d.dn, c.c_custkey, c.c_name
+        |         FROM db d JOIN cb c ON d.b2 = c.b2),
+        |v AS (SELECT dirty_id, c_custkey,
+        |             CAST(levenshtein(dn, c_name) AS BIGINT) AS lev
+        |      FROM cand WHERE levenshtein(dn, c_name) <= 2),
+        |r AS (SELECT *,
+        |        CAST(COUNT(*) OVER (PARTITION BY dirty_id) AS BIGINT) AS n_cand,
+        |        row_number() OVER (PARTITION BY dirty_id
+        |          ORDER BY lev, c_custkey) AS rn
+        |      FROM v)
+        |SELECT dirty_id, c_custkey AS matched_custkey, lev AS lev_dist,
+        |       n_cand, (c_custkey = dirty_id) AS is_correct
+        |FROM r WHERE rn = 1 ORDER BY dirty_id""".stripMargin,
   )
 }

@@ -728,6 +728,44 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  /** Q16-style supplier-breadth count (reference TPC-H Q16): how many
+    * DISTINCT suppliers stock each surviving (brand, type, size)
+    * combination, excluding flagged suppliers — the NOT-IN-subquery +
+    * multi-key COUNT(DISTINCT) shape, the last classic TPC-H pattern
+    * the board lacked (closes 1–22). The fixture has no s_comment, so
+    * the 'Customer Complaints' exclusion maps to `s_acctbal < 0` —
+    * TPC-H's own delinquent-balance analog, non-empty at sf0.01. The
+    * oracle keeps the NOT IN subquery; the Spark plan is the anti-join
+    * Catalyst would decorrelate it to (s_suppkey is never NULL, so
+    * NOT IN ≡ anti semantics — the NULL trap documented rather than
+    * hit).
+    *
+    * Scale shape: part's attribute slice and the flagged-supplier set
+    * are dimensions → the anti join and the part join both broadcast
+    * into partsupp's scan stage (partsupp itself derives scan-stage
+    * from part, never materializing); the single COUNT(DISTINCT) plans
+    * as a two-level aggregate on the (brand, type, size, suppkey)
+    * keys — no Expand, asserted by PartsuppSpec.
+    */
+  private def qQ16SupplierBreadth(s: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(s, dir).where(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val partSlice = Tables.part(s, dir)
+      .where(col("p_brand") =!= "Brand#13" && !col("p_type").like("PRO%") &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.partsupp(s, dir)
+      .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(partSlice), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"),
+        col("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** RFM customer segmentation: recency (days since last order),
     * frequency (order count), monetary (lifetime spend in cents) per
     * customer, each cut at its exact quartile boundaries, segments
@@ -1288,6 +1326,7 @@ object SparkEntry {
     "q2_min_cost_supp" -> (qQ2MinCostSupp _),
     "q11_important_stock" -> (qQ11ImportantStock _),
     "q20_excess_inventory" -> (qQ20ExcessInventory _),
+    "q16_supplier_breadth" -> (qQ16SupplierBreadth _),
     "customer_rfm" -> (qCustomerRfm _),
     "customer_quartiles" -> (qCustomerQuartiles _),
     "lineitem_profile" -> (qLineitemProfile _),
@@ -1661,6 +1700,19 @@ object SparkEntry {
         |        AND l_shipdate >= TIMESTAMP '1997-01-01'
         |        AND l_shipdate < TIMESTAMP '1998-01-01'))
         |ORDER BY s_suppkey""".stripMargin),
+
+    "q16_supplier_breadth" -> (P +
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#13'
+        |  AND p_type NOT LIKE 'PRO%'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
 
     "customer_rfm" ->
       """WITH pc AS (

