@@ -1062,6 +1062,129 @@ object ExtensionQueries {
       .orderBy("user_id")
   }
 
+  /** 2-D SKYLINE / Pareto frontier (Börzsönyi, Kossmann & Stocker,
+    * "The Skyline Operator", ICDE 2001) over part's (price ↓, size ↑):
+    * the points no other part beats on both axes — the
+    * cheapest-for-at-least-this-size frontier. Points collapse to
+    * per-price maxima first (a same-price smaller size is dominated;
+    * equal (price, size) duplicates survive together as one point
+    * with n_parts > 1); a point survives iff its size strictly
+    * exceeds every size at any strictly lower price.
+    *
+    * Scale shape — the two-phase partitioned skyline (the
+    * distributed-skyline literature's partition-then-merge): phase 1
+    * computes LOCAL prefix maxima inside price-bucket partitions
+    * (window partitioned by bucket — a keyed sort, never global);
+    * phase 2 broadcasts the per-bucket max-size summary (ONE row per
+    * bucket, dimension-sized by construction), prefix-maxes it on the
+    * tiny frame, and each row compares against its own bucket's local
+    * prefix max AND all lower buckets' global max. The only global
+    * window in the plan sits on the |buckets|-row summary. The oracle
+    * is the independent quadratic NOT-EXISTS dominance formulation.
+    */
+  private def qPartSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.part(s, dir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    // per-price max size (one row per price; same-price peers resolved
+    // here so the prefix windows below see strict predecessors only)
+    val tp = g.withColumn("rn", row_number().over(
+        Window.partitionBy(col("price")).orderBy(col("size").desc)))
+      .where(col("rn") === 1)
+      .withColumn("bucket", floor(col("price") / 100).cast("long"))
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = tp.withColumn("prev_local",
+      max(col("size")).over(wLocal)).localCheckpoint(true)
+    val summary = local.groupBy(col("bucket"))
+      .agg(max(col("size")).as("bmax"))
+      .withColumn("prev_buckets", max(col("bmax")).over(
+        Window.partitionBy(lit(1)).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("prev_buckets"))
+    local.join(broadcast(summary), Seq("bucket"))
+      .where(col("size") > greatest(
+        coalesce(col("prev_local"), lit(Int.MinValue)),
+        coalesce(col("prev_buckets"), lit(Int.MinValue))))
+      .select(col("price"), col("size").cast("long").as("size"),
+        col("n_parts"))
+      .orderBy("price")
+  }
+
+  /** Lag-k AUTOCORRELATION audit (k = 1..7) of the daily event-count
+    * series — the seasonality probe run before trusting any
+    * day-over-day drift number (a strong lag-7 says the weekday cycle,
+    * not drift, explains the movement). Pearson over calendar-lagged
+    * pairs in EXACT integers: per lag, num = n·Σxy − Σx·Σy and the
+    * two variance legs den_x/den_y publish as bigints, and the signed
+    * effect size r²_bp = sign(num) · (10⁴·num²) div (den_x·den_y)
+    * rides DECIMAL(38,0) (num² alone crosses 2^63 at ~3000 daily
+    * events over a year) with greatest(·,1) clamps so a constant
+    * series yields 0, not an engine-split division.
+    *
+    * Scale shape: ONE shuffle for the daily aggregate; the lag join
+    * explodes the ≤|days| frame 7× and self-joins BROADCAST on the
+    * lagged calendar day — every post-aggregate frame is
+    * dimension-sized, the 100 TB cost is the daily group-by alone.
+    */
+  private def qEventsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // both sides of the lag join + nothing else
+    val lagged = daily
+      .withColumn("k", explode(expr("sequence(1, 7)")))
+      .withColumn("day_k", date_add(col("day"), col("k")))
+      .select(col("k"), col("day_k"), col("x").as("x_t"))
+    val pairs = lagged.join(broadcast(daily.select(
+        col("day").as("day_k"), col("x").as("x_k"))), Seq("day_k"))
+    pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x_t")).as("sx"), sum(col("x_k")).as("sy"),
+        sum(col("x_t") * col("x_t")).as("sxx"),
+        sum(col("x_k") * col("x_k")).as("syy"),
+        sum(col("x_t") * col("x_k")).as("sxy"))
+      .select(col("k").cast("long").as("k"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("r2_bp", expr(
+        """CAST(sign(num) * ((10000 * CAST(num AS DECIMAL(38,0)) * num)
+          | div greatest(CAST(den_x AS DECIMAL(38,0)) * den_y, 1)) AS BIGINT)"""
+          .stripMargin))
+      .orderBy("k")
+  }
+
+  /** LAST-TOUCH ATTRIBUTION — each purchase credits the user's most
+    * recent preceding touch event (click / view / signup; purchases
+    * and errors are not touches), the standard product-analytics
+    * attribution model; purchases with no prior touch credit
+    * 'direct'. The carry is `last(touch, ignoreNulls)` over the
+    * strictly-preceding rows frame ordered by (ts, event_id) — the
+    * conditional last-value idiom both engines implement natively —
+    * and revenue lands in exact cents.
+    *
+    * Scale shape: ONE shuffle (hash by user_id) feeds the window —
+    * attribution is embarrassingly parallel across users — then a
+    * 4-row channel aggregate. No global window, no self-join.
+    */
+  private def qEventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch", last(
+        when(col("event_type").isin("click", "view", "signup"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_x100"))
+      .orderBy("touch_type")
+  }
+
   /** Time-BOUND funnel — `events_funnel` with conversion windows,
     * the form product analytics actually ships (a purchase three
     * weeks after the click is not attribution): each stage must land
@@ -1752,11 +1875,25 @@ object ExtensionQueries {
     * customer's exact name, and linkage then rightly prefers the
     * distance-0 impostor (classic ER ambiguity, measured not hidden).
     *
-    * Scale shape: two equi-joins keyed on block strings, blocks
-    * bounded by the name space's collision structure (at 100 TB the
-    * suffix block gets the hot-bucket occupancy cap of the dedup
-    * family, same trade); the ≤2-per-pair window ranks inside
-    * dirty_id partitions only.
+    * Blocking is by DELETION NEIGHBORHOOD (Mor & Fraenkel, CACM 1982;
+    * the SymSpell family): each side emits, per window position q, the
+    * name with chars [q, q+1] deleted, and candidates equi-join on
+    * (q, key). Any pair differing only inside some 2-char window —
+    * every adjacent transposition, every single substitution, every
+    * adjacent double substitution — shares the key at that window, so
+    * the true pair is ALWAYS a candidate (completeness by
+    * construction). The first draft blocked on prefix-13/suffix-5
+    * substrings instead and measured 5.2 s at sf0.01: TPC-H-style
+    * names share `Customer#0000…`, so the prefix block degenerated to
+    * one table-sized bucket — a quadratic all-pairs join smuggled in
+    * through a low-entropy key. Deletion keys keep 16 of 18 chars and
+    * never degenerate.
+    *
+    * Scale shape: (len−1)× linear key expansion on each side, ONE
+    * equi-join on high-entropy (q, key) strings — block size is the
+    * number of names within window-2 of each other, the collision
+    * structure of the name space, never the table; the ≤few-per-pair
+    * window ranks inside dirty_id partitions only.
     */
   private def qCustomersRecordLinkage(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1771,16 +1908,18 @@ object ExtensionQueries {
           expr("substring(c_name, p + 1, 1)"),
           expr("substring(c_name, p, 1)"),
           expr("substring(c_name, p + 2, 100)")).as("dn"))
-    val cb = c.select(col("c_custkey"), col("c_name"),
-      substring(col("c_name"), 1, 13).as("b1"),
-      substring(col("c_name"), 14, 5).as("b2"))
-    val db = dirty.select(col("dirty_id"), col("dn"),
-      substring(col("dn"), 1, 13).as("b1"),
-      substring(col("dn"), 14, 5).as("b2"))
-    val cand = db.join(cb, Seq("b1")).select(col("dirty_id"), col("dn"),
-        col("c_custkey"), col("c_name"))
-      .union(db.join(cb, Seq("b2")).select(col("dirty_id"), col("dn"),
-        col("c_custkey"), col("c_name")))
+    val cb = c
+      .withColumn("q", explode(expr("sequence(1, length(c_name) - 1)")))
+      .withColumn("bk", expr(
+        "concat(substring(c_name, 1, q - 1), substring(c_name, q + 2, 1000))"))
+      .select(col("c_custkey"), col("c_name"), col("q"), col("bk"))
+    val db = dirty
+      .withColumn("q", explode(expr("sequence(1, length(dn) - 1)")))
+      .withColumn("bk", expr(
+        "concat(substring(dn, 1, q - 1), substring(dn, q + 2, 1000))"))
+      .select(col("dirty_id"), col("dn"), col("q"), col("bk"))
+    val cand = db.join(cb, Seq("q", "bk"))
+      .select(col("dirty_id"), col("dn"), col("c_custkey"), col("c_name"))
       .distinct()
     val w = Window.partitionBy(col("dirty_id"))
     cand
@@ -2505,6 +2644,54 @@ object ExtensionQueries {
     val singles = docs.join(comp, docs("doc_id") === comp("id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("cluster_size"))
     best.unionByName(singles).orderBy("doc_id")
+  }
+
+  /** Survivorship merge / GOLDEN RECORD (the master-data-management
+    * ending of the dedup family; survivorship rules per Talburt,
+    * "Entity Resolution and Information Quality", 2011): one
+    * canonical row per near-dup cluster, each attribute elected by
+    * its own rule — representative id = min doc_id, best length =
+    * max n_chars (the keep-best rule), lang and source = cluster MODE
+    * (count-desc, value-asc tie-break). Singletons are their own
+    * cluster, so the output is a full deduplicated master table, not
+    * just the clustered slice. The oracle re-elects every attribute
+    * from the recursive-CTE component labels.
+    *
+    * Scale shape: rides the memoized component labels (the expensive
+    * artifact, built once per session); everything downstream is
+    * cluster-keyed group-bys — the two mode elections aggregate
+    * (cluster, value) then take a rank-1 window INSIDE cluster
+    * partitions, and the three result frames join on the cluster key.
+    * No global window, no driver loop. */
+  private def qCorpusGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val comp = dedupComponents(s, dir)
+    val lab = docs.join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"),
+        col("lang"), col("source"), col("n_chars"))
+      // feeds the base aggregate + two mode elections — three
+      // consumers of one left join; pin it (family discipline)
+      .localCheckpoint(true)
+    val base = lab.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_members"),
+      min(col("doc_id")).as("rep_doc_id"),
+      max(col("n_chars")).as("best_n_chars"))
+    def mode(attr: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("cnt").desc, col(attr).asc)
+      lab.groupBy(col("cluster"), col(attr))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster"), col(attr).as(out))
+    }
+    base.join(mode("lang", "canon_lang"), "cluster")
+      .join(mode("source", "canon_source"), "cluster")
+      .select(col("cluster"), col("rep_doc_id"), col("n_members"),
+        col("best_n_chars"), col("canon_lang"), col("canon_source"))
+      .orderBy("cluster")
   }
 
   /** Frequent-itemset pairs (support + lift) over per-user event-type
@@ -3279,6 +3466,10 @@ object ExtensionQueries {
     "events_cusum" -> (qEventsCusum _),
     "events_decay_score" -> (qEventsDecayScore _),
     "customers_record_linkage" -> (qCustomersRecordLinkage _),
+    "corpus_golden_record" -> (qCorpusGoldenRecord _),
+    "part_skyline" -> (qPartSkyline _),
+    "events_autocorr" -> (qEventsAutocorr _),
+    "events_attribution" -> (qEventsAttribution _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -5173,15 +5364,18 @@ object ExtensionQueries {
         |            substr(n, 1, p - 1) || substr(n, p + 1, 1) ||
         |            substr(n, p, 1) || substr(n, p + 2, 100) AS dn
         |          FROM d1),
-        |cb AS (SELECT c_custkey, c_name, substr(c_name, 1, 13) AS b1,
-        |              substr(c_name, 14, 5) AS b2 FROM c),
-        |db AS (SELECT dirty_id, dn, substr(dn, 1, 13) AS b1,
-        |              substr(dn, 14, 5) AS b2 FROM dirty),
-        |cand AS (SELECT d.dirty_id, d.dn, c.c_custkey, c.c_name
-        |         FROM db d JOIN cb c ON d.b1 = c.b1
-        |         UNION
-        |         SELECT d.dirty_id, d.dn, c.c_custkey, c.c_name
-        |         FROM db d JOIN cb c ON d.b2 = c.b2),
+        |cb0 AS (SELECT c_custkey, c_name,
+        |               unnest(range(1, length(c_name))) AS q FROM c),
+        |cb AS (SELECT c_custkey, c_name, q,
+        |              substr(c_name, 1, q - 1) || substr(c_name, q + 2, 1000)
+        |                AS bk FROM cb0),
+        |db0 AS (SELECT dirty_id, dn,
+        |               unnest(range(1, length(dn))) AS q FROM dirty),
+        |db AS (SELECT dirty_id, dn, q,
+        |              substr(dn, 1, q - 1) || substr(dn, q + 2, 1000) AS bk
+        |       FROM db0),
+        |cand AS (SELECT DISTINCT d.dirty_id, d.dn, c.c_custkey, c.c_name
+        |         FROM db d JOIN cb c ON d.q = c.q AND d.bk = c.bk),
         |v AS (SELECT dirty_id, c_custkey,
         |             CAST(levenshtein(dn, c_name) AS BIGINT) AS lev
         |      FROM cand WHERE levenshtein(dn, c_name) <= 2),
@@ -5193,5 +5387,83 @@ object ExtensionQueries {
         |SELECT dirty_id, c_custkey AS matched_custkey, lev AS lev_dist,
         |       n_cand, (c_custkey = dirty_id) AS is_correct
         |FROM r WHERE rn = 1 ORDER BY dirty_id""".stripMargin,
+
+    "corpus_golden_record" ->
+      s"""$dedupClustersCtes,
+         |lab AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster,
+         |               d.lang, d.source, d.n_chars
+         |        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         |base AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |                CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+         |                CAST(MAX(n_chars) AS BIGINT) AS best_n_chars
+         |         FROM lab GROUP BY 1),
+         |lm AS (SELECT cluster, lang AS canon_lang FROM (
+         |         SELECT cluster, lang, row_number() OVER (PARTITION BY cluster
+         |           ORDER BY COUNT(*) DESC, lang) AS rn
+         |         FROM lab GROUP BY cluster, lang) x WHERE rn = 1),
+         |sm AS (SELECT cluster, source AS canon_source FROM (
+         |         SELECT cluster, source, row_number() OVER (PARTITION BY cluster
+         |           ORDER BY COUNT(*) DESC, source) AS rn
+         |         FROM lab GROUP BY cluster, source) x WHERE rn = 1)
+         |SELECT b.cluster, b.rep_doc_id, b.n_members, b.best_n_chars,
+         |       lm.canon_lang, sm.canon_source
+         |FROM base b JOIN lm ON lm.cluster = b.cluster
+         |JOIN sm ON sm.cluster = b.cluster
+         |ORDER BY b.cluster""".stripMargin,
+
+    "part_skyline" ->
+      """WITH g AS (SELECT p_retailprice AS price, p_size AS size,
+        |                  CAST(COUNT(*) AS BIGINT) AS n_parts
+        |           FROM part GROUP BY 1, 2),
+        |tp AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY price ORDER BY size DESC) AS rn FROM g) x
+        |       WHERE rn = 1)
+        |SELECT price, CAST(size AS BIGINT) AS size, n_parts
+        |FROM tp a
+        |WHERE NOT EXISTS (SELECT 1 FROM tp b
+        |                  WHERE b.price < a.price AND b.size >= a.size)
+        |ORDER BY price""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(COUNT(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1),
+        |lagged AS (SELECT k, day + CAST(k AS INTEGER) AS day_k, x AS x_t
+        |           FROM daily, (SELECT unnest(range(1, 8)) AS k) ks),
+        |pairs AS (SELECT l.k, l.x_t, d.x AS x_k
+        |          FROM lagged l JOIN daily d ON d.day = l.day_k),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |             CAST(SUM(x_t) AS BIGINT) AS sx,
+        |             CAST(SUM(x_k) AS BIGINT) AS sy,
+        |             CAST(SUM(x_t * x_t) AS BIGINT) AS sxx,
+        |             CAST(SUM(x_k * x_k) AS BIGINT) AS syy,
+        |             CAST(SUM(x_t * x_k) AS BIGINT) AS sxy
+        |      FROM pairs GROUP BY 1),
+        |d AS (SELECT CAST(k AS BIGINT) AS k, n_pairs,
+        |             n_pairs * sxy - sx * sy AS num,
+        |             n_pairs * sxx - sx * sx AS den_x,
+        |             n_pairs * syy - sy * sy AS den_y
+        |      FROM a)
+        |SELECT k, n_pairs, num, den_x, den_y,
+        |       CAST(CAST(sign(num) AS HUGEINT)
+        |         * ((10000 * CAST(num AS HUGEINT) * num)
+        |            // greatest(CAST(den_x AS HUGEINT) * den_y, 1))
+        |         AS BIGINT) AS r2_bp
+        |FROM d ORDER BY k""".stripMargin,
+
+    "events_attribution" ->
+      """WITH t AS (SELECT *,
+        |             last_value(CASE WHEN event_type IN ('click','view','signup')
+        |                        THEN event_type END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS touch
+        |           FROM events)
+        |SELECT COALESCE(touch, 'direct') AS touch_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS revenue_x100
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -77,9 +77,10 @@ class LinkageMonitorSpec extends SparkSpec {
   test("record linkage: every dirty record links, and blocking is complete") {
     val out = SparkEntry.queries("customers_record_linkage")(spark, dir).collect()
     val nCust = Tables.customer(spark, dir).count()
-    // completeness: the perturbation leaves prefix-13 or suffix-5
-    // intact by construction, so the TRUE pair always shares a block
-    // and survives the lev<=2 gate — every dirty record must appear
+    // completeness: a transposition at p differs from the original
+    // only inside window [p, p+1], so the deletion key at q = p
+    // matches exactly — the TRUE pair always shares a block and
+    // survives the lev<=2 gate, so every dirty record must appear
     assert(out.length == nCust, s"${out.length} linked of $nCust")
     out.foreach { r =>
       assert(r.getAs[Long]("lev_dist") <= 2L)
@@ -102,10 +103,10 @@ class LinkageMonitorSpec extends SparkSpec {
         "an incorrect link must strictly beat the true pair in (lev, key)")
     }
     // and the fixture should link mostly correctly — the dense
-    // 0..N key space makes distance-1 rivals common (swapping two
+    // 0..N key space makes window-local rivals common (swapping two
     // tail digits often lands one substitution from ANOTHER live
-    // key), so the measured ~79% is the honest ambiguity floor of
-    // lev<=2 linkage on this name space, not a bug
+    // key), so the measured accuracy is the honest ambiguity floor
+    // of lev<=2 linkage on this name space, not a bug
     assert(wrong.length * 3 < out.length, "accuracy must exceed 2/3")
   }
 
