@@ -1892,11 +1892,21 @@ object ExtensionQueries {
     * Scale shape: (len−1)× linear key expansion on each side, ONE
     * equi-join on high-entropy (q, key) strings — block size is the
     * number of names within window-2 of each other, the collision
-    * structure of the name space, never the table; the ≤few-per-pair
-    * window ranks inside dirty_id partitions only.
+    * structure of the name space, never the table. On this DENSE
+    * sequential key space that structure is still ~10² neighbors per
+    * record at the trailing-digit windows (every number sharing the
+    * first 7 digits is window-local), so the candidate volume is the
+    * honest cost of the semantics; what the plan controls is the
+    * per-candidate weight: pairs dedupe as SLIM (dirty_id, custkey)
+    * ids BEFORE any string travels (the wide first draft shuffled
+    * 36-char names through the distinct and measured 2.5× slower),
+    * names map back through equi-joins Catalyst sizes itself
+    * (broadcast at bench scale, shuffled at 100 TB), the bounded
+    * levenshtein runs once per distinct pair in the scan stage, and
+    * the winner election is a min(struct) AGGREGATE — no rank window,
+    * one narrow shuffle keyed on dirty_id.
     */
   private def qCustomersRecordLinkage(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
     val dirty = c
       .withColumn("m", col("c_custkey") % 6)
@@ -1910,29 +1920,28 @@ object ExtensionQueries {
           expr("substring(c_name, p + 2, 100)")).as("dn"))
     val cb = c
       .withColumn("q", explode(expr("sequence(1, length(c_name) - 1)")))
-      .withColumn("bk", expr(
-        "concat(substring(c_name, 1, q - 1), substring(c_name, q + 2, 1000))"))
-      .select(col("c_custkey"), col("c_name"), col("q"), col("bk"))
+      .select(col("c_custkey"), col("q"), expr(
+        "concat(substring(c_name, 1, q - 1), substring(c_name, q + 2, 1000))")
+        .as("bk"))
     val db = dirty
       .withColumn("q", explode(expr("sequence(1, length(dn) - 1)")))
-      .withColumn("bk", expr(
-        "concat(substring(dn, 1, q - 1), substring(dn, q + 2, 1000))"))
-      .select(col("dirty_id"), col("dn"), col("q"), col("bk"))
+      .select(col("dirty_id"), col("q"), expr(
+        "concat(substring(dn, 1, q - 1), substring(dn, q + 2, 1000))").as("bk"))
     val cand = db.join(cb, Seq("q", "bk"))
-      .select(col("dirty_id"), col("dn"), col("c_custkey"), col("c_name"))
-      .distinct()
-    val w = Window.partitionBy(col("dirty_id"))
+      .select(col("dirty_id"), col("c_custkey")).distinct()
     cand
+      .join(dirty, "dirty_id")
+      .join(c, "c_custkey")
       .withColumn("lev", levenshtein(col("dn"), col("c_name"), 2))
       .where(col("lev") >= 0)
-      .withColumn("n_cand", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("lev"), col("c_custkey"))))
-      .where(col("rn") === 1)
-      .select(col("dirty_id"), col("c_custkey").as("matched_custkey"),
-        col("lev").cast("long").as("lev_dist"),
+      .groupBy(col("dirty_id"))
+      .agg(min(struct(col("lev"), col("c_custkey"))).as("best"),
+        count(lit(1)).as("n_cand"))
+      .select(col("dirty_id"),
+        col("best.c_custkey").as("matched_custkey"),
+        col("best.lev").cast("long").as("lev_dist"),
         col("n_cand").cast("long").as("n_cand"),
-        (col("c_custkey") === col("dirty_id")).as("is_correct"))
+        (col("best.c_custkey") === col("dirty_id")).as("is_correct"))
       .orderBy("dirty_id")
   }
 
