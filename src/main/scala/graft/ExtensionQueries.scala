@@ -1945,6 +1945,80 @@ object ExtensionQueries {
       .orderBy("dirty_id")
   }
 
+  /** Sorted-neighborhood linkage (Hernández & Stolfo, SIGMOD 1995) —
+    * the OTHER classic blocking strategy, run against the same dirty
+    * feed as `customers_record_linkage` so the two channels'
+    * recall/precision trade is measurable side by side. Two passes
+    * (sort by name, sort by reversed name — the standard multi-pass
+    * answer to SNM's high-order-error blindness), window w = 10,
+    * cross-source pairs verified by bounded levenshtein, winner =
+    * min (lev, key). Unlike deletion-neighborhood blocking SNM is NOT
+    * complete — a transposition in the high-order sort positions
+    * moves the record far from its twin in BOTH sort orders when the
+    * shared prefix is low-entropy — so the output keeps every dirty
+    * record with an explicit `found` flag and sentinel −1s: the
+    * recall gap is the measured result, not a hidden drop. (On the
+    * DENSE fixture the sort window always holds some lev ≤ 2
+    * neighbor, so the measured found-rate is 1.0 and the winner
+    * coincides with the deletion channel's; SnmLinkageSpec pins the
+    * discriminating per-pass correctness metrics instead.)
+    *
+    * Scale shape: [[graft.ops.Linkage.globalRank]] ranks without a
+    * single-partition window (range repartition + per-partition
+    * offsets; the only global window touches the |partitions|-row
+    * count summary), and [[graft.ops.Linkage.snmCandidates]] joins
+    * rank buckets of width w — block size 2w by construction. The
+    * oracle mirrors both passes with row_number + a band self-join.
+    */
+  private def qCustomersSnmLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val dirty = c
+      .withColumn("m", col("c_custkey") % 6)
+      .withColumn("p", when(col("m") < 3, col("m") + 10).otherwise(col("m") + 11)
+        .cast("int"))
+      .select(col("c_custkey").as("dirty_id"),
+        concat(
+          expr("substring(c_name, 1, p - 1)"),
+          expr("substring(c_name, p + 1, 1)"),
+          expr("substring(c_name, p, 1)"),
+          expr("substring(c_name, p + 2, 100)")).as("dn"))
+    val u = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+        lit(0).as("src"))
+      .unionByName(dirty.select(col("dirty_id").as("id"), col("dn").as("name"),
+        lit(1).as("src")))
+    def pass(key: org.apache.spark.sql.Column): DataFrame =
+      graft.ops.Linkage.snmCandidates(
+          u.withColumn("skey", key), w = 10,
+          col("skey"), col("src"), col("id"))
+        .where(col("src_a") =!= col("src_b"))
+        .select(
+          when(col("src_a") === 1, col("id_a")).otherwise(col("id_b"))
+            .as("dirty_id"),
+          when(col("src_a") === 1, col("id_b")).otherwise(col("id_a"))
+            .as("c_custkey"))
+    val cand = pass(col("name")).unionByName(pass(reverse(col("name"))))
+      .distinct()
+    val linked = cand
+      .join(dirty, "dirty_id")
+      .join(c, "c_custkey")
+      .withColumn("lev", levenshtein(col("dn"), col("c_name"), 2))
+      .where(col("lev") >= 0)
+      .groupBy(col("dirty_id"))
+      .agg(min(struct(col("lev"), col("c_custkey"))).as("best"),
+        count(lit(1)).as("n_cand"))
+      .select(col("dirty_id"),
+        col("best.c_custkey").as("matched_custkey"),
+        col("best.lev").cast("long").as("lev_dist"),
+        col("n_cand").cast("long").as("n_cand"))
+    dirty.select(col("dirty_id")).join(linked, Seq("dirty_id"), "left")
+      .select(col("dirty_id"),
+        col("matched_custkey").isNotNull.as("found"),
+        coalesce(col("matched_custkey"), lit(-1L)).as("matched_custkey"),
+        coalesce(col("lev_dist"), lit(-1L)).as("lev_dist"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+      .orderBy("dirty_id")
+  }
+
   // -------------------------------------------------------- similarity
 
   private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -3475,6 +3549,7 @@ object ExtensionQueries {
     "events_cusum" -> (qEventsCusum _),
     "events_decay_score" -> (qEventsDecayScore _),
     "customers_record_linkage" -> (qCustomersRecordLinkage _),
+    "customers_snm_linkage" -> (qCustomersSnmLinkage _),
     "corpus_golden_record" -> (qCorpusGoldenRecord _),
     "part_skyline" -> (qPartSkyline _),
     "events_autocorr" -> (qEventsAutocorr _),
@@ -5396,6 +5471,55 @@ object ExtensionQueries {
         |SELECT dirty_id, c_custkey AS matched_custkey, lev AS lev_dist,
         |       n_cand, (c_custkey = dirty_id) AS is_correct
         |FROM r WHERE rn = 1 ORDER BY dirty_id""".stripMargin,
+
+    "customers_snm_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |d1 AS (SELECT c_custkey AS dirty_id, c_name AS n,
+        |              CAST(CASE WHEN c_custkey % 6 < 3 THEN c_custkey % 6 + 10
+        |                   ELSE c_custkey % 6 + 11 END AS INTEGER) AS p
+        |       FROM c),
+        |dirty AS (SELECT dirty_id,
+        |            substr(n, 1, p - 1) || substr(n, p + 1, 1) ||
+        |            substr(n, p, 1) || substr(n, p + 2, 100) AS dn
+        |          FROM d1),
+        |u AS (SELECT c_custkey AS id, c_name AS name, 0 AS src FROM c
+        |      UNION ALL
+        |      SELECT dirty_id, dn, 1 FROM dirty),
+        |r1 AS (SELECT *, row_number() OVER (ORDER BY name, src, id) AS rnk
+        |       FROM u),
+        |p1 AS (SELECT a.id AS id_a, a.src AS src_a, b.id AS id_b, b.src AS src_b
+        |       FROM r1 a JOIN r1 b
+        |       ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY reverse(name), src, id)
+        |         AS rnk FROM u),
+        |p2 AS (SELECT a.id AS id_a, a.src AS src_a, b.id AS id_b, b.src AS src_b
+        |       FROM r2 a JOIN r2 b
+        |       ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10),
+        |pp AS (SELECT * FROM p1 UNION SELECT * FROM p2),
+        |cand AS (SELECT DISTINCT
+        |           CASE WHEN src_a = 1 THEN id_a ELSE id_b END AS dirty_id,
+        |           CASE WHEN src_a = 1 THEN id_b ELSE id_a END AS c_custkey
+        |         FROM pp WHERE src_a <> src_b),
+        |v AS (SELECT x.dirty_id, x.c_custkey,
+        |             CAST(levenshtein(d.dn, c.c_name) AS BIGINT) AS lev
+        |      FROM cand x
+        |      JOIN dirty d ON d.dirty_id = x.dirty_id
+        |      JOIN c ON c.c_custkey = x.c_custkey
+        |      WHERE levenshtein(d.dn, c.c_name) <= 2),
+        |e AS (SELECT dirty_id, c_custkey AS matched_custkey,
+        |             lev AS lev_dist, n_cand FROM (
+        |        SELECT *,
+        |          CAST(COUNT(*) OVER (PARTITION BY dirty_id) AS BIGINT)
+        |            AS n_cand,
+        |          row_number() OVER (PARTITION BY dirty_id
+        |            ORDER BY lev, c_custkey) AS rn
+        |        FROM v) x WHERE rn = 1)
+        |SELECT d.dirty_id, e.dirty_id IS NOT NULL AS found,
+        |       COALESCE(e.matched_custkey, -1) AS matched_custkey,
+        |       COALESCE(e.lev_dist, -1) AS lev_dist,
+        |       COALESCE(e.n_cand, 0) AS n_cand
+        |FROM dirty d LEFT JOIN e ON e.dirty_id = d.dirty_id
+        |ORDER BY d.dirty_id""".stripMargin,
 
     "corpus_golden_record" ->
       s"""$dedupClustersCtes,
