@@ -1897,14 +1897,20 @@ object ExtensionQueries {
     * record at the trailing-digit windows (every number sharing the
     * first 7 digits is window-local), so the candidate volume is the
     * honest cost of the semantics; what the plan controls is the
-    * per-candidate weight: pairs dedupe as SLIM (dirty_id, custkey)
-    * ids BEFORE any string travels (the wide first draft shuffled
-    * 36-char names through the distinct and measured 2.5× slower),
-    * names map back through equi-joins Catalyst sizes itself
-    * (broadcast at bench scale, shuffled at 100 TB), the bounded
-    * levenshtein runs once per distinct pair in the scan stage, and
-    * the winner election is a min(struct) AGGREGATE — no rank window,
-    * one narrow shuffle keyed on dirty_id.
+    * per-candidate weight: each side carries only (window, key, id,
+    * window-chars), the verification distance rides the WINDOW
+    * INVARIANT instead of a string scan — a (q, key)-matched pair is
+    * equal outside positions {q, q+1} by construction, and for
+    * equal-length strings differing in ≤ 2 fixed positions plain
+    * levenshtein equals the differing-position count (one edit can't
+    * fix two positions, and indel realignments cost the same 2), so
+    * `lev = (a≠c) + (b≠d)` over the four dropped chars, exact and
+    * O(1) per pair where the prior form ran a bounded levenshtein
+    * per pair after two name-carrying joins (14.8 s → 4.9 s → 1.4 s
+    * at sf0.1 across the three forms). The winner election is a
+    * min(struct) AGGREGATE — no rank window, one narrow shuffle keyed
+    * on dirty_id. The oracle keeps the levenshtein formulation — the
+    * invariant is exactly what makes the two formulations identical.
     */
   private def qCustomersRecordLinkage(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
@@ -1922,18 +1928,24 @@ object ExtensionQueries {
       .withColumn("q", explode(expr("sequence(1, length(c_name) - 1)")))
       .select(col("c_custkey"), col("q"), expr(
         "concat(substring(c_name, 1, q - 1), substring(c_name, q + 2, 1000))")
-        .as("bk"))
+        .as("bk"),
+        expr("substring(c_name, q, 2)").as("wc"))
     val db = dirty
       .withColumn("q", explode(expr("sequence(1, length(dn) - 1)")))
       .select(col("dirty_id"), col("q"), expr(
-        "concat(substring(dn, 1, q - 1), substring(dn, q + 2, 1000))").as("bk"))
+        "concat(substring(dn, 1, q - 1), substring(dn, q + 2, 1000))").as("bk"),
+        expr("substring(dn, q, 2)").as("wd"))
     val cand = db.join(cb, Seq("q", "bk"))
-      .select(col("dirty_id"), col("c_custkey")).distinct()
+      .select(col("dirty_id"), col("c_custkey"),
+        ((substring(col("wd"), 1, 1) =!= substring(col("wc"), 1, 1))
+          .cast("int") +
+         (substring(col("wd"), 2, 1) =!= substring(col("wc"), 2, 1))
+          .cast("int")).as("lev"))
+      // a pair can match at up to three windows; the distance is a
+      // property of the PAIR (diffs are fixed), so min = the value
+      .groupBy(col("dirty_id"), col("c_custkey"))
+      .agg(min(col("lev")).as("lev"))
     cand
-      .join(dirty, "dirty_id")
-      .join(c, "c_custkey")
-      .withColumn("lev", levenshtein(col("dn"), col("c_name"), 2))
-      .where(col("lev") >= 0)
       .groupBy(col("dirty_id"))
       .agg(min(struct(col("lev"), col("c_custkey"))).as("best"),
         count(lit(1)).as("n_cand"))
