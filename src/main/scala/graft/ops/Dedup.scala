@@ -600,9 +600,27 @@ object Dedup {
     val prefix = ranked
       .where(col("rn") <=
         col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("rn"), col("n"))
+    // PPJoin's two exact pruning rules on top of the AllPairs prefix
+    // join (Xiao, Wang, Lin & Yu, "Efficient similarity joins for
+    // near duplicate detection", WWW 2008):
+    //  - LENGTH: J ≥ num/den forces den·|x| ≥ num·|y| both ways;
+    //  - POSITION: J ≥ t needs overlap o ≥ α = ceil(num(nx+ny)/(num+den)),
+    //    and at a matching prefix shingle every remaining common
+    //    shingle sits in both suffixes (both docs rank shingles by the
+    //    same global rarity order), so o ≤ 1 + min(nx−rnx, ny−rny).
+    //    A qualifying pair always passes at its FIRST common shingle
+    //    (where the k=1 bound is valid and ≥ o ≥ α), and distinct()
+    //    needs only that one surviving row — so pruning later rows
+    //    with the same bound is lossless while it kills dead pairs
+    //    before they reach the distinct and the verify join.
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        col("x.n") * den >= col("y.n") * num &&
+        col("y.n") * den >= col("x.n") * num &&
+        lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) >=
+          expr(s"(${num} * (x.n + y.n) + ${num + den - 1}) div ${num + den}"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     jaccardVerify(cand, sh, num, den)
