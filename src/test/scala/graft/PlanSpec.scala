@@ -581,4 +581,35 @@ class PlanSpec extends SparkSpec {
       "tot_a/tot_b must be a window sum over the 16-row binned " +
         "aggregate, never a second full events scan")
   }
+
+  test("customers_record_linkage: no string verification past the candidate join") {
+    val p = planOf("customers_record_linkage")
+    // the window invariant replaces per-pair levenshtein with a
+    // 4-char positional compare carried through the join — a
+    // levenshtein node reappearing means the name-carrying joins and
+    // the per-pair string scan came back
+    assert(!p.contains("levenshtein"),
+      "verification must ride the window invariant, not levenshtein")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood candidates must come from an equi-join")
+  }
+
+  test("events_attribution: ONE keyed shuffle feeds window and aggregate") {
+    val p = planOf("events_attribution")
+    // the per-user window and the 4-row channel aggregate must share
+    // the hash(user_id) exchange lineage; the only other exchange is
+    // the single-partition gather of the final tiny frame
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      "attribution must partition by user_id")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "no extra wide shuffles beyond user keying + the tiny final agg")
+  }
+
+  test("events_autocorr: lag join broadcasts the dimension-sized daily frame") {
+    val p = planOf("events_autocorr")
+    assert(p.contains("BroadcastHashJoin"),
+      "the lagged self-join must broadcast the <=|days| frame")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
