@@ -988,6 +988,88 @@ object ExtensionQueries {
       .orderBy("bin")
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov drift statistic — the
+    * CUMULATIVE companion of `events_drift_halves` (same midpoint
+    * split, same 16 value bins, same clamps): per bin the cumulative
+    * share of each half in basis points, their signed gap, and the KS
+    * statistic (max absolute gap) carried on every row. PSI-style
+    * per-bin deltas catch level shifts; the KS max-gap catches a
+    * DISTRIBUTIONAL shift that no single bin dominates. Same
+    * non-negative-dividend discipline — cumulative counts are
+    * monotone non-negative, so trunc-vs-floor division can never
+    * split the engines.
+    *
+    * Scale shape: identical to the drift audit — one events scan into
+    * a 16-key aggregate; every window (cumsum, totals, the max gap)
+    * sits on the 16-row binned frame.
+    */
+  private def qEventsDriftKs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = wAll.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(b))
+      .withColumn("in_a",
+        col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .withColumn("bin",
+        least(lit(15L), expr("greatest(CAST(v * 100 AS BIGINT), 0L) div 2000")))
+      .groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("cum_a", sum(col("n_a")).over(wCum))
+      .withColumn("cum_b", sum(col("n_b")).over(wCum))
+      .withColumn("tot_a", sum(col("n_a")).over(wAll))
+      .withColumn("tot_b", sum(col("n_b")).over(wAll))
+      .withColumn("cum_share_a_bp",
+        expr("(10000 * cum_a) div greatest(tot_a, 1L)"))
+      .withColumn("cum_share_b_bp",
+        expr("(10000 * cum_b) div greatest(tot_b, 1L)"))
+      .withColumn("gap_bp", col("cum_share_a_bp") - col("cum_share_b_bp"))
+      .withColumn("ks_bp", max(abs(col("gap_bp"))).over(wAll))
+      .select(col("bin"), col("n_a"), col("n_b"), col("cum_share_a_bp"),
+        col("cum_share_b_bp"), col("gap_bp"), col("ks_bp"))
+      .orderBy("bin")
+  }
+
+  /** Gini concentration / Lorenz-curve audit of customer lifetime
+    * revenue — the inequality statistic a marketplace-health or
+    * data-balance report leads with, in EXACT integers: customers
+    * rank ascending by revenue (zero-order customers included at 0 —
+    * concentration among buyers only would understate it), and
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) emits in basis points with
+    * the rank-weighted sum widened to DECIMAL(38,0) (i·x crosses 2^63
+    * near 10⁹ customers × cents). Chebyshev's sum inequality makes
+    * the dividend non-negative, so trunc-vs-floor agree.
+    *
+    * Scale shape: the revenue rollup is one orders shuffle; the
+    * ascending rank rides [[graft.ops.Linkage.globalRank]] (range
+    * repartition + per-partition offsets — no single-partition
+    * window over customers), and the final fold is ONE aggregate row.
+    */
+  private def qCustomerGini(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+    val base = Tables.customer(s, dir).select(col("c_custkey"))
+      .join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("x"), lit(0L)).as("x"))
+    graft.ops.Linkage.globalRank(base, col("x"), col("c_custkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("total_x100"),
+        sum(col("rank").cast("decimal(38,0)") * col("x")).as("ix"))
+      .select(col("n_customers"), col("total_x100"),
+        expr("""CAST((10000 * (2 * ix - (n_customers + 1)
+                * CAST(total_x100 AS DECIMAL(38,0))))
+                div greatest(CAST(n_customers AS DECIMAL(38,0))
+                * total_x100, 1) AS BIGINT)""").as("gini_bp"))
+  }
+
   /** CUSUM changepoint monitor (Page, Biometrika 1954) on the daily
     * event-count series — the sequential alarm a pipeline health
     * check runs over ingest volume (a level shift trips the alarm
@@ -3558,6 +3640,8 @@ object ExtensionQueries {
     "corpus_token_budget" -> (qCorpusTokenBudget _),
     "emb_outliers" -> (qEmbOutliers _),
     "events_drift_halves" -> (qEventsDriftHalves _),
+    "events_drift_ks" -> (qEventsDriftKs _),
+    "customer_gini" -> (qCustomerGini _),
     "events_cusum" -> (qEventsCusum _),
     "events_decay_score" -> (qEventsDecayScore _),
     "customers_record_linkage" -> (qCustomersRecordLinkage _),
@@ -5409,6 +5493,53 @@ object ExtensionQueries {
         |       (10000 * n_a) // greatest(tot_a, 1)
         |         - (10000 * n_b) // greatest(tot_b, 1) AS drift_bp
         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "events_drift_ks" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+        |                   CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |g AS (SELECT least(15, greatest(CAST(v * 100 AS BIGINT), 0) // 2000)
+        |               AS bin,
+        |             CAST(SUM(CASE WHEN day <= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             CAST(SUM(CASE WHEN day <= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+        |                      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |      FROM ev CROSS JOIN b GROUP BY 1),
+        |cu AS (SELECT *,
+        |         CAST(SUM(n_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS cum_a,
+        |         CAST(SUM(n_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS cum_b,
+        |         CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+        |         CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b
+        |       FROM g),
+        |sh AS (SELECT bin, n_a, n_b,
+        |              (10000 * cum_a) // greatest(tot_a, 1) AS cum_share_a_bp,
+        |              (10000 * cum_b) // greatest(tot_b, 1) AS cum_share_b_bp
+        |       FROM cu)
+        |SELECT bin, n_a, n_b, cum_share_a_bp, cum_share_b_bp,
+        |       cum_share_a_bp - cum_share_b_bp AS gap_bp,
+        |       CAST(MAX(abs(cum_share_a_bp - cum_share_b_bp)) OVER ()
+        |         AS BIGINT) AS ks_bp
+        |FROM sh ORDER BY bin""".stripMargin,
+
+    "customer_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                 AS BIGINT)) AS BIGINT) AS x
+        |             FROM orders GROUP BY 1),
+        |base AS (SELECT c.c_custkey, COALESCE(r.x, 0) AS x
+        |         FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey),
+        |rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x, c_custkey)
+        |         AS BIGINT) AS i FROM base)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(x) AS BIGINT) AS total_x100,
+        |       CAST((10000 * (2 * CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT)
+        |              - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)))
+        |            // greatest(CAST(COUNT(*) AS HUGEINT) * SUM(x), 1)
+        |         AS BIGINT) AS gini_bp
+        |FROM rk""".stripMargin,
 
     "events_cusum" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,

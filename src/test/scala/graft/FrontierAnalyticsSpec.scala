@@ -111,6 +111,52 @@ class FrontierAnalyticsSpec extends SparkSpec {
       ev.count(_.getAs[String]("event_type") == "purchase"))
   }
 
+  test("events_drift_ks: cumulative gaps and the max-gap statistic recompute") {
+    val out = SparkEntry.queries("events_drift_ks")(spark, dir)
+      .orderBy("bin").collect()
+    assert(out.nonEmpty)
+    val totA = out.map(_.getAs[Long]("n_a")).sum
+    val totB = out.map(_.getAs[Long]("n_b")).sum
+    var ca = 0L; var cb = 0L
+    val gaps = out.map { r =>
+      ca += r.getAs[Long]("n_a"); cb += r.getAs[Long]("n_b")
+      val sa = 10000L * ca / math.max(totA, 1L)
+      val sb = 10000L * cb / math.max(totB, 1L)
+      assert(r.getAs[Long]("cum_share_a_bp") == sa)
+      assert(r.getAs[Long]("cum_share_b_bp") == sb)
+      assert(r.getAs[Long]("gap_bp") == sa - sb)
+      sa - sb
+    }
+    val ks = gaps.map(math.abs).max
+    assert(out.forall(_.getAs[Long]("ks_bp") == ks))
+    // both halves fully accumulate: the last cumulative share is 100%
+    assert(out.last.getAs[Long]("cum_share_a_bp") == 10000L)
+    assert(out.last.getAs[Long]("cum_share_b_bp") == 10000L)
+  }
+
+  test("customer_gini: the statistic recomputes from the sorted revenue vector") {
+    val row = SparkEntry.queries("customer_gini")(spark, dir).collect().head
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("x")).toMap
+    val xs = Tables.customer(spark, dir).select(col("c_custkey")).collect()
+      .map(r => r.getLong(0))
+      .map(k => (rev.getOrElse(k, 0L), k)).sorted.map(_._1)
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val ix = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (BigInt(10000) * (2 * ix - BigInt(n + 1) * sx) /
+      (BigInt(n) * sx).max(BigInt(1))).toLong
+    assert(row.getAs[Long]("n_customers") == n)
+    assert(row.getAs[Long]("total_x100") == sx)
+    assert(row.getAs[Long]("gini_bp") == gini)
+    // a revenue distribution over customers is concentrated but not
+    // degenerate: G strictly inside (0, 10000)
+    assert(gini > 0L && gini < 10000L)
+  }
+
   test("golden record: attribute elections match a driver-side recount") {
     val out = SparkEntry.queries("corpus_golden_record")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
