@@ -988,6 +988,52 @@ object ExtensionQueries {
       .orderBy("bin")
   }
 
+  /** Time-weighted average value per event type (TWAP /
+    * last-observation-carried-forward): each reading holds until the
+    * type's NEXT reading, so the mean weights every value by its
+    * holding duration in seconds — the correct average for
+    * irregularly-sampled series (a plain AVG over-weights bursts; the
+    * fixture's burst pattern makes the two visibly diverge). Exact
+    * integers throughout: value in cents, weight in whole seconds,
+    * `twap_x100 = Σ(v·w) div Σw` with the non-negative-dividend clamp
+    * and the weighted sum in DECIMAL(38,0) (cents × seconds × rows
+    * crosses 2^63 at ~10¹⁰ row-seconds). The span's LAST reading has
+    * no successor and drops from the weighting (standard LOCF-over-
+    * observed-span contract; `n_open` reports how many).
+    *
+    * Scale shape: ONE shuffle (hash by event_type) feeds the lead
+    * window and the per-type fold — same single-exchange discipline
+    * as events_attribution; no global window, no self-join.
+    */
+  private def qEventsTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        greatest((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L)).as("v"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("wsec",
+        when(col("next_ts").isNotNull,
+          unix_timestamp(col("next_ts")) - unix_timestamp(col("ts"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_readings"),
+        sum(when(col("wsec").isNull, 1L).otherwise(0L)).as("n_open"),
+        sum(col("wsec")).as("total_sec"),
+        sum(col("v") * col("wsec").cast("decimal(38,0)")).as("vw"),
+        sum(col("v")).as("sv"))
+      .select(col("event_type"), col("n_readings"), col("n_open"),
+        col("total_sec"),
+        expr("CAST(vw div greatest(CAST(total_sec AS DECIMAL(38,0)), 1) " +
+          "AS BIGINT)").as("twap_x100"),
+        // integer division, not AVG: a float mean would round vs
+        // truncate differently across engines
+        expr("sv div n_readings").as("naive_mean_x100"))
+      .orderBy("event_type")
+  }
+
   /** Binned two-sample Kolmogorov–Smirnov drift statistic — the
     * CUMULATIVE companion of `events_drift_halves` (same midpoint
     * split, same 16 value bins, same clamps): per bin the cumulative
@@ -3640,6 +3686,7 @@ object ExtensionQueries {
     "corpus_token_budget" -> (qCorpusTokenBudget _),
     "emb_outliers" -> (qEmbOutliers _),
     "events_drift_halves" -> (qEventsDriftHalves _),
+    "events_twap" -> (qEventsTwap _),
     "events_drift_ks" -> (qEventsDriftKs _),
     "customer_gini" -> (qCustomerGini _),
     "events_cusum" -> (qEventsCusum _),
@@ -5493,6 +5540,34 @@ object ExtensionQueries {
         |       (10000 * n_a) // greatest(tot_a, 1)
         |         - (10000 * n_b) // greatest(tot_b, 1) AS drift_bp
         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "events_twap" ->
+      """WITH ev AS (SELECT event_type, ts, event_id,
+        |                   greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |                     AS BIGINT), CAST(0 AS BIGINT)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT *,
+        |        lead(ts) OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) AS next_ts
+        |      FROM ev),
+        |wgt AS (SELECT event_type, v,
+        |          CASE WHEN next_ts IS NOT NULL
+        |               THEN epoch_us(next_ts) // 1000000
+        |                  - epoch_us(ts) // 1000000 END AS wsec
+        |        FROM l),
+        |a AS (SELECT event_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n_readings,
+        |        CAST(SUM(CASE WHEN wsec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_open,
+        |        CAST(SUM(wsec) AS BIGINT) AS total_sec,
+        |        CAST(SUM(CAST(v AS HUGEINT) * wsec) AS HUGEINT) AS vw,
+        |        CAST(SUM(v) AS BIGINT) AS sv
+        |      FROM wgt GROUP BY 1)
+        |SELECT event_type, n_readings, n_open, total_sec,
+        |       CAST(vw // greatest(CAST(total_sec AS HUGEINT), 1) AS BIGINT)
+        |         AS twap_x100,
+        |       sv // n_readings AS naive_mean_x100
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "events_drift_ks" ->
       """WITH ev AS (SELECT CAST(ts AS DATE) AS day,

@@ -157,6 +157,37 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(gini > 0L && gini < 10000L)
   }
 
+  test("events_twap: duration-weighted means recompute from the raw series") {
+    val out = SparkEntry.queries("events_twap")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        greatest((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L)).as("v"))
+      .collect()
+    val byType = ev.groupBy(_.getAs[String]("event_type"))
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id")))
+      val secs = sorted.map(r =>
+        math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 1000L))
+      val vs = sorted.map(_.getAs[Long]("v"))
+      val weighted = secs.zip(secs.drop(1)).zip(vs)
+        .map { case ((t0, t1), v) => (BigInt(v) * (t1 - t0), t1 - t0) }
+      val vw = weighted.map(_._1).sum
+      val ts = weighted.map(_._2).sum
+      val r = out(t)
+      assert(r.getAs[Long]("n_readings") == sorted.length)
+      assert(r.getAs[Long]("n_open") == 1L, "exactly the last reading is open")
+      assert(r.getAs[Long]("total_sec") == ts)
+      assert(r.getAs[Long]("twap_x100") ==
+        (vw / BigInt(ts).max(BigInt(1))).toLong)
+      assert(r.getAs[Long]("naive_mean_x100") == vs.sum / sorted.length)
+    }
+  }
+
   test("golden record: attribute elections match a driver-side recount") {
     val out = SparkEntry.queries("corpus_golden_record")(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
