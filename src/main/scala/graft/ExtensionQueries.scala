@@ -1210,35 +1210,12 @@ object ExtensionQueries {
     * window in the plan sits on the |buckets|-row summary. The oracle
     * is the independent quadratic NOT-EXISTS dominance formulation.
     */
-  private def qPartSkyline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = Tables.part(s, dir)
-      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
-      .agg(count(lit(1)).as("n_parts"))
-    // per-price max size (one row per price; same-price peers resolved
-    // here so the prefix windows below see strict predecessors only)
-    val tp = g.withColumn("rn", row_number().over(
-        Window.partitionBy(col("price")).orderBy(col("size").desc)))
-      .where(col("rn") === 1)
-      .withColumn("bucket", floor(col("price") / 100).cast("long"))
-    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("price"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = tp.withColumn("prev_local",
-      max(col("size")).over(wLocal)).localCheckpoint(true)
-    val summary = local.groupBy(col("bucket"))
-      .agg(max(col("size")).as("bmax"))
-      .withColumn("prev_buckets", max(col("bmax")).over(
-        Window.partitionBy(lit(1)).orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("bucket"), col("prev_buckets"))
-    local.join(broadcast(summary), Seq("bucket"))
-      .where(col("size") > greatest(
-        coalesce(col("prev_local"), lit(Int.MinValue)),
-        coalesce(col("prev_buckets"), lit(Int.MinValue))))
-      .select(col("price"), col("size").cast("long").as("size"),
-        col("n_parts"))
+  private def qPartSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.frontier2d(Tables.part(s, dir),
+        col("p_retailprice"), col("p_size"))
+      .select(col("x").as("price"), col("y").cast("long").as("size"),
+        col("n_rows").as("n_parts"))
       .orderBy("price")
-  }
 
   /** Lag-k AUTOCORRELATION audit (k = 1..7) of the daily event-count
     * series — the seasonality probe run before trusting any

@@ -9,6 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class CusumPoint(key: String, day: java.sql.Date, n: Long, dev_x100: Long,
     cusum_pos: Long, cusum_neg: Long, alarm_hi: Boolean, alarm_lo: Boolean)
 
+/** One surviving counter of [[Monitors.heavyHittersByGroup]] after a
+  * micro-batch: `est_count ∈ [true − max_err, true]`, where `max_err`
+  * is the group's exact decrement total (≤ n_processed/(k+1)). */
+case class HeavyHitter(group: String, item: String, est_count: Long,
+    max_err: Long, n_processed: Long)
+
 /** Continuous sequential monitors — the streaming twins of the batch
   * audit queries (`events_cusum` etc.), same family discipline as
   * [[CorpusStream]]: exact integer state, deterministic under replay,
@@ -64,6 +70,60 @@ object Monitors {
           }
           state.update((s, minS, maxS))
           out.iterator
+        })
+  }
+
+  /** Streaming heavy hitters per group — Misra & Gries' frequent-items
+    * summary (Science of Computer Programming, 1982), the CONTINUOUS
+    * form of `events_heavy_hitters`: at most `k` counters of state per
+    * group, folded across every micro-batch, with the classic
+    * deterministic guarantee that ANY item with true frequency
+    * > n/(k+1) is present in the summary, and every estimate
+    * undercounts by at most the group's decrement total (emitted as
+    * `max_err`, itself ≤ n/(k+1)) — an exact per-state error
+    * certificate, not a probabilistic bound (the batch sketch family's
+    * `within_bound` discipline). After each batch the group's full
+    * surviving counter table re-emits, so the latest batch's rows ARE
+    * the current summary.
+    *
+    * Rows fold in (item) order inside a batch, so replaying a batch
+    * against the same state reproduces identical outputs (the
+    * [[CorpusStream]] determinism rule; Misra–Gries is arrival-order
+    * dependent across DIFFERENT batchings, like any one-pass summary).
+    *
+    * Scale shape: state is ≤ k (item, count) entries + two longs per
+    * group, sharded by group; an idle group holds its bounded summary
+    * forever — the alarm surface, not a leak.
+    */
+  def heavyHittersByGroup(rows: DataFrame, k: Int): Dataset[HeavyHitter] = {
+    require(k >= 1, "k must be at least 1")
+    import rows.sparkSession.implicits._
+    rows.select(col("group").cast("string").as("group"),
+        col("item").cast("string").as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (group: String, it: Iterator[(String, String)],
+         state: GroupState[(Map[String, Long], Long, Long)]) => {
+          var (counters, decr, n) =
+            if (state.exists) state.get else (Map.empty[String, Long], 0L, 0L)
+          it.map(_._2).toSeq.sorted.foreach { item =>
+            n += 1
+            counters.get(item) match {
+              case Some(c) => counters = counters.updated(item, c + 1)
+              case None if counters.size < k =>
+                counters = counters.updated(item, 1L)
+              case None =>
+                decr += 1
+                counters = counters.flatMap { case (i, c) =>
+                  if (c > 1) Some(i -> (c - 1)) else None
+                }
+            }
+          }
+          state.update((counters, decr, n))
+          counters.toSeq.sortBy(_._1).iterator.map { case (item, c) =>
+            HeavyHitter(group, item, c, decr, n)
+          }
         })
   }
 }

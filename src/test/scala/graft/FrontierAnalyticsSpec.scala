@@ -39,6 +39,26 @@ class FrontierAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("frontier2d: randomized point sets match brute force, any bucket width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    for ((bucketDiv, trial) <- Seq(1L, 7L, 100L).zipWithIndex) {
+      val pts = (1 to 300).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(40).toLong))
+      val df = pts.toDF("px", "py")
+      val got = graft.ops.Skyline.frontier2d(df, col("px"), col("py"),
+          c => (c.cast("long") / bucketDiv).cast("long"))
+        .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"),
+          r.getAs[Long]("n_rows"))).toSet
+      val collapsed = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = collapsed.keys.filterNot { a =>
+        collapsed.keys.exists(b =>
+          b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2))
+      }.map(p => (p._1, p._2, collapsed(p))).toSet
+      assert(got == expect, s"trial $trial bucketDiv $bucketDiv")
+    }
+  }
+
   test("part_skyline plan: bucket summary broadcasts, no cartesian") {
     val df = SparkEntry.queries("part_skyline")(spark, dir)
     df.count()

@@ -62,6 +62,70 @@ class MonitorsSpec extends SparkSpec {
     assert(rows("b").forall(p => p.cusum_pos == 0L && p.cusum_neg == 0L))
   }
 
+  test("misra-gries heavy hitters: fold parity, bounded state, exact certificate") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val input = MemoryStream[(String, String)]
+    val out = Monitors.heavyHittersByGroup(
+      input.toDF().toDF("group", "item"), k)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mg_hh").start()
+
+    // a heavy item, a medium one, and a spray of singletons, split
+    // across two batches; plus a second group to prove state isolation
+    val b1 = Seq.fill(9)("hot") ++ Seq.fill(4)("warm") ++
+      Seq("a", "b", "c", "d")
+    val b2 = Seq.fill(7)("hot") ++ Seq.fill(3)("warm") ++
+      Seq("e", "f", "g")
+    input.addData(b1.map("g1" -> _) ++ Seq("g2" -> "solo"): _*)
+    q.processAllAvailable()
+    input.addData(b2.map("g1" -> _): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // the monitor re-emits the summary each batch; the final state is
+    // the rows with the max n_processed per group
+    val all = spark.table("mg_hh").as[graft.streaming.HeavyHitter].collect()
+    val g1 = all.filter(_.group == "g1")
+    val last = g1.filter(_.n_processed == g1.map(_.n_processed).max)
+    assert(last.length <= k, "state must hold at most k counters")
+
+    // driver-side Misra-Gries reference with the same per-batch
+    // sorted arrival order
+    var counters = Map.empty[String, Long]; var decr = 0L
+    for (batch <- Seq(b1, b2); item <- batch.sorted) {
+      counters.get(item) match {
+        case Some(c) => counters = counters.updated(item, c + 1)
+        case None if counters.size < k => counters += item -> 1L
+        case None =>
+          decr += 1
+          counters = counters.flatMap { case (i, c) =>
+            if (c > 1) Some(i -> (c - 1)) else None }
+      }
+    }
+    assert(last.map(h => h.item -> h.est_count).toMap == counters)
+    assert(last.forall(_.max_err == decr))
+
+    // exact certificate: 0 <= true - est <= max_err for every
+    // surviving item, and every item above n/(k+1) must survive
+    val n = (b1 ++ b2).size.toLong
+    val exact = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong)
+    last.foreach { h =>
+      val t = exact(h.item)
+      assert(h.est_count <= t && t - h.est_count <= h.max_err,
+        s"${h.item}: est ${h.est_count} true $t err ${h.max_err}")
+      assert(h.n_processed == n)
+    }
+    exact.filter(_._2 * (k + 1) > n).keys.foreach { hh =>
+      assert(last.exists(_.item == hh),
+        s"$hh exceeds n/(k+1) and must be in the summary")
+    }
+    // group isolation: g2's lone item is untouched by g1's churn
+    val g2 = all.filter(_.group == "g2")
+    assert(g2.map(h => (h.item, h.est_count, h.n_processed)).toSet ==
+      Set(("solo", 1L, 1L)))
+  }
+
   test("a downward shift trips alarm_lo, not alarm_hi") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Date, Long)]

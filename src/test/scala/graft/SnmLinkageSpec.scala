@@ -86,6 +86,23 @@ class SnmLinkageSpec extends SparkSpec {
     assert((n - correct) * 3 < n, "accuracy must exceed 2/3")
   }
 
+  test("globalRank: randomized datasets with heavy ties rank exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      // small key space forces ties across range-partition boundaries
+      val rows = (1 to n).map(i => (rnd.nextInt(7).toString, i.toLong))
+      val df = rows.toDF("key", "id")
+      val got = graft.ops.Linkage.globalRank(df, col("key"), col("id"))
+        .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("id")) ->
+          r.getAs[Long]("rank")).toMap
+      val expect = rows.sorted.zipWithIndex
+        .map { case (kv, i) => kv -> (i + 1L) }.toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("globalRank is invariant to the shuffle partition count") {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
     val before = spark.conf.get("spark.sql.shuffle.partitions")
