@@ -126,6 +126,50 @@ class MonitorsSpec extends SparkSpec {
       Set(("solo", 1L, 1L)))
   }
 
+  test("cusum state survives a checkpointed query restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("cusum-ckpt").toString
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeBatch(name: String, rows: Seq[(String, String, Long)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (k, d, n) =>
+          s"""{"key":"$k","day":"$d","n":$n}""" }.mkString("\n").getBytes)
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("key STRING, day DATE, n LONG").json(in)
+      val q = Monitors.cusumMonitor(src, targetX100 = 1000L,
+          thresholdX100 = 2000L)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val ns = Seq(9L, 12L, 30L, 31L, 29L)
+    writeBatch("b1.json", ns.take(2).zipWithIndex.map {
+      case (n, i) => ("k", f"2024-03-${i + 1}%02d", n) })
+    run()
+    writeBatch("b2.json", ns.drop(2).zipWithIndex.map {
+      case (n, i) => ("k", f"2024-03-${i + 3}%02d", n) })
+    run() // RESTART: state must resume from the checkpoint, not reset
+    val got = spark.read.parquet(s"$root/out")
+      .as[graft.streaming.CusumPoint].collect()
+      .sortBy(_.day.toLocalDate.toEpochDay)
+    assert(got.length == ns.length)
+    var cp = 0L
+    got.zip(ns).foreach { case (p, n) =>
+      cp = math.max(0L, cp + (100L * n - 1000L))
+      assert(p.cusum_pos == cp,
+        s"day ${p.day}: restart must CONTINUE the fold, not restart it")
+    }
+    // the level shift only alarms because pre-restart state carried:
+    // a reset fold over just batch 2 would sit at 2900+3000+2800-3000
+    // vs threshold crossing later
+    assert(got.exists(_.alarm_hi))
+  }
+
   test("a downward shift trips alarm_lo, not alarm_hi") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Date, Long)]
