@@ -1021,8 +1021,12 @@ object ExtensionQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_readings"),
         sum(when(col("wsec").isNull, 1L).otherwise(0L)).as("n_open"),
-        sum(col("wsec")).as("total_sec"),
-        sum(col("v") * col("wsec").cast("decimal(38,0)")).as("vw"),
+        // coalesce: a type with a single (open) reading sums NULL, and
+        // the engines disagree on greatest(NULL, 1) — clamp to 0 here
+        // so the division clamp below sees a real number in both
+        coalesce(sum(col("wsec")), lit(0L)).as("total_sec"),
+        coalesce(sum(col("v") * col("wsec").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("vw"),
         sum(col("v")).as("sv"))
       .select(col("event_type"), col("n_readings"), col("n_open"),
         col("total_sec"),
@@ -5536,8 +5540,9 @@ object ExtensionQueries {
         |        CAST(COUNT(*) AS BIGINT) AS n_readings,
         |        CAST(SUM(CASE WHEN wsec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |          AS n_open,
-        |        CAST(SUM(wsec) AS BIGINT) AS total_sec,
-        |        CAST(SUM(CAST(v AS HUGEINT) * wsec) AS HUGEINT) AS vw,
+        |        CAST(COALESCE(SUM(wsec), 0) AS BIGINT) AS total_sec,
+        |        CAST(COALESCE(SUM(CAST(v AS HUGEINT) * wsec), 0) AS HUGEINT)
+        |          AS vw,
         |        CAST(SUM(v) AS BIGINT) AS sv
         |      FROM wgt GROUP BY 1)
         |SELECT event_type, n_readings, n_open, total_sec,
