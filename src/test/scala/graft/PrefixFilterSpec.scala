@@ -33,6 +33,38 @@ class PrefixFilterSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("PPJoin length+position filters stay exact on randomized corpora") {
+    // the filters prune candidate ROWS, never qualifying PAIRS; this
+    // stresses the regimes the fixture lacks — tiny docs, wildly
+    // uneven sizes (length filter active), heavy shared boilerplate
+    // shingles (position filter active) — at several thresholds
+    val rnd = new scala.util.Random(9090)
+    val vocab = Vector("red", "blue", "green", "ink", "dot", "sky", "sun",
+      "map", "key", "log", "row", "bit")
+    for ((num, den) <- Seq((1, 2), (2, 3), (4, 5))) {
+      val docs = (1 to 60).map { id =>
+        val base = Vector.fill(3 + rnd.nextInt(4))(vocab(rnd.nextInt(4))) // hot
+        val tail = Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        (id.toLong, (base ++ tail).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Dedup.prefixFilterPairs(docs, col("text"), col("doc_id"),
+          num = num, den = den)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 3)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val brute = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .where(lit(den) * col("inter") >=
+          lit(num) * (col("ca.n") + col("cb.n") - col("inter")))
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(got === brute, s"threshold $num/$den")
+    }
+  }
+
   test("containment-prefix pairs == brute-force all-pairs containment >= 8/10") {
     val docs = Tables.documents(spark, dir)
     // maxOcc above any fixture shingle frequency -> exactly complete
