@@ -988,6 +988,30 @@ object ExtensionQueries {
       .orderBy("bin")
   }
 
+  /** FIRST-touch attribution — the other standard model next to
+    * `events_attribution`'s last-touch: each purchase credits the
+    * user's EARLIEST touch ever seen before it (`first(touch,
+    * ignoreNulls)` over the same strictly-preceding frame). Shipping
+    * both models side by side is the point: the fixture makes them
+    * visibly disagree, which is the argument attribution reporting
+    * actually has to carry. Same single user-keyed shuffle.
+    */
+  private def qEventsAttributionFirst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch", first(
+        when(col("event_type").isin("click", "view", "signup"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_x100"))
+      .orderBy("touch_type")
+  }
+
   /** Time-weighted average value per event type (TWAP /
     * last-observation-carried-forward): each reading holds until the
     * type's NEXT reading, so the mean weights every value by its
@@ -3678,6 +3702,7 @@ object ExtensionQueries {
     "part_skyline" -> (qPartSkyline _),
     "events_autocorr" -> (qEventsAutocorr _),
     "events_attribution" -> (qEventsAttribution _),
+    "events_attribution_first" -> (qEventsAttributionFirst _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -5521,6 +5546,21 @@ object ExtensionQueries {
         |       (10000 * n_a) // greatest(tot_a, 1)
         |         - (10000 * n_b) // greatest(tot_b, 1) AS drift_bp
         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "events_attribution_first" ->
+      """WITH t AS (SELECT *,
+        |             first_value(CASE WHEN event_type IN ('click','view','signup')
+        |                        THEN event_type END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS touch
+        |           FROM events)
+        |SELECT COALESCE(touch, 'direct') AS touch_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS revenue_x100
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_twap" ->
       """WITH ev AS (SELECT event_type, ts, event_id,

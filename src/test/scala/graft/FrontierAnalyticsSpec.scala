@@ -129,6 +129,31 @@ class FrontierAnalyticsSpec extends SparkSpec {
     // every purchase is credited exactly once — totals must reconcile
     assert(out.values.map(_._1).sum ==
       ev.count(_.getAs[String]("event_type") == "purchase"))
+
+    // FIRST-touch twin: replay with a sticky first touch
+    val firstCredits = ev.groupBy(_.getAs[Long]("user_id")).toSeq.flatMap {
+      case (_, rows) =>
+        var firstTouch: Option[String] = None
+        rows.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+            r.getAs[Long]("event_id")))
+          .flatMap { r =>
+            val t = r.getAs[String]("event_type")
+            val credit = if (t == "purchase")
+              Some(firstTouch.getOrElse("direct") -> r.getAs[Long]("v100"))
+            else None
+            if (touches(t) && firstTouch.isEmpty) firstTouch = Some(t)
+            credit
+          }
+    }
+    val expectFirst = firstCredits.groupBy(_._1).view
+      .mapValues(cs => (cs.size.toLong, cs.map(_._2).sum)).toMap
+    val outFirst = SparkEntry.queries("events_attribution_first")(spark, dir)
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_x100"))).toMap
+    assert(outFirst == expectFirst)
+    // the two models must visibly disagree on this fixture — that
+    // divergence is the argument attribution reporting carries
+    assert(outFirst != out, "first- and last-touch must differ here")
   }
 
   test("events_drift_ks: cumulative gaps and the max-gap statistic recompute") {
