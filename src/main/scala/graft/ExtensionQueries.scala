@@ -1012,6 +1012,104 @@ object ExtensionQueries {
       .orderBy("touch_type")
   }
 
+  /** Max concurrent sessions per day — the sweep-line / interval-
+    * overlap operator (capacity planning: "how many sessions were
+    * open at once?"). Sessions come from the same 30-min-gap
+    * gaps-and-islands build as `events_sessionize`; each session's
+    * [start, end] interval is split at midnight into per-day segments
+    * (`sequence` over its day span — a session is bounded, so the
+    * explode fan-out is its day count, not data-sized), then each
+    * segment emits a +1/−1 boundary pair and a per-day running sum
+    * over (t ASC, delta DESC) sweeps the day. Ordering +1 before −1
+    * at equal timestamps makes overlap INCLUSIVE (a session ending
+    * exactly when another starts counts as concurrent, and a
+    * single-instant session counts as 1). The per-day max is
+    * order-invariant under the remaining ties — within an equal
+    * (t, delta) block every permutation yields the same prefix-sum
+    * set — so the result is engine- and partitioning-exact.
+    *
+    * Scale shape: one user-keyed shuffle (sessionize), one day-keyed
+    * shuffle (sweep). Concurrency is intrinsically a within-day total
+    * order, so the day partition is the honest unit; a hot day at
+    * 100 TB subdivides by hour with per-hour offsets (the same
+    * two-pass trick as Linkage.globalRank) — noted, not needed at
+    * fixture scale.
+    */
+  private def qEventsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Sessionize.withSessionId(Tables.events(s, dir),
+        col("user_id"), col("ts"), gapMicros = 1800L * 1000000L,
+        tieBreak = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val segs = sess
+      .select(col("t0"), col("t1"),
+        explode(sequence(to_date(col("t0")), to_date(col("t1")))).as("day"))
+      .select(col("day"),
+        greatest(col("t0"), col("day").cast("timestamp")).as("seg_start"),
+        least(col("t1"), date_add(col("day"), 1).cast("timestamp")).as("seg_end"))
+    val bounds = segs
+      .select(col("day"), col("seg_start").as("t"), lit(1L).as("delta"))
+      .unionAll(segs.select(col("day"), col("seg_end").as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_active_sessions"))
+      .orderBy("day")
+  }
+
+  /** Conjunctive (boolean AND) retrieval — the inverted-index probe
+    * next to `text_posting_lists`' index build: documents containing
+    * ALL query terms, scored by total query-term frequency. The plan
+    * IS the classic distributed posting intersection: explode to
+    * (doc, term) postings, filter to the (tiny, literal) query
+    * vocabulary IN THE SCAN STAGE — so the shuffle carries only
+    * candidate postings, Σ df(term) rows, never the corpus — then a
+    * two-level aggregate: per-(doc, term) tf first, per-doc term
+    * count + tf sum second. The two-level form exists to avoid
+    * COUNT(DISTINCT)'s Expand: both aggregates partial map-side, and
+    * `n_terms = |terms|` is the intersection test. At 100 TB shuffle
+    * volume is the posting lists of the query terms — the same cost
+    * a dedicated search engine pays to read them.
+    */
+  private def qTextConjunctive(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "spark", "merge")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_total"))
+      .where(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("tf_total"))
+      .orderBy("doc_id")
+  }
+
+  /** k-hop reachability ([[graft.ops.Graph.bfsHops]], 3 levels) from
+    * the deterministic seed cohort `user_id % 7 = 0` over the shared
+    * co-presence graph — the influence-radius / blast-radius query
+    * (which users are within 3 collaboration hops of the cohort?).
+    * Emits (user_id, dist) with dist = exact minimum hop count; the
+    * fixture discriminates all four levels at sf0.01. Seeds are all
+    * event users, not just graph nodes, so isolated seeds surface at
+    * dist 0 instead of vanishing. The oracle mirrors the level loop
+    * as chained CTEs — deliberately NOT WITH RECURSIVE, which
+    * enumerates paths (Σ deg^h) where the level form carries node
+    * sets (see [[graft.ops.Graph.bfsHopsSql]]).
+    */
+  private def qEventsBfsReach(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.events(s, dir)
+      .select(col("user_id").as("v")).where(col("v") % 7 === 0).distinct()
+    graft.ops.Graph.bfsHops(coPresenceEdges(s, dir), seeds, maxHops = 3)
+      .select(col("v").as("user_id"), col("dist"))
+      .orderBy("user_id")
+  }
+
   /** Time-weighted average value per event type (TWAP /
     * last-observation-carried-forward): each reading holds until the
     * type's NEXT reading, so the mean weights every value by its
@@ -3703,6 +3801,9 @@ object ExtensionQueries {
     "events_autocorr" -> (qEventsAutocorr _),
     "events_attribution" -> (qEventsAttribution _),
     "events_attribution_first" -> (qEventsAttributionFirst _),
+    "events_concurrency" -> (qEventsConcurrency _),
+    "text_conjunctive" -> (qTextConjunctive _),
+    "events_bfs_reach" -> (qEventsBfsReach _),
   )
 
   // ------------------------------------------------------- oracle SQL
@@ -5561,6 +5662,49 @@ object ExtensionQueries {
         |         AS BIGINT) AS revenue_x100
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |       (PARTITION BY user_id ORDER BY ts, event_id)
+        |       > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+        |         FROM s GROUP BY 1, 2),
+        |segs AS (SELECT CAST(d.day AS DATE) AS day,
+        |           greatest(t0, CAST(CAST(d.day AS DATE) AS TIMESTAMP)) AS seg_start,
+        |           least(t1, CAST(CAST(d.day AS DATE) + INTERVAL 1 DAY
+        |                          AS TIMESTAMP)) AS seg_end
+        |         FROM sess, LATERAL (SELECT unnest(generate_series(
+        |           CAST(t0 AS DATE), CAST(t1 AS DATE), INTERVAL 1 DAY)) AS day) d),
+        |bd AS (SELECT day, seg_start AS t, CAST(1 AS BIGINT) AS delta FROM segs
+        |       UNION ALL SELECT day, seg_end, -1 FROM segs),
+        |r AS (SELECT day, SUM(delta) OVER (PARTITION BY day
+        |       ORDER BY t ASC, delta DESC ROWS UNBOUNDED PRECEDING) AS run FROM bd)
+        |SELECT day, CAST(MAX(run) AS BIGINT) AS max_concurrent,
+        |       CAST(COUNT(*) // 2 AS BIGINT) AS n_active_sessions
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_conjunctive" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |p AS (SELECT doc_id, tok AS term FROM t,
+         |        LATERAL (SELECT unnest(tk) AS tok) u
+         |      WHERE tok IN ('dup', 'spark', 'merge')),
+         |g AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM p GROUP BY 1, 2),
+         |a AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(tf) AS tf_total
+         |      FROM g GROUP BY 1)
+         |SELECT doc_id, CAST(tf_total AS BIGINT) AS tf_total
+         |FROM a WHERE n_terms = 3 ORDER BY doc_id""".stripMargin,
+
+    "events_bfs_reach" ->
+      s"""WITH $coPresenceSql,
+         |seeds AS (SELECT DISTINCT user_id AS v FROM events
+         |          WHERE user_id % 7 = 0),
+         |${graft.ops.Graph.bfsHopsSql(3)}
+         |SELECT v AS user_id, dist FROM bfs ORDER BY user_id""".stripMargin,
 
     "events_twap" ->
       """WITH ev AS (SELECT event_type, ts, event_id,

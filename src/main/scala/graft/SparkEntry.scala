@@ -129,6 +129,59 @@ object SparkEntry {
       .orderBy("emp_id")
   }
 
+  /** Snapshot reconciliation (diff) between two points in time — the
+    * verification-scan companion to `cdc_time_travel`: which keys were
+    * added / removed / changed between the t₁ snapshot and head, and
+    * WHICH columns changed. Both snapshots come out of ONE pass over
+    * the log: a single emp_id-keyed window carries (a) the latest
+    * payload at or before t₁ via the conditional `last(struct, ignore
+    * nulls)` idiom (struct-wrapped so a legitimately-NULL field inside
+    * a present version can't be skipped over) and (b) the head payload
+    * as the rn=1 row itself — no second scan, no snapshot-vs-snapshot
+    * join; the diff of two reconstructions costs the same shuffle as
+    * one reconstruction. Presence = latest action ≠ delete on each
+    * side; changed columns via null-safe `<=>` against the struct
+    * fields, names joined by `concat_ws` (which drops the NULL
+    * non-changes). Unchanged keys and never-present keys are dropped.
+    *
+    * At 100 TB this is the CDC audit primitive: one keyed shuffle
+    * over the log prefix, output bounded by |changed keys|.
+    */
+  private def qCdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t1 = lit("2024-01-15 00:00:00").cast("timestamp")
+    val valid = Routing.validateSplit(Fixtures.employeeCdcLog(s, dir)).valid
+    val payload = struct(col("action"), col("emp_FN"), col("emp_LN"),
+      col("emp_dob"), col("emp_city"), col("emp_salary"))
+    val wAsc = Window.partitionBy(col("emp_id"))
+      .orderBy(col("last_updated_at").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("emp_id"))
+      .orderBy(col("last_updated_at").desc, col("event_id").desc)
+    val top = valid
+      .withColumn("s1", last(when(col("last_updated_at") <= t1, payload),
+        ignoreNulls = true).over(wAsc))
+      .withColumn("rn", row_number().over(wDesc))
+      .where(col("rn") === 1)
+      .select(col("emp_id"), col("s1"), payload.as("s2"))
+    val p1 = col("s1").isNotNull && col("s1.action") =!= "delete"
+    val p2 = col("s2.action") =!= "delete"
+    val diffCols = Seq("emp_FN", "emp_LN", "emp_dob", "emp_city", "emp_salary")
+    val changed = concat_ws(",", diffCols.map(c =>
+      when(!(col(s"s1.$c") <=> col(s"s2.$c")), lit(c))): _*)
+    top
+      .withColumn("status",
+        when(!p1 && p2, lit("added"))
+          .when(p1 && !p2, lit("removed"))
+          .when(p1 && p2 && changed =!= "", lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col("emp_id"), col("status"),
+        when(col("status") === "changed", changed).otherwise(lit("")).as("changed_cols"),
+        when(p1, col("s1.emp_salary")).as("salary_before"),
+        when(p2, col("s2.emp_salary")).as("salary_after"))
+      .orderBy("emp_id")
+  }
+
   /** Project-1 pipeline (F3/F4/P7/A4) on the `orders` fixture. */
   private def qP1SalaryPipeline(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -1303,6 +1356,7 @@ object SparkEntry {
     "cdc_city_totals" -> (qCdcCityTotals _),
     "cdc_scd2_history" -> (qCdcScd2History _),
     "cdc_time_travel" -> (qCdcTimeTravel _),
+    "cdc_snapshot_diff" -> (qCdcSnapshotDiff _),
     "p1_salary_pipeline" -> (qP1SalaryPipeline _),
     "q1_agg" -> (qQ1Agg _),
     "q3_topk_join" -> (qQ3TopkJoin _),
@@ -1402,6 +1456,49 @@ object SparkEntry {
         |SELECT emp_id, emp_FN, emp_LN, emp_dob, emp_city, emp_salary, action,
         |       CAST(last_updated_at AS TIMESTAMP) AS last_updated_at
         |FROM r WHERE rn = 1 AND action <> 'delete' ORDER BY emp_id""".stripMargin),
+
+    "cdc_snapshot_diff" -> (L +
+      """, valid AS (
+        |  SELECT * FROM cdc_log
+        |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |             OR emp_salary <= 100 OR emp_id < 0)),
+        |t AS (SELECT *,
+        |        last_value(CASE WHEN last_updated_at <= TIMESTAMP '2024-01-15 00:00:00'
+        |                   THEN struct_pack(action := action, emp_FN := emp_FN,
+        |                                    emp_LN := emp_LN, emp_dob := emp_dob,
+        |                                    emp_city := emp_city,
+        |                                    emp_salary := emp_salary)
+        |                   END IGNORE NULLS)
+        |          OVER (PARTITION BY emp_id ORDER BY last_updated_at, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+        |        row_number() OVER (PARTITION BY emp_id
+        |                ORDER BY last_updated_at DESC, event_id DESC) AS rn
+        |      FROM valid),
+        |top AS (SELECT emp_id, s1,
+        |               (s1 IS NOT NULL AND s1.action <> 'delete') AS p1,
+        |               (action <> 'delete') AS p2,
+        |               emp_FN AS fn2, emp_LN AS ln2, emp_dob AS dob2,
+        |               emp_city AS city2, emp_salary AS sal2
+        |        FROM t WHERE rn = 1),
+        |d AS (SELECT emp_id,
+        |        CASE WHEN NOT p1 AND p2 THEN 'added'
+        |             WHEN p1 AND NOT p2 THEN 'removed'
+        |             WHEN p1 AND p2 THEN 'changed' END AS status0,
+        |        concat_ws(',',
+        |          CASE WHEN s1.emp_FN     IS DISTINCT FROM fn2   THEN 'emp_FN' END,
+        |          CASE WHEN s1.emp_LN     IS DISTINCT FROM ln2   THEN 'emp_LN' END,
+        |          CASE WHEN s1.emp_dob    IS DISTINCT FROM dob2  THEN 'emp_dob' END,
+        |          CASE WHEN s1.emp_city   IS DISTINCT FROM city2 THEN 'emp_city' END,
+        |          CASE WHEN s1.emp_salary IS DISTINCT FROM sal2  THEN 'emp_salary' END) AS ch,
+        |        CASE WHEN p1 THEN s1.emp_salary END AS salary_before,
+        |        CASE WHEN p2 THEN sal2 END AS salary_after
+        |      FROM top)
+        |SELECT emp_id, status0 AS status,
+        |       CASE WHEN status0 = 'changed' THEN ch ELSE '' END AS changed_cols,
+        |       salary_before, salary_after
+        |FROM d
+        |WHERE status0 IS NOT NULL AND NOT (status0 = 'changed' AND ch = '')
+        |ORDER BY emp_id""".stripMargin),
 
     "cdc_dlq_split" -> (L +
       """SELECT emp_id, event_id, action, emp_dob, emp_salary,

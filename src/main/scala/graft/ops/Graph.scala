@@ -306,4 +306,68 @@ object Graph {
        |tri AS MATERIALIZED (SELECT wg.v, wg.w FROM wg
        |        WHERE EXISTS (SELECT 1 FROM ori o WHERE o.src = wg.v AND o.dst = wg.w))
        |""".stripMargin
+
+  /** Multi-source BFS hop distances over an undirected `(a, b)` edge
+    * set, bounded at `maxHops` levels — the k-hop reachability /
+    * influence-radius primitive (friend-of-friend expansion, blast-
+    * radius queries). Returns `(v, dist)` for every node within
+    * `maxHops` of a seed; `dist` is the MINIMUM hop count by
+    * construction: level h adds exactly the nodes adjacent to level
+    * h−1 that no earlier level labeled, so a node is emitted once, at
+    * its first reachable level. Seeds are dist 0 even when isolated.
+    *
+    * Scale shape: each level is the classic Pregel superstep in
+    * DataFrame form — one frontier-keyed semi join into the
+    * symmetrized edge table + one anti join against the labeled set,
+    * then `localCheckpoint` pins the level so level h+1 reads a
+    * materialized frontier instead of re-running the whole lineage
+    * (the same pin rule as [[kCore]]'s peeling rounds). Work per
+    * level is Σ deg(frontier), never |V|²; `maxHops` bounds plan
+    * depth, so this is k-hop reach, not unbounded SSSP — the form
+    * that survives a 10⁹-node graph because the frontier, not the
+    * graph, drives each join.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    var visited = seeds.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select(col("v"))
+    for (h <- 1 to maxHops) {
+      val next = sym
+        .join(frontier.select(col("v").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("v")).distinct()
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionAll(next)
+      frontier = next.select(col("v"))
+    }
+    visited
+  }
+
+  /** DuckDB mirror of [[bfsHops]] given CTEs `ed(a, b)` and
+    * `seeds(v)`; defines `bfs(v, dist)`. Levels are explicit chained
+    * CTEs (not WITH RECURSIVE): the recursive UNION ALL form
+    * enumerates PATHS — Σ deg^h rows at level h, exponential on a
+    * dense graph — while the chained form carries each level's node
+    * SET exactly once, mirroring the DataFrame loop one-to-one. All
+    * MATERIALIZED: each level references every earlier level. */
+  def bfsHopsSql(maxHops: Int): String = {
+    val levels = (1 to maxHops).map { h =>
+      val antis = (0 until h)
+        .map(i => s"NOT EXISTS (SELECT 1 FROM f$i WHERE f$i.v = s.b)")
+        .mkString("\n        AND ")
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT s.b AS v FROM sym s
+         |  JOIN f${h - 1} ON s.a = f${h - 1}.v
+         |  WHERE $antis)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to maxHops)
+      .map(h => s"  UNION ALL SELECT v, $h FROM f$h").mkString("\n")
+    s"""sym AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+       |f0 AS MATERIALIZED (SELECT DISTINCT v FROM seeds),
+       |$levels,
+       |bfs AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM f0
+       |$union)""".stripMargin
+  }
 }
