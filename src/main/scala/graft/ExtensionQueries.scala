@@ -3005,8 +3005,11 @@ object ExtensionQueries {
       min(col("doc_id")).as("rep_doc_id"),
       max(col("n_chars")).as("best_n_chars"))
     def mode(attr: String, out: String): DataFrame = {
+      // explicit NULLS LAST: Spark sorts NULLS FIRST ascending, DuckDB
+      // NULLS LAST — on a NULL-bearing attribute the default placements
+      // would elect different canonical values engine-to-engine
       val w = Window.partitionBy(col("cluster"))
-        .orderBy(col("cnt").desc, col(attr).asc)
+        .orderBy(col("cnt").desc, col(attr).asc_nulls_last)
       lab.groupBy(col("cluster"), col(attr))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
@@ -5916,11 +5919,11 @@ object ExtensionQueries {
          |         FROM lab GROUP BY 1),
          |lm AS (SELECT cluster, lang AS canon_lang FROM (
          |         SELECT cluster, lang, row_number() OVER (PARTITION BY cluster
-         |           ORDER BY COUNT(*) DESC, lang) AS rn
+         |           ORDER BY COUNT(*) DESC, lang NULLS LAST) AS rn
          |         FROM lab GROUP BY cluster, lang) x WHERE rn = 1),
          |sm AS (SELECT cluster, source AS canon_source FROM (
          |         SELECT cluster, source, row_number() OVER (PARTITION BY cluster
-         |           ORDER BY COUNT(*) DESC, source) AS rn
+         |           ORDER BY COUNT(*) DESC, source NULLS LAST) AS rn
          |         FROM lab GROUP BY cluster, source) x WHERE rn = 1)
          |SELECT b.cluster, b.rep_doc_id, b.n_members, b.best_n_chars,
          |       lm.canon_lang, sm.canon_source

@@ -98,10 +98,14 @@ object Tables {
     * Every column is non-negative integer arithmetic on the dense
     * 0-based keys, so truncating vs flooring `%`/`div` can never split
     * Spark from the DuckDB mirror ([[partsuppSql]]):
-    *  - `ps_suppkey = (p + i·(1 + p % (S div 4))) % S`, i ∈ 0..3 with
-    *    S = |supplier|: the stride is ≤ S div 4, so 3·stride < S and
-    *    the four suppliers per part are always distinct — (ps_partkey,
-    *    ps_suppkey) is a true primary key at every SF (PartsuppSpec).
+    *  - `ps_suppkey = (p + i·(1 + p % greatest(S div 4, 1))) % S`,
+    *    i ∈ 0..3 with S = |supplier|: the stride is ≤ S div 4, so
+    *    3·stride < S and the four suppliers per part are always
+    *    distinct — (ps_partkey, ps_suppkey) is a true primary key at
+    *    every SF (PartsuppSpec). The `greatest(·, 1)` guards the
+    *    degenerate S < 4 fixture: without it Spark's non-ANSI `%` of
+    *    zero yields NULL while DuckDB errors — the engines must split
+    *    loudly together or not at all, never silently diverge.
     *  - `ps_availqty` ∈ [1, 9999], `ps_supplycost_cents` ∈ [100,
     *    100000] (1.00–1000.00 in exact cents — scaled-BIGINT, never
     *    float, per the oracle conventions in [[SparkEntry]]).
@@ -119,7 +123,7 @@ object Tables {
         explode(sequence(lit(0L), lit(3L))).as("i"))
       .select(
         col("ps_partkey"),
-        expr("(ps_partkey + i * (1 + ps_partkey % (n_supp div 4))) % n_supp")
+        expr("(ps_partkey + i * (1 + ps_partkey % greatest(n_supp div 4, 1))) % n_supp")
           .cast("long").as("ps_suppkey"),
         expr("(ps_partkey * 7 + i * 131) % 9999 + 1")
           .cast("long").as("ps_availqty"),
@@ -133,7 +137,7 @@ object Tables {
   val partsuppSql: String =
     """WITH partsupp AS (
       |  SELECT p_partkey AS ps_partkey,
-      |         (p_partkey + i * (1 + p_partkey % (n_supp // 4))) % n_supp AS ps_suppkey,
+      |         (p_partkey + i * (1 + p_partkey % greatest(n_supp // 4, 1))) % n_supp AS ps_suppkey,
       |         (p_partkey * 7 + i * 131) % 9999 + 1 AS ps_availqty,
       |         (p_partkey * 2621 + i * 1597) % 99901 + 100 AS ps_supplycost_cents
       |  FROM part,

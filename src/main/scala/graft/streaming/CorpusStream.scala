@@ -225,7 +225,14 @@ object CorpusStream {
     * Claims compact to the `keepPerKey` LOWEST doc ids per (band, bk)
     * — exactly the read-side semantic ([[nearDupBatch]] probes the
     * capped first-writer set), so compaction is lossless w.r.t. every
-    * future probe. Shingle rows compact to distinct (doc_id, shingle).
+    * future probe PROVIDED `keepPerKey` ≥ the `maxBucket` those probes
+    * run with: compaction permanently deletes claims beyond
+    * `keepPerKey`, so a later probe with a larger cap would silently
+    * lose claimants. That contract is enforced, not assumed — callers
+    * pass the largest read-side cap their deployment uses as
+    * `readMaxBucket` (both default to [[nearDupBatch]]'s default cap)
+    * and the call refuses a keep count below it.
+    * Shingle rows compact to distinct (doc_id, shingle).
     * Both carry `last_batch` (max admission batch) so admission-age
     * TTL survives repeated compactions; an expired doc that returns is
     * re-admitted and starts a fresh TTL, and because both stores
@@ -234,7 +241,11 @@ object CorpusStream {
     */
   def compactNearDupStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
       upToBatch: Long, expireBefore: Long = Long.MinValue,
-      keepPerKey: Int = 100): Unit = {
+      keepPerKey: Int = 100, readMaxBucket: Int = 100): Unit = {
+    require(keepPerKey >= readMaxBucket,
+      s"compaction keepPerKey=$keepPerKey would drop claims a future " +
+        s"nearDupBatch probe with maxBucket=$readMaxBucket can still see — " +
+        "compaction must keep at least the read-side cap to stay lossless")
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.expressions.Window
     val bandSchema = StructType(Seq(

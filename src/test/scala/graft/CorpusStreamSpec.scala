@@ -449,6 +449,12 @@ class CorpusStreamSpec extends SparkSpec {
     run(Seq((5L, base)), 4L)
     assert(pairs(4L) === Set((4L, 5L)),
       "expired claims must not pair; surviving admission must")
+    // lossless contract: compacting to fewer claims than a future
+    // probe's maxBucket would silently lose claimants — must refuse
+    intercept[IllegalArgumentException] {
+      CorpusStream.compactNearDupStore(spark, store, upToBatch = 4L,
+        keepPerKey = 10, readMaxBucket = 100)
+    }
   }
 
   test("chunk store TTL: admission-age expiry re-admits a returning chunk") {
