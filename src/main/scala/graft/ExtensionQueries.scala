@@ -1028,15 +1028,17 @@ object ExtensionQueries {
     * (t, delta) block every permutation yields the same prefix-sum
     * set — so the result is engine- and partitioning-exact.
     *
-    * Scale shape: one user-keyed shuffle (sessionize), one day-keyed
-    * shuffle (sweep). Concurrency is intrinsically a within-day total
-    * order, so the day partition is the honest unit; a hot day at
-    * 100 TB subdivides by hour with per-hour offsets (the same
-    * two-pass trick as Linkage.globalRank) — noted, not needed at
-    * fixture scale.
+    * Scale shape: one user-keyed shuffle (sessionize), then the
+    * HOT-DAY-SAFE two-pass sweep ([[graft.ops.Intervals
+    * .maxConcurrentPerDay]]): running sums inside (day, hour-bucket)
+    * partitions + per-bucket offsets from a day-keyed window over the
+    * ≤ 25-row bucket summary — no day-wide single task anywhere, so a
+    * skewed day at 100 TB fans across its hours. Identical output to
+    * the single-sweep form (offset + local run = global run;
+    * FrontierAnalyticsSpec pins it against brute force on a
+    * one-hot-day fixture, PlanSpec pins the partition spec).
     */
   private def qEventsConcurrency(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sess = Sessionize.withSessionId(Tables.events(s, dir),
         col("user_id"), col("ts"), gapMicros = 1800L * 1000000L,
         tieBreak = Seq(col("event_id")))
@@ -1048,17 +1050,17 @@ object ExtensionQueries {
       .select(col("day"),
         greatest(col("t0"), col("day").cast("timestamp")).as("seg_start"),
         least(col("t1"), date_add(col("day"), 1).cast("timestamp")).as("seg_end"))
+    // both boundaries explode from ONE seg row — a union of two segs
+    // branches would rebuild the whole sessionize subtree (two scans,
+    // two user-keyed shuffles) since Spark doesn't dedup subtrees
     val bounds = segs
-      .select(col("day"), col("seg_start").as("t"), lit(1L).as("delta"))
-      .unionAll(segs.select(col("day"), col("seg_end").as("t"),
-        lit(-1L).as("delta")))
-    val w = Window.partitionBy(col("day"))
-      .orderBy(col("t").asc, col("delta").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounds.withColumn("run", sum(col("delta")).over(w))
-      .groupBy(col("day"))
-      .agg(max(col("run")).as("max_concurrent"),
-        (count(lit(1)) / 2).cast("long").as("n_active_sessions"))
+      .select(col("day"), explode(array(
+        struct(col("seg_start").as("t"), lit(1L).as("delta")),
+        struct(col("seg_end").as("t"), lit(-1L).as("delta")))).as("b"))
+      .select(col("day"), col("b.t").as("t"), col("b.delta").as("delta"))
+    graft.ops.Intervals.maxConcurrentPerDay(bounds)
+      .select(col("day"), col("max_concurrent"),
+        (col("n_bounds") / 2).cast("long").as("n_active_sessions"))
       .orderBy("day")
   }
 

@@ -262,4 +262,172 @@ class FrontierAnalyticsSpec extends SparkSpec {
     // survivorship covers the whole corpus: member counts sum to |docs|
     assert(out.map(_.getAs[Long]("n_members")).sum == docs.length)
   }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+
+  test("events_concurrency: brute-force sweep over replayed sessions agrees") {
+    val gap = 1800L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), micros(r.getAs[java.sql.Timestamp]("ts")),
+        r.getAs[Long]("event_id")))
+    // replay sessionization: 30-min-gap islands per user
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(e => (e._2, e._3)).map(_._2)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var start = ts.head; var prev = ts.head
+      ts.tail.foreach { t =>
+        if (t - prev > gap) { out += ((start, prev)); start = t }
+        prev = t
+      }
+      out += ((start, prev))
+      out
+    }.toSeq
+    // midnight split + per-day inclusive sweep (+1 before -1 on ties)
+    val segs = sessions.flatMap { case (t0, t1) =>
+      (math.floorDiv(t0, dayUs) to math.floorDiv(t1, dayUs)).map { d =>
+        (d, math.max(t0, d * dayUs), math.min(t1, (d + 1) * dayUs))
+      }
+    }
+    val expect = segs.groupBy(_._1).map { case (d, ss) =>
+      val bounds = ss.flatMap(s => Seq((s._2, 1L), (s._3, -1L)))
+        .sortBy(b => (b._1, -b._2))
+      var run = 0L; var mx = 0L
+      bounds.foreach { b => run += b._2; mx = math.max(mx, run) }
+      java.time.LocalDate.ofEpochDay(d).toString -> (mx, ss.size.toLong)
+    }
+    val got = SparkEntry.queries("events_concurrency")(spark, dir)
+      .selectExpr("CAST(day AS STRING) AS day", "max_concurrent",
+        "n_active_sessions")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_active_sessions"))).toMap
+    assert(got == expect)
+    // the fixture actually overlaps — a sweep that never exceeds 1
+    // would also pass a vacuous equality
+    assert(got.values.map(_._1).max > 1L)
+  }
+
+  test("interval sweep: one-hot-day skew fixture matches brute force, ties inclusive") {
+    import spark.implicits._
+    val dayUs = java.time.LocalDate.parse("2024-03-01").toEpochDay * 86400L * 1000000L
+    val rnd = new scala.util.Random(4242)
+    // coarse 5-min grid forces boundary ties, incl. end-meets-start;
+    // a few intervals close exactly at next midnight (bucket 24)
+    val ivs = (1 to 300).map { i =>
+      val a = rnd.nextInt(288).toLong * 300000000L
+      val b = a + (rnd.nextInt(24) + 1).toLong * 300000000L
+      (a, math.min(b, 86400000000L))
+    } ++ Seq((86100000000L, 86400000000L), (86100000000L, 86400000000L))
+    val bounds = ivs.flatMap { case (a, b) =>
+      Seq(("2024-03-01", dayUs + a, 1L), ("2024-03-01", dayUs + b, -1L))
+    }.toDF("d", "us", "delta")
+      .select(col("d").cast("date").as("day"),
+        timestamp_micros(col("us")).as("t"), col("delta"))
+    val out = graft.ops.Intervals.maxConcurrentPerDay(bounds).collect()
+    assert(out.length == 1)
+    val sorted = ivs.flatMap(iv => Seq((iv._1, 1L), (iv._2, -1L)))
+      .sortBy(b => (b._1, -b._2))
+    var run = 0L; var mx = 0L
+    sorted.foreach { b => run += b._2; mx = math.max(mx, run) }
+    assert(out.head.getAs[Long]("max_concurrent") == mx)
+    assert(out.head.getAs[Long]("n_bounds") == 2L * ivs.size)
+  }
+
+  test("bfsHops: planted graph levels, isolated seed, randomized vs Scala BFS") {
+    import spark.implicits._
+    // planted: a path, a reverse edge into a seed, a side pair, and an
+    // isolated seed (99) that must surface at dist 0, not vanish
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (20L, 1L), (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(1L, 10L, 99L).toDF("v")
+    val got = graft.ops.Graph.bfsHops(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("dist")).toMap
+    assert(got == Map(1L -> 0L, 10L -> 0L, 99L -> 0L, 2L -> 1L, 20L -> 1L,
+      11L -> 1L, 3L -> 2L, 4L -> 3L))
+
+    def scalaBfs(es: Seq[(Long, Long)], ss: Seq[Long], hops: Int): Map[Long, Long] = {
+      val adj = (es ++ es.map(e => (e._2, e._1))).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      var dist = ss.distinct.map(_ -> 0L).toMap
+      var frontier = ss.distinct.toSet
+      for (h <- 1 to hops) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> h.toLong)
+      }
+      dist
+    }
+    val rnd = new scala.util.Random(77)
+    val res = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val rss = (1 to 5).map(_ => rnd.nextInt(80).toLong).distinct
+    val rgot = graft.ops.Graph.bfsHops(res.toDF("a", "b"), rss.toDF("v"), 3)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("dist"))).toMap
+    assert(rgot == scalaBfs(res, rss, 3))
+  }
+
+  test("text_conjunctive: per-doc recount of the posting intersection") {
+    val terms = Seq("dup", "spark", "merge")
+    val expect = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+")
+        val counts = terms.map(t => toks.count(_ == t).toLong)
+        if (counts.forall(_ > 0)) Some(r.getLong(0) -> counts.sum) else None
+      }.toMap
+    val got = SparkEntry.queries("text_conjunctive")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tf_total")).toMap
+    assert(got == expect)
+    // the filter discriminates: some docs carry a subset of the terms
+    // but not all three, so the intersection is a strict subset
+    val some = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .collect().count { r =>
+        val toks = r.getString(1).trim.toLowerCase.split("\\s+").toSet
+        terms.exists(toks.contains)
+      }
+    assert(got.nonEmpty && got.size < some)
+  }
+
+  test("cdc_snapshot_diff: statuses recompute from two reconstructions") {
+    val t1us = micros(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val cols = Seq("emp_FN", "emp_LN", "emp_dob", "emp_city", "emp_salary")
+    val rows = graft.cdc.Routing.validateSplit(
+        graft.cdc.Fixtures.employeeCdcLog(spark, dir)).valid
+      .select((Seq("emp_id", "event_id", "last_updated_at", "action") ++ cols)
+        .map(col): _*).collect()
+    val expect = rows.groupBy(_.getAs[Long]("emp_id")).flatMap { case (id, vs) =>
+      val sorted = vs.sortBy(r =>
+        (micros(r.getAs[java.sql.Timestamp]("last_updated_at")),
+          r.getAs[Long]("event_id")))
+      val s2 = sorted.last
+      val s1 = sorted.filter(r =>
+        micros(r.getAs[java.sql.Timestamp]("last_updated_at")) <= t1us)
+        .lastOption
+      val p1 = s1.exists(_.getAs[String]("action") != "delete")
+      val p2 = s2.getAs[String]("action") != "delete"
+      val changed = cols.filter(c =>
+        s1.map(_.getAs[Any](c)) != Some(s2.getAs[Any](c))).mkString(",")
+      val status =
+        if (!p1 && p2) Some("added")
+        else if (p1 && !p2) Some("removed")
+        else if (p1 && p2 && changed.nonEmpty) Some("changed")
+        else None
+      status.map { st =>
+        id -> (st,
+          if (st == "changed") changed else "",
+          if (p1) Some(s1.get.getAs[Long]("emp_salary")) else None,
+          if (p2) Some(s2.getAs[Long]("emp_salary")) else None)
+      }
+    }
+    val got = SparkEntry.queries("cdc_snapshot_diff")(spark, dir).collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getAs[Long]("emp_id") -> (r.getAs[String]("status"),
+          r.getAs[String]("changed_cols"), opt(3), opt(4))
+      }.toMap
+    assert(got == expect)
+    // all three statuses occur — the two reconstructions genuinely differ
+    assert(got.values.map(_._1).toSet == Set("added", "removed", "changed"))
+  }
 }

@@ -612,4 +612,71 @@ class PlanSpec extends SparkSpec {
       "the lagged self-join must broadcast the <=|days| frame")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("cdc_snapshot_diff: both reconstructions share ONE keyed shuffle, no join") {
+    val p = planOf("cdc_snapshot_diff")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "t1 snapshot and head must come out of one emp_id shuffle")
+    assert(!p.contains("Join"),
+      "the diff is window-carried — a snapshot-vs-snapshot join came back")
+    assert(p.contains("WindowGroupLimit"),
+      "the head row-number filter must pre-reduce map-side")
+  }
+
+  test("events_concurrency: the boundary sweep is (day, hour)-partitioned, one scan") {
+    val p = planOf("events_concurrency")
+    // the running sum over the boundary LIST must partition by
+    // (day, hb); a day-wide window over the boundaries is the
+    // single-task-per-hot-day shape the two-pass form exists to kill
+    assert("windowspecdefinition\\(day#\\d+, hb#\\d+L?, t#\\d+"
+      .r.findAllIn(p).nonEmpty,
+      "boundary running sum must partition by (day, hour-bucket)")
+    assert("windowspecdefinition\\(day#\\d+, t#".r.findAllIn(p).isEmpty,
+      "no day-wide window over the boundary list")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      "both ±1 boundaries must explode from one sessionize subtree")
+  }
+
+  test("text_conjunctive: query-vocab filter in the scan stage, pruned read, no Expand") {
+    val p = planOf("text_conjunctive")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must read only doc_id + text")
+    assert(!p.contains("Expand") && !p.contains("Join"))
+    // the IN filter must sit BELOW every exchange (scan stage): the
+    // shuffle carries candidate postings only, never the corpus
+    val lastEx = p.lastIndexOf("Exchange hashpartitioning")
+    assert(lastEx >= 0 && p.indexOf(" IN (dup,spark,merge)", lastEx) > 0,
+      "term filter must run before the first shuffle")
+  }
+
+  test("bfsHops: every frontier expansion is semi/anti keyed, never cartesian") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = (1 to 40).map(i => (i.toLong, (i * 3 % 41).toLong)).toDF("a", "b")
+      graft.ops.Graph.bfsHops(edges, Seq(1L, 2L).toDF("v"), 3).count()
+      // listener bus is async — wait for the level plans to land
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (System.nanoTime() < deadline &&
+        !plans.asScala.exists(_.contains("LeftSemi"))) Thread.sleep(50)
+      val captured = plans.asScala.toSeq
+      assert(captured.exists(_.contains("LeftSemi")),
+        "frontier expansion must probe edges via a semi join")
+      assert(captured.exists(_.contains("LeftAnti")),
+        "visited set must prune via an anti join")
+      assert(!captured.exists(_.contains("CartesianProduct")) &&
+        !captured.exists(_.contains("BroadcastNestedLoopJoin")),
+        "no level may degenerate to an unkeyed join")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
