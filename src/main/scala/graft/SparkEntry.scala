@@ -182,6 +182,53 @@ object SparkEntry {
       .orderBy("emp_id")
   }
 
+  /** CDC-AWARE SURVIVORSHIP (golden record over a change HISTORY) —
+    * the composition the reference's two halves invite: the corpus
+    * golden record elects attributes across a near-dup CLUSTER; here
+    * each attribute of an entity is elected across its CDC VERSIONS,
+    * with per-attribute rules (survivorship per Talburt 2011, recency
+    * rule; reference change semantics per consumer.py:70-91):
+    * `dob_mode` = most frequent value across versions (count desc,
+    * value asc — the corpus query's election), `dob_recency` = value
+    * of the LATEST version (last_updated_at, event_id — the CDC
+    * rule), `salary_max` = keep-best, `salary_latest` = recency.
+    * `elections_agree` surfaces where the two rules disagree — the
+    * measured argument for choosing a rule, the same reporting
+    * discipline as the attribution twins. Deletes are not attribute
+    * observations and are excluded.
+    *
+    * Scale shape: TWO chained partial-aggregable exchanges over ONE
+    * scan — no window, no join, no rank anywhere. The mode election
+    * is `min(struct(-cnt, dob))` over the per-(entity, value) counts
+    * and the recency election is `max(struct(ts, eid, …))` carried
+    * through the same aggregate, so both elections combine map-side
+    * and survive any skew AQE can't already handle. (Values are
+    * non-null by fixture construction; a null-bearing attribute
+    * would need the explicit null placement the corpus mode election
+    * pins.)
+    */
+  private def qCdcGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val valid = Routing.validateSplit(Fixtures.employeeCdcLog(s, dir)).valid
+      .where(col("action") =!= "delete")
+    valid
+      .groupBy(col("emp_id"), col("emp_dob"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("emp_salary")).as("grp_sal_max"),
+        max(struct(col("last_updated_at").as("ts"), col("event_id").as("eid"),
+          col("emp_salary").as("sal"))).as("latest"))
+      .groupBy(col("emp_id"))
+      .agg(sum(col("cnt")).as("n_versions"),
+        max(col("grp_sal_max")).as("salary_max"),
+        min(struct((-col("cnt")).as("neg"), col("emp_dob").as("dob"))).as("m"),
+        max(struct(col("latest.ts").as("ts"), col("latest.eid").as("eid"),
+          col("emp_dob").as("dob"), col("latest.sal").as("sal"))).as("r"))
+      .select(col("emp_id"), col("n_versions"),
+        col("m.dob").as("dob_mode"), col("r.dob").as("dob_recency"),
+        (col("m.dob") === col("r.dob")).as("elections_agree"),
+        col("salary_max"), col("r.sal").as("salary_latest"))
+      .orderBy("emp_id")
+  }
+
   /** Project-1 pipeline (F3/F4/P7/A4) on the `orders` fixture. */
   private def qP1SalaryPipeline(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -1357,6 +1404,7 @@ object SparkEntry {
     "cdc_scd2_history" -> (qCdcScd2History _),
     "cdc_time_travel" -> (qCdcTimeTravel _),
     "cdc_snapshot_diff" -> (qCdcSnapshotDiff _),
+    "cdc_golden_record" -> (qCdcGoldenRecord _),
     "p1_salary_pipeline" -> (qP1SalaryPipeline _),
     "q1_agg" -> (qQ1Agg _),
     "q3_topk_join" -> (qQ3TopkJoin _),
@@ -1499,6 +1547,30 @@ object SparkEntry {
         |FROM d
         |WHERE status0 IS NOT NULL AND NOT (status0 = 'changed' AND ch = '')
         |ORDER BY emp_id""".stripMargin),
+
+    "cdc_golden_record" -> (L +
+      """, valid AS (
+        |  SELECT * FROM cdc_log
+        |  WHERE NOT (COALESCE(TRY_CAST(substr(emp_dob, 1, 4) AS INT), 0) <= 2007
+        |             OR emp_salary <= 100 OR emp_id < 0)
+        |    AND action <> 'delete'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY emp_id
+        |        ORDER BY last_updated_at DESC, event_id DESC) AS rn FROM valid),
+        |base AS (SELECT emp_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |                CAST(MAX(emp_salary) AS BIGINT) AS salary_max
+        |         FROM valid GROUP BY 1),
+        |rec AS (SELECT emp_id, emp_dob AS dob_recency,
+        |               CAST(emp_salary AS BIGINT) AS salary_latest
+        |        FROM r WHERE rn = 1),
+        |m AS (SELECT emp_id, emp_dob AS dob_mode FROM (
+        |        SELECT emp_id, emp_dob, row_number() OVER (PARTITION BY emp_id
+        |          ORDER BY COUNT(*) DESC, emp_dob NULLS LAST) AS rn
+        |        FROM valid GROUP BY emp_id, emp_dob) x WHERE rn = 1)
+        |SELECT b.emp_id, b.n_versions, m.dob_mode, rec.dob_recency,
+        |       m.dob_mode = rec.dob_recency AS elections_agree,
+        |       b.salary_max, rec.salary_latest
+        |FROM base b JOIN m USING (emp_id) JOIN rec USING (emp_id)
+        |ORDER BY b.emp_id""".stripMargin),
 
     "cdc_dlq_split" -> (L +
       """SELECT emp_id, event_id, action, emp_dob, emp_salary,

@@ -15,6 +15,12 @@ case class CusumPoint(key: String, day: java.sql.Date, n: Long, dev_x100: Long,
 case class HeavyHitter(group: String, item: String, est_count: Long,
     max_err: Long, n_processed: Long)
 
+/** One credited purchase of [[Monitors.attributionMonitor]]: the
+  * purchase event plus the touch channel it credits (`"direct"` when
+  * no touch preceded it) and its revenue in exact cents. */
+case class AttributionPoint(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, touch_type: String, value_x100: Long)
+
 /** Continuous sequential monitors — the streaming twins of the batch
   * audit queries (`events_cusum` etc.), same family discipline as
   * [[CorpusStream]]: exact integer state, deterministic under replay,
@@ -124,6 +130,63 @@ object Monitors {
           counters.toSeq.sortBy(_._1).iterator.map { case (item, c) =>
             HeavyHitter(group, item, c, decr, n)
           }
+        })
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+
+  /** Streaming LAST-TOUCH ATTRIBUTION — the CONTINUOUS form of
+    * `events_attribution` (the third monitor after CUSUM and
+    * Misra-Gries, same contract): each purchase credits the user's
+    * most recent preceding touch (click / view / signup), `"direct"`
+    * when none preceded. State per user is ONE (touch, ts_micros,
+    * event_id) triple — O(1), the batch window's carry value made
+    * explicit — so replaying the whole log through the monitor equals
+    * the batch query's strictly-preceding-rows `last(ignoreNulls)`
+    * fold row for row on identical input order.
+    *
+    * Rows fold in (ts, event_id) order inside a micro-batch (the
+    * batch window's exact ordering), so replaying a batch against the
+    * same state reproduces identical outputs (the [[CorpusStream]]
+    * determinism rule). Cross-batch the state carries the last touch,
+    * which is all the strictly-preceding frame can see across the
+    * batch boundary — MonitorsSpec pins both halves plus a
+    * checkpointed restart.
+    *
+    * Scale shape: state is three fields per user, sharded by user —
+    * attribution is embarrassingly parallel across users, the same
+    * one-keyed-exchange shape as the batch form; emitted credits live
+    * in the output stream, not the state.
+    */
+  def attributionMonitor(events: DataFrame): Dataset[AttributionPoint] = {
+    import events.sparkSession.implicits._
+    val touches = Set("click", "view", "signup")
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        coalesce((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L)).as("v"))
+      .as[(Long, java.sql.Timestamp, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Long)],
+         state: GroupState[(String, Long, Long)]) => {
+          var touch: Option[(String, Long, Long)] =
+            if (state.exists) Some(state.get) else None
+          val out = rows.toSeq.sortBy(r => (micros(r._2), r._3)).flatMap {
+            case (_, ts, eid, typ, v) =>
+              val credit =
+                if (typ == "purchase")
+                  Some(AttributionPoint(user, ts, eid,
+                    touch.map(_._1).getOrElse("direct"), v))
+                else None
+              if (touches(typ)) touch = Some((typ, micros(ts), eid))
+              credit
+          }
+          touch.foreach(state.update)
+          out.iterator
         })
   }
 }

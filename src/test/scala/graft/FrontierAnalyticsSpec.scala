@@ -266,6 +266,37 @@ class FrontierAnalyticsSpec extends SparkSpec {
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
 
+  test("cdc_golden_record: elections recompute per entity; mode and recency disagree") {
+    val rows = graft.cdc.Routing.validateSplit(
+        graft.cdc.Fixtures.employeeCdcLog(spark, dir)).valid
+      .where(col("action") =!= "delete")
+      .select(col("emp_id"), col("event_id"), col("last_updated_at"),
+        col("emp_dob"), col("emp_salary")).collect()
+    val expect = rows.groupBy(_.getAs[Long]("emp_id")).map { case (id, vs) =>
+      val dobMode = vs.groupBy(_.getAs[String]("emp_dob")).toSeq
+        .sortBy { case (d, g) => (-g.length, d) }.head._1
+      val latest = vs.maxBy(r =>
+        (micros(r.getAs[java.sql.Timestamp]("last_updated_at")),
+          r.getAs[Long]("event_id")))
+      id -> (vs.length.toLong, dobMode, latest.getAs[String]("emp_dob"),
+        vs.map(_.getAs[Long]("emp_salary")).max,
+        latest.getAs[Long]("emp_salary"))
+    }
+    val got = SparkEntry.queries("cdc_golden_record")(spark, dir).collect()
+      .map { r =>
+        assert(r.getAs[Boolean]("elections_agree") ==
+          (r.getAs[String]("dob_mode") == r.getAs[String]("dob_recency")))
+        r.getAs[Long]("emp_id") -> (r.getAs[Long]("n_versions"),
+          r.getAs[String]("dob_mode"), r.getAs[String]("dob_recency"),
+          r.getAs[Long]("salary_max"), r.getAs[Long]("salary_latest"))
+      }.toMap
+    assert(got == expect)
+    // the two survivorship rules genuinely split on this history —
+    // both elections occurring AND disagreeing is the measured result
+    assert(got.values.exists(v => v._2 != v._3), "some entity must disagree")
+    assert(got.values.exists(v => v._2 == v._3), "some entity must agree")
+  }
+
   test("events_concurrency: brute-force sweep over replayed sessions agrees") {
     val gap = 1800L * 1000000L
     val dayUs = 86400L * 1000000L

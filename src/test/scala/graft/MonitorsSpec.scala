@@ -187,4 +187,83 @@ class MonitorsSpec extends SparkSpec {
     assert(rows.last.alarm_lo && !rows.last.alarm_hi)
     assert(rows.forall(!_.alarm_hi))
   }
+
+  test("attribution monitor: streamed replay equals the batch query mid-split") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        if (r.isNullAt(4)) None else Some(r.getAs[Double]("value"))))
+      .sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Option[Double])]
+    val out = Monitors.attributionMonitor(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_mon").start()
+    // split mid-series: per-user carry MUST cross the batch boundary
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val credits = spark.table("attr_mon")
+      .as[graft.streaming.AttributionPoint].collect()
+    val got = credits.groupBy(_.touch_type).view.mapValues(cs =>
+      (cs.length.toLong, cs.map(_.value_x100).sum)).toMap
+    val expect = SparkEntry.queries("events_attribution")(spark, dir)
+      .collect().map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_x100"))).toMap
+    assert(got == expect,
+      "streamed per-purchase credits must aggregate to the batch query")
+    // every purchase credits exactly once
+    assert(credits.length == ev.count(_._4 == "purchase"))
+    assert(credits.map(_.event_id).distinct.length == credits.length)
+  }
+
+  test("attribution state survives a checkpointed query restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("attr-ckpt").toString
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeBatch(name: String, rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (u, ts, eid, typ, v) =>
+          s"""{"user_id":$u,"ts":"$ts","event_id":$eid,""" +
+            s""""event_type":"$typ","value":$v}""" }.mkString("\n").getBytes)
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .json(in)
+      val q = Monitors.attributionMonitor(src)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // batch 1: user 7 clicks (state), user 8 only views
+    writeBatch("b1.json", Seq(
+      (7L, "2024-05-01 10:00:00", 1L, "click", 0.0),
+      (8L, "2024-05-01 10:05:00", 2L, "view", 0.0)))
+    run()
+    // RESTART: user 7's purchase must credit the pre-restart click,
+    // user 9's purchase has no touch anywhere -> direct
+    writeBatch("b2.json", Seq(
+      (7L, "2024-05-02 09:00:00", 3L, "purchase", 12.34),
+      (9L, "2024-05-02 09:30:00", 4L, "purchase", 5.00)))
+    run()
+    val got = spark.read.parquet(s"$root/out")
+      .as[graft.streaming.AttributionPoint].collect()
+      .map(p => p.event_id -> (p.user_id, p.touch_type, p.value_x100)).toMap
+    assert(got == Map(
+      3L -> ((7L, "click", 1234L)),
+      4L -> ((9L, "direct", 500L))),
+      "restart must resume the per-user touch state from the checkpoint")
+  }
 }

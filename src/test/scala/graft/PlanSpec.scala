@@ -649,6 +649,18 @@ class PlanSpec extends SparkSpec {
       "term filter must run before the first shuffle")
   }
 
+  test("cdc_golden_record: elections are combinable aggregates — no window, no join") {
+    val p = planOf("cdc_golden_record")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "mode/recency elections must ride struct aggregates, not ranks or joins")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      "exactly the two chained aggregate exchanges")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, "one scan")
+    assert(p.contains("partial_min(struct(neg") &&
+      p.contains("partial_max(struct(ts"),
+      "both elections must partial-aggregate map-side")
+  }
+
   test("bfsHops: every frontier expansion is semi/anti keyed, never cartesian") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
