@@ -106,7 +106,9 @@ object Bench {
       // interleaves codegen/JIT warmup into any wider delta); fast
       // queries keep the unchanged 3(+2) sampling.
       val s0 = stageSnap()
+      val (_, gtA0) = gcStats()
       val attributed = if (isResident) once(name) else -1.0
+      val (_, gtA1) = gcStats()
       val s1 = stageSnap()
       val runs0 = if (isResident) first :+ attributed else first
       val runs =
@@ -119,13 +121,20 @@ object Bench {
           f"gc=${gc1 - gc0}%3d gcMs=${gt1 - gt0}%6d heapMb=$usedMb%6d")
       if (isResident) {
         val d = s1.zip(s0).map { case (a, b) => a - b }
+        // gcMs rides the tuple so the parsed artifact can separate
+        // heap/contention stalls from plan regressions: wall inflated
+        // over flat execSec + high gcMs = the host or the heap, not
+        // the query (VERDICT r13: identical-code queries swung 2-4x)
+        val gcMs = gtA1 - gtA0
         System.err.println(
           f"[bench-stages] $name%-24s wall=$attributed%6.2fs stages=${d(0)}%3d " +
             f"execSec=${d(1) / 1e3}%8.2f shufReadMb=${d(2) / 1e6}%7.1f " +
-            f"shufWriteMb=${d(3) / 1e6}%7.1f spillMb=${d(4) / 1e6}%7.1f")
+            f"shufWriteMb=${d(3) / 1e6}%7.1f spillMb=${d(4) / 1e6}%7.1f " +
+            f"gcMs=$gcMs%5d")
         residentStages += name -> String.format(java.util.Locale.ROOT,
-          "[%.2f,%d,%.2f,%.1f,%.1f]", Double.box(attributed), Long.box(d(0)),
-          Double.box(d(1) / 1e3), Double.box(d(2) / 1e6), Double.box(d(4) / 1e6))
+          "[%.2f,%d,%.2f,%.1f,%.1f,%d]", Double.box(attributed), Long.box(d(0)),
+          Double.box(d(1) / 1e3), Double.box(d(2) / 1e6), Double.box(d(4) / 1e6),
+          Long.box(gcMs))
       }
       cleanup()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
@@ -145,7 +154,7 @@ object Bench {
       "[bench-full] " + results.map(ent).mkString("{", ",", "}"))
     // the stage map publishes the residents' attribution in the
     // driver-captured artifact: [wall s, stages, execSec, shufReadMb,
-    // spillMb] per resident. Capped so the whole line stays inside the
+    // spillMb, gcMs] per resident. Capped so the whole line stays inside the
     // driver's ~2000-char stdout window; queries budget shrinks to
     // compensate.
     // slowest-first (not name-order) so the residents that matter

@@ -5439,14 +5439,15 @@ object ExtensionQueries {
          |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, sh.shingle) AS rn,
          |         COUNT(*) OVER (PARTITION BY doc_id) AS n
          |       FROM sh JOIN freq USING (shingle)),
-         |pre AS (SELECT doc_id, shingle FROM rk
+         |pre AS (SELECT doc_id, shingle, rn, n FROM rk
          |        WHERE rn <= n - ((n * 8 + 9) // 10) + 1 AND f <= 100),
-         |ful AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)
-         |        WHERE f <= 100),
+         |ful AS (SELECT doc_id, shingle, rn, n FROM rk WHERE f <= 100),
          |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
          |                greatest(x.doc_id, y.doc_id) AS doc_b
          |         FROM pre x JOIN ful y
-         |         ON x.shingle = y.shingle AND x.doc_id <> y.doc_id),
+         |         ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |            AND 1 + least(x.n - x.rn, y.n - y.rn) >=
+         |                (8 * least(x.n, y.n) + 9) // 10),
          |${containmentTail(8, 10)}""".stripMargin,
 
     "text_clf_calibration" ->

@@ -368,11 +368,30 @@ object Dedup {
       .where(col("rn") <=
         col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1 &&
         col("f") <= maxOcc)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("rn"), col("n"))
     val full = ranked.where(col("f") <= maxOcc)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("rn"), col("n"))
+    // PPJoin's POSITION filter adapted to the containment threshold
+    // (Xiao, Wang, Lin & Yu, WWW 2008 — the same bound the Jaccard
+    // channel carries): containment ≥ num/den needs overlap
+    // o ≥ t = ceil(num·min(nx,ny)/den), and at the pair's FIRST
+    // common shingle every other common shingle sits in both suffixes
+    // of the shared global rarity order, so o ≤ 1 + min(nx−rnx,
+    // ny−rny) there. A qualifying pair always passes at its first
+    // common shingle (bound valid and ≥ o ≥ t) — rn/n are TRUE ranks,
+    // unaffected by the maxOcc join pruning — and the distinct()
+    // needs only that one surviving row; later rows pruned by the
+    // same test are redundant witnesses, so the filter cuts candidate
+    // volume before verification without touching recall. (Under an
+    // active maxOcc cap a pair whose first-common shingle is
+    // corpus-hot already rode the documented boilerplate caveat; the
+    // position filter narrows that caveat's survivors the same way on
+    // both engine and oracle sides.)
     val cand = prefix.as("x").join(full.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") =!= col("y.doc_id"))
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") =!= col("y.doc_id") &&
+        lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) >=
+          expr(s"($num * least(x.n, y.n) + ${den - 1}) div $den"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()

@@ -65,6 +65,38 @@ class PrefixFilterSpec extends SparkSpec {
     }
   }
 
+  test("containment position filter stays exact on randomized skewed corpora") {
+    // the containment-adapted position bound prunes candidate ROWS,
+    // never qualifying PAIRS; stress the near-subset regime (tiny doc
+    // inside huge doc) plus hot boilerplate at several thresholds
+    val rnd = new scala.util.Random(6161)
+    val vocab = Vector("red", "blue", "green", "ink", "dot", "sky", "sun",
+      "map", "key", "log", "row", "bit", "fog", "ice")
+    for ((num, den) <- Seq((1, 2), (8, 10), (2, 3))) {
+      val docs = (1 to 50).map { id =>
+        val base = Vector.fill(3 + rnd.nextInt(3))(vocab(rnd.nextInt(4)))
+        val tail = Vector.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        (id.toLong, (base ++ tail).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Dedup.containmentPrefixPairs(docs, col("text"), col("doc_id"),
+          num = num, den = den, maxOcc = 1000000)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 3)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val brute = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .where(lit(den) * col("inter") >=
+          lit(num) * least(col("ca.n"), col("cb.n")))
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(got === brute, s"threshold $num/$den")
+      assert(got.nonEmpty, s"threshold $num/$den must discriminate")
+    }
+  }
+
   test("containment-prefix pairs == brute-force all-pairs containment >= 8/10") {
     val docs = Tables.documents(spark, dir)
     // maxOcc above any fixture shingle frequency -> exactly complete
