@@ -1092,6 +1092,51 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** χ² FEATURE SELECTION — top-20 terms most associated with the
+    * `lang = 'en'` document class (Manning/Raghavan/Schütze, "IntroIR"
+    * §13.5: χ² term selection for text classifiers; the corpus-level
+    * companion to `text_classifier_score`'s serving pass). Per term
+    * the 2×2 presence contingency (a, b, c, d) folds into
+    * `χ²·10⁴ = 10⁴·N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`, all exact
+    * integers in DECIMAL(38,0)/HUGEINT so the oracle hash-pins it.
+    * Integer-exactness envelope: the numerator needs
+    * 10⁴·N·(ad−bc)² ≤ 10³⁸, which holds to corpora of ~10⁶ labeled
+    * docs — the regime feature selection actually runs in (a labeled
+    * SAMPLE, not the raw 100 TB corpus); past that the same plan
+    * emits a double score.
+    *
+    * Scale shape: per-doc distinct terms dedup IN THE SCAN
+    * (`array_distinct` before the explode — no shuffle-wide
+    * distinct), one term-keyed aggregate, the 1-row class totals
+    * broadcast back, and the global top-20 is a TakeOrdered, never a
+    * sort of the vocabulary.
+    */
+  private def qTextChi2Terms(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("cls"), col("text"))
+    val tot = d.agg(sum(when(col("cls"), 1L).otherwise(0L)).as("n1"),
+      count(lit(1)).as("nn"))
+    d.select(col("cls"),
+        explode(array_distinct(Text.tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("cls"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("cls"), 1L).otherwise(0L)).as("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("a"), col("b"),
+        (col("n1") - col("a")).as("c"),
+        (col("nn") - col("n1") - col("b")).as("d"), col("nn"))
+      .withColumn("chi2_bp", expr(
+        """CAST((10000 * CAST(nn AS DECIMAL(38,0))
+          |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+          |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c))
+          | div greatest(CAST(a + b AS DECIMAL(38,0)) * (c + d)
+          |              * (a + c) * (b + d), 1) AS BIGINT)""".stripMargin))
+      .orderBy(col("chi2_bp").desc, col("term").asc)
+      .limit(20)
+      .select(col("term"), col("a").as("n_en_with"),
+        col("b").as("n_other_with"), col("chi2_bp"))
+  }
+
   /** k-hop reachability ([[graft.ops.Graph.bfsHops]], 3 levels) from
     * the deterministic seed cohort `user_id % 7 = 0` over the shared
     * co-presence graph — the influence-radius / blast-radius query
@@ -1242,6 +1287,48 @@ object ExtensionQueries {
                 * CAST(total_x100 AS DECIMAL(38,0))))
                 div greatest(CAST(n_customers AS DECIMAL(38,0))
                 * total_x100, 1) AS BIGINT)""").as("gini_bp"))
+  }
+
+  /** Global EQUI-DEPTH histogram (ntile(16)) of event value in exact
+    * cents — the statistics-collection primitive every cost-based
+    * optimizer and data-profiling pass builds (equi-depth beats
+    * equi-width under skew: every bucket carries the same row count,
+    * so bucket WIDTH is the density signal). Bucket boundaries are
+    * engine-exact: ranks come from the deterministic total order
+    * (value, event_id) and SQL ntile's uneven-split rule (first
+    * N mod k buckets hold one extra row) is reproduced in integer
+    * arithmetic from the rank, so the DuckDB `ntile` mirror matches
+    * hash-for-hash.
+    *
+    * Scale shape: the rank rides [[graft.ops.Linkage.globalRank]]
+    * (range repartition + per-partition offsets — NO single-partition
+    * window over the data), the 1-row total broadcasts back, and the
+    * bucket rollup is one keyed aggregate. The classic naive form —
+    * `ntile(16) OVER (ORDER BY v)` — funnels the table through one
+    * task at 100 TB; this is its distributed equivalent, exactly.
+    */
+  private def qEventsEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val base = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        col("event_id"))
+    val ranked = graft.ops.Linkage.globalRank(base, col("v"), col("event_id"))
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      // ntile(k): q = n div k, r = n mod k; buckets 1..r hold q+1 rows
+      // (greatest guards the n < k corner where the ELSE divisor would
+      // be zero — the branch is unreachable there, but neither engine
+      // should be asked to prove that)
+      .withColumn("bucket",
+        expr(s"""CASE WHEN rank <= (n % $k) * (n div $k + 1)
+                 THEN (rank - 1) div (n div $k + 1) + 1
+                 ELSE (n % $k) + (rank - 1 - (n % $k) * (n div $k + 1))
+                      div greatest(n div $k, 1) + 1 END"""))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_values"),
+        min(col("v")).as("lo_x100"), max(col("v")).as("hi_x100"))
+      .orderBy("bucket")
   }
 
   /** CUSUM changepoint monitor (Page, Biometrika 1954) on the daily
@@ -3807,7 +3894,9 @@ object ExtensionQueries {
     "events_attribution" -> (qEventsAttribution _),
     "events_attribution_first" -> (qEventsAttributionFirst _),
     "events_concurrency" -> (qEventsConcurrency _),
+    "events_equidepth" -> (qEventsEquidepth _),
     "text_conjunctive" -> (qTextConjunctive _),
+    "text_chi2_terms" -> (qTextChi2Terms _),
     "events_bfs_reach" -> (qEventsBfsReach _),
   )
 
@@ -5704,6 +5793,38 @@ object ExtensionQueries {
          |      FROM g GROUP BY 1)
          |SELECT doc_id, CAST(tf_total AS BIGINT) AS tf_total
          |FROM a WHERE n_terms = 3 ORDER BY doc_id""".stripMargin,
+
+    "events_equidepth" ->
+      """WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             AS v, event_id
+        |           FROM events WHERE value IS NOT NULL),
+        |nt AS (SELECT v, ntile(16) OVER (ORDER BY v, event_id) AS bucket FROM v)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_values,
+        |       MIN(v) AS lo_x100, MAX(v) AS hi_x100
+        |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_chi2_terms" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS cls, $TK AS tk
+         |           FROM documents),
+         |tot AS (SELECT CAST(SUM(CASE WHEN cls THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n1,
+         |               CAST(COUNT(*) AS BIGINT) AS nn FROM t),
+         |p AS (SELECT DISTINCT doc_id, cls, u.term
+         |      FROM t, LATERAL (SELECT unnest(tk) AS term) u),
+         |per AS (SELECT term,
+         |          CAST(SUM(CASE WHEN cls THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |          CAST(SUM(CASE WHEN NOT cls THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |        FROM p GROUP BY 1),
+         |s AS (SELECT term, a, b, n1 - a AS c, nn - n1 - b AS d, nn
+         |      FROM per, tot)
+         |SELECT term, a AS n_en_with, b AS n_other_with,
+         |       CAST((10000 * CAST(nn AS HUGEINT)
+         |             * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |             * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+         |            // greatest(CAST(a + b AS HUGEINT) * (c + d)
+         |                        * (a + c) * (b + d), 1) AS BIGINT) AS chi2_bp
+         |FROM s ORDER BY chi2_bp DESC, term LIMIT 20""".stripMargin,
 
     "events_bfs_reach" ->
       s"""WITH $coPresenceSql,

@@ -2,10 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-13 operators: 2-D skyline (brute-force dominance recheck +
-  * two-phase plan shape), lag-k autocorrelation (exact recompute from
-  * the collected daily series), last-touch attribution (per-user
-  * replay), and golden-record survivorship (mode election recheck).
+/** Round-13/14 operators: 2-D skyline (brute-force dominance recheck
+  * + two-phase plan shape), lag-k autocorrelation (exact recompute
+  * from the collected daily series), attribution (per-user replay),
+  * golden-record survivorship (mode election recheck), interval
+  * sweep, BFS levels, conjunctive retrieval, snapshot diff,
+  * CDC survivorship, equi-depth histogram, and χ² term selection.
   * The DuckDB oracle pins engine parity; these pin the MATH and the
   * PLAN.
   */
@@ -460,5 +462,60 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(got == expect)
     // all three statuses occur — the two reconstructions genuinely differ
     assert(got.values.map(_._1).toSet == Set("added", "removed", "changed"))
+  }
+
+  test("events_equidepth: buckets recompute from the sorted value vector") {
+    val k = 16
+    val vs = Tables.events(spark, dir).where(col("value").isNotNull)
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val n = vs.length
+    val q = n / k; val r = n % k
+    // ntile: buckets 1..r hold q+1 rows, the rest q
+    val expect = (1 to k).map { b =>
+      val start = if (b <= r) (b - 1) * (q + 1) else r * (q + 1) + (b - 1 - r) * q
+      val size = if (b <= r) q + 1 else q
+      val slice = vs.slice(start, start + size)
+      b.toLong -> (size.toLong, slice.head._1, slice.last._1)
+    }.toMap
+    val got = SparkEntry.queries("events_equidepth")(spark, dir).collect()
+      .map(row => row.getAs[Long]("bucket") -> (row.getAs[Long]("n_values"),
+        row.getAs[Long]("lo_x100"), row.getAs[Long]("hi_x100"))).toMap
+    assert(got == expect)
+    // equi-depth under skew: depths differ by at most one row, and
+    // bucket WIDTHS genuinely vary (the density signal)
+    assert(got.values.map(_._1).max - got.values.map(_._1).min <= 1)
+    assert(got.values.map(v => v._3 - v._2).toSet.size > 1)
+  }
+
+  test("text_chi2_terms: scores recompute from the 2x2 contingency tables") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val n1 = docs.count(_.getAs[String]("lang") == "en").toLong
+    val nn = docs.length.toLong
+    val byTerm = docs.flatMap { r =>
+      val cls = r.getAs[String]("lang") == "en"
+      r.getAs[String]("text").trim.toLowerCase.split("\\s+").distinct
+        .map(t => (t, cls))
+    }.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toMap
+    val scored = byTerm.toSeq.map { case (t, (a, b)) =>
+      val c = n1 - a; val d = nn - n1 - b
+      val num = BigInt(a) * d - BigInt(b) * c
+      val den = (BigInt(a + b) * (c + d) * (a + c) * (b + d)).max(BigInt(1))
+      (t, a, b, (BigInt(10000) * nn * num * num / den).toLong)
+    }
+    val expect = scored.sortBy(s => (-s._4, s._1)).take(20)
+      .map(s => s._1 -> (s._2, s._3, s._4)).toMap
+    val got = SparkEntry.queries("text_chi2_terms")(spark, dir).collect()
+      .map(r => r.getAs[String]("term") -> (r.getAs[Long]("n_en_with"),
+        r.getAs[Long]("n_other_with"), r.getAs[Long]("chi2_bp"))).toMap
+    assert(got == expect)
+    // the selection discriminates: scores spread and the top term is
+    // genuinely associated (chi2 > 0)
+    assert(got.values.map(_._3).max > 0L)
+    assert(got.values.map(_._3).toSet.size > 1)
   }
 }
