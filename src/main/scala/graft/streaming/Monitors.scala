@@ -21,6 +21,13 @@ case class HeavyHitter(group: String, item: String, est_count: Long,
 case class AttributionPoint(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, touch_type: String, value_x100: Long)
 
+/** One key's quantile summary state after a micro-batch of
+  * [[Monitors.gkQuantileMonitor]]: each pN_x100 estimate's TRUE rank
+  * is within `eps_n` (= ⌊εn⌋) of its target rank — the GK guarantee,
+  * emitted as an explicit certificate like [[HeavyHitter.max_err]]. */
+case class QuantilePoint(key: String, n: Long, p50_x100: Long,
+    p90_x100: Long, p99_x100: Long, eps_n: Long, summary_size: Int)
+
 /** Continuous sequential monitors — the streaming twins of the batch
   * audit queries (`events_cusum` etc.), same family discipline as
   * [[CorpusStream]]: exact integer state, deterministic under replay,
@@ -187,6 +194,101 @@ object Monitors {
           }
           touch.foreach(state.update)
           out.iterator
+        })
+  }
+
+  /** Streaming ε-approximate QUANTILES per key — the Greenwald–Khanna
+    * summary (SIGMOD 2001), the CONTINUOUS form of
+    * `events_approx_quantiles` and the fourth monitor of the family
+    * (CUSUM = drift, Misra-Gries = heavy items, attribution = credit,
+    * GK = latency/value percentiles — the observability quartet).
+    * State per key is the GK tuple list ((v, g, Δ) with
+    * rmin = Σg, rmax = rmin + Δ) plus n: O((1/ε)·log(εn)) entries,
+    * never the data. Insert keeps the invariant g + Δ ≤ ⌊2εn⌋; the
+    * compress pass merges neighbors while it preserves that bound, so
+    * every rank query answers within ⌊εn⌋ — emitted per batch as the
+    * `eps_n` certificate next to p50/p90/p99 (exact cents), the same
+    * audit discipline as the batch sketch family's `within_bound`.
+    *
+    * Values fold in sorted order inside a micro-batch, so replaying a
+    * batch against the same state reproduces identical outputs (the
+    * [[CorpusStream]] determinism rule; like any one-pass summary the
+    * result may differ across DIFFERENT batchings, within ε always).
+    * After each batch the key's current estimates re-emit — the
+    * latest row per key IS the monitor reading.
+    *
+    * Scale shape: state is the bounded summary, sharded by key;
+    * map-side the engine already pre-shuffles only (key, value) pairs.
+    * ε defaults to 1 % — 99 summary entries ceiling per log-doubling,
+    * ~KBs per monitored key at any n.
+    */
+  def gkQuantileMonitor(rows: DataFrame, epsBp: Int = 100): Dataset[QuantilePoint] = {
+    require(epsBp >= 1 && epsBp <= 2500, "eps must be in (0, 0.25] as bp")
+    import rows.sparkSession.implicits._
+    rows.select(col("key").cast("string").as("key"),
+        col("v").cast("long").as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Seq[(Long, Long, Long)])]) => {
+          var (n, summary) =
+            if (state.exists) state.get else (0L, Seq.empty[(Long, Long, Long)])
+          var s = summary.toVector
+          def twoEpsN: Long = math.max(1L, (2L * epsBp * n) / 10000L)
+          def insert(v: Long): Unit = {
+            n += 1
+            val i = s.indexWhere(t => v < t._1)
+            val pos = if (i < 0) s.length else i
+            // a new min/max carries Δ = 0 (its rank is exact); an
+            // interior insert carries Δ = ⌊2εn⌋ − 1
+            val delta =
+              if (pos == 0 || pos == s.length) 0L
+              else math.max(0L, twoEpsN - 1L)
+            s = (s.take(pos) :+ ((v, 1L, delta))) ++ s.drop(pos)
+          }
+          // right-to-left pass merging t_i into t_{i+1} while the
+          // merged tuple keeps g + Δ ≤ ⌊2εn⌋; endpoints never merge
+          def compress(): Unit = if (s.size > 2) {
+            val bound = twoEpsN
+            val out = scala.collection.mutable.ArrayBuffer(s.last)
+            for (i <- s.size - 2 to 1 by -1) {
+              val t = s(i); val succ = out.head
+              if (t._2 + succ._2 + succ._3 <= bound)
+                out(0) = (succ._1, t._2 + succ._2, succ._3)
+              else out.prepend(t)
+            }
+            out.prepend(s.head)
+            s = out.toVector
+          }
+          it.map(_._2).toSeq.sorted.foreach { v =>
+            insert(v)
+            if (s.size % 64 == 0) compress()
+          }
+          compress()
+          state.update((n, s))
+          // rank lookup: first tuple whose rmax = rmin + Δ overshoots
+          // r + εn ends the scan; its predecessor's value answers
+          // within ⌊εn⌋ of the target rank r = ⌈φ·n⌉
+          def q(phiBp: Long): Long =
+            if (s.isEmpty) 0L
+            else {
+              val r = (phiBp * n + 9999L) / 10000L
+              val epsN = (epsBp.toLong * n) / 10000L
+              var rmin = 0L
+              var ans = s.last._1
+              var prev = s.head._1
+              var done = false
+              for (t <- s if !done) {
+                rmin += t._2
+                if (rmin + t._3 > r + epsN) { ans = prev; done = true }
+                prev = t._1
+              }
+              ans
+            }
+          if (n == 0L) Iterator.empty
+          else Iterator.single(QuantilePoint(key, n, q(5000L), q(9000L),
+            q(9900L), (epsBp.toLong * n) / 10000L, s.size))
         })
   }
 }

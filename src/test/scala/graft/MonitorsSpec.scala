@@ -188,6 +188,81 @@ class MonitorsSpec extends SparkSpec {
     assert(rows.forall(!_.alarm_hi))
   }
 
+  test("gk quantile monitor: every estimate's exact rank is within eps_n") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val vals = Tables.events(spark, dir).where(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val input = MemoryStream[(String, Long)]
+    val out = Monitors.gkQuantileMonitor(
+      input.toDF().toDF("key", "v"), epsBp = 100)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gk_mon").start()
+    val (b1, b2) = vals.splitAt(vals.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val all = spark.table("gk_mon").as[graft.streaming.QuantilePoint].collect()
+    val last = all.groupBy(_.key).view.mapValues(_.maxBy(_.n)).toMap
+    val exact = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(last.keySet == exact.keySet)
+    for ((key, p) <- last) {
+      val xs = exact(key)
+      assert(p.n == xs.length, s"$key: full count must survive the split")
+      assert(p.p50_x100 <= p.p90_x100 && p.p90_x100 <= p.p99_x100)
+      assert(p.summary_size < xs.length || xs.length < 8,
+        s"$key: the summary must be a sketch, not the data")
+      for ((phi, est) <- Seq(5000L -> p.p50_x100, 9000L -> p.p90_x100,
+        9900L -> p.p99_x100)) {
+        val r = (phi * p.n + 9999L) / 10000L
+        // exact rank interval of the estimate under duplicates
+        val lo = xs.count(_ < est).toLong + 1
+        val hi = xs.count(_ <= est).toLong
+        assert(lo <= r + p.eps_n && hi >= r - p.eps_n,
+          s"$key phi=$phi: est $est rank [$lo,$hi] target $r eps ${p.eps_n}")
+      }
+    }
+  }
+
+  test("gk quantile state survives a checkpointed query restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("gk-ckpt").toString
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeBatch(name: String, vs: Seq[Long]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        vs.map(v => s"""{"key":"k","v":$v}""").mkString("\n").getBytes)
+    def run(): Unit = {
+      val src = spark.readStream.schema("key STRING, v LONG").json(in)
+      val q = Monitors.gkQuantileMonitor(src, epsBp = 100)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val rnd = new scala.util.Random(1234)
+    val all = (1 to 600).map(_ => rnd.nextInt(100000).toLong)
+    writeBatch("b1.json", all.take(300)); run()
+    writeBatch("b2.json", all.drop(300)); run() // RESTART
+    import spark.implicits._
+    val p = spark.read.parquet(s"$root/out")
+      .as[graft.streaming.QuantilePoint].collect().maxBy(_.n)
+    assert(p.n == 600L, "restart must resume the fold, not recount")
+    val xs = all.sorted
+    for ((phi, est) <- Seq(5000L -> p.p50_x100, 9000L -> p.p90_x100,
+      9900L -> p.p99_x100)) {
+      val r = (phi * 600L + 9999L) / 10000L
+      val lo = xs.count(_ < est).toLong + 1
+      val hi = xs.count(_ <= est).toLong
+      assert(lo <= r + p.eps_n && hi >= r - p.eps_n,
+        s"phi=$phi: est $est rank [$lo,$hi] target $r eps ${p.eps_n}")
+    }
+  }
+
   test("attribution monitor: streamed replay equals the batch query mid-split") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
