@@ -132,51 +132,22 @@ object SparkEntry {
   /** Snapshot reconciliation (diff) between two points in time — the
     * verification-scan companion to `cdc_time_travel`: which keys were
     * added / removed / changed between the t₁ snapshot and head, and
-    * WHICH columns changed. Both snapshots come out of ONE pass over
-    * the log: a single emp_id-keyed window carries (a) the latest
-    * payload at or before t₁ via the conditional `last(struct, ignore
-    * nulls)` idiom (struct-wrapped so a legitimately-NULL field inside
-    * a present version can't be skipped over) and (b) the head payload
-    * as the rn=1 row itself — no second scan, no snapshot-vs-snapshot
-    * join; the diff of two reconstructions costs the same shuffle as
-    * one reconstruction. Presence = latest action ≠ delete on each
-    * side; changed columns via null-safe `<=>` against the struct
-    * fields, names joined by `concat_ws` (which drops the NULL
-    * non-changes). Unchanged keys and never-present keys are dropped.
-    *
-    * At 100 TB this is the CDC audit primitive: one keyed shuffle
-    * over the log prefix, output bounded by |changed keys|.
+    * WHICH columns changed, with salary before/after projected from
+    * the payload structs. The one-pass mechanics (single keyed
+    * window, struct-wrapped conditional last, null-safe column diff)
+    * live in the reusable operator [[ApplyChanges.snapshotDiff]] —
+    * property-pinned against the two-reconstruction definition on
+    * randomized logs; this query binds it to the employee fixture.
     */
   private def qCdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t1 = lit("2024-01-15 00:00:00").cast("timestamp")
     val valid = Routing.validateSplit(Fixtures.employeeCdcLog(s, dir)).valid
-    val payload = struct(col("action"), col("emp_FN"), col("emp_LN"),
-      col("emp_dob"), col("emp_city"), col("emp_salary"))
-    val wAsc = Window.partitionBy(col("emp_id"))
-      .orderBy(col("last_updated_at").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDesc = Window.partitionBy(col("emp_id"))
-      .orderBy(col("last_updated_at").desc, col("event_id").desc)
-    val top = valid
-      .withColumn("s1", last(when(col("last_updated_at") <= t1, payload),
-        ignoreNulls = true).over(wAsc))
-      .withColumn("rn", row_number().over(wDesc))
-      .where(col("rn") === 1)
-      .select(col("emp_id"), col("s1"), payload.as("s2"))
     val p1 = col("s1").isNotNull && col("s1.action") =!= "delete"
     val p2 = col("s2.action") =!= "delete"
-    val diffCols = Seq("emp_FN", "emp_LN", "emp_dob", "emp_city", "emp_salary")
-    val changed = concat_ws(",", diffCols.map(c =>
-      when(!(col(s"s1.$c") <=> col(s"s2.$c")), lit(c))): _*)
-    top
-      .withColumn("status",
-        when(!p1 && p2, lit("added"))
-          .when(p1 && !p2, lit("removed"))
-          .when(p1 && p2 && changed =!= "", lit("changed")))
-      .where(col("status").isNotNull)
-      .select(col("emp_id"), col("status"),
-        when(col("status") === "changed", changed).otherwise(lit("")).as("changed_cols"),
+    ApplyChanges.snapshotDiff(valid, Seq("emp_id"),
+        col("last_updated_at"), lit("2024-01-15 00:00:00").cast("timestamp"),
+        Seq("emp_FN", "emp_LN", "emp_dob", "emp_city", "emp_salary"),
+        tieBreak = Seq(col("event_id")))
+      .select(col("emp_id"), col("status"), col("changed_cols"),
         when(p1, col("s1.emp_salary")).as("salary_before"),
         when(p2, col("s2.emp_salary")).as("salary_after"))
       .orderBy("emp_id")

@@ -109,4 +109,55 @@ object ApplyChanges {
     step3.where(ord === coalesce(step3("_u"), step3("_i")))
       .drop("_d", "_i", "_u")
   }
+
+  /** S6 companion: two-point-in-time SNAPSHOT DIFF of a change log —
+    * which keys were added / removed / changed between the `t1`
+    * reconstruction and head, and which columns changed. Both
+    * snapshots come out of ONE pass over the log: a single keyed
+    * window carries (a) the latest payload at or before `t1` via the
+    * conditional `last(struct, ignoreNulls)` idiom (struct-wrapped so
+    * a legitimately-NULL field inside a present version can't be
+    * skipped over) and (b) the head payload as the rn=1 row itself —
+    * no second scan, no snapshot-vs-snapshot join; the diff of two
+    * reconstructions costs the same shuffle as one reconstruction.
+    * Presence = latest action ≠ delete on each side (never-present
+    * and unchanged keys drop); `changed_cols` joins the null-safe
+    * (`<=>`) per-column diffs. `s1`/`s2` expose the full before/after
+    * payload structs (action + `diffCols`) for callers to project.
+    *
+    * At 100 TB this is the CDC audit primitive: one keyed shuffle
+    * over the log prefix, output bounded by |changed keys|.
+    * Equivalence to the two-reconstruction definition (applyLog at
+    * t1 vs head, full-outer joined) is property-pinned on randomized
+    * logs in ApplyChangesOracleSpec.
+    */
+  def snapshotDiff(log: DataFrame, keys: Seq[String], ts: Column, t1: Column,
+                   diffCols: Seq[String], actionCol: Column = col("action"),
+                   tieBreak: Seq[Column] = Nil): DataFrame = {
+    val payload = struct((actionCol.as("action") +:
+      diffCols.map(c => col(c).as(c))): _*)
+    val wAsc = Window.partitionBy(keys.map(col): _*)
+      .orderBy((ts.asc +: tieBreak.map(_.asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(keys.map(col): _*)
+      .orderBy((ts.desc +: tieBreak.map(_.desc)): _*)
+    val top = log
+      .withColumn("s1", last(when(ts <= t1, payload), ignoreNulls = true)
+        .over(wAsc))
+      .withColumn("_rn", row_number().over(wDesc))
+      .where(col("_rn") === 1)
+      .select((keys.map(col) :+ col("s1") :+ payload.as("s2")): _*)
+    val p1 = col("s1").isNotNull && lower(col("s1.action")) =!= "delete"
+    val p2 = lower(col("s2.action")) =!= "delete"
+    val changed = concat_ws(",", diffCols.map(c =>
+      when(!(col(s"s1.$c") <=> col(s"s2.$c")), lit(c))): _*)
+    top
+      .withColumn("status",
+        when(!p1 && p2, lit("added"))
+          .when(p1 && !p2, lit("removed"))
+          .when(p1 && p2 && changed =!= "", lit("changed")))
+      .where(col("status").isNotNull)
+      .withColumn("changed_cols",
+        when(col("status") === "changed", changed).otherwise(lit("")))
+  }
 }

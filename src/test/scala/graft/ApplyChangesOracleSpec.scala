@@ -153,4 +153,51 @@ class ApplyChangesOracleSpec extends SparkSpec {
         s"key $k: current exists iff the key did not end in a delete")
     }
   }
+
+  test("snapshotDiff == two latest-wins reconstructions on random logs (with ts ties)") {
+    val rnd = new Random(23)
+    val actions = Seq("insert", "update", "delete", "update", "REORG")
+    // tsDiv = 4 collapses every 4 sequence ids onto one timestamp —
+    // the conditional last must resolve ties via the tieBreak, exactly
+    // like the fixture's (last_updated_at, event_id) order
+    for (tsDiv <- Seq(1L, 4L)) {
+      val events = (0 until 2000).map { i =>
+        // small payload domain so unchanged present-present keys occur
+        Ev(rnd.nextInt(50).toLong, i.toLong,
+          actions(rnd.nextInt(actions.size)), rnd.nextLong(40))
+      }
+      val t1 = 1000L / tsDiv
+      val df = events.toDF().withColumn("ts", expr(s"seq div $tsDiv"))
+      val got = ApplyChanges.snapshotDiff(df, Seq("emp_id"), col("ts"),
+          lit(t1), Seq("payload"), tieBreak = Seq(col("seq")))
+        .select(col("emp_id"), col("status"), col("changed_cols"),
+          col("s1.payload").as("p1"), col("s2.payload").as("p2"))
+        .collect()
+        .map(r => r.getAs[Long]("emp_id") -> (r.getAs[String]("status"),
+          r.getAs[String]("changed_cols"),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toMap
+      val expect = events.groupBy(_.emp_id).flatMap { case (k, evs) =>
+        val sorted = evs.sortBy(e => (e.seq / tsDiv, e.seq))
+        val s2 = sorted.last
+        val s1 = sorted.filter(_.seq / tsDiv <= t1).lastOption
+        val pr1 = s1.exists(_.action != "delete")
+        val pr2 = s2.action != "delete"
+        val ch = s1.exists(_.payload != s2.payload)
+        val status =
+          if (!pr1 && pr2) Some("added")
+          else if (pr1 && !pr2) Some("removed")
+          else if (pr1 && pr2 && ch) Some("changed")
+          else None
+        status.map(st => k -> (st, if (st == "changed") "payload" else "",
+          s1.map(_.payload).getOrElse(-1L), s2.payload))
+      }
+      assert(got === expect, s"tsDiv $tsDiv")
+      // the random domain genuinely exercises all three statuses and
+      // drops some keys (unchanged / never-present)
+      assert(got.values.map(_._1).toSet == Set("added", "removed", "changed"),
+        s"tsDiv $tsDiv statuses")
+      assert(got.size < events.map(_.emp_id).distinct.size,
+        s"tsDiv $tsDiv: some keys must be unchanged and dropped")
+    }
+  }
 }
