@@ -3167,6 +3167,55 @@ object ExtensionQueries {
       .orderBy("vec_id")
   }
 
+  /** EMBEDDING-SPACE DRIFT audit — cosine between the CENTROIDS of
+    * two deterministic halves of the embedding table (vec_id parity =
+    * the deployment-A/B or before/after-reencode split), plus the
+    * squared L2 gap and the worst-drifting dimension's gap — the
+    * regression check an embedding pipeline runs when the encoder,
+    * preprocessing, or corpus mix changes (the vector-space sibling
+    * of `events_drift_halves`). Exact integers throughout: centroids
+    * in MILLI-quantized units via `sign(s)·(|s|·1000 div n)` — the
+    * abs/sign form makes trunc and floor agree, so Spark's
+    * toward-zero `div` and DuckDB's floor `//` cannot split on
+    * negative sums — and cosine is emitted as `sign` + `cos²·10⁴`
+    * cross-multiplied (the [[graft.ops.Dedup.embeddingNearDups]]
+    * convention). Milli-centroid components are bounded by 10⁶
+    * regardless of n, so every product fits DECIMAL(38,0)/HUGEINT at
+    * ANY corpus size — the naive mean-free form (dot of raw sums)
+    * would overflow its square past ~10⁶ rows.
+    *
+    * Scale shape: scan-stage quantize + posexplode, ONE dim-keyed
+    * shuffle whose partial aggregates reduce to 64 rows map-side,
+    * then a 64-row fold — no window, no join, no collect.
+    */
+  private def qEmbCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 2 === 0).as("ha"),
+        posexplode(Vectors.quantize(col("embedding"))).as(Seq("dim", "qv")))
+    q.groupBy(col("dim"))
+      .agg(sum(when(col("ha"), col("qv")).otherwise(0L)).as("sa"),
+        sum(when(!col("ha"), col("qv")).otherwise(0L)).as("sb"),
+        sum(when(col("ha"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ha"), 1L).otherwise(0L)).as("cb"))
+      .select(
+        expr("CAST(sign(sa) AS BIGINT) * ((abs(sa) * 1000) div ca)").as("ma"),
+        expr("CAST(sign(sb) AS BIGINT) * ((abs(sb) * 1000) div cb)").as("mb"),
+        col("ca"), col("cb"))
+      .agg(min(col("ca")).as("n_a"), min(col("cb")).as("n_b"),
+        sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("n2a"),
+        sum(col("mb") * col("mb")).as("n2b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .as("l2sq_diff_milli2"),
+        max(abs(col("ma") - col("mb"))).as("max_dim_gap"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(sign(dot) AS BIGINT)").as("dot_sign"),
+        expr("""CAST((10000 * CAST(dot AS DECIMAL(38,0)) * dot)
+                div greatest(CAST(n2a AS DECIMAL(38,0)) * n2b, 1)
+                AS BIGINT)""").as("cos2_bp"),
+        col("l2sq_diff_milli2"), col("max_dim_gap"))
+  }
+
   /** Deterministic proportional interleave — the training-ORDER
     * primitive the mixture ops stop short of: each source's docs are
     * ranked by the id-hash (shuffle-stable) and spread evenly across
@@ -3803,6 +3852,7 @@ object ExtensionQueries {
     "events_approx_quantiles" -> (qEventsApproxQuantiles _),
     "events_user_topk" -> (qEventsUserTopk _),
     "emb_norm_stats" -> (qEmbNormStats _),
+    "emb_centroid_drift" -> (qEmbCentroidDrift _),
     "corpus_mixture_epochs" -> (qCorpusMixtureEpochs _),
     "events_approx_distinct" -> (qEventsApproxDistinct _),
     "events_kmv_churn" -> (qEventsKmvChurn _),
@@ -4777,6 +4827,36 @@ object ExtensionQueries {
          |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(n2) AS BIGINT) AS sum_norm2,
          |       MIN(n2) AS min_norm2, MAX(n2) AS max_norm2
          |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "emb_centroid_drift" ->
+      s"""WITH q AS (SELECT vec_id % 2 = 0 AS ha,
+         |             ${Vectors.quantizeSql("embedding")} AS qz
+         |           FROM embeddings),
+         |e AS (SELECT ha, i AS dim, qz[i] AS qv
+         |      FROM q, LATERAL (SELECT unnest(generate_series(1, $EMB_DIM)) AS i) g),
+         |s AS (SELECT dim,
+         |        CAST(SUM(CASE WHEN ha THEN qv ELSE 0 END) AS BIGINT) AS sa,
+         |        CAST(SUM(CASE WHEN NOT ha THEN qv ELSE 0 END) AS BIGINT) AS sb,
+         |        CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM e GROUP BY 1),
+         |m AS (SELECT CAST(sign(sa) AS BIGINT) * ((abs(sa) * 1000) // ca) AS ma,
+         |             CAST(sign(sb) AS BIGINT) * ((abs(sb) * 1000) // cb) AS mb,
+         |             ca, cb FROM s),
+         |a AS (SELECT MIN(ca) AS n_a, MIN(cb) AS n_b,
+         |             CAST(SUM(ma * mb) AS BIGINT) AS dot,
+         |             CAST(SUM(ma * ma) AS BIGINT) AS n2a,
+         |             CAST(SUM(mb * mb) AS BIGINT) AS n2b,
+         |             CAST(SUM((ma - mb) * (ma - mb)) AS BIGINT)
+         |               AS l2sq_diff_milli2,
+         |             CAST(MAX(abs(ma - mb)) AS BIGINT) AS max_dim_gap
+         |      FROM m)
+         |SELECT n_a, n_b, CAST(sign(dot) AS BIGINT) AS dot_sign,
+         |       CAST((10000 * CAST(dot AS HUGEINT) * dot)
+         |            // greatest(CAST(n2a AS HUGEINT) * n2b, 1) AS BIGINT)
+         |         AS cos2_bp,
+         |       l2sq_diff_milli2, max_dim_gap
+         |FROM a""".stripMargin,
 
     "corpus_mixture_epochs" ->
       s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,

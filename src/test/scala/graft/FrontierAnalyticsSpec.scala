@@ -489,6 +489,41 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(got.values.map(v => v._3 - v._2).toSet.size > 1)
   }
 
+  test("emb_centroid_drift: recomputes from BigInt folds over the quantized halves") {
+    def quant(x: Float): Long = java.math.BigDecimal.valueOf(x.toDouble * 1000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).map(quant).toArray))
+    val (ha, hb) = rows.partition(_._1 % 2 == 0)
+    def milli(s: Long, n: Long): Long = s.sign * (math.abs(s) * 1000 / n)
+    def centroid(g: Array[(Long, Array[Long])]): Array[Long] =
+      (0 until 64).map(d => milli(g.map(_._2(d)).sum, g.length)).toArray
+    val (ma, mb) = (centroid(ha), centroid(hb))
+    val dot = ma.zip(mb).map { case (a, b) => a * b }.sum
+    val n2a = ma.map(a => a * a).sum; val n2b = mb.map(b => b * b).sum
+    val out = SparkEntry.queries("emb_centroid_drift")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_a") == ha.length && r.getAs[Long]("n_b") == hb.length)
+    assert(r.getAs[Long]("dot_sign") == dot.sign)
+    assert(r.getAs[Long]("cos2_bp") ==
+      (BigInt(10000) * BigInt(dot) * BigInt(dot) /
+        (BigInt(n2a) * BigInt(n2b)).max(BigInt(1))).toLong)
+    assert(r.getAs[Long]("l2sq_diff_milli2") ==
+      ma.zip(mb).map { case (a, b) => (a - b) * (a - b) }.sum)
+    assert(r.getAs[Long]("max_dim_gap") ==
+      ma.zip(mb).map { case (a, b) => math.abs(a - b) }.max)
+    // the fixture's embeddings are zero-centered, so the half
+    // centroids are noise vectors: the statistic must REPORT that
+    // (cos² well below parallel) rather than fake alignment — exactly
+    // the signal that flips when an encoder swap shifts the space
+    assert(r.getAs[Long]("cos2_bp") >= 0L && r.getAs[Long]("cos2_bp") <= 10000L)
+    assert(r.getAs[Long]("l2sq_diff_milli2") > 0L)
+    assert(r.getAs[Long]("max_dim_gap") > 0L)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == rows.length)
+  }
+
   test("text_chi2_terms: scores recompute from the 2x2 contingency tables") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text")).collect()
