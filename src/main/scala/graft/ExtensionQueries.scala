@@ -1157,6 +1157,31 @@ object ExtensionQueries {
       .orderBy("user_id")
   }
 
+  /** TIME-RESPECTING diffusion reach ([[graft.ops.Graph
+    * .temporalReach]], 3 hops) from the same `user_id % 7 = 0` seed
+    * cohort over the TIMESTAMPED co-presence contacts — the
+    * information-diffusion / contamination-spread query plain BFS
+    * answers wrongly: a contact that happened BEFORE a user was
+    * reached cannot spread, so edge times along a path must be
+    * non-decreasing and the first hop departs at-or-after the seed's
+    * own first appearance. Emits each reached user's earliest
+    * possible arrival hour; the fixture discriminates (temporal reach
+    * ⊂ static reach, and some arrivals realize through LONGER paths
+    * that depart earlier — pinned in FrontierAnalyticsSpec). Oracle
+    * mirrors the Bellman-Ford rounds as chained CTEs relaxing the
+    * full arrival table (same ≤ 3-hop fixed point, frontier-free).
+    */
+  private def qEventsTemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.events(s, dir).where(col("user_id") % 7 === 0)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("t0"))
+      .select(col("user_id").as("v"), col("t0"))
+    graft.ops.Graph.temporalReach(temporalEdges(s, dir), seeds, maxHops = 3)
+      .select(col("v").as("user_id"),
+        col("arr").cast("timestamp_ntz").as("arr_hour"))
+      .orderBy("user_id")
+  }
+
   /** Time-weighted average value per event type (TWAP /
     * last-observation-carried-forward): each reading holds until the
     * type's NEXT reading, so the mean weights every value by its
@@ -3426,6 +3451,30 @@ object ExtensionQueries {
       graft.ops.AnnCache.pin(coPresenceEdgesBuild(s, dir))
     }
 
+  /** TIMESTAMPED co-presence edges — the temporal sibling of
+    * [[coPresenceEdges]]: one edge per (pair, hour-cell) occurrence
+    * instead of the ns ≥ 4 aggregate, keeping WHEN each contact
+    * happened (the input [[graft.ops.Graph.temporalReach]] needs).
+    * Same per-cell hash-rank cap bounds every cell at cap² pairs. */
+  private def temporalEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"temporaledges:$dir") {
+      graft.ops.AnnCache.pin {
+        val cells = Tables.events(s, dir)
+          .select(col("user_id"),
+            concat(col("event_type"), lit("|"),
+              date_trunc("hour", col("ts")).cast("string")).as("cell"),
+            date_trunc("hour", col("ts")).as("t"))
+          .distinct()
+        val capped = graft.ops.Sampling
+          .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
+          .select(col("cell"), col("user_id"), col("t"))
+        capped.select(col("cell"), col("user_id").as("a"), col("t"))
+          .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"), col("t")).distinct()
+      }
+    }
+
   private def coPresenceEdgesBuild(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(s, dir)
       .select(col("user_id"), concat(col("event_type"), lit("|"),
@@ -3945,6 +3994,7 @@ object ExtensionQueries {
     "events_attribution_first" -> (qEventsAttributionFirst _),
     "events_concurrency" -> (qEventsConcurrency _),
     "events_equidepth" -> (qEventsEquidepth _),
+    "events_temporal_reach" -> (qEventsTemporalReach _),
     "text_conjunctive" -> (qTextConjunctive _),
     "text_chi2_terms" -> (qTextChi2Terms _),
     "events_bfs_reach" -> (qEventsBfsReach _),
@@ -5912,6 +5962,26 @@ object ExtensionQueries {
          |          WHERE user_id % 7 = 0),
          |${graft.ops.Graph.bfsHopsSql(3)}
          |SELECT v AS user_id, dist FROM bfs ORDER BY user_id""".stripMargin,
+
+    "events_temporal_reach" ->
+      s"""WITH tcells AS MATERIALIZED (SELECT DISTINCT user_id,
+         |    event_type || '|' ||
+         |      CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t
+         |  FROM events),
+         |tcap AS MATERIALIZED (SELECT cell, user_id, t FROM (
+         |    SELECT cell, user_id, t, row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk
+         |    FROM tcells) WHERE rk <= 50),
+         |ted AS MATERIALIZED (SELECT DISTINCT x.user_id AS a, y.user_id AS b, x.t
+         |     FROM tcap x JOIN tcap y
+         |     ON x.cell = y.cell AND x.user_id < y.user_id),
+         |seeds AS MATERIALIZED (SELECT user_id AS v,
+         |    MIN(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS t0
+         |  FROM events WHERE user_id % 7 = 0 GROUP BY 1),
+         |${graft.ops.Graph.temporalReachSql(3)}
+         |SELECT v AS user_id, CAST(arr AS TIMESTAMP) AS arr_hour
+         |FROM r3 ORDER BY user_id""".stripMargin,
 
     "events_twap" ->
       """WITH ev AS (SELECT event_type, ts, event_id,

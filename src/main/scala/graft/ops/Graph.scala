@@ -370,4 +370,79 @@ object Graph {
        |bfs AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM f0
        |$union)""".stripMargin
   }
+
+  /** TIME-RESPECTING earliest-arrival reachability within `maxHops`
+    * hops (Kempe, Kleinberg & Kumar, "Connectivity and inference
+    * problems for temporal networks", STOC 2000): over timestamped
+    * edges `(a, b, t)` a path is valid only if its edge times never
+    * DECREASE and its first edge departs at-or-after the seed's
+    * `t0` — the diffusion semantics plain BFS gets wrong (an edge
+    * that fired before the node was reached cannot spread). Returns
+    * `(v, arr)` = the minimal last-edge time over valid paths of
+    * ≤ maxHops edges; seeds carry their own `t0` as arrival 0 (an
+    * isolated seed surfaces instead of vanishing — the bfsHops rule).
+    *
+    * The fold is Bellman-Ford-with-rounds on the earliest-arrival
+    * recurrence `arr_h(v) = min(arr_{h−1}(v), min{t : (u,v,t),
+    * t ≥ arr_{h−1}(u)})` — exact for ≤ h hops because extending the
+    * path realizing arr(u) by any edge with t ≥ arr(u) is itself
+    * time-respecting, and using the MINIMAL arrival at u only widens
+    * the feasible edge set. Note min-arrival is NOT monotone in hop
+    * count the way hop-distance is: a longer path can arrive EARLIER,
+    * which is why rounds relax arrivals instead of freezing visited
+    * nodes like [[bfsHops]].
+    *
+    * Scale shape: per round one frontier-keyed join into the pinned
+    * symmetric edge table + one arrival merge, with the DELTA
+    * frontier (only nodes whose arrival improved last round expand —
+    * an unimproved node's relaxations were all applied the round it
+    * last improved). Work per round is Σ deg(frontier);
+    * localCheckpoint pins each round's arrival table.
+    */
+  def temporalReach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b"), col("t")).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("t")))
+      .localCheckpoint(true)
+    var arr = seeds.select(col("v"), col("t0").as("arr"))
+      .groupBy(col("v")).agg(min(col("arr")).as("arr"))
+      .localCheckpoint(true)
+    var frontier = arr
+    for (_ <- 1 to maxHops) {
+      val cand = sym
+        .join(frontier.select(col("v").as("a"), col("arr").as("fa")), Seq("a"))
+        .where(col("t") >= col("fa"))
+        .groupBy(col("b")).agg(min(col("t")).as("cand"))
+        .select(col("b").as("v"), col("cand"))
+      val merged = arr.join(cand, Seq("v"), "full_outer")
+        .select(col("v"), col("arr"), col("cand"),
+          least(coalesce(col("arr"), col("cand")),
+            coalesce(col("cand"), col("arr"))).as("best"))
+        .localCheckpoint(true)
+      frontier = merged
+        .where(col("arr").isNull ||
+          (col("cand").isNotNull && col("cand") < col("arr")))
+        .select(col("v"), col("best").as("arr"))
+      arr = merged.select(col("v"), col("best").as("arr"))
+    }
+    arr
+  }
+
+  /** DuckDB mirror of [[temporalReach]] given CTEs `ted(a, b, t)` and
+    * `seeds(v, t0)`; defines `r$maxHops(v, arr)`. Each round relaxes
+    * ALL arrivals (no frontier — same fixed point for ≤ h hops), so
+    * the chained-CTE fold is the recurrence verbatim. */
+  def temporalReachSql(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { h =>
+      s"""r$h AS MATERIALIZED (SELECT v, MIN(arr) AS arr FROM (
+         |  SELECT v, arr FROM r${h - 1}
+         |  UNION ALL
+         |  SELECT s.b AS v, s.t AS arr FROM tsym s
+         |  JOIN r${h - 1} p ON s.a = p.v AND s.t >= p.arr) u
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""tsym AS MATERIALIZED (SELECT a, b, t FROM ted
+       |  UNION ALL SELECT b, a, t FROM ted),
+       |r0 AS MATERIALIZED (SELECT v, MIN(t0) AS arr FROM seeds GROUP BY 1),
+       |$rounds""".stripMargin
+  }
 }

@@ -368,6 +368,60 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_bounds") == 2L * ivs.size)
   }
 
+  test("interval sweep: randomized multi-day bounds match per-day brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2468)
+    val day0 = java.time.LocalDate.parse("2024-06-01")
+    val dayUs = 86400L * 1000000L
+    // segments pre-split per day (the operator's input contract),
+    // coarse grid for ties, several days with very uneven load
+    val segs = (1 to 400).map { _ =>
+      val d = rnd.nextInt(5) // day skew: ~half land on day 0
+      val dd = if (d >= 3) 0 else d
+      val a = rnd.nextInt(280).toLong * 300000000L
+      val b = math.min(a + (rnd.nextInt(30) + 1).toLong * 300000000L, dayUs)
+      (day0.plusDays(dd).toString, a, b)
+    }
+    val bounds = segs.flatMap { case (day, a, b) =>
+      val base = java.time.LocalDate.parse(day).toEpochDay * dayUs
+      Seq((day, base + a, 1L), (day, base + b, -1L))
+    }.toDF("d", "us", "delta")
+      .select(col("d").cast("date").as("day"),
+        timestamp_micros(col("us")).as("t"), col("delta"))
+    val got = graft.ops.Intervals.maxConcurrentPerDay(bounds).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_bounds"))).toMap
+    val expect = segs.groupBy(_._1).map { case (day, ss) =>
+      val bs = ss.flatMap(s => Seq((s._2, 1L), (s._3, -1L))).sortBy(b => (b._1, -b._2))
+      var run = 0L; var mx = 0L
+      bs.foreach { b => run += b._2; mx = math.max(mx, run) }
+      day -> (mx, 2L * ss.size)
+    }
+    assert(got == expect)
+  }
+
+  test("equidepth ntile arithmetic: randomized tie-heavy vectors split like SQL ntile") {
+    // the integer reproduction of ntile's uneven-split rule must hold
+    // for any n (incl. n % 16 != 0) and under heavy value ties, where
+    // only the (v, id) total order keeps bucket boundaries exact
+    val rnd = new scala.util.Random(1357)
+    for (n <- Seq(16, 17, 100, 1003)) {
+      val vs = (0 until n).map(i => (rnd.nextInt(5).toLong, i.toLong)).sorted
+      val k = 16; val q = n / k; val r = n % k
+      // driver ntile from rank
+      def bucket(rank: Int): Int =
+        if (rank <= r * (q + 1)) (rank - 1) / (q + 1) + 1
+        else r + (rank - 1 - r * (q + 1)) / math.max(q, 1) + 1
+      val depths = (1 to n).groupBy(bucket).view.mapValues(_.size).toMap
+      assert(depths.values.max - depths.values.min <= 1, s"n=$n depth")
+      assert(depths.keys.max == math.min(k, n), s"n=$n buckets")
+      // and the first r buckets hold exactly one extra row
+      if (q > 0)
+        assert((1 to k).count(b => depths(b) == q + 1) == (if (r == 0) 0 else r),
+          s"n=$n uneven split")
+    }
+  }
+
   test("bfsHops: planted graph levels, isolated seed, randomized vs Scala BFS") {
     import spark.implicits._
     // planted: a path, a reverse edge into a seed, a side pair, and an
@@ -399,6 +453,52 @@ class FrontierAnalyticsSpec extends SparkSpec {
     val rgot = graft.ops.Graph.bfsHops(res.toDF("a", "b"), rss.toDF("v"), 3)
       .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("dist"))).toMap
     assert(rgot == scalaBfs(res, rss, 3))
+  }
+
+  test("temporalReach: planted time-respecting semantics + randomized vs Scala fold") {
+    import spark.implicits._
+    // planted: chain (5,10) reaches; a decreasing edge (7 after 10)
+    // does not; same-time spread counts; a seed's own t0 gates its
+    // first hop; and a LONGER path departing earlier beats the direct
+    // edge — the case hop-frozen BFS cannot express
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 10L), (3L, 4L, 7L), (2L, 6L, 5L),
+      (10L, 11L, 50L), (10L, 12L, 150L),
+      (1L, 21L, 1L), (21L, 22L, 2L), (22L, 20L, 3L), (1L, 20L, 9L))
+    val seeds = Seq((1L, 0L), (10L, 100L))
+    val got = graft.ops.Graph.temporalReach(
+        edges.toDF("a", "b", "t"), seeds.toDF("v", "t0"), maxHops = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("arr")).toMap
+    assert(got == Map(1L -> 0L, 10L -> 100L, 2L -> 5L, 3L -> 10L,
+      6L -> 5L, 12L -> 150L, 21L -> 1L, 22L -> 2L, 20L -> 3L),
+      s"got $got")
+    assert(!got.contains(4L), "edge firing before arrival must not spread")
+    assert(!got.contains(11L), "first hop must depart at-or-after the seed t0")
+    assert(got(20L) == 3L, "the 3-hop early-departing path must beat the 1-hop")
+
+    def ref(es: Seq[(Long, Long, Long)], ss: Seq[(Long, Long)],
+        hops: Int): Map[Long, Long] = {
+      val sym = es ++ es.map(e => (e._2, e._1, e._3))
+      var arr = ss.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      for (_ <- 1 to hops) {
+        val cand = sym.flatMap { case (a, b, t) =>
+          arr.get(a).filter(t >= _).map(_ => (b, t))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        arr = (arr.keySet ++ cand.keySet).map { v =>
+          v -> math.min(arr.getOrElse(v, Long.MaxValue),
+            cand.getOrElse(v, Long.MaxValue))
+        }.toMap
+      }
+      arr
+    }
+    val rnd = new scala.util.Random(8642)
+    val res = (1 to 100).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong, rnd.nextInt(20).toLong)).filter(e => e._1 != e._2)
+    val rss = Seq((3L, 0L), (17L, 5L), (99L, 2L))
+    val rgot = graft.ops.Graph.temporalReach(
+        res.toDF("a", "b", "t"), rss.toDF("v", "t0"), maxHops = 3)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("arr"))).toMap
+    assert(rgot == ref(res, rss, 3))
   }
 
   test("text_conjunctive: per-doc recount of the posting intersection") {

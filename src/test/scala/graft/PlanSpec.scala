@@ -691,4 +691,35 @@ class PlanSpec extends SparkSpec {
         "no level may degenerate to an unkeyed join")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("temporalReach: every relaxation round joins on the node key, never cartesian") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = (1 to 60).map(i =>
+        (i.toLong, (i * 7 % 61).toLong, (i % 9).toLong)).toDF("a", "b", "t")
+      graft.ops.Graph.temporalReach(edges, Seq((1L, 0L), (2L, 3L)).toDF("v", "t0"), 3)
+        .count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (System.nanoTime() < deadline &&
+        !plans.asScala.exists(p => p.contains("Join") && p.contains("FullOuter")))
+        Thread.sleep(50)
+      val captured = plans.asScala.toSeq
+      assert(captured.exists(_.contains("FullOuter")),
+        "the arrival merge must be a keyed full-outer join")
+      assert(!captured.exists(_.contains("CartesianProduct")) &&
+        !captured.exists(_.contains("BroadcastNestedLoopJoin")),
+        "the time predicate must ride a keyed join, not an unkeyed one")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
