@@ -1182,6 +1182,38 @@ object ExtensionQueries {
       .orderBy("user_id")
   }
 
+  /** CHEAPEST-REACH cost ([[graft.ops.Graph.cheapestPaths]], 3 hops)
+    * from the `user_id % 7 = 0` cohort over STRENGTH-WEIGHTED
+    * co-presence ties — the weighted member of the reach family
+    * (hops → bfs_reach, time → temporal_reach, cost → this): tie
+    * cost is `ceil(100 / ns)` for ns shared cells, so frequent
+    * contacts are cheap to traverse and the minimal summed cost is
+    * the diffusion-resistance distance. Integer weights end-to-end;
+    * the ns ≥ 2 floor keeps one-off collisions out of the graph.
+    * Oracle mirrors the Bellman-Ford rounds as chained CTEs (full
+    * relaxation — same ≤ 3-hop fixed point).
+    */
+  private def qEventsCheapestReach(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"), concat(col("event_type"), lit("|"),
+        date_trunc("hour", col("ts")).cast("string")).as("cell"))
+      .distinct()
+    val capped = graft.ops.Sampling
+      .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
+      .select(col("cell"), col("user_id"))
+    val wed = capped.select(col("cell"), col("user_id").as("a"))
+      .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ns"))
+      .where(col("ns") >= 2)
+      .select(col("a"), col("b"), expr("(100 + ns - 1) div ns").as("w"))
+    val seeds = Tables.events(s, dir)
+      .select(col("user_id").as("v")).where(col("v") % 7 === 0).distinct()
+    graft.ops.Graph.cheapestPaths(wed, seeds, maxHops = 3)
+      .select(col("v").as("user_id"), col("dist").as("cost"))
+      .orderBy("user_id")
+  }
+
   /** Time-weighted average value per event type (TWAP /
     * last-observation-carried-forward): each reading holds until the
     * type's NEXT reading, so the mean weights every value by its
@@ -3995,6 +4027,7 @@ object ExtensionQueries {
     "events_concurrency" -> (qEventsConcurrency _),
     "events_equidepth" -> (qEventsEquidepth _),
     "events_temporal_reach" -> (qEventsTemporalReach _),
+    "events_cheapest_reach" -> (qEventsCheapestReach _),
     "text_conjunctive" -> (qTextConjunctive _),
     "text_chi2_terms" -> (qTextChi2Terms _),
     "events_bfs_reach" -> (qEventsBfsReach _),
@@ -5982,6 +6015,25 @@ object ExtensionQueries {
          |${graft.ops.Graph.temporalReachSql(3)}
          |SELECT v AS user_id, CAST(arr AS TIMESTAMP) AS arr_hour
          |FROM r3 ORDER BY user_id""".stripMargin,
+
+    "events_cheapest_reach" ->
+      s"""WITH cells AS MATERIALIZED (SELECT DISTINCT user_id,
+         |    event_type || '|' ||
+         |      CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell
+         |  FROM events),
+         |cap AS MATERIALIZED (SELECT cell, user_id FROM (
+         |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk
+         |    FROM cells) WHERE rk <= 50),
+         |wed AS MATERIALIZED (SELECT a, b, (100 + ns - 1) // ns AS w FROM (
+         |    SELECT x.user_id AS a, y.user_id AS b,
+         |           CAST(COUNT(*) AS BIGINT) AS ns
+         |    FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
+         |    GROUP BY 1, 2 HAVING COUNT(*) >= 2) g),
+         |seeds AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events
+         |  WHERE user_id % 7 = 0),
+         |${graft.ops.Graph.cheapestPathsSql(3)}
+         |SELECT v AS user_id, dist AS cost FROM d3 ORDER BY user_id""".stripMargin,
 
     "events_twap" ->
       """WITH ev AS (SELECT event_type, ts, event_id,

@@ -427,6 +427,68 @@ object Graph {
     arr
   }
 
+  /** CHEAPEST-PATH cost within `maxHops` hops (bounded-hop
+    * Bellman-Ford; Cormen et al. §24.1) — the weighted completion of
+    * the family: [[bfsHops]] minimizes HOPS, [[temporalReach]]
+    * minimizes ARRIVAL TIME, this minimizes summed edge COST over
+    * integer weights `(a, b, w)`. Returns `(v, dist)` = minimal total
+    * weight over ≤ maxHops-edge paths from any seed (seeds at 0; an
+    * isolated seed surfaces — the family rule). Bounding hops keeps
+    * the plan depth fixed and is also what makes negative-cycle
+    * questions moot; weights here are positive costs anyway.
+    *
+    * Scale shape: identical to [[temporalReach]] — per round ONE
+    * delta-frontier-keyed join into the pinned symmetric edge table
+    * (only nodes whose distance improved expand; an unimproved node's
+    * relaxations were applied the round it last improved) + a keyed
+    * full-outer merge; per-round work is Σ deg(frontier), state is
+    * one (node, dist) row per node, never per path.
+    */
+  def cheapestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b"), col("w")).localCheckpoint(true)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to maxHops) {
+      val cand = sym
+        .join(frontier.select(col("v").as("a"), col("dist").as("fd")), Seq("a"))
+        .groupBy(col("b")).agg(min(col("fd") + col("w")).as("cand"))
+        .select(col("b").as("v"), col("cand"))
+      val merged = dist.join(cand, Seq("v"), "full_outer")
+        .select(col("v"), col("dist"), col("cand"),
+          least(coalesce(col("dist"), col("cand")),
+            coalesce(col("cand"), col("dist"))).as("best"))
+        .localCheckpoint(true)
+      frontier = merged
+        .where(col("dist").isNull ||
+          (col("cand").isNotNull && col("cand") < col("dist")))
+        .select(col("v"), col("best").as("dist"))
+      dist = merged.select(col("v"), col("best").as("dist"))
+    }
+    dist
+  }
+
+  /** DuckDB mirror of [[cheapestPaths]] given CTEs `wed(a, b, w)` and
+    * `seeds(v)`; defines `d$maxHops(v, dist)`. Frontier-free full
+    * relaxation per round — same ≤ h-hop fixed point. */
+  def cheapestPathsSql(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { h =>
+      s"""d$h AS MATERIALIZED (SELECT v, MIN(dist) AS dist FROM (
+         |  SELECT v, dist FROM d${h - 1}
+         |  UNION ALL
+         |  SELECT s.b AS v, p.dist + s.w AS dist FROM wsym s
+         |  JOIN d${h - 1} p ON s.a = p.v) u
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""wsym AS MATERIALIZED (SELECT a, b, w FROM wed
+       |  UNION ALL SELECT b, a, w FROM wed),
+       |d0 AS MATERIALIZED (SELECT DISTINCT v, CAST(0 AS BIGINT) AS dist
+       |  FROM seeds),
+       |$rounds""".stripMargin
+  }
+
   /** DuckDB mirror of [[temporalReach]] given CTEs `ted(a, b, t)` and
     * `seeds(v, t0)`; defines `r$maxHops(v, arr)`. Each round relaxes
     * ALL arrivals (no frontier — same fixed point for ≤ h hops), so

@@ -501,6 +501,48 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(rgot == ref(res, rss, 3))
   }
 
+  test("cheapestPaths: planted weighted graph + randomized vs Scala Bellman-Ford") {
+    import spark.implicits._
+    // planted: the 3-hop cheap route (1+1+1=3) must beat the direct
+    // expensive edge (10); a node past the hop bound stays unreached;
+    // an isolated seed surfaces at 0
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L),
+      (4L, 5L, 1L), (6L, 7L, 2L))
+    val got = graft.ops.Graph.cheapestPaths(
+        edges.toDF("a", "b", "w"), Seq(1L, 99L).toDF("v"), maxHops = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("dist")).toMap
+    assert(got == Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 11L), s"got $got")
+    assert(got(4L) == 3L, "3-hop cheap route must beat the direct w=10 edge")
+    // 5's CHEAP route (1-2-3-4-5 = 4) needs 4 hops — over the bound —
+    // so its best <=3-hop cost rides the expensive direct edge: the
+    // hop bound visibly binds without dropping the node
+    assert(got(5L) == 11L)
+
+    def ref(es: Seq[(Long, Long, Long)], ss: Seq[Long], hops: Int): Map[Long, Long] = {
+      val sym = es ++ es.map(e => (e._2, e._1, e._3))
+      var dist = ss.distinct.map(_ -> 0L).toMap
+      for (_ <- 1 to hops) {
+        val cand = sym.flatMap { case (a, b, w) => dist.get(a).map(d => (b, d + w)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        dist = (dist.keySet ++ cand.keySet).map { v =>
+          v -> math.min(dist.getOrElse(v, Long.MaxValue),
+            cand.getOrElse(v, Long.MaxValue))
+        }.toMap
+      }
+      dist
+    }
+    val rnd = new scala.util.Random(9753)
+    val res = (1 to 120).map(_ => (rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong, (rnd.nextInt(9) + 1).toLong)).filter(e => e._1 != e._2)
+    val rss = Seq(2L, 13L, 77L)
+    val rgot = graft.ops.Graph.cheapestPaths(
+        res.toDF("a", "b", "w"), rss.toDF("v"), maxHops = 3)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("dist"))).toMap
+    assert(rgot == ref(res, rss, 3))
+  }
+
   test("text_conjunctive: per-doc recount of the posting intersection") {
     val terms = Seq("dup", "spark", "merge")
     val expect = Tables.documents(spark, dir)
