@@ -661,6 +661,27 @@ class PlanSpec extends SparkSpec {
       "both elections must partial-aggregate map-side")
   }
 
+  test("text_chi2_terms: scan-stage term dedup, pruned read, heap top-20") {
+    val p = planOf("text_chi2_terms")
+    // main scan prunes to text+lang (doc_id drops); the broadcast
+    // class-totals branch reads its own lang-only single-column scan
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"),
+      "term scan must read only text + lang (doc_id prunes away)")
+    assert(p.contains("ReadSchema: struct<lang:string>"),
+      "the 1-row totals branch must scan lang alone")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 must be a heap TakeOrdered, not a full sort")
+    assert(p.contains("array_distinct"),
+      "per-doc term dedup must happen in the scan stage expression")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("emb_centroid_drift: aggregate-only plan, one scan, no window") {
+    val p = planOf("emb_centroid_drift")
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, "one scan")
+  }
+
   test("bfsHops: every frontier expansion is semi/anti keyed, never cartesian") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
