@@ -1194,13 +1194,7 @@ object ExtensionQueries {
     * relaxation — same ≤ 3-hop fixed point).
     */
   private def qEventsCheapestReach(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(s, dir)
-      .select(col("user_id"), concat(col("event_type"), lit("|"),
-        date_trunc("hour", col("ts")).cast("string")).as("cell"))
-      .distinct()
-    val capped = graft.ops.Sampling
-      .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
-      .select(col("cell"), col("user_id"))
+    val capped = cappedCells(s, dir).select(col("cell"), col("user_id"))
     val wed = capped.select(col("cell"), col("user_id").as("a"))
       .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
       .where(col("a") < col("b"))
@@ -3483,6 +3477,28 @@ object ExtensionQueries {
       graft.ops.AnnCache.pin(coPresenceEdgesBuild(s, dir))
     }
 
+  /** Capped co-presence cells — the SHARED artifact every graph-edge
+    * build reads (static ns ≥ 4 edges, timestamped temporal edges,
+    * strength-weighted edges): one events scan + one per-cell
+    * hash-rank cap, memoized per session so the three reach queries
+    * don't re-scan and re-cap the same frame. `t` rides along for the
+    * temporal build; the static builds ignore it (the distinct set is
+    * unchanged — t is functionally dependent on the cell). */
+  private def cappedCells(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"cappedcells:$dir") {
+      graft.ops.AnnCache.pin {
+        val cells = Tables.events(s, dir)
+          .select(col("user_id"),
+            concat(col("event_type"), lit("|"),
+              date_trunc("hour", col("ts")).cast("string")).as("cell"),
+            date_trunc("hour", col("ts")).as("t"))
+          .distinct()
+        graft.ops.Sampling
+          .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
+          .select(col("cell"), col("user_id"), col("t"))
+      }
+    }
+
   /** TIMESTAMPED co-presence edges — the temporal sibling of
     * [[coPresenceEdges]]: one edge per (pair, hour-cell) occurrence
     * instead of the ns ≥ 4 aggregate, keeping WHEN each contact
@@ -3491,15 +3507,7 @@ object ExtensionQueries {
   private def temporalEdges(s: SparkSession, dir: String): DataFrame =
     graft.ops.AnnCache.memo(s, s"temporaledges:$dir") {
       graft.ops.AnnCache.pin {
-        val cells = Tables.events(s, dir)
-          .select(col("user_id"),
-            concat(col("event_type"), lit("|"),
-              date_trunc("hour", col("ts")).cast("string")).as("cell"),
-            date_trunc("hour", col("ts")).as("t"))
-          .distinct()
-        val capped = graft.ops.Sampling
-          .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
-          .select(col("cell"), col("user_id"), col("t"))
+        val capped = cappedCells(s, dir)
         capped.select(col("cell"), col("user_id").as("a"), col("t"))
           .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
           .where(col("a") < col("b"))
@@ -3508,13 +3516,7 @@ object ExtensionQueries {
     }
 
   private def coPresenceEdgesBuild(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(s, dir)
-      .select(col("user_id"), concat(col("event_type"), lit("|"),
-        date_trunc("hour", col("ts")).cast("string")).as("cell"))
-      .distinct()
-    val capped = graft.ops.Sampling
-      .capPerGroup(cells, col("cell"), col("user_id"), cap = 50)
-      .select(col("cell"), col("user_id"))
+    val capped = cappedCells(s, dir).select(col("cell"), col("user_id"))
     capped.select(col("cell"), col("user_id").as("a"))
       .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
       .where(col("a") < col("b"))
