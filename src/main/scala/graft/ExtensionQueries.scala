@@ -1527,6 +1527,45 @@ object ExtensionQueries {
       .orderBy("k")
   }
 
+  /** DEGREE ASSORTATIVITY of the co-presence graph (Newman,
+    * "Assortative mixing in networks", PRL 2002): the Pearson
+    * correlation of endpoint degrees over all directed edge instances
+    * — positive = hubs befriend hubs (social mixing), negative =
+    * hub-and-spoke. Emitted in the `events_autocorr` convention:
+    * exact integer moment combinations (num, den_x, den_y) plus the
+    * signed `r2_bp` effect size, so the oracle hash-pins every piece
+    * and no square root ever runs. By symmetrization den_x = den_y —
+    * published anyway as the audit invariant. Integer-exactness
+    * envelope: num² needs DECIMAL(38,0), good to ~10⁷ edge instances
+    * of ~10³ degrees; past that the exact num/den pieces still emit
+    * and the bp ratio goes float downstream.
+    *
+    * Scale shape: one degree aggregate over the pinned edge table,
+    * two keyed joins carrying only (endpoint, degree), one 1-row
+    * moment fold. No window, no collect.
+    */
+  private def qEventsAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = coPresenceEdges(s, dir)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("r_bp_signed", expr(
+        """CAST(sign(num) * ((10000 * CAST(num AS DECIMAL(38,0)) * num)
+          | div greatest(CAST(den_x AS DECIMAL(38,0)) * den_y, 1)) AS BIGINT)"""
+          .stripMargin))
+  }
+
   /** LAST-TOUCH ATTRIBUTION — each purchase credits the user's most
     * recent preceding touch event (click / view / signup; purchases
     * and errors are not touches), the standard product-analytics
@@ -4030,6 +4069,7 @@ object ExtensionQueries {
     "events_equidepth" -> (qEventsEquidepth _),
     "events_temporal_reach" -> (qEventsTemporalReach _),
     "events_cheapest_reach" -> (qEventsCheapestReach _),
+    "events_assortativity" -> (qEventsAssortativity _),
     "text_conjunctive" -> (qTextConjunctive _),
     "text_chi2_terms" -> (qTextChi2Terms _),
     "events_bfs_reach" -> (qEventsBfsReach _),
@@ -6036,6 +6076,29 @@ object ExtensionQueries {
          |  WHERE user_id % 7 = 0),
          |${graft.ops.Graph.cheapestPathsSql(3)}
          |SELECT v AS user_id, dist AS cost FROM d3 ORDER BY user_id""".stripMargin,
+
+    "events_assortativity" ->
+      s"""WITH $coPresenceSql,
+         |sym AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+         |deg AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1),
+         |xy AS (SELECT da.d AS dx, db.d AS dy FROM sym s
+         |       JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
+         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |              CAST(SUM(dx) AS BIGINT) AS sx,
+         |              CAST(SUM(dy) AS BIGINT) AS sy,
+         |              CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |              CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         |              CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM xy)
+         |SELECT m, m * sxy - sx * sy AS num,
+         |       m * sxx - sx * sx AS den_x, m * syy - sy * sy AS den_y,
+         |       CAST(sign(m * sxy - sx * sy)
+         |            * ((10000 * CAST(m * sxy - sx * sy AS HUGEINT)
+         |                * (m * sxy - sx * sy))
+         |               // greatest(CAST(m * sxx - sx * sx AS HUGEINT)
+         |                          * (m * syy - sy * sy), 1)) AS BIGINT)
+         |         AS r_bp_signed
+         |FROM mo""".stripMargin,
 
     "events_twap" ->
       """WITH ev AS (SELECT event_type, ts, event_id,

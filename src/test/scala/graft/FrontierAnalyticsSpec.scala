@@ -543,6 +543,45 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(rgot == ref(res, rss, 3))
   }
 
+  test("events_assortativity: moments recompute from a full driver-side graph rebuild") {
+    import graft.ops.Sampling.{P, A, B, Buckets}
+    def bucket(id: Long): Long = ((id % P + P) % P * A + B) % P % Buckets
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("h")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("h").getTime))
+    val cells = ev.map(e => ((e._2, e._3), e._1)).distinct
+    val capped = cells.groupBy(_._1).values.flatMap { members =>
+      members.map(_._2).sortBy(u => (bucket(u), u)).take(50)
+        .map(u => (members.head._1, u))
+    }.toSeq
+    val edges = capped.groupBy(_._1).values.flatMap { us =>
+      val ids = us.map(_._2).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    }.groupBy(identity).filter(_._2.size >= 4).keys.toSeq
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = sym.map(e => deg(e._1)); val ys = sym.map(e => deg(e._2))
+    val m = sym.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val num = m * sxy - sx * sy
+    val denX = m * sxx - sx * sx; val denY = m * syy - sy * sy
+    val out = SparkEntry.queries("events_assortativity")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("m") == m && r.getAs[Long]("num") == num)
+    assert(r.getAs[Long]("den_x") == denX && r.getAs[Long]("den_y") == denY)
+    assert(denX == denY, "symmetrization must equalize the denominators")
+    assert(r.getAs[Long]("r_bp_signed") ==
+      (BigInt(10000) * num * num / (BigInt(denX) * denY).max(BigInt(1))).toLong
+        * num.sign)
+    assert(math.abs(r.getAs[Long]("r_bp_signed")) <= 10000L,
+      "a correlation effect size cannot exceed 10000 bp")
+  }
+
   test("text_conjunctive: per-doc recount of the posting intersection") {
     val terms = Seq("dup", "spark", "merge")
     val expect = Tables.documents(spark, dir)
