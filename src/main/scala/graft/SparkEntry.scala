@@ -200,6 +200,51 @@ object SparkEntry {
       .orderBy("emp_id")
   }
 
+  /** REFERENTIAL-INTEGRITY audit across the warehouse's foreign keys —
+    * the verification-scan (S6) family's cross-TABLE member: per FK
+    * edge, how many child rows point at a missing parent. The four
+    * TPC-H edges hold by construction (the audit proves it as data);
+    * the CDC-employee → customer edge genuinely breaks, so the
+    * fixture discriminates a non-zero orphan count.
+    *
+    * Scale shape: each check is one child scan pruned to the FK
+    * column + one distinct-key anti-join (parent key sets are
+    * dimension-bounded for the dims and AQE-planned for the facts);
+    * the six 1-row aggregates union. No row data ever crosses — only
+    * keys. The four TPC-H edges hold; the CDC employee dimension's
+    * derived keys (user_id − 2, [[Fixtures.employeeCdcLog]]) include
+    * ids below every customer key, so that edge reports real orphans
+    * at every SF — the audit discriminates instead of hash-pinning
+    * zeros.
+    */
+  private def qRiAudit(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val orphans = child.join(parent, Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+    }
+    val o = Tables.orders(s, dir); val l = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir); val ev = Tables.events(s, dir)
+    Seq(
+      check("lineitem->orders", l.select(col("l_orderkey").as("k")),
+        o.select(col("o_orderkey").as("k"))),
+      check("lineitem->part", l.select(col("l_partkey").as("k")),
+        Tables.part(s, dir).select(col("p_partkey").as("k"))),
+      check("orders->customer", o.select(col("o_custkey").as("k")),
+        c.select(col("c_custkey").as("k"))),
+      check("customer->nation", c.select(col("c_nationkey").as("k")),
+        n.select(col("n_nationkey").as("k"))),
+      check("supplier->nation", su.select(col("s_nationkey").as("k")),
+        n.select(col("n_nationkey").as("k"))),
+      check("cdc_employees->customer",
+        ev.select((col("user_id") - 2).as("k")),
+        c.select(col("c_custkey").as("k"))))
+      .reduce(_.unionByName(_))
+      .orderBy("fk")
+  }
+
   /** Project-1 pipeline (F3/F4/P7/A4) on the `orders` fixture. */
   private def qP1SalaryPipeline(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -1376,6 +1421,7 @@ object SparkEntry {
     "cdc_time_travel" -> (qCdcTimeTravel _),
     "cdc_snapshot_diff" -> (qCdcSnapshotDiff _),
     "cdc_golden_record" -> (qCdcGoldenRecord _),
+    "ri_audit" -> (qRiAudit _),
     "p1_salary_pipeline" -> (qP1SalaryPipeline _),
     "q1_agg" -> (qQ1Agg _),
     "q3_topk_join" -> (qQ3TopkJoin _),
@@ -1542,6 +1588,46 @@ object SparkEntry {
         |       b.salary_max, rec.salary_latest
         |FROM base b JOIN m USING (emp_id) JOIN rec USING (emp_id)
         |ORDER BY b.emp_id""".stripMargin),
+
+    "ri_audit" ->
+      """SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+        |       CAST(n_orphans AS BIGINT) AS n_orphans FROM (
+        |  SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem->part', COUNT(*),
+        |    (SELECT COUNT(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                       WHERE p.p_partkey = l.l_partkey))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders->customer', COUNT(*),
+        |    (SELECT COUNT(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer->nation', COUNT(*),
+        |    (SELECT COUNT(*) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                       WHERE n.n_nationkey = c.c_nationkey))
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier->nation', COUNT(*),
+        |    (SELECT COUNT(*) FROM supplier s
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                       WHERE n.n_nationkey = s.s_nationkey))
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'cdc_employees->customer', COUNT(*),
+        |    (SELECT COUNT(*) FROM events e
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = e.user_id - 2))
+        |  FROM events) t
+        |ORDER BY fk""".stripMargin,
 
     "cdc_dlq_split" -> (L +
       """SELECT emp_id, event_id, action, emp_dob, emp_salary,

@@ -582,6 +582,39 @@ class FrontierAnalyticsSpec extends SparkSpec {
       "a correlation effect size cannot exceed 10000 bp")
   }
 
+  test("ri_audit: orphan counts recompute from collected key sets") {
+    def col1(df: org.apache.spark.sql.DataFrame, c: String): Array[Long] =
+      df.select(col(c).cast("long")).collect().map(_.getLong(0))
+    def setOf(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      col1(df, c).toSet
+    val expect = Map(
+      "lineitem->orders" -> (col1(Tables.lineitem(spark, dir), "l_orderkey"),
+        setOf(Tables.orders(spark, dir), "o_orderkey")),
+      "lineitem->part" -> (col1(Tables.lineitem(spark, dir), "l_partkey"),
+        setOf(Tables.part(spark, dir), "p_partkey")),
+      "orders->customer" -> (col1(Tables.orders(spark, dir), "o_custkey"),
+        setOf(Tables.customer(spark, dir), "c_custkey")),
+      "customer->nation" -> (col1(Tables.customer(spark, dir), "c_nationkey"),
+        setOf(Tables.nation(spark, dir), "n_nationkey")),
+      "supplier->nation" -> (col1(Tables.supplier(spark, dir), "s_nationkey"),
+        setOf(Tables.nation(spark, dir), "n_nationkey")),
+      "cdc_employees->customer" ->
+        (col1(Tables.events(spark, dir), "user_id").map(_ - 2L),
+          setOf(Tables.customer(spark, dir), "c_custkey"))
+    ).map { case (fk, (child, parents)) =>
+      fk -> (child.length.toLong, child.count(k => !parents(k)).toLong)
+    }
+    val got = SparkEntry.queries("ri_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("fk") ->
+        (r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"))).toMap
+    assert(got == expect)
+    // TPC-H edges hold by construction; the derived CDC employee edge
+    // genuinely breaks — the audit must DISCRIMINATE, not pin zeros
+    assert(got.filterKeys(_ != "cdc_employees->customer").values
+      .forall(_._2 == 0L))
+    assert(got("cdc_employees->customer")._2 > 0L)
+  }
+
   test("text_conjunctive: per-doc recount of the posting intersection") {
     val terms = Seq("dup", "spark", "merge")
     val expect = Tables.documents(spark, dir)
