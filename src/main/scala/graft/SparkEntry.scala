@@ -245,6 +245,49 @@ object SparkEntry {
       .orderBy("fk")
   }
 
+  /** KEY-UNIQUENESS audit — the companion data-quality check to
+    * [[qRiAudit]]: per declared key, how many rows collide on it
+    * (`n_dup_rows = n_rows − n_keys`). The single-column physical
+    * keys hold (proven as data); the synthetic lineitem does NOT keep
+    * TPC-H's composite (orderkey, linenumber) key — a real fixture
+    * fact the audit surfaces rather than assumes away. Two CONTENT
+    * keys complete the picture: the exact-dup fingerprint (collides
+    * once exact duplicates enter the corpus — at sf0.1, not the
+    * smaller fixtures) and the 8-token prefix key (collides at EVERY
+    * SF — near-dups share prefixes, which is exactly why blocking
+    * keys aren't primary keys). One scan + one exact two-phase COUNT
+    * DISTINCT per check (single-distinct aggregates never Expand);
+    * key-only columns cross the wire.
+    */
+  private def qPkAudit(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, keyed: DataFrame): DataFrame =
+      keyed.agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("k")).as("n_keys"))
+        .select(lit(name).as("key"), col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+    Seq(
+      check("orders.o_orderkey",
+        Tables.orders(s, dir).select(col("o_orderkey").as("k"))),
+      check("lineitem.(orderkey,linenumber)",
+        Tables.lineitem(s, dir).select(
+          struct(col("l_orderkey"), col("l_linenumber")).as("k"))),
+      check("customer.c_custkey",
+        Tables.customer(s, dir).select(col("c_custkey").as("k"))),
+      check("events.event_id",
+        Tables.events(s, dir).select(col("event_id").as("k"))),
+      check("documents.doc_id",
+        Tables.documents(s, dir).select(col("doc_id").as("k"))),
+      check("documents.fingerprint",
+        Tables.documents(s, dir).select(
+          graft.ops.Text.fingerprint(col("text")).as("k"))),
+      check("documents.prefix8_key",
+        Tables.documents(s, dir).select(
+          concat_ws(" ", slice(graft.ops.Text.tokens(col("text")), 1, 8))
+            .as("k"))))
+      .reduce(_.unionByName(_))
+      .orderBy("key")
+  }
+
   /** Project-1 pipeline (F3/F4/P7/A4) on the `orders` fixture. */
   private def qP1SalaryPipeline(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -1422,6 +1465,7 @@ object SparkEntry {
     "cdc_snapshot_diff" -> (qCdcSnapshotDiff _),
     "cdc_golden_record" -> (qCdcGoldenRecord _),
     "ri_audit" -> (qRiAudit _),
+    "pk_audit" -> (qPkAudit _),
     "p1_salary_pipeline" -> (qP1SalaryPipeline _),
     "q1_agg" -> (qQ1Agg _),
     "q3_topk_join" -> (qQ3TopkJoin _),
@@ -1628,6 +1672,35 @@ object SparkEntry {
         |                       WHERE c.c_custkey = e.user_id - 2))
         |  FROM events) t
         |ORDER BY fk""".stripMargin,
+
+    "pk_audit" ->
+      """SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_keys AS BIGINT) AS n_keys,
+        |       CAST(n_rows - n_keys AS BIGINT) AS n_dup_rows FROM (
+        |  SELECT 'orders.o_orderkey' AS key, COUNT(*) AS n_rows,
+        |         COUNT(DISTINCT o_orderkey) AS n_keys FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.(orderkey,linenumber)', COUNT(*),
+        |         COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey', COUNT(*),
+        |         COUNT(DISTINCT c_custkey) FROM customer
+        |  UNION ALL
+        |  SELECT 'events.event_id', COUNT(*),
+        |         COUNT(DISTINCT event_id) FROM events
+        |  UNION ALL
+        |  SELECT 'documents.doc_id', COUNT(*),
+        |         COUNT(DISTINCT doc_id) FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.fingerprint', COUNT(*),
+        |         COUNT(DISTINCT md5(regexp_replace(lower(trim(text)),
+        |                            '\s+', ' ', 'g'))) FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.prefix8_key', COUNT(*),
+        |         COUNT(DISTINCT array_to_string(
+        |           regexp_split_to_array(lower(trim(text)), '\s+')[1:8],
+        |           ' ')) FROM documents) t
+        |ORDER BY key""".stripMargin,
 
     "cdc_dlq_split" -> (L +
       """SELECT emp_id, event_id, action, emp_dob, emp_salary,

@@ -615,6 +615,47 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(got("cdc_employees->customer")._2 > 0L)
   }
 
+  test("pk_audit: duplicate counts recompute; only the content key collides") {
+    val got = SparkEntry.queries("pk_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("n_dup_rows"))).toMap
+    // driver recompute of the discriminating content key
+    val fps = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(r => r.getString(0).trim.toLowerCase.replaceAll("\\s+", " "))
+      .map(n => java.security.MessageDigest.getInstance("MD5")
+        .digest(n.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got("documents.fingerprint") ==
+      ((fps.length.toLong, fps.distinct.length.toLong,
+        (fps.length - fps.distinct.length).toLong)))
+    // prefix blocking key: near-dups share 8-token prefixes, so this
+    // content key must collide at every SF — the discriminating row
+    val pfx = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").take(8).mkString(" "))
+    assert(got("documents.prefix8_key") ==
+      ((pfx.length.toLong, pfx.distinct.length.toLong,
+        (pfx.length - pfx.distinct.length).toLong)))
+    assert(got("documents.prefix8_key")._3 > 0L,
+      "near-dup prefixes must collide — a blocking key is not a PK")
+    // the synthetic lineitem does NOT keep TPC-H's composite PK —
+    // the audit reports the measured collision count, recomputed here
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getLong(0), r.get(1)))
+    assert(got("lineitem.(orderkey,linenumber)") ==
+      ((li.length.toLong, li.distinct.length.toLong,
+        (li.length - li.distinct.length).toLong)))
+    assert(got("lineitem.(orderkey,linenumber)")._3 > 0L)
+    // the single-column physical keys hold exactly
+    Seq("orders.o_orderkey", "customer.c_custkey", "events.event_id",
+      "documents.doc_id").foreach { k =>
+      assert(got(k)._3 == 0L && got(k)._1 == got(k)._2, k)
+    }
+    assert(got("documents.doc_id")._1 ==
+      Tables.documents(spark, dir).count())
+    assert(got("events.event_id")._1 == Tables.events(spark, dir).count())
+  }
+
   test("text_conjunctive: per-doc recount of the posting intersection") {
     val terms = Seq("dup", "spark", "merge")
     val expect = Tables.documents(spark, dir)
