@@ -1533,12 +1533,15 @@ object ExtensionQueries {
     * — positive = hubs befriend hubs (social mixing), negative =
     * hub-and-spoke. Emitted in the `events_autocorr` convention:
     * exact integer moment combinations (num, den_x, den_y) plus the
-    * signed `r2_bp` effect size, so the oracle hash-pins every piece
-    * and no square root ever runs. By symmetrization den_x = den_y —
-    * published anyway as the audit invariant. Integer-exactness
-    * envelope: num² needs DECIMAL(38,0), good to ~10⁷ edge instances
-    * of ~10³ degrees; past that the exact num/den pieces still emit
-    * and the bp ratio goes float downstream.
+    * signed `r_bp_signed` effect size, so the oracle hash-pins every
+    * piece and no square root ever runs. By symmetrization
+    * den_x = den_y — published anyway as the audit invariant. The
+    * moment combinations ride DECIMAL(38,0)/HUGEINT end to end
+    * (m·Σxy alone crosses 2⁶³ at ~10⁷ edge instances of ~10³
+    * degrees, and a wrapped long would corrupt them SILENTLY on the
+    * Spark side while DuckDB errored — the worst kind of split), so
+    * num/den stay exact to ~10³⁸; only the bp ratio's num² term has
+    * the tighter ~10¹⁷ envelope, documented here.
     *
     * Scale shape: one degree aggregate over the pinned edge table,
     * two keyed joins carrying only (endpoint, degree), one 1-row
@@ -1552,17 +1555,21 @@ object ExtensionQueries {
       .join(deg.select(col("a"), col("d").as("dx")), "a")
       .join(deg.select(col("a").as("b"), col("d").as("dy")), "b")
       .agg(count(lit(1)).as("m"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"),
-        sum(col("dx") * col("dy")).as("sxy"))
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+        sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"),
+        sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"))
       .select(col("m"),
-        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
-        (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
-        (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
+        expr("CAST(m AS DECIMAL(38,0)) * sxy - sx * sy")
+          .cast("decimal(38,0)").as("num"),
+        expr("CAST(m AS DECIMAL(38,0)) * sxx - sx * sx")
+          .cast("decimal(38,0)").as("den_x"),
+        expr("CAST(m AS DECIMAL(38,0)) * syy - sy * sy")
+          .cast("decimal(38,0)").as("den_y"))
       .withColumn("r_bp_signed", expr(
-        """CAST(sign(num) * ((10000 * CAST(num AS DECIMAL(38,0)) * num)
-          | div greatest(CAST(den_x AS DECIMAL(38,0)) * den_y, 1)) AS BIGINT)"""
+        """CAST(sign(num) * ((10000 * num * num)
+          | div greatest(den_x * den_y, 1)) AS BIGINT)"""
           .stripMargin))
   }
 
@@ -3288,8 +3295,13 @@ object ExtensionQueries {
         sum(when(col("ha"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("ha"), 1L).otherwise(0L)).as("cb"))
       .select(
-        expr("CAST(sign(sa) AS BIGINT) * ((abs(sa) * 1000) div ca)").as("ma"),
-        expr("CAST(sign(sb) AS BIGINT) * ((abs(sb) * 1000) div cb)").as("mb"),
+        // greatest(·, 1): an empty parity half has sum 0, so the
+        // clamped division still yields the correct 0 centroid instead
+        // of a Spark-NULL / DuckDB-error engine split
+        expr("CAST(sign(sa) AS BIGINT) * ((abs(sa) * 1000) div greatest(ca, 1))")
+          .as("ma"),
+        expr("CAST(sign(sb) AS BIGINT) * ((abs(sb) * 1000) div greatest(cb, 1))")
+          .as("mb"),
         col("ca"), col("cb"))
       .agg(min(col("ca")).as("n_a"), min(col("cb")).as("n_b"),
         sum(col("ma") * col("mb")).as("dot"),
@@ -4965,8 +4977,10 @@ object ExtensionQueries {
          |        CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS ca,
          |        CAST(SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS BIGINT) AS cb
          |      FROM e GROUP BY 1),
-         |m AS (SELECT CAST(sign(sa) AS BIGINT) * ((abs(sa) * 1000) // ca) AS ma,
-         |             CAST(sign(sb) AS BIGINT) * ((abs(sb) * 1000) // cb) AS mb,
+         |m AS (SELECT CAST(sign(sa) AS BIGINT)
+         |               * ((abs(sa) * 1000) // greatest(ca, 1)) AS ma,
+         |             CAST(sign(sb) AS BIGINT)
+         |               * ((abs(sb) * 1000) // greatest(cb, 1)) AS mb,
          |             ca, cb FROM s),
          |a AS (SELECT MIN(ca) AS n_a, MIN(cb) AS n_b,
          |             CAST(SUM(ma * mb) AS BIGINT) AS dot,
@@ -5733,15 +5747,22 @@ object ExtensionQueries {
          |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, sh.shingle) AS rn,
          |         COUNT(*) OVER (PARTITION BY doc_id) AS n
          |       FROM sh JOIN freq USING (shingle)),
-         |pre AS (SELECT doc_id, shingle, rn, n FROM rk
+         |pc AS (SELECT doc_id,
+         |         MAX(CASE WHEN f > 100 THEN 1 ELSE 0 END) AS pc
+         |       FROM rk WHERE rn <= n - ((n * 8 + 9) // 10) + 1
+         |       GROUP BY 1),
+         |pre AS (SELECT rk.doc_id, shingle, rn, n, pc.pc FROM rk
+         |        JOIN pc USING (doc_id)
          |        WHERE rn <= n - ((n * 8 + 9) // 10) + 1 AND f <= 100),
-         |ful AS (SELECT doc_id, shingle, rn, n FROM rk WHERE f <= 100),
+         |ful AS (SELECT rk.doc_id, shingle, rn, n, pc.pc FROM rk
+         |        JOIN pc USING (doc_id) WHERE f <= 100),
          |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
          |                greatest(x.doc_id, y.doc_id) AS doc_b
          |         FROM pre x JOIN ful y
          |         ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
-         |            AND 1 + least(x.n - x.rn, y.n - y.rn) >=
-         |                (8 * least(x.n, y.n) + 9) // 10),
+         |            AND (x.pc = 1 OR y.pc = 1 OR
+         |                 1 + least(x.n - x.rn, y.n - y.rn) >=
+         |                 (8 * least(x.n, y.n) + 9) // 10)),
          |${containmentTail(8, 10)}""".stripMargin,
 
     "text_clf_calibration" ->
@@ -6084,21 +6105,20 @@ object ExtensionQueries {
          |  FROM sym GROUP BY 1),
          |xy AS (SELECT da.d AS dx, db.d AS dy FROM sym s
          |       JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
-         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
-         |              CAST(SUM(dx) AS BIGINT) AS sx,
-         |              CAST(SUM(dy) AS BIGINT) AS sy,
-         |              CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-         |              CAST(SUM(dy * dy) AS BIGINT) AS syy,
-         |              CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM xy)
-         |SELECT m, m * sxy - sx * sy AS num,
-         |       m * sxx - sx * sx AS den_x, m * syy - sy * sy AS den_y,
-         |       CAST(sign(m * sxy - sx * sy)
-         |            * ((10000 * CAST(m * sxy - sx * sy AS HUGEINT)
-         |                * (m * sxy - sx * sy))
-         |               // greatest(CAST(m * sxx - sx * sx AS HUGEINT)
-         |                          * (m * syy - sy * sy), 1)) AS BIGINT)
-         |         AS r_bp_signed
-         |FROM mo""".stripMargin,
+         |mo AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         |              CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+         |              CAST(SUM(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+         |              CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+         |              CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+         |              CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+         |       FROM xy),
+         |nd AS (SELECT m, m * sxy - sx * sy AS num,
+         |              m * sxx - sx * sx AS den_x,
+         |              m * syy - sy * sy AS den_y FROM mo)
+         |SELECT CAST(m AS BIGINT) AS m, num, den_x, den_y,
+         |       CAST(sign(num) * ((10000 * num * num)
+         |            // greatest(den_x * den_y, 1)) AS BIGINT) AS r_bp_signed
+         |FROM nd""".stripMargin,
 
     "events_twap" ->
       """WITH ev AS (SELECT event_type, ts, event_id,

@@ -141,8 +141,12 @@ object SparkEntry {
     */
   private def qCdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val valid = Routing.validateSplit(Fixtures.employeeCdcLog(s, dir)).valid
-    val p1 = col("s1").isNotNull && col("s1.action") =!= "delete"
-    val p2 = col("s2.action") =!= "delete"
+    // lower(): the same presence rule snapshotDiff itself applies —
+    // a mixed-case 'Delete' head must not be present here yet
+    // 'removed' there (the fixture is lowercase via P5, but the two
+    // layers must agree by construction, not by luck)
+    val p1 = col("s1").isNotNull && lower(col("s1.action")) =!= "delete"
+    val p2 = lower(col("s2.action")) =!= "delete"
     ApplyChanges.snapshotDiff(valid, Seq("emp_id"),
         col("last_updated_at"), lit("2024-01-15 00:00:00").cast("timestamp"),
         Seq("emp_FN", "emp_LN", "emp_dob", "emp_city", "emp_salary"),
@@ -207,23 +211,27 @@ object SparkEntry {
     * the CDC-employee → customer edge genuinely breaks, so the
     * fixture discriminates a non-zero orphan count.
     *
-    * Scale shape: each check is one child scan pruned to the FK
-    * column + one distinct-key anti-join (parent key sets are
-    * dimension-bounded for the dims and AQE-planned for the facts);
-    * the six 1-row aggregates union. No row data ever crosses — only
-    * keys. The four TPC-H edges hold; the CDC employee dimension's
+    * Scale shape: each check is ONE child scan pruned to the FK
+    * column, left-joined against the distinct parent keys so the
+    * total and orphan counts come out of the same pass (parent key
+    * sets are dimension-bounded for the dims and AQE-planned for the
+    * facts); the six 1-row aggregates union. No row data ever
+    * crosses — only keys. The four TPC-H edges hold; the CDC
+    * employee dimension's
     * derived keys (user_id − 2, [[Fixtures.employeeCdcLog]]) include
     * ids below every customer key, so that edge reports real orphans
     * at every SF — the audit discriminates instead of hash-pinning
     * zeros.
     */
   private def qRiAudit(s: SparkSession, dir: String): DataFrame = {
-    def check(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
-      val orphans = child.join(parent, Seq("k"), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+    // ONE child scan per check: the left join against the distinct
+    // parent keys computes total and orphan counts in the same pass
+    // (a separate count + anti-join pair would scan the child twice)
+    def check(name: String, child: DataFrame, parent: DataFrame): DataFrame =
+      child.join(parent.distinct().withColumn("_hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
-    }
     val o = Tables.orders(s, dir); val l = Tables.lineitem(s, dir)
     val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
     val n = Tables.nation(s, dir); val ev = Tables.events(s, dir)

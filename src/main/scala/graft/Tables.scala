@@ -98,14 +98,16 @@ object Tables {
     * Every column is non-negative integer arithmetic on the dense
     * 0-based keys, so truncating vs flooring `%`/`div` can never split
     * Spark from the DuckDB mirror ([[partsuppSql]]):
-    *  - `ps_suppkey = (p + i·(1 + p % greatest(S div 4, 1))) % S`,
-    *    i ∈ 0..3 with S = |supplier|: the stride is ≤ S div 4, so
-    *    3·stride < S and the four suppliers per part are always
-    *    distinct — (ps_partkey, ps_suppkey) is a true primary key at
-    *    every SF (PartsuppSpec). The `greatest(·, 1)` guards the
-    *    degenerate S < 4 fixture: without it Spark's non-ANSI `%` of
-    *    zero yields NULL while DuckDB errors — the engines must split
-    *    loudly together or not at all, never silently diverge.
+    *  - `ps_suppkey = (p + i·(1 + p % (S div 4))) % S`, i ∈ 0..3 with
+    *    S = |supplier|: the stride is ≤ S div 4, so 3·stride < S and
+    *    the four suppliers per part are always distinct — (ps_partkey,
+    *    ps_suppkey) is a true primary key at every SF (PartsuppSpec).
+    *    A degenerate S < 4 fixture raises LOUDLY and identically on
+    *    both engines (raise_error / error inside the stride CASE):
+    *    the alternatives both break an invariant silently — bare
+    *    `S div 4` splits the engines (Spark NULL vs DuckDB error) and
+    *    a `greatest(·, 1)` clamp would emit duplicate
+    *    (ps_partkey, ps_suppkey) pairs, violating the documented key.
     *  - `ps_availqty` ∈ [1, 9999], `ps_supplycost_cents` ∈ [100,
     *    100000] (1.00–1000.00 in exact cents — scaled-BIGINT, never
     *    float, per the oracle conventions in [[SparkEntry]]).
@@ -123,7 +125,10 @@ object Tables {
         explode(sequence(lit(0L), lit(3L))).as("i"))
       .select(
         col("ps_partkey"),
-        expr("(ps_partkey + i * (1 + ps_partkey % greatest(n_supp div 4, 1))) % n_supp")
+        expr("""(ps_partkey + i * (1 + ps_partkey %
+                 CASE WHEN n_supp >= 4 THEN n_supp div 4
+                      ELSE CAST(raise_error('partsupp derivation needs >= 4 suppliers') AS BIGINT)
+                 END)) % n_supp""")
           .cast("long").as("ps_suppkey"),
         expr("(ps_partkey * 7 + i * 131) % 9999 + 1")
           .cast("long").as("ps_availqty"),
@@ -137,7 +142,10 @@ object Tables {
   val partsuppSql: String =
     """WITH partsupp AS (
       |  SELECT p_partkey AS ps_partkey,
-      |         (p_partkey + i * (1 + p_partkey % greatest(n_supp // 4, 1))) % n_supp AS ps_suppkey,
+      |         (p_partkey + i * (1 + p_partkey %
+      |            CASE WHEN n_supp >= 4 THEN n_supp // 4
+      |                 ELSE CAST(error('partsupp derivation needs >= 4 suppliers') AS BIGINT)
+      |            END)) % n_supp AS ps_suppkey,
       |         (p_partkey * 7 + i * 131) % 9999 + 1 AS ps_availqty,
       |         (p_partkey * 2621 + i * 1597) % 99901 + 100 AS ps_supplycost_cents
       |  FROM part,

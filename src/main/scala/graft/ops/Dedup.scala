@@ -364,34 +364,44 @@ object Dedup {
     // ranking uses TRUE global frequencies; the occurrence cap only
     // prunes the join sides (dropping hot shingles from the order
     // would silently change which shingles count as "rarest")
+    val lExpr = expr(s"n - ((n * $num + ${den - 1}) div $den) + 1")
+    // per doc: does the PREFIX contain any capped-out (corpus-hot)
+    // shingle? when it does, the first-common-shingle argument below
+    // loses its witness row, so those docs' rows skip the positional
+    // prune — which makes the filter's verified output EXACTLY the
+    // unfiltered channel's in every cap regime, not just maxOcc = ∞
+    val pfxCapped = ranked.where(col("rn") <= lExpr)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("f") > maxOcc, 1).otherwise(0)).as("pc"))
     val prefix = ranked
-      .where(col("rn") <=
-        col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1 &&
-        col("f") <= maxOcc)
-      .select(col("doc_id"), col("shingle"), col("rn"), col("n"))
+      .where(col("rn") <= lExpr && col("f") <= maxOcc)
+      .join(pfxCapped, "doc_id")
+      .select(col("doc_id"), col("shingle"), col("rn"), col("n"), col("pc"))
     val full = ranked.where(col("f") <= maxOcc)
-      .select(col("doc_id"), col("shingle"), col("rn"), col("n"))
+      .join(pfxCapped, "doc_id")
+      .select(col("doc_id"), col("shingle"), col("rn"), col("n"), col("pc"))
     // PPJoin's POSITION filter adapted to the containment threshold
     // (Xiao, Wang, Lin & Yu, WWW 2008 — the same bound the Jaccard
     // channel carries): containment ≥ num/den needs overlap
     // o ≥ t = ceil(num·min(nx,ny)/den), and at the pair's FIRST
     // common shingle every other common shingle sits in both suffixes
     // of the shared global rarity order, so o ≤ 1 + min(nx−rnx,
-    // ny−rny) there. A qualifying pair always passes at its first
-    // common shingle (bound valid and ≥ o ≥ t) — rn/n are TRUE ranks,
-    // unaffected by the maxOcc join pruning — and the distinct()
-    // needs only that one surviving row; later rows pruned by the
-    // same test are redundant witnesses, so the filter cuts candidate
-    // volume before verification without touching recall. (Under an
-    // active maxOcc cap a pair whose first-common shingle is
-    // corpus-hot already rode the documented boilerplate caveat; the
-    // position filter narrows that caveat's survivors the same way on
-    // both engine and oracle sides.)
+    // ny−rny) there. When BOTH docs' prefixes survive the cap intact,
+    // a qualifying pair always passes at its first common shingle
+    // (it sits in the smaller doc's prefix by pigeonhole, its ranks
+    // are TRUE ranks, and the bound there is ≥ o ≥ t), so pruning the
+    // redundant later rows is lossless; when either prefix lost a
+    // corpus-hot shingle to the cap the witness may be gone, so those
+    // rows pass unfiltered — the prune only ever fires where its
+    // proof holds, and the channel's verified pairs are identical to
+    // the plain join's at ANY maxOcc (PrefixFilterSpec pins both the
+    // capped and uncapped regimes against brute force).
     val cand = prefix.as("x").join(full.as("y"),
         col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") =!= col("y.doc_id") &&
-        lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) >=
-          expr(s"($num * least(x.n, y.n) + ${den - 1}) div $den"))
+        (col("x.pc") === 1 || col("y.pc") === 1 ||
+          lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) >=
+            expr(s"($num * least(x.n, y.n) + ${den - 1}) div $den")))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()

@@ -399,32 +399,48 @@ object Graph {
     * last improved). Work per round is Σ deg(frontier);
     * localCheckpoint pins each round's arrival table.
     */
+  /** Shared scaffolding of the bounded-relaxation reach family
+    * ([[temporalReach]], [[cheapestPaths]]): `maxHops` synchronous
+    * rounds of "candidates from the DELTA frontier, keyed full-outer
+    * merge taking the minimum, improved nodes become the next
+    * frontier", with each round's state pinned. `init` is the
+    * (v, best) seed table; `cand(frontier)` emits this round's
+    * (v, cand) proposals — the ONLY part the two operators differ in.
+    * Only nodes whose value improved expand next round: an unimproved
+    * node's relaxations were all applied the round it last improved,
+    * so the delta frontier reaches the same ≤ h-hop fixed point as
+    * full relaxation (which the SQL mirrors use). */
+  private def boundedRelax(init: DataFrame, maxHops: Int)(
+      cand: DataFrame => DataFrame): DataFrame = {
+    var best = init.localCheckpoint(true)
+    var frontier = best
+    for (_ <- 1 to maxHops) {
+      val merged = best.join(cand(frontier), Seq("v"), "full_outer")
+        .select(col("v"), col("best"), col("cand"),
+          least(coalesce(col("best"), col("cand")),
+            coalesce(col("cand"), col("best"))).as("next"))
+        .localCheckpoint(true)
+      frontier = merged
+        .where(col("best").isNull ||
+          (col("cand").isNotNull && col("cand") < col("best")))
+        .select(col("v"), col("next").as("best"))
+      best = merged.select(col("v"), col("next").as("best"))
+    }
+    best
+  }
+
   def temporalReach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(col("a"), col("b"), col("t")).localCheckpoint(true)
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("t")))
       .localCheckpoint(true)
-    var arr = seeds.select(col("v"), col("t0").as("arr"))
-      .groupBy(col("v")).agg(min(col("arr")).as("arr"))
-      .localCheckpoint(true)
-    var frontier = arr
-    for (_ <- 1 to maxHops) {
-      val cand = sym
-        .join(frontier.select(col("v").as("a"), col("arr").as("fa")), Seq("a"))
+    val init = seeds.select(col("v"), col("t0").as("best"))
+      .groupBy(col("v")).agg(min(col("best")).as("best"))
+    boundedRelax(init, maxHops) { frontier =>
+      sym.join(frontier.select(col("v").as("a"), col("best").as("fa")), Seq("a"))
         .where(col("t") >= col("fa"))
         .groupBy(col("b")).agg(min(col("t")).as("cand"))
         .select(col("b").as("v"), col("cand"))
-      val merged = arr.join(cand, Seq("v"), "full_outer")
-        .select(col("v"), col("arr"), col("cand"),
-          least(coalesce(col("arr"), col("cand")),
-            coalesce(col("cand"), col("arr"))).as("best"))
-        .localCheckpoint(true)
-      frontier = merged
-        .where(col("arr").isNull ||
-          (col("cand").isNotNull && col("cand") < col("arr")))
-        .select(col("v"), col("best").as("arr"))
-      arr = merged.select(col("v"), col("best").as("arr"))
-    }
-    arr
+    }.select(col("v"), col("best").as("arr"))
   }
 
   /** CHEAPEST-PATH cost within `maxHops` hops (bounded-hop
@@ -448,26 +464,12 @@ object Graph {
     val e = edges.select(col("a"), col("b"), col("w")).localCheckpoint(true)
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))
       .localCheckpoint(true)
-    var dist = seeds.select(col("v")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
-    var frontier = dist
-    for (_ <- 1 to maxHops) {
-      val cand = sym
-        .join(frontier.select(col("v").as("a"), col("dist").as("fd")), Seq("a"))
+    val init = seeds.select(col("v")).distinct().withColumn("best", lit(0L))
+    boundedRelax(init, maxHops) { frontier =>
+      sym.join(frontier.select(col("v").as("a"), col("best").as("fd")), Seq("a"))
         .groupBy(col("b")).agg(min(col("fd") + col("w")).as("cand"))
         .select(col("b").as("v"), col("cand"))
-      val merged = dist.join(cand, Seq("v"), "full_outer")
-        .select(col("v"), col("dist"), col("cand"),
-          least(coalesce(col("dist"), col("cand")),
-            coalesce(col("cand"), col("dist"))).as("best"))
-        .localCheckpoint(true)
-      frontier = merged
-        .where(col("dist").isNull ||
-          (col("cand").isNotNull && col("cand") < col("dist")))
-        .select(col("v"), col("best").as("dist"))
-      dist = merged.select(col("v"), col("best").as("dist"))
-    }
-    dist
+    }.select(col("v"), col("best").as("dist"))
   }
 
   /** DuckDB mirror of [[cheapestPaths]] given CTEs `wed(a, b, w)` and

@@ -572,8 +572,10 @@ class FrontierAnalyticsSpec extends SparkSpec {
     val out = SparkEntry.queries("events_assortativity")(spark, dir).collect()
     assert(out.length == 1)
     val r = out.head
-    assert(r.getAs[Long]("m") == m && r.getAs[Long]("num") == num)
-    assert(r.getAs[Long]("den_x") == denX && r.getAs[Long]("den_y") == denY)
+    def dec(c: String): Long =
+      r.getAs[java.math.BigDecimal](c).longValueExact()
+    assert(r.getAs[Long]("m") == m && dec("num") == num)
+    assert(dec("den_x") == denX && dec("den_y") == denY)
     assert(denX == denY, "symmetrization must equalize the denominators")
     assert(r.getAs[Long]("r_bp_signed") ==
       (BigInt(10000) * num * num / (BigInt(denX) * denY).max(BigInt(1))).toLong

@@ -97,6 +97,45 @@ class PrefixFilterSpec extends SparkSpec {
     }
   }
 
+  test("containment position filter: ACTIVE cap regime equals the plain prefix join") {
+    // heavy shared boilerplate + a tiny cap forces corpus-hot shingles
+    // INTO prefixes (the regime where the positional bound's witness
+    // can be capped away); the pc-gated filter must reproduce the
+    // plain pre x ful join's verified pairs exactly, not approximately
+    val rnd = new scala.util.Random(7777)
+    val hot = Vector("the", "quick", "brown", "fox")
+    val vocab = Vector("red", "blue", "green", "ink", "dot", "sky", "sun",
+      "map", "key", "log", "row", "bit", "fog", "ice", "oak", "elm")
+    val docs = (1 to 60).map { id =>
+      val base = Vector.tabulate(4)(i => hot(i % hot.size)) // shared = hot
+      val tail = Vector.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      (id.toLong, (base ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (cap <- Seq(3, 10, 25)) {
+      val got = Dedup.containmentPrefixPairs(docs, col("text"), col("doc_id"),
+          maxOcc = cap)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      // the r13 plain-join formulation, rebuilt verbatim
+      val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 3)
+      val ranked = Dedup.rankShingles(sh)
+      val pre = ranked
+        .where(col("rn") <= col("n") - expr("(n * 8 + 9) div 10") + 1 &&
+          col("f") <= cap)
+        .select(col("doc_id"), col("shingle"))
+      val ful = ranked.where(col("f") <= cap)
+        .select(col("doc_id"), col("shingle"))
+      val cand = pre.as("x").join(ful.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        .distinct()
+      val plain = Dedup.containmentVerify(cand, sh, 8, 10)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(got === plain, s"cap $cap")
+    }
+  }
+
   test("containment-prefix pairs == brute-force all-pairs containment >= 8/10") {
     val docs = Tables.documents(spark, dir)
     // maxOcc above any fixture shingle frequency -> exactly complete
