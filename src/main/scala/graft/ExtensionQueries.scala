@@ -1382,6 +1382,46 @@ object ExtensionQueries {
       .orderBy("bucket")
   }
 
+  /** Exact WEIGHTED percentiles (p25/p50/p75) of lineitem price,
+    * weighted by quantity — the robust pricing statistic ("half the
+    * UNITS sold sit at-or-below this price", which a row-median
+    * misstates whenever cheap items ship in bulk). The crossing rule
+    * is the standard left-continuous weighted quantile: the first
+    * value in (price, orderkey, linenumber) total order whose
+    * cumulative weight reaches ⌈k·W/100⌉. Exact integers end to end
+    * (price in cents, weights whole units, ceil as (a+b−1) div b).
+    *
+    * Scale shape: the cumulative weight rides
+    * [[graft.ops.Linkage.globalRunningSum]] — range repartition +
+    * per-partition running sums + broadcast offsets, NO
+    * single-partition window over the data (the naive
+    * `SUM OVER (ORDER BY price)` form is exactly the one-task funnel
+    * this primitive exists to kill); the three crossing rows come out
+    * of one scan-stage filter against the broadcast 1-row total.
+    */
+  private def qLineitemWeightedPrice(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_x100"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val cum = graft.ops.Linkage.globalRunningSum(base, col("w"),
+      col("price_x100"), col("l_orderkey"), col("l_linenumber"))
+    val tot = cum.agg(max(col("cum")).as("total"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("price_x100"), col("w"), col("cum"), col("total"),
+        explode(expr("array(25, 50, 75)")).as("pct"))
+      .where(expr("cum >= (pct * total + 99) div 100") &&
+        expr("cum - w < (pct * total + 99) div 100"))
+      .groupBy(col("pct").cast("long").as("pct"))
+      // cum is strictly increasing (w >= 1), so exactly one row
+      // crosses each target; min is a semantic no-op kept for
+      // partition-exactness under any future zero-weight input
+      .agg(min(col("price_x100")).as("price_x100"),
+        min(col("total")).as("total_units"))
+      .orderBy("pct")
+  }
+
   /** CUSUM changepoint monitor (Page, Biometrika 1954) on the daily
     * event-count series — the sequential alarm a pipeline health
     * check runs over ingest volume (a level shift trips the alarm
@@ -4068,6 +4108,7 @@ object ExtensionQueries {
     "events_twap" -> (qEventsTwap _),
     "events_drift_ks" -> (qEventsDriftKs _),
     "customer_gini" -> (qCustomerGini _),
+    "lineitem_weighted_price" -> (qLineitemWeightedPrice _),
     "events_cusum" -> (qEventsCusum _),
     "events_decay_score" -> (qEventsDecayScore _),
     "customers_record_linkage" -> (qCustomersRecordLinkage _),
@@ -6195,6 +6236,26 @@ object ExtensionQueries {
         |            // greatest(CAST(COUNT(*) AS HUGEINT) * SUM(x), 1)
         |         AS BIGINT) AS gini_bp
         |FROM rk""".stripMargin,
+
+    "lineitem_weighted_price" ->
+      """WITH b AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |             AS BIGINT) AS price_x100,
+        |           CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |c AS (SELECT price_x100, w,
+        |        CAST(SUM(w) OVER (ORDER BY price_x100, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM b),
+        |t AS (SELECT MAX(cum) AS total FROM c),
+        |k AS (SELECT unnest([25, 50, 75]) AS pct)
+        |SELECT CAST(k.pct AS BIGINT) AS pct,
+        |       MIN(c.price_x100) AS price_x100,
+        |       MIN(t.total) AS total_units
+        |FROM c, t, k
+        |WHERE c.cum >= (k.pct * t.total + 99) // 100
+        |  AND c.cum - c.w < (k.pct * t.total + 99) // 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_cusum" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,

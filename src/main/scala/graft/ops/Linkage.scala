@@ -52,6 +52,42 @@ object Linkage {
       .drop("_pid", "_lr", "_off")
   }
 
+  /** Exact GLOBAL RUNNING SUM of `value` in `sortCols` order —
+    * [[globalRank]]'s two-pass discipline extended from counts to
+    * sums: range-repartition on the sort key, per-partition running
+    * sums (a KEYED window), then per-partition prefix offsets from
+    * the |partitions|-row total summary (the only global window,
+    * dimension-sized, broadcast back). Adds `cum` = Σ value over all
+    * rows at-or-before this one in the total order. The naive form —
+    * `SUM(v) OVER (ORDER BY …)` with no partition — funnels the table
+    * through one task; this is its distributed equivalent, exactly,
+    * and the primitive exact weighted quantiles / Lorenz curves /
+    * cumulative-share cuts stand on at 100 TB.
+    *
+    * `sortCols` must be a deterministic total order (include a
+    * tiebreaker id) — same contract as [[globalRank]]. */
+  def globalRunningSum(df: DataFrame, value: Column,
+                       sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // pinned before fan-out for the same reason as globalRank: the
+    // offsets branch and the join branch must see ONE range layout
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value.cast("long"))
+      .withColumn("_lc", sum(col("_v")).over(
+        Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("_pid")).agg(sum(col("_v")).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.partitionBy(lit(1)).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    ranged.join(broadcast(offsets), "_pid")
+      .withColumn("cum", col("_off") + col("_lc"))
+      .drop("_pid", "_v", "_lc", "_off")
+  }
+
   /** Sorted-neighborhood candidate pairs: every (a, b) whose ranks
     * under `sortCols` differ by at most `w` (0 < rank_b − rank_a ≤ w).
     * The rank-bucket equi-join formulation: bucket width = w, so any

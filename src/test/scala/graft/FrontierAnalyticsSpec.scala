@@ -658,6 +658,49 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(got("events.event_id")._1 == Tables.events(spark, dir).count())
   }
 
+  test("globalRunningSum: randomized tie-heavy prefix sums match a driver fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3141)
+    val rows = (1 to 500).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, (rnd.nextInt(9) + 1).toLong))
+    val got = graft.ops.Linkage.globalRunningSum(
+        rows.toDF("v", "id", "w"), col("w"), col("v"), col("id"))
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val expect = rows.sortBy(r => (r._1, r._2)).map { r =>
+      acc += r._3; r._2 -> acc
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("lineitem_weighted_price: crossings recompute from the sorted prefix sums") {
+    val rows = Tables.lineitem(spark, dir)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("p"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._3, r._4))
+    val total = rows.map(_._2).sum
+    def crossing(pct: Long): Long = {
+      val target = (pct * total + 99) / 100
+      var cum = 0L
+      rows.find { r => cum += r._2; cum >= target }.get._1
+    }
+    val got = SparkEntry.queries("lineitem_weighted_price")(spark, dir)
+      .collect().map(r => r.getAs[Long]("pct") ->
+        (r.getAs[Long]("price_x100"), r.getAs[Long]("total_units"))).toMap
+    assert(got == Map(25L -> (crossing(25), total),
+      50L -> (crossing(50), total), 75L -> (crossing(75), total)))
+    assert(got(25L)._1 <= got(50L)._1 && got(50L)._1 <= got(75L)._1)
+    // the weighted median genuinely differs from the row median —
+    // the reason the weighted form exists
+    val rowMedian = rows((rows.length - 1) / 2)._1
+    assert(got(50L)._1 != rowMedian || total == rows.length.toLong)
+  }
+
   test("text_conjunctive: per-doc recount of the posting intersection") {
     val terms = Seq("dup", "spark", "merge")
     val expect = Tables.documents(spark, dir)
