@@ -28,8 +28,12 @@ object Dev {
           "ivf" -> (() => ExtensionQueries.simTopkIvfRows(spark, dir)),
           "pq" -> (() => ExtensionQueries.simTopkPqRows(spark, dir)),
           "ivfpq" -> (() => ExtensionQueries.simTopkIvfPqRows(spark, dir)))) {
+        // bounded: one row per ANN query vector (a fixed, small query
+        // set); the limit is a hard cap so a future unbounded query
+        // set can't turn this dev probe into a driver OOM
         val per = mk().groupBy(col("q_vec_id"))
           .agg(min(col("recall_x100")).as("r")).orderBy("q_vec_id")
+          .limit(10000)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         val worst = per.map(_._2).minOption.getOrElse(-1L)
         println(s"== recall $name $dir min=$worst " +

@@ -1580,8 +1580,13 @@ object ExtensionQueries {
     * (m·Σxy alone crosses 2⁶³ at ~10⁷ edge instances of ~10³
     * degrees, and a wrapped long would corrupt them SILENTLY on the
     * Spark side while DuckDB errored — the worst kind of split), so
-    * num/den stay exact to ~10³⁸; only the bp ratio's num² term has
-    * the tighter ~10¹⁷ envelope, documented here.
+    * num/den stay exact to ~10³⁸. The bp ratio is the LINEAR
+    * num/den form of [[graft.ops.Graph.assortativityRbpSql]] — the
+    * r14 r² form (10000·num²) overflowed DECIMAL(38,0) at sf0.1
+    * while DuckDB's HUGEINT did not, the round's one red oracle row;
+    * symmetrization makes den_x = den_y so r needs no square at all
+    * and the widest intermediate (10000·|num|) is exact to
+    * |num| ≤ ~10³⁴ on both engines.
     *
     * Scale shape: one degree aggregate over the pinned edge table,
     * two keyed joins carrying only (endpoint, degree), one 1-row
@@ -1607,10 +1612,8 @@ object ExtensionQueries {
           .cast("decimal(38,0)").as("den_x"),
         expr("CAST(m AS DECIMAL(38,0)) * syy - sy * sy")
           .cast("decimal(38,0)").as("den_y"))
-      .withColumn("r_bp_signed", expr(
-        """CAST(sign(num) * ((10000 * num * num)
-          | div greatest(den_x * den_y, 1)) AS BIGINT)"""
-          .stripMargin))
+      .withColumn("r_bp_signed",
+        expr(graft.ops.Graph.assortativityRbpSql("div")))
   }
 
   /** LAST-TOUCH ATTRIBUTION — each purchase credits the user's most
@@ -6157,8 +6160,7 @@ object ExtensionQueries {
          |              m * sxx - sx * sx AS den_x,
          |              m * syy - sy * sy AS den_y FROM mo)
          |SELECT CAST(m AS BIGINT) AS m, num, den_x, den_y,
-         |       CAST(sign(num) * ((10000 * num * num)
-         |            // greatest(den_x * den_y, 1)) AS BIGINT) AS r_bp_signed
+         |       ${graft.ops.Graph.assortativityRbpSql("//")} AS r_bp_signed
          |FROM nd""".stripMargin,
 
     "events_twap" ->

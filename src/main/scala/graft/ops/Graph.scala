@@ -491,6 +491,26 @@ object Graph {
        |$rounds""".stripMargin
   }
 
+  /** Assortativity effect size in basis points, shared by the Spark
+    * query and its DuckDB oracle so both engines run the SAME integer
+    * formula. Over SYMMETRIZED edge instances the degree marginals are
+    * identical (every (dx, dy) pair appears with its swap), so
+    * den_x = den_y = den and Pearson's r = num / sqrt(den_x · den_y)
+    * collapses to the LINEAR ratio num / den — no squaring. That is
+    * the whole overflow fix: the previous r² form computed
+    * 10000·num², which leaves DECIMAL(38,0) once |num| > ~10¹⁷ (at
+    * sf0.1 the co-presence num is ~10¹⁸), while DuckDB's HUGEINT kept
+    * going — a silent cross-engine split. The linear form's widest
+    * intermediate is 10000·|num|, exact to |num| ≤ ~10³⁴ on both
+    * engines. `abs`+`sign` keeps the division on non-negative
+    * operands, sidestepping trunc-vs-floor divergence on negatives;
+    * `greatest(den, 1)` guards the zero-variance (regular) graph.
+    *
+    * `div` is the Spark spelling of integer division; pass `"//"` for
+    * DuckDB. */
+  def assortativityRbpSql(div: String): String =
+    s"CAST(sign(num) * ((10000 * abs(num)) $div greatest(den_x, 1)) AS BIGINT)"
+
   /** DuckDB mirror of [[temporalReach]] given CTEs `ted(a, b, t)` and
     * `seeds(v, t0)`; defines `r$maxHops(v, arr)`. Each round relaxes
     * ALL arrivals (no frontier — same fixed point for ≤ h hops), so

@@ -32,6 +32,16 @@ object Intervals {
     * two-pass decomposition reproduces the single-sweep prefix sums
     * bucket by bucket (offset + local run = global run).
     *
+    * Timezone contract: `CAST(day AS TIMESTAMP)` resolves midnight in
+    * the SESSION timezone, so the "≤ 25 buckets per day" bound and
+    * the bucket-24 midnight reasoning assume fixed 24-hour days —
+    * true under UTC (this library pins `spark.sql.session.timeZone`
+    * to UTC in its entry points) and any non-DST zone. Under a
+    * DST-bearing zone a 23/25-hour day shifts bucket labels by one;
+    * CORRECTNESS survives regardless (`hb` stays monotone in `t`, so
+    * the two-pass decomposition still reproduces the sweep), only the
+    * bucket-count prose weakens to ≤ 26.
+    *
     * Returns one row per day: (day, max_concurrent, n_bounds).
     */
   def maxConcurrentPerDay(bounds: DataFrame): DataFrame = {

@@ -65,9 +65,18 @@ object Linkage {
     * cumulative-share cuts stand on at 100 TB.
     *
     * `sortCols` must be a deterministic total order (include a
-    * tiebreaker id) — same contract as [[globalRank]]. */
+    * tiebreaker id) — same contract as [[globalRank]]. `value` must
+    * already be an integral column: "exact" is the operator's whole
+    * contract, so a decimal/double weight is rejected here (schema
+    * check, plan-time) rather than silently truncated by the long
+    * cast — callers carrying money scale to cents FIRST. */
   def globalRunningSum(df: DataFrame, value: Column,
                        sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val vt = df.select(value).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(vt),
+      s"globalRunningSum is exact-integer only; got $vt — cast to a " +
+        "scaled long (e.g. cents) before calling")
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // pinned before fan-out for the same reason as globalRank: the
     // offsets branch and the join branch must see ONE range layout

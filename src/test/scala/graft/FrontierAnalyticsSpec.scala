@@ -578,10 +578,36 @@ class FrontierAnalyticsSpec extends SparkSpec {
     assert(dec("den_x") == denX && dec("den_y") == denY)
     assert(denX == denY, "symmetrization must equalize the denominators")
     assert(r.getAs[Long]("r_bp_signed") ==
-      (BigInt(10000) * num * num / (BigInt(denX) * denY).max(BigInt(1))).toLong
+      (BigInt(10000) * BigInt(num).abs / BigInt(denX).max(BigInt(1))).toLong
         * num.sign)
     assert(math.abs(r.getAs[Long]("r_bp_signed")) <= 10000L,
       "a correlation effect size cannot exceed 10000 bp")
+  }
+
+  test("assortativity r_bp: planted near-overflow moments stay exact " +
+    "(the r14 10000·num² form overflowed DECIMAL(38,0) here)") {
+    import spark.implicits._
+    // num ~ 9.2e17: squaring it (8.5e35) times 10000 leaves DECIMAL(38,0);
+    // the linear form's widest intermediate is 9.2e21. The expected value
+    // is BigInt-exact driver-side arithmetic over the same integers.
+    val cases = Seq(
+      (BigInt("922337203685477580"), BigInt("1844674407370955161")),
+      (BigInt("-922337203685477580"), BigInt("1844674407370955161")),
+      (BigInt("999999999999999999"), BigInt("1000000000000000000")),
+      (BigInt("0"), BigInt("0")),
+      (BigInt("7"), BigInt("13")))
+    val df = cases.map { case (n, d) => (n.toString, d.toString) }
+      .toDF("num_s", "den_s")
+      .select(expr("CAST(num_s AS DECIMAL(38,0))").as("num"),
+        expr("CAST(den_s AS DECIMAL(38,0))").as("den_x"))
+      .withColumn("r_bp_signed",
+        expr(graft.ops.Graph.assortativityRbpSql("div")))
+    val got = df.select("r_bp_signed").collect().map(_.getLong(0))
+    val want = cases.map { case (n, d) =>
+      (BigInt(10000) * n.abs / d.max(BigInt(1))).toLong * n.signum
+    }
+    assert(got.toSeq == want,
+      s"planted near-overflow r_bp diverged: got ${got.toSeq} want $want")
   }
 
   test("ri_audit: orphan counts recompute from collected key sets") {
