@@ -103,14 +103,17 @@ object ExtensionQueries {
       .orderBy("event_type")
 
   /** HLL++ sketch distinct (`approx_count_distinct`) next to the exact
-    * two-stage count, with the relative error emitted as data
-    * (`err_x10k`, `within_bound`) — the sketch is the 100 TB form
-    * (mergeable fixed-size state, one map-side pass, no (group, value)
-    * shuffle), and the exact side is the audit. No DuckDB oracle: HLL
-    * register layouts are engine-specific — the driver's rows-only
-    * gate plus the in-data bound check (asserted in SketchSpec and
-    * self-evident in the output) gate it instead, like sim_topk_ivf's
-    * recall column. rsd=0.02 → |err| within 3σ ≈ 6%.
+    * two-stage count — the sketch is the 100 TB form (mergeable
+    * fixed-size state, one map-side pass, no (group, value) shuffle),
+    * and the exact side is the audit. Emitted as a CERTIFICATE: HLL
+    * register layouts are engine-specific, so the registered output
+    * carries only the oracle-computable exact count plus the hard
+    * verdict `ok` = [|est − exact| ≤ 6% of exact, i.e. 3σ at
+    * rsd=0.02] as BIGINT — the DuckDB oracle emits the same exact
+    * count and a literal 1, so any sketch regression flips `ok` to 0
+    * and FAILS THE DRIVER'S HASH GATE (the r14 form exposed the raw
+    * estimate and therefore had no oracle at all — a weaker rows-only
+    * check). SketchSpec asserts ok across fixtures.
     */
   private def qEventsApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -119,10 +122,11 @@ object ExtensionQueries {
     val approx = ev.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
     exact.join(approx, "event_type")
-      .select(col("event_type"), col("n_exact"), col("n_approx"),
+      .select(col("event_type"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")) * lit(10000) / col("n_exact"))
           .cast("long").as("err_x10k"))
-      .withColumn("within_bound", col("err_x10k") <= 600)
+      .select(col("event_type"), col("n_exact"),
+        (col("err_x10k") <= 600).cast("long").as("ok"))
       .orderBy("event_type")
   }
 
@@ -412,15 +416,18 @@ object ExtensionQueries {
         rankedShingles = Some(docShinglesRanked(s, dir)))
       .orderBy("doc_a", "doc_b")
 
-  /** Count-Min sketch frequency estimates next to their exact audits —
+  /** Count-Min sketch frequency certificates over the exact top-20 —
     * the mergeable point-count sketch completing the family (HLL
     * distinct, GK quantiles, KMV set ops). The sketch is bounded
     * metadata (width × depth counters); estimates for the top-20 keys
     * read driver-side from the collected sketch exactly like PQ's
-    * codebook, while the exact audit is a plain aggregate. Rows-only
-    * gate (no portable SQL computes CMS); each row carries
-    * `within_bound` = est ∈ [exact, exact + ⌈ε·N⌉] — the CMS
-    * overestimate guarantee — and SketchSpec asserts it. */
+    * codebook, while the exact audit is a plain aggregate. No
+    * portable SQL computes CMS, so the registered output is the
+    * CERTIFICATE form: (user_id, n_exact, ok) where `ok` = est ∈
+    * [exact, exact + ⌈ε·N⌉] — the CMS overestimate guarantee — as
+    * BIGINT; the oracle emits the exact top-20 plus literal 1, so a
+    * sketch regression flips `ok` and fails the driver's hash gate.
+    * SketchSpec asserts ok across fixtures. */
   /** The exact top-20 user event counts — single source of truth for
     * the CMS audit ([[qEventsCmsCounts]] collects it to probe the
     * sketch) AND the oracle-pinned `events_cms_exact` query, so a
@@ -442,8 +449,9 @@ object ExtensionQueries {
     val top = cmsExactTop(s, dir).as[(Long, Long)].collect()
     top.map { case (u, n) => (u, n, cms.estimateCount(u)) }.toSeq
       .toDF("user_id", "n_exact", "n_est")
-      .withColumn("within_bound",
-        col("n_est") >= col("n_exact") && col("n_est") <= col("n_exact") + slack)
+      .select(col("user_id"), col("n_exact"),
+        (col("n_est") >= col("n_exact") &&
+          col("n_est") <= col("n_exact") + slack).cast("long").as("ok"))
       .orderBy("user_id")
   }
 
@@ -479,10 +487,14 @@ object ExtensionQueries {
     * audit, mirroring events_approx_distinct's sketch-plus-audit
     * pattern: the sketch is the 100 TB form (mergeable bounded state,
     * map-side combine), and the audit proves the rank guarantee
-    * |rank(approx_p90) − 0.9·n| ≤ n/accuracy AS DATA. No DuckDB
-    * oracle — sketch internals are engine-specific — so the driver's
-    * rows-only gate plus the in-data `within_bound` (asserted in
-    * SketchSpec) gate it. */
+    * |rank(approx_p90) − 0.9·n| ≤ n/accuracy. Registered in
+    * CERTIFICATE form (sketch internals are engine-specific): the
+    * output carries the oracle-computable (n, target_rank) plus the
+    * hard verdict `ok` = [rank guarantee held] as BIGINT, mirrored by
+    * a literal 1 in the oracle — a sketch regression flips `ok` and
+    * fails the driver's hash gate. SketchSpec asserts ok across
+    * fixtures; the true p90 itself is pinned by
+    * `events_quantiles_exact`. */
   private def qEventsApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
     val approx = ev.groupBy(col("event_type"))
@@ -495,11 +507,12 @@ object ExtensionQueries {
         sum(when(col("value") <= col("p90_approx"), 1L).otherwise(0L))
           .as("rank_of_approx"))
       .select(col("event_type"), col("n"),
-        (col("p90_approx") * 100).cast("long").as("p90_approx_x100"),
         col("rank_of_approx"),
         expr("(9 * n + 9) DIV 10").as("target_rank"))
       .withColumn("rank_err", abs(col("rank_of_approx") - col("target_rank")))
-      .withColumn("within_bound", col("rank_err") <= col("n") / lit(100) + lit(1))
+      .select(col("event_type"), col("n"), col("target_rank"),
+        (col("rank_err") <= col("n") / lit(100) + lit(1))
+          .cast("long").as("ok"))
       .orderBy("event_type")
   }
 
@@ -536,10 +549,13 @@ object ExtensionQueries {
     * exact audit rides five separate single-column two-stage distinct
     * aggregates — each scan column-pruned to one column, partial
     * distinct map-side, never a 5× Expand — and the per-column
-    * relative error lands in-data (`err_x10k`, `within_bound`; rsd
-    * 0.02 → 3σ ≈ 6%), asserted by SketchSpec. Rows-only gate: HLL
-    * register layouts are engine-specific (same as
-    * events_approx_distinct). */
+    * relative error feeds the hard verdict. Registered in CERTIFICATE
+    * form (HLL register layouts are engine-specific, same as
+    * events_approx_distinct): (col_name, nd_exact, ok) where `ok` =
+    * [|est − exact| ≤ 6% of exact, 3σ at rsd 0.02] as BIGINT,
+    * mirrored by a literal 1 in the oracle — a sketch regression
+    * flips `ok` and fails the driver's hash gate. SketchSpec asserts
+    * ok across fixtures. */
   private def qLineitemProfileApprox(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val cols = Seq("l_discount", "l_extendedprice", "l_quantity",
@@ -557,7 +573,8 @@ object ExtensionQueries {
       .withColumn("err_x10k",
         (abs(col("nd_approx") - col("nd_exact")) * lit(10000) / col("nd_exact"))
           .cast("long"))
-      .withColumn("within_bound", col("err_x10k") <= 600)
+      .select(col("col_name"), col("nd_exact"),
+        (col("err_x10k") <= 600).cast("long").as("ok"))
       .orderBy("col_name")
   }
 
@@ -1751,12 +1768,16 @@ object ExtensionQueries {
     * no per-type rank window anywhere in the plan, guarded by
     * SketchSpec), and the clip is a scan-stage projection against the
     * broadcast 1-row-per-type bounds frame. Payload matches the exact
-    * form; the in-data audit pins the GK rank guarantee: each clipped
-    * tail can hold at most ⌈n/100⌉ + n/accuracy + 1 rows (the exact
-    * tail size plus the sketch's worst-case rank slack). No DuckDB
-    * oracle (sketch internals are engine-specific) — the driver's
-    * rows-only gate plus SketchSpec's `within_bound` assertion gate
-    * it, the events_approx_quantiles pattern.
+    * form; the audit pins the GK rank guarantee: each clipped tail
+    * can hold at most ⌈n/100⌉ + n/accuracy + 1 rows (the exact tail
+    * size plus the sketch's worst-case rank slack). Registered in
+    * CERTIFICATE form (sketch-derived bounds are engine-specific):
+    * the output carries the oracle-computable group count plus the
+    * hard verdict `ok` = [both tails within the GK cap] as BIGINT,
+    * mirrored by a literal 1 in the oracle — a sketch regression
+    * flips `ok` and fails the driver's hash gate, the
+    * events_approx_quantiles pattern. The winsorized payload itself
+    * is pinned by the exact twin `events_winsorize`.
     */
   private def qEventsWinsorizeApprox(s: SparkSession, dir: String): DataFrame = {
     val acc = 100
@@ -1775,10 +1796,10 @@ object ExtensionQueries {
       .groupBy("event_type")
       .agg(first(col("n")).as("n"),
         sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
-        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
-        (sum(col("cv")) * 100).cast("long").as("clipped_sum_x100"))
-      .withColumn("within_bound",
-        col("n_clipped_lo") <= tailCap && col("n_clipped_hi") <= tailCap)
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
+      .select(col("event_type"), col("n"),
+        (col("n_clipped_lo") <= tailCap && col("n_clipped_hi") <= tailCap)
+          .cast("long").as("ok"))
       .orderBy("event_type")
   }
 
@@ -5772,6 +5793,49 @@ object ExtensionQueries {
         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events
         |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 20)
         |ORDER BY user_id""".stripMargin,
+
+    // Sketch CERTIFICATES: the oracle computes the exact half and
+    // pins the verdict at 1 — the Spark side computes the verdict
+    // from the live sketch, so an out-of-envelope sketch flips ok to
+    // 0 and the driver's hash compare catches it. See the query
+    // scaladocs for each bound.
+    "events_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_approx_quantiles" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       (9 * CAST(COUNT(*) AS BIGINT) + 9) // 10 AS target_rank,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_cms_counts" ->
+      """SELECT user_id, n_exact, CAST(1 AS BIGINT) AS ok FROM (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events
+        |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 20)
+        |ORDER BY user_id""".stripMargin,
+
+    "events_winsorize_approx" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lineitem_profile_approx" ->
+      """SELECT col_name, nd_exact, CAST(1 AS BIGINT) AS ok FROM (
+        |  SELECT 'l_discount' AS col_name,
+        |         CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS nd_exact
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice',
+        |    CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity',
+        |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag',
+        |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate',
+        |    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
 
     "events_quantiles_exact" ->
       """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v

@@ -2,8 +2,9 @@ package graft
 
 /** The HLL++ distinct sketch must stay inside its advertised error
   * envelope against the exact count at every fixture scale the gates
-  * run — this is the assertion behind `events_approx_distinct`'s
-  * rows-only driver check.
+  * run — the same invariant the certificate queries' `ok` column
+  * hands to the driver's hash gate, asserted here directly so a
+  * failure names the offending group.
   */
 class SketchSpec extends SparkSpec {
   import spark.implicits._
@@ -12,7 +13,7 @@ class SketchSpec extends SparkSpec {
     for (sf <- Seq("0.001", "0.01")) {
       val rows = SparkEntry.queries("events_approx_distinct")(
           spark, s"/root/testdata/sf$sf")
-        .select($"event_type", $"within_bound").as[(String, Boolean)].collect()
+        .select($"event_type", $"ok" === 1L).as[(String, Boolean)].collect()
       assert(rows.nonEmpty)
       val out = rows.filterNot(_._2)
       assert(out.isEmpty, s"sketch out of bound at sf$sf: ${out.mkString(",")}")
@@ -23,7 +24,7 @@ class SketchSpec extends SparkSpec {
     for (sf <- Seq("0.001", "0.01")) {
       val rows = SparkEntry.queries("events_cms_counts")(
           spark, s"/root/testdata/sf$sf")
-        .select($"user_id", $"within_bound").as[(Long, Boolean)].collect()
+        .select($"user_id", $"ok" === 1L).as[(Long, Boolean)].collect()
       assert(rows.nonEmpty)
       val out = rows.filterNot(_._2)
       assert(out.isEmpty, s"CMS out of bound at sf$sf: ${out.mkString(",")}")
@@ -34,7 +35,7 @@ class SketchSpec extends SparkSpec {
     for (sf <- Seq("0.001", "0.01")) {
       val rows = SparkEntry.queries("events_approx_quantiles")(
           spark, s"/root/testdata/sf$sf")
-        .select($"event_type", $"within_bound").as[(String, Boolean)].collect()
+        .select($"event_type", $"ok" === 1L).as[(String, Boolean)].collect()
       assert(rows.nonEmpty)
       val out = rows.filterNot(_._2)
       assert(out.isEmpty, s"quantile sketch out of rank bound at sf$sf: ${out.mkString(",")}")
@@ -45,7 +46,7 @@ class SketchSpec extends SparkSpec {
     for (sf <- Seq("0.001", "0.01")) {
       val rows = SparkEntry.queries("lineitem_profile_approx")(
           spark, s"/root/testdata/sf$sf")
-        .select($"col_name", $"within_bound").as[(String, Boolean)].collect()
+        .select($"col_name", $"ok" === 1L).as[(String, Boolean)].collect()
       assert(rows.length === 5)
       val out = rows.filterNot(_._2)
       assert(out.isEmpty, s"profile sketch out of bound at sf$sf: ${out.mkString(",")}")
@@ -67,7 +68,7 @@ class SketchSpec extends SparkSpec {
     for (sf <- Seq("0.001", "0.01")) {
       val df = SparkEntry.queries("events_winsorize_approx")(
         spark, s"/root/testdata/sf$sf")
-      val rows = df.select($"event_type", $"within_bound")
+      val rows = df.select($"event_type", $"ok" === 1L)
         .as[(String, Boolean)].collect()
       assert(rows.nonEmpty)
       val out = rows.filterNot(_._2)
