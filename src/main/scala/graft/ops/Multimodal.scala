@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, and run decode /
   * feature-extraction as batched per-partition transforms.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): [[DecodeStub.decode]] produces deterministic fake
-  * pixels from the payload bytes. Everything around it — schema, the
-  * partition-batched execution shape, feature schema, frame sampling —
-  * is real and tested; swapping in a real decoder changes only the stub
-  * body.
+  * IMAGE decode is REAL: [[ImageCodec]] reads JPEG/PNG/BMP/GIF/WBMP
+  * through the JDK's own `javax.imageio` (public API, zero extra
+  * dependencies — the one codec stack this sandbox does ship),
+  * emitting true dimensions, channel count, grid-luma features, and a
+  * downsampled luma stream for the perceptual hash. Audio/video (and
+  * any payload ImageIO cannot parse) fall back to [[DecodeStub]]'s
+  * deterministic fake so the pipeline shape stays total — swapping in
+  * a real audio codec changes only that dispatch arm.
   *
   * Scale notes: decode is per-row work inside `mapPartitions` (no
   * shuffle); payloads never pass through the driver; partition sizing
@@ -29,11 +31,84 @@ object Multimodal {
                            width: Int, height: Int, channels: Int,
                            feature: Array[Float])
 
+  /** Real image decode via JDK `javax.imageio` — JPEG, PNG, BMP, GIF,
+    * WBMP (the standard-plugin set; `ImageIO.read` sniffs the actual
+    * container, the MIME only gates WHETHER we try). Luma is ITU-R
+    * BT.601 integer weights ((299R + 587G + 114B) / 1000) — exact
+    * integer arithmetic, so features and hashes are bit-reproducible
+    * across JVMs for the same decoded pixels. */
+  object ImageCodec {
+    /** Only payloads declared as images are offered to ImageIO — a
+      * video container with a parseable embedded thumbnail must not
+      * silently decode as an image. */
+    def isImageMime(mime: String): Boolean =
+      mime != null && mime.startsWith("image/")
+
+    private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    private def lumaAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+
+    /** Area-downsample to a ≤ gridW×gridH luma grid (row-major byte
+      * per cell, each cell the integer mean over its pixel block) —
+      * the fixed-size stand-in for "resize + grayscale" every
+      * perceptual-hash pipeline starts with. Deterministic: integer
+      * sums, floor division, no color-management paths. */
+    def lumaGrid(img: java.awt.image.BufferedImage,
+                 gridW: Int = 64, gridH: Int = 64): Array[Byte] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gw = math.min(gridW, w); val gh = math.min(gridH, h)
+      Array.tabulate(gw * gh) { i =>
+        val (gx, gy) = (i % gw, i / gw)
+        val (x0, x1) = (gx * w / gw, (gx + 1) * w / gw)
+        val (y0, y1) = (gy * h / gh, (gy + 1) * h / gh)
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += lumaAt(img, x, y); n += 1; x += 1 }
+          y += 1
+        }
+        (sum / math.max(n, 1)).toByte
+      }
+    }
+
+    /** The luma grid as a codepoint string (one char per cell,
+      * codepoints 0–255) — the shape [[Multimodal.aHashed]]'s
+      * codegen'd kernel consumes, so IMAGE payloads ride the exact
+      * same 60-bit fingerprint arithmetic as text content. */
+    def lumaString(payload: Array[Byte]): Option[String] =
+      readImage(payload).map(img =>
+        new String(lumaGrid(img).map(b => (b & 0xff).toChar)))
+
+    /** Full decode → [[MediaFeatures]]: true width/height, channel
+      * count from the color model, and an 8-float feature = mean luma
+      * of a 4×2 grid scaled to [-1, 1] (the thumbnail-embedding shape
+      * the ANN operators consume). None = ImageIO cannot parse the
+      * payload (corrupt, or a format without a standard plugin). */
+    def decode(r: MediaRecord): Option[MediaFeatures] =
+      readImage(r.payload).map { img =>
+        val cells = lumaGrid(img, gridW = 4, gridH = 2)
+        val feature = cells.map(b => ((b & 0xff) - 128) / 128.0f)
+        MediaFeatures(r.media_id, r.mime, r.payload.length.toLong,
+          width = img.getWidth, height = img.getHeight,
+          channels = img.getColorModel.getNumComponents,
+          feature = feature)
+      }
+  }
+
   object DecodeStub {
-    /** STUB — stands in for an image/audio decode (e.g. JPEG → pixels).
-      * Deterministic on the payload so tests are stable: "dimensions"
-      * derive from the byte length, the "feature vector" from a
-      * rolling hash of the bytes.
+    /** STUB — stands in for the NON-IMAGE decode arms (audio/video
+      * codecs this environment doesn't ship) and for image payloads
+      * ImageIO rejects. Deterministic on the payload so tests are
+      * stable: "dimensions" derive from the byte length, the "feature
+      * vector" from a rolling hash of the bytes.
       */
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.payload.length
@@ -52,10 +127,32 @@ object Multimodal {
   /** Batched decode over partitions — the Scala analog of a pandas UDF
     * over `mapInPandas`: one iterator per partition, rows processed in
     * batch without per-row task overhead or driver involvement.
+    * Dispatch: image MIME → real [[ImageCodec]] decode, with
+    * [[DecodeStub]] as the fallback for everything else (and for
+    * image payloads ImageIO cannot parse — a total function, the F5
+    * silent-no-op discipline applied to codecs).
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(DecodeStub.decode))
+    media.mapPartitions(_.map { r =>
+      (if (ImageCodec.isImageMime(r.mime)) ImageCodec.decode(r) else None)
+        .getOrElse(DecodeStub.decode(r))
+    })
+  }
+
+  /** (media_id, luma) for the image rows ImageIO can decode — the
+    * distributed form of [[ImageCodec.lumaString]], feeding
+    * [[aHashed]] so real images get real perceptual fingerprints.
+    * Non-decodable rows are dropped (they have no pixels to hash);
+    * route them to a DLQ branch upstream if they must be accounted.
+    */
+  def imageLuma(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      if (ImageCodec.isImageMime(r.mime))
+        ImageCodec.lumaString(r.payload).map(s => (r.media_id, s))
+      else None
+    }).toDF("media_id", "luma")
   }
 
   /** A resized media row: fixed target dimensions + pixel buffer. */
