@@ -238,6 +238,11 @@ object CorpusStream {
     * re-admitted and starts a fresh TTL, and because both stores
     * record the same admission batches per doc, one `expireBefore`
     * horizon expires a doc's claims and shingles together.
+    *
+    * Lifecycle proof: CorpusStreamSpec's "mid-stream compaction
+    * survives a checkpointed restart" case runs a real checkpointed
+    * query, compacts between runs, restarts, and asserts every probe
+    * result equals a never-compacted twin store's.
     */
   def compactNearDupStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
       upToBatch: Long, expireBefore: Long = Long.MinValue,

@@ -487,4 +487,66 @@ class CorpusStreamSpec extends SparkSpec {
     run(Seq((4L, s"$A")), 7L)
     assert(stats(7L) === Map(4L -> (1L, 0L)))
   }
+
+  test("near-dup store: mid-stream compaction survives a checkpointed " +
+    "restart and matches the never-compacted store") {
+    // the full lifecycle the compaction contract promises (see
+    // CorpusStream.compactNearDupStore's safety contract): a REAL
+    // checkpointed streaming query processes batches, the store
+    // compacts between runs, the query restarts from its checkpoint,
+    // and a later batch's probe results are IDENTICAL to a twin store
+    // that was never compacted.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-ndckpt").toString
+    val in = s"$root/in"
+    val storeC = s"$root/store_compacted"
+    val storeU = s"$root/store_uncompacted"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1) // one file = one micro-batch
+        .json(in)
+        .writeStream
+        .foreachBatch(CorpusStream.nearDupBatch(storeC) _)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    def pairsAll(store: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$store/pairs")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val other = (50 to 80).map(i => s"z$i").mkString(" ")
+    val b0 = Seq((1L, base), (2L, other))
+    val b1 = Seq((3L, nearDup))
+    val b2 = Seq((4L, nearDup), (5L, (200 to 230).map(i => s"q$i").mkString(" ")))
+
+    writeBatch("b0.json", b0)
+    writeBatch("b1.json", b1)
+    runStream() // batches 0 and 1 committed
+    // compact MID-STREAM, up to the committed horizon
+    CorpusStream.compactNearDupStore(spark, storeC, upToBatch = 1L)
+    assert(new java.io.File(s"$storeC/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet === Set("batch=-1"),
+      "compaction must fold both committed band partitions")
+    writeBatch("b2.json", b2)
+    runStream() // RESTART from the checkpoint: batch 2 probes folded history
+    // twin store: same batch sequence, never compacted
+    for ((rows, id) <- Seq(b0, b1, b2).zipWithIndex)
+      CorpusStream.nearDupBatch(storeU)(rows.toDF("doc_id", "text"), id.toLong)
+    val got = pairsAll(storeC)
+    assert(got === pairsAll(storeU),
+      "compaction + restart must not change any probe result")
+    // and the cross-compaction pairs specifically surfaced: batch 2's
+    // doc 4 near-dups BOTH folded claimants (1 and 3) plus nothing else
+    assert(got === Set((1L, 3L), (1L, 4L), (3L, 4L)))
+  }
 }
