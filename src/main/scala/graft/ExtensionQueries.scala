@@ -888,12 +888,27 @@ object ExtensionQueries {
     * corpus so cells stay bounded and the within-cell quadratic never
     * exceeds |cell|², while LSH buckets need no training. Emits every
     * vector with its cell and keep verdict.
+    *
+    * k = max(4, n div [[SemdedupCellTarget]]) — corpus-SCALED, and
+    * that scaling is load-bearing: the r15 sf1 probe measured the
+    * fixed-k=4 form at wall exponent 1.75 (4.1 s → 229 s for 10×
+    * data) because mean cell size grew with n and the within-cell
+    * pair join is |cell|²; with k ∝ n the mean cell pins at the
+    * target and the pair work scales linearly. The one driver-side
+    * count() is bounded model metadata (it sizes the seed literal
+    * set the assignment expression inlines anyway). Both engines
+    * compute k from the same count, and at every driver fixture
+    * (n ≤ 2000) k = 4 — the formula extends the query to big
+    * corpora without moving a byte of the gated output.
     */
+  private val SemdedupCellTarget = 500L
+
   private def qEmbSemdedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qdot = graft.functions.GraftFunctions.registerQDot(s)
+    val k = math.max(4L, emb.count() / SemdedupCellTarget)
     val a = graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
-        col("vec_id"), emb.where(col("vec_id") < 4))
+        col("vec_id"), emb.where(col("vec_id") < k))
       .withColumn("n2", qdot(col("v"), col("v")))
     val pairs = a.as("x").join(a.as("y"),
         col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
@@ -906,7 +921,12 @@ object ExtensionQueries {
         lit(1600L).cast("decimal(38,0)") *
           col("n2a").cast("decimal(38,0)") * col("n2b").cast("decimal(38,0)"))
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val comp = graft.ops.Components.connectedComponents(pairs)
+    // adaptive components, not plain label-prop: semantic-dup graphs
+    // CHAIN (a≈b≈c without a≈c), and the r15 sf1 probe hit a component
+    // deeper than label-prop's 20-round budget — the adaptive form
+    // probes shallow first and finishes deep tails with star rounds,
+    // same min-id output contract (ComponentsSpec pins equality)
+    val comp = graft.ops.Components.connectedComponentsAdaptive(pairs)
     a.select(col("vec_id"), col("cl"))
       .join(comp, col("vec_id") === comp("id"), "left")
       .select(col("vec_id"), col("cl").as("cluster"),
@@ -4759,7 +4779,9 @@ object ExtensionQueries {
       val dim = EMB_DIM
       s"""WITH RECURSIVE q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
          |seeds AS (SELECT vec_id AS cid, q AS cq,
-         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4),
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q
+         |          WHERE vec_id < (SELECT greatest(4, count(*) // $SemdedupCellTarget)
+         |                          FROM embeddings)),
          |d1 AS (SELECT v.vec_id, v.q, s.cid,
          |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
          |       FROM q v CROSS JOIN seeds s),
