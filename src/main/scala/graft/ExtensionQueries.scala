@@ -654,10 +654,29 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
-  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("embedding"),
-        col("vec_id"), bucketBits = 8, num = 40, den = 100)
+  /** Corpus-scaled LSH width for the embedding near-dup channel: the
+    * smallest b ∈ [8, 24] with 2^b · 8 ≥ n, i.e. mean sign-bucket
+    * occupancy pins at ≤ 8 vectors — the same lesson as
+    * [[SemdedupCellTarget]]: a FIXED bucket count means bucket size
+    * grows ∝ n and the within-bucket pair join grows ∝ n² (the r15
+    * sf1 probe caught exactly that shape on the k-means channel).
+    * Because [[graft.ops.Vectors.hyperplanes]] draws planes
+    * sequentially from a fixed seed, the b-bit bucket is EXACTLY the
+    * 24-bit bucket mod 2^b (prefix property, pinned in VectorsSpec),
+    * so the DuckDB oracle computes the full 24-bit bucket and masks
+    * with the same smallest-power-of-two scalar — engine-identical at
+    * any corpus size. At every driver fixture (n ≤ 2000) this is 8,
+    * the r14 constant, so gated outputs are byte-identical. */
+  private def embeddingLshBits(n: Long): Int =
+    (8 to 24).find(b => (1L << b) * 8 >= n).getOrElse(24)
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Dedup.embeddingNearDups(emb, col("embedding"),
+        col("vec_id"), bucketBits = embeddingLshBits(emb.count()),
+        num = 40, den = 100)
       .orderBy("vec_a", "vec_b")
+  }
 
   /** Capstone composition — the realistic corpus-cleaning pass a
     * training-data pipeline runs end to end: quality gate (drop short /
@@ -5322,8 +5341,15 @@ object ExtensionQueries {
 
     "dedup_embedding_cos" ->
       s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |pw AS (SELECT coalesce(
+         |         (SELECT min(CAST(1 AS BIGINT) << b)
+         |          FROM (SELECT unnest(generate_series(8, 24)) AS b)
+         |          WHERE (CAST(1 AS BIGINT) << b) * 8 >=
+         |                (SELECT count(*) FROM embeddings)),
+         |         CAST(1 AS BIGINT) << 24) AS p),
          |n AS (SELECT vec_id, q, ${Vectors.intNorm2Sql("q", EMB_DIM)} AS n2,
-         |       ${Vectors.signBucketSql("q", 8)} AS bucket FROM q),
+         |       (${Vectors.signBucketSql("q", 24)}) % (SELECT p FROM pw)
+         |         AS bucket FROM q),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${Vectors.intDotSql("a.q", "b.q", EMB_DIM)} AS dot,
          |       a.n2 AS n2a, b.n2 AS n2b

@@ -181,4 +181,26 @@ class VectorsSpec extends SparkSpec {
     // every pick's mmr equals its relevance — no diversity discount
     assert(got.forall(r => r._3 === r._4), s"got $got")
   }
+
+  test("signBucket prefix property: b-bit bucket = 24-bit bucket mod 2^b") {
+    // load-bearing for the corpus-scaled LSH width: the Spark side
+    // computes signBucket(v, bits) directly while the DuckDB oracle
+    // masks the full 24-bit bucket — they agree only because
+    // hyperplanes draws planes sequentially from one fixed seed, so
+    // planes(8) is a prefix of planes(24). A reseeded-per-width
+    // generator would silently split the engines at sf > 0.1.
+    val rnd = new scala.util.Random(271828)
+    val vecs = (1L to 50L).map(i =>
+      (i, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2f))).toDF("vec_id", "v")
+      .select(col("vec_id"), graft.ops.Vectors.quantize(col("v")).as("q"))
+    for (bits <- Seq(8, 12, 17)) {
+      val got = vecs.select(col("vec_id"),
+          graft.ops.Vectors.signBucket(col("q"), bits).as("b"),
+          (graft.ops.Vectors.signBucket(col("q"), 24) % (1L << bits)).as("m"))
+        .as[(Long, Long, Long)].collect()
+      assert(got.forall(r => r._2 == r._3),
+        s"prefix property broken at bits=$bits: " +
+          got.filter(r => r._2 != r._3).take(3).mkString(","))
+    }
+  }
 }
