@@ -668,7 +668,7 @@ object ExtensionQueries {
     * any corpus size. At every driver fixture (n ≤ 2000) this is 8,
     * the r14 constant, so gated outputs are byte-identical. */
   private def embeddingLshBits(n: Long): Int =
-    (8 to 24).find(b => (1L << b) * 8 >= n).getOrElse(24)
+    Vectors.scaledLshBits(n, minBits = 8, occupancy = 8)
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -3797,12 +3797,18 @@ object ExtensionQueries {
     * hyperparameters, same discipline as [[dedupPairs]]) makes the
     * build run once per session with every later consumer reading the
     * pinned frame. */
-  private def mutualKnnEdges(s: SparkSession, dir: String): DataFrame =
-    graft.ops.AnnCache.memo(s, s"mutual-knn:$dir:k=5:bits=6") {
+  private def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // corpus-scaled width (occupancy ≤ 32 peers — comfortably above
+    // the top-5 ask, so recall is bucket-bounded, not corpus-bounded);
+    // bits = 6 at every driver fixture, the r14 constant
+    val bits = Vectors.scaledLshBits(emb.count(), minBits = 6, occupancy = 32)
+    graft.ops.AnnCache.memo(s, s"mutual-knn:$dir:k=5:bits=$bits") {
       graft.ops.AnnCache.pin(
-        graft.ops.Similarity.mutualKnn(Tables.embeddings(s, dir),
-          col("embedding"), col("vec_id"), k = 5, bits = 6))
+        graft.ops.Similarity.mutualKnn(emb,
+          col("embedding"), col("vec_id"), k = 5, bits = bits))
     }
+  }
 
   /** Mutual 5-NN graph ([[mutualKnnEdges]]): the reciprocal-neighbor
     * edge set that k-NN-graph clustering and agreement-based semantic
@@ -5341,12 +5347,7 @@ object ExtensionQueries {
 
     "dedup_embedding_cos" ->
       s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
-         |pw AS (SELECT coalesce(
-         |         (SELECT min(CAST(1 AS BIGINT) << b)
-         |          FROM (SELECT unnest(generate_series(8, 24)) AS b)
-         |          WHERE (CAST(1 AS BIGINT) << b) * 8 >=
-         |                (SELECT count(*) FROM embeddings)),
-         |         CAST(1 AS BIGINT) << 24) AS p),
+         |pw AS (SELECT ${Vectors.scaledLshPow2Sql("embeddings", 8, 8)} AS p),
          |n AS (SELECT vec_id, q, ${Vectors.intNorm2Sql("q", EMB_DIM)} AS n2,
          |       (${Vectors.signBucketSql("q", 24)}) % (SELECT p FROM pw)
          |         AS bucket FROM q),
@@ -5686,11 +5687,11 @@ object ExtensionQueries {
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "emb_mutual_knn" ->
-      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, EMB_DIM)}
+      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, 32, EMB_DIM)}
          |SELECT vec_a, vec_b, dot FROM mk ORDER BY 1, 2""".stripMargin,
 
     "emb_label_spread" ->
-      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, EMB_DIM)},
+      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, 32, EMB_DIM)},
          |ed AS (SELECT vec_a AS src, vec_b AS dst FROM mk
          |       UNION ALL SELECT vec_b, vec_a FROM mk),
          |l0 AS (SELECT vec_id,

@@ -186,10 +186,17 @@ object Similarity {
   }
 
   /** DuckDB CTE body shared by the mutual-kNN oracles: defines
-    * `q/bkt/p/r/t` and finally `mk(vec_a, vec_b, dot)` with a < b. */
-  def mutualKnnSqlCtes(k: Int, bits: Int, dim: Int): String =
+    * `q/bkt/p/r/t` and finally `mk(vec_a, vec_b, dot)` with a < b.
+    * The bucket is corpus-scaled like the Spark side
+    * ([[Vectors.scaledLshBits]] at minBits/occupancy): full 24-bit
+    * bucket masked by the same smallest-power-of-two scalar — exact
+    * by the hyperplane prefix property (VectorsSpec). */
+  def mutualKnnSqlCtes(k: Int, minBits: Int, occupancy: Int, dim: Int): String =
     s"""q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS qz FROM embeddings),
-       |bkt AS (SELECT vec_id, qz, ${Vectors.signBucketSql("qz", bits, dim)} AS bucket FROM q),
+       |pw AS (SELECT ${Vectors.scaledLshPow2Sql("embeddings", minBits, occupancy)} AS p),
+       |bkt AS (SELECT vec_id, qz,
+       |        (${Vectors.signBucketSql("qz", 24, dim)}) % (SELECT p FROM pw)
+       |          AS bucket FROM q),
        |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
        |             ${Vectors.intDotSql("x.qz", "y.qz", dim)} AS dot
        |      FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),

@@ -71,6 +71,29 @@ object Vectors {
     }.reduce(_ + _)
   }
 
+  /** Corpus-scaled LSH width: the smallest b ∈ [minBits, 24] with
+    * 2^b · occupancy ≥ n, i.e. mean sign-bucket occupancy pinned at
+    * ≤ `occupancy` vectors. A FIXED bucket count makes every
+    * bucket-keyed self-join quadratic in the corpus (bucket size
+    * ∝ n); scaling the width keeps it linear. Engines stay identical
+    * via the PREFIX PROPERTY: [[hyperplanes]] draws planes
+    * sequentially from one fixed seed, so signBucket(v, b) ==
+    * signBucket(v, 24) % 2^b (pinned in VectorsSpec) and the SQL
+    * mirror can mask the full 24-bit bucket with
+    * [[scaledLshPow2Sql]]'s scalar instead of re-deriving planes. */
+  def scaledLshBits(n: Long, minBits: Int, occupancy: Int): Int =
+    (minBits to 24).find(b => (1L << b) * occupancy >= n).getOrElse(24)
+
+  /** DuckDB scalar mirroring `1 << scaledLshBits(count(*), …)` over
+    * `table` — exact integer arithmetic, no float log2. */
+  def scaledLshPow2Sql(table: String, minBits: Int, occupancy: Int): String =
+    s"""coalesce(
+       |  (SELECT min(CAST(1 AS BIGINT) << b)
+       |   FROM (SELECT unnest(generate_series($minBits, 24)) AS b)
+       |   WHERE (CAST(1 AS BIGINT) << b) * $occupancy >=
+       |         (SELECT count(*) FROM $table)),
+       |  CAST(1 AS BIGINT) << 24)""".stripMargin
+
   /** SQL mirror of [[signBucket]] for the DuckDB oracle. */
   def signBucketSql(vCol: String, bits: Int, dim: Int = 64): String = {
     val hp = hyperplanes(bits, dim)
