@@ -28,6 +28,13 @@ case class AttributionPoint(user_id: Long, ts: java.sql.Timestamp,
 case class QuantilePoint(key: String, n: Long, p50_x100: Long,
     p90_x100: Long, p99_x100: Long, eps_n: Long, summary_size: Int)
 
+/** One key's distribution reading from
+  * [[Monitors.histogramDriftMonitor]] after a micro-batch: L1 distance
+  * (in basis points, = 2 × total-variation distance) between the live
+  * bin shares and the reference histogram, plus the worst bin. */
+case class DriftPoint(key: String, n: Long, drift_l1_bp: Long,
+    worst_bin: Long, worst_drift_bp: Long, alarm: Boolean)
+
 /** Continuous sequential monitors — the streaming twins of the batch
   * audit queries (`events_cusum` etc.), same family discipline as
   * [[CorpusStream]]: exact integer state, deterministic under replay,
@@ -222,6 +229,64 @@ object Monitors {
     * ε defaults to 1 % — 99 summary entries ceiling per log-doubling,
     * ~KBs per monitored key at any n.
     */
+  /** Streaming DISTRIBUTION-drift monitor — the fifth of the family
+    * (CUSUM watches the RATE, this watches the SHAPE): live values
+    * accumulate into the same 16 equi-width bins as the batch audit
+    * `events_drift_halves` (bin = min(15, max(v, 0) div 2000) over
+    * exact cents — rule shared verbatim so the batch table is this
+    * monitor's oracle-checked twin), and each micro-batch emits the
+    * key's L1 distance in basis points between live bin shares and a
+    * FIXED reference histogram (the training-corpus distribution a
+    * production drift alarm compares against). L1-in-bp is the
+    * log-free integer form of the PSI/KS comparison the batch twin
+    * documents: exact, engine-stable, and 2× the total-variation
+    * distance, with `worst_bin` naming where the mass moved.
+    *
+    * Replay determinism is STRONGER than the other monitors': bin
+    * counts are order-independent, so the reading is identical under
+    * ANY batching, not just per-batch replay.
+    *
+    * Scale shape: state is 16 longs + n per key, sharded by key; the
+    * reference rides the closure as 16 literals. No timeout — an idle
+    * key holds 136 bytes, and the alarm history lives in the output.
+    *
+    * `refShareBp` = reference share per bin in basis points (need not
+    * sum to exactly 10000; the live side truncates the same way, and
+    * up to 16 bp of truncation slack is far below any useful alarm
+    * threshold). `v` arrives in exact cents.
+    */
+  def histogramDriftMonitor(rows: DataFrame, refShareBp: Seq[Long],
+      alarmL1Bp: Long): Dataset[DriftPoint] = {
+    require(refShareBp.length == 16, "reference histogram must have 16 bins")
+    require(refShareBp.forall(s => s >= 0L && s <= 10000L),
+      "reference shares are basis points in [0, 10000]")
+    import rows.sparkSession.implicits._
+    rows.select(col("key").cast("string").as("key"),
+        col("v").cast("long").as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[Seq[Long]]) => {
+          val bins = (if (state.exists) state.get else Seq.fill(16)(0L)).toArray
+          it.foreach { case (_, v) =>
+            bins(math.min(15L, math.max(v, 0L) / 2000L).toInt) += 1
+          }
+          state.update(bins.toSeq)
+          val n = bins.sum
+          if (n == 0L) Iterator.empty
+          else {
+            val deltas = bins.zip(refShareBp).map { case (b, ref) =>
+              math.abs(10000L * b / n - ref)
+            }
+            val l1 = deltas.sum
+            val worst = deltas.indexOf(deltas.max) // ties → lowest bin
+            Iterator.single(DriftPoint(key, n, l1, worst.toLong,
+              deltas(worst), l1 > alarmL1Bp))
+          }
+        })
+  }
+
   def gkQuantileMonitor(rows: DataFrame, epsBp: Int = 100): Dataset[QuantilePoint] = {
     require(epsBp >= 1 && epsBp <= 2500, "eps must be in (0, 0.25] as bp")
     import rows.sparkSession.implicits._

@@ -341,4 +341,76 @@ class MonitorsSpec extends SparkSpec {
       4L -> ((9L, "direct", 500L))),
       "restart must resume the per-user touch state from the checkpoint")
   }
+
+  test("histogram drift matches a driver fold and alarms on a planted shift") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform mass over bins 0..3 (v in [0, 8000) cents)
+    val ref = Seq.fill(4)(2500L) ++ Seq.fill(12)(0L)
+    val input = MemoryStream[(String, Long)]
+    val out = Monitors.histogramDriftMonitor(
+      input.toDF().toDF("key", "v"), ref, alarmL1Bp = 5000L)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("drift_mon").start()
+    // batch 1: on-reference sample — 3 values per reference bin
+    val onRef = (0 until 4).flatMap(b => Seq.fill(3)(("k", b * 2000L + 100L)))
+    input.addData(onRef: _*)
+    q.processAllAvailable()
+    // batch 2: the planted shift — all new mass lands in bin 15
+    input.addData(Seq.fill(12)(("k", 999999L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    def fold(vs: Seq[Long]): (Long, Long, Long, Long) = {
+      val bins = new Array[Long](16)
+      vs.foreach(v => bins(math.min(15L, math.max(v, 0L) / 2000L).toInt) += 1)
+      val n = bins.sum
+      val d = bins.zip(ref).map { case (b, r) => math.abs(10000L * b / n - r) }
+      (n, d.sum, d.indexOf(d.max).toLong, d.max)
+    }
+    val rows = spark.table("drift_mon").as[graft.streaming.DriftPoint]
+      .collect().sortBy(_.n)
+    assert(rows.length == 2)
+    val exp1 = fold(onRef.map(_._2))
+    assert((rows(0).n, rows(0).drift_l1_bp, rows(0).worst_bin,
+      rows(0).worst_drift_bp) == exp1)
+    assert(!rows(0).alarm, s"on-reference batch must not alarm: ${rows(0)}")
+    // cumulative: batch 2's reading folds BOTH batches' values
+    val exp2 = fold(onRef.map(_._2) ++ Seq.fill(12)(999999L))
+    assert((rows(1).n, rows(1).drift_l1_bp, rows(1).worst_bin,
+      rows(1).worst_drift_bp) == exp2)
+    assert(rows(1).alarm && rows(1).worst_bin == 15L,
+      s"half the mass moved to bin 15 — must alarm there: ${rows(1)}")
+  }
+
+  test("histogram drift state survives a checkpointed query restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("drift-ckpt").toString
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val ref = Seq(10000L) ++ Seq.fill(15)(0L) // all mass expected in bin 0
+    def writeBatch(name: String, vs: Seq[Long]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        vs.map(v => s"""{"key":"k","v":$v}""").mkString("\n").getBytes)
+    def run(): Unit = {
+      val src = spark.readStream.schema("key STRING, v LONG").json(in)
+      val q = Monitors.histogramDriftMonitor(src, ref, alarmL1Bp = 5000L)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch("b1.json", Seq.fill(6)(100L)) // 6 on-reference values
+    run()
+    writeBatch("b2.json", Seq.fill(6)(50000L)) // RESTART: 6 in bin 15
+    run()
+    val got = spark.read.parquet(s"$root/out")
+      .as[graft.streaming.DriftPoint].collect().sortBy(_.n)
+    assert(got.map(_.n).toSeq == Seq(6L, 12L),
+      "restart must CONTINUE the bin counts, not reset them")
+    // post-restart: 6/12 in bin 0 (5000 bp vs 10000 ref) + 6/12 in
+    // bin 15 (5000 bp vs 0 ref) -> L1 = 10000, only provable if the
+    // pre-restart counts survived
+    assert(got(1).drift_l1_bp == 10000L && got(1).alarm)
+    assert(!got(0).alarm)
+  }
 }
