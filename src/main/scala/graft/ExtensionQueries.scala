@@ -3139,6 +3139,56 @@ object ExtensionQueries {
       .orderBy("media_a", "media_b")
   }
 
+  /** REAL-codec round-trip certificate: every tenth doc synthesizes a
+    * deterministic PNG (dimensions derived from `n_chars` by the same
+    * formula as [[Multimodal.DecodeStub]], pixels a gradient seeded by
+    * doc_id), encodes it through `javax.imageio`, decodes it back
+    * through [[Multimodal.ImageCodec]], and emits the decoded
+    * dimensions plus the hard verdict `ok` = [decoded width/height/
+    * channels match the constructed image AND the luma grid
+    * extracted] — the sketch-certificate discipline
+    * (events_approx_distinct) applied to a codec: the oracle computes
+    * the same dimensions from `n_chars` arithmetic and pins ok at 1,
+    * so a broken encoder, decoder, or luma path fails the driver's
+    * hash gate, not just a spec. Executor-side `mapPartitions`
+    * (payloads never touch the driver), bounded to n/10 rows — the
+    * PNG round-trip is ~ms-scale per row, the deliberate price of
+    * gating a real codec.
+    */
+  private def qMultimodalImageioCert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val w = (16 + nc % 64).toInt
+        val h = (16 + (nc * 7) % 64).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val lum = ((x * 255 / math.max(w - 1, 1)) + id.toInt % 37) % 256
+            img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        val rec = Multimodal.MediaRecord(id, "image/png", baos.toByteArray)
+        val dec = Multimodal.ImageCodec.decode(rec)
+        val ok = dec.exists(f =>
+          f.width == w && f.height == h && f.channels == 3) &&
+          Multimodal.ImageCodec.lumaString(rec.payload).exists(_.nonEmpty)
+        (id, w.toLong, h.toLong, if (ok) 1L else 0L)
+      })
+      .toDF("doc_id", "width", "height", "ok")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- round-10 batch
 
   /** Filtered (hybrid) vector search: top-k restricted to candidates
@@ -4110,6 +4160,7 @@ object ExtensionQueries {
     "sim_topk_ivfpq" -> (qSimTopkIvfPq _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_phash_dup" -> (qMultimodalPhashDup _),
+    "multimodal_imageio_cert" -> (qMultimodalImageioCert _),
     "events_rollup_merge" -> (qEventsRollupMerge _),
     "events_salted_join" -> (qEventsSaltedJoin _),
     "orders_delta_join" -> (qOrdersDeltaJoin _),
@@ -5446,6 +5497,16 @@ object ExtensionQueries {
         |       CAST(3 AS BIGINT) AS channels,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // codec certificate: dimensions re-derive from the same n_chars
+    // arithmetic; ok is pinned at 1 (see the query scaladoc — a broken
+    // ImageIO encode/decode/luma path flips it and fails the hash gate)
+    "multimodal_imageio_cert" ->
+      """SELECT doc_id, 16 + n_chars % 64 AS width,
+        |       16 + (n_chars * 7) % 64 AS height,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the identical integer aHash pipeline from the source text:
     // per-char codes, 60 segment sums with cross-multiplied mean
