@@ -395,6 +395,102 @@ object CorpusStream {
       .write.mode("overwrite").parquet(s"$storeDir/shingles/batch=$batchId")
   }
 
+  /** foreachBatch body for STORE-BACKED incremental ANN indexing —
+    * completing the incremental family (exact dedup, chunks, near-dup,
+    * now the vector index): each micro-batch of (vec_id, embedding)
+    * rows assigns to its nearest FIXED coarse centroid with the same
+    * exact-integer `‖c‖² − 2·x·c` argmin as the batch k-means channel
+    * ([[graft.ops.SemanticCluster]] — ties → lowest cell), and appends
+    * (vec_id, cell, v) under `batch=N` with overwrite, so crash-replay
+    * REPLACES a batch's partition (assignments have no cross-batch
+    * dependency — no self-exclusion read needed, the one store-backed
+    * operator here with zero read amplification per batch).
+    *
+    * Centroids are FIXED model metadata trained offline
+    * ([[graft.ops.Ivf.build]]'s output, or any quantizer): an IVF
+    * coarse quantizer is a sketch, and re-training it per batch would
+    * invalidate every historical assignment — the production contract
+    * is train rarely, assign forever, REBUILD (a batch job over the
+    * store) when drift warrants.
+    *
+    * Probe with [[annProbeStore]]; CorpusStreamSpec pins that the
+    * incrementally-built store answers top-k identically to a
+    * single-shot assignment over the union.
+    *
+    * Scale shape: assignment is a pure scan-stage expression against
+    * k·dim literal longs; the write inherits the batch's
+    * partitioning. Nothing shuffles, nothing reads the store.
+    */
+  def annIndexBatch(storeDir: String, centroids: Seq[Seq[Float]])(
+      batch: DataFrame, batchId: Long): Unit = {
+    annAssign(batch, centroids)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** Shared exact-integer nearest-centroid assignment: (vec_id, v,
+    * cell) with the quantized argmin and lowest-cell tie-break. */
+  private[streaming] def annAssign(rows: DataFrame,
+      centroids: Seq[Seq[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "at least one centroid")
+    val qc = centroids.map(_.map(x => math.round(x * 1000f).toLong))
+    val scores = qc.map { c =>
+      lit(c.map(x => x * x).sum) - lit(2L) *
+        graft.ops.Vectors.intDot(
+          graft.ops.Vectors.quantize(col("v")), array(c.map(lit): _*))
+    }
+    rows.select(col("vec_id").cast("long").as("vec_id"),
+        col("v").cast("array<float>").as("v"))
+      .withColumn("cell",
+        (array_position(array(scores: _*), array_min(array(scores: _*))) - 1)
+          .cast("int"))
+  }
+
+  /** Top-k over the incrementally-built [[annIndexBatch]] store: each
+    * query probes its `nProbe` nearest cells (same integer argmin as
+    * the index side) and scores only those cells' vectors with the
+    * fused `q_dot` — the IVF read path ([[graft.ops.Ivf.topK]])
+    * re-expressed against the store. The store scan prunes to the
+    * probed cells via partition-independent predicate pushdown on the
+    * `cell` column; queries broadcast (bounded query set).
+    */
+  def annProbeStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
+      centroids: Seq[Seq[Float]], queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val qdot = graft.functions.GraftFunctions.registerQDot(s)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType)), StructField("cell", IntegerType),
+      StructField("batch", LongType)))
+    val store = s.read.schema(schema).parquet(storeDir)
+    // the query's nProbe nearest cells, by the same integer score the
+    // index side assigns with (annAssign widened from argmin to top-n)
+    val qc = centroids.map(_.map(x => math.round(x * 1000f).toLong))
+    val cents = qc.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+        (lit(c.map(x => x * x).sum) - lit(2L) * graft.ops.Vectors.intDot(
+          graft.ops.Vectors.quantize(col("qv")), array(c.map(lit): _*))).as("sc"))
+    }
+    val probed = queries
+      .select(col("vec_id").cast("long").as("q_vec_id"),
+        col("v").cast("array<float>").as("qv"))
+      .select(col("q_vec_id"), col("qv"),
+        explode(array(cents: _*)).as("cs"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cs.sc").asc, col("cs.cell").asc)))
+      .where(col("crnk") <= nProbe)
+      .select(col("q_vec_id"), col("qv"), col("cs.cell").as("cell"))
+    store.join(broadcast(probed), "cell")
+      .where(col("vec_id") =!= col("q_vec_id"))
+      .select(col("q_vec_id"), col("vec_id"),
+        qdot(col("v"), col("qv")).as("dot"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("dot").desc, col("vec_id").asc)))
+      .where(col("rnk") <= k)
+  }
+
   /** Streaming per-source admission cap — the continuous form of
     * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
     * `cap` docs over the stream's lifetime, later arrivals drop. The

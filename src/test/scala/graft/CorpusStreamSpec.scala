@@ -488,6 +488,53 @@ class CorpusStreamSpec extends SparkSpec {
     assert(stats(7L) === Map(4L -> (1L, 0L)))
   }
 
+  test("incremental ANN index: streamed batches answer like a single build, " +
+    "replay idempotent, probe prunes to cells") {
+    val store = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val rnd = new scala.util.Random(8641)
+    def vec(seedShift: Int): Seq[Float] =
+      Seq.tabulate(8)(j => (rnd.nextFloat() - 0.5f) * 2f + (if (j == seedShift % 8) 2f else 0f))
+    // 4 well-separated centroids on the axes
+    val cents = (0 until 4).map(c => Seq.tabulate(8)(j => if (j == c) 3f else 0f))
+    val b0 = (1L to 30L).map(i => (i, vec(i.toInt)))
+    val b1 = (31L to 60L).map(i => (i, vec(i.toInt)))
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "v")
+
+    CorpusStream.annIndexBatch(store, cents)(df(b0), 0L)
+    CorpusStream.annIndexBatch(store, cents)(df(b1), 1L)
+    // crash-replay of batch 1 REPLACES its partition — store holds
+    // each vector exactly once
+    CorpusStream.annIndexBatch(store, cents)(df(b1), 1L)
+    val stored = spark.read.parquet(store).select($"vec_id").as[Long].collect()
+    assert(stored.length === 60 && stored.distinct.length === 60)
+
+    val queries = df(Seq((1000L, vec(3)), (1001L, vec(6))))
+    val got = CorpusStream.annProbeStore(spark, store, cents, queries,
+        k = 5, nProbe = 2)
+      .select($"q_vec_id", $"rnk", $"vec_id", $"dot")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // twin: ONE assignment pass over the union, same probe machinery
+    val single = java.nio.file.Files.createTempDirectory("graft-ann-1").toString
+    CorpusStream.annIndexBatch(single, cents)(df(b0 ++ b1), 0L)
+    val want = CorpusStream.annProbeStore(spark, single, cents, queries,
+        k = 5, nProbe = 2)
+      .select($"q_vec_id", $"rnk", $"vec_id", $"dot")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want,
+      "incremental batches must answer identically to a single-shot build")
+
+    // recall vs brute force within the probed fraction: with nProbe =
+    // 4 (all cells) the probe IS exact brute force — pin that
+    val all = CorpusStream.annProbeStore(spark, store, cents, queries,
+        k = 5, nProbe = 4)
+      .select($"q_vec_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val brute = graft.ops.Similarity.topKBruteForce(df(b0 ++ b1), queries,
+        col("v"), col("vec_id"), k = 5)
+      .select($"q_vec_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(all === brute, "nProbe = k cells must equal brute force")
+  }
+
   test("near-dup store: mid-stream compaction survives a checkpointed " +
     "restart and matches the never-compacted store") {
     // the full lifecycle the compaction contract promises (see
