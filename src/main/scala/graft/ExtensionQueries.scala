@@ -729,6 +729,66 @@ object ExtensionQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Supervised-label generation — the "did an error follow within the
+    * horizon" churn/incident label a training pipeline attaches to
+    * each purchase: next_err_ts = the user's earliest error event
+    * STRICTLY AFTER the purchase (conditional min over the
+    * rows-following frame under the (ts, event_id) total order — the
+    * forward twin of events_attribution's strictly-preceding carry),
+    * label = 1 iff it lands within 7 days. Exactly ONE user-keyed
+    * shuffle feeds the window; labeling is embarrassingly parallel
+    * across users, and the frame is rows-based on a total order so
+    * both engines agree under timestamp ties.
+    */
+  private def qEventsErrorLabel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("next_err_ts",
+        min(when(col("event_type") === "error", col("ts"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("next_err_ts").cast("timestamp_ntz").as("next_err_ts"),
+        (col("next_err_ts").isNotNull &&
+          col("next_err_ts") <= col("ts") + expr("INTERVAL 7 DAY"))
+          .cast("long").as("label"))
+      .orderBy("event_id")
+  }
+
+  /** Hash-ring NEGATIVE SAMPLING — the contrastive-training primitive
+    * (k non-matching docs per anchor) without an n×k random join or
+    * any driver randomness: docs order on a deterministic hash ring
+    * (rank = [[graft.ops.Linkage.globalRank]] over (hash(doc_id),
+    * doc_id) — the distributed two-pass ranking, NO single-partition
+    * global window), and each anchor pairs with the k next ring
+    * positions, wrapping. Hash-ordering makes ring neighbors
+    * content-uncorrelated (the property negatives need), the ring
+    * guarantees every doc serves as a negative exactly k times (no
+    * hub oversampling), and everything after the rank is one keyed
+    * join. Anchor count n and shift arithmetic stay non-negative
+    * integers, so both engines agree exactly.
+    */
+  private def qCorpusNegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val K = 3
+    val ranked = graft.ops.Linkage.globalRank(
+        Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("h", graft.ops.Sampling.hashVal(col("doc_id"))),
+        col("h"), col("doc_id"))
+      .select(col("doc_id"), col("rank"))
+    val tot = ranked.agg(max(col("rank")).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("rank"), col("n"),
+        explode(expr(s"sequence(1, $K)")).as("j"))
+      .withColumn("nrank", expr("(rank + j - 1) % n + 1"))
+      .join(ranked.select(col("rank").as("nrank"),
+        col("doc_id").as("neg_doc_id")), "nrank")
+      .where(col("doc_id") =!= col("neg_doc_id"))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_doc_id"))
+      .orderBy("doc_id", "j")
+  }
+
   /** Range join composed with sessionization: click-sessions become
     * intervals; every purchase is matched to the session of the same
     * user whose [start, end] contains it, where end = last click +
@@ -4107,6 +4167,8 @@ object ExtensionQueries {
     "events_sliding_window" -> (qEventsSlidingWindow _),
     "corpus_clean" -> (qCorpusClean _),
     "events_asof_join" -> (qEventsAsofJoin _),
+    "events_error_label" -> (qEventsErrorLabel _),
+    "corpus_negative_samples" -> (qCorpusNegativeSamples _),
     "events_range_join" -> (qEventsRangeJoin _),
     "corpus_split" -> (qCorpusSplit _),
     "text_vocab_topk" -> (qTextVocabTopk _),
@@ -5016,6 +5078,31 @@ object ExtensionQueries {
         |FROM grid g LEFT JOIN hourly h
         |  ON g.event_type = h.event_type AND g.hour = h.hour
         |ORDER BY 1, 2""".stripMargin,
+
+    "events_error_label" ->
+      """WITH w AS (SELECT event_id, user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'error' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts, next_err_ts,
+        |       CAST(next_err_ts IS NOT NULL AND
+        |            next_err_ts <= ts + INTERVAL 7 DAY AS BIGINT) AS label
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "corpus_negative_samples" ->
+      s"""WITH r AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY ${graft.ops.Sampling.hashValSql("doc_id")}, doc_id) AS BIGINT) AS rank
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |p AS (SELECT doc_id, rank, CAST(j AS BIGINT) AS j
+         |      FROM r, (SELECT unnest(generate_series(1, 3)) AS j) g),
+         |q AS (SELECT doc_id, j,
+         |        ((rank + j - 1) % (SELECT n FROM n)) + 1 AS nrank FROM p)
+         |SELECT q.doc_id, q.j, r2.doc_id AS neg_doc_id
+         |FROM q JOIN r r2 ON r2.rank = q.nrank
+         |WHERE q.doc_id <> r2.doc_id
+         |ORDER BY q.doc_id, q.j""".stripMargin,
 
     "events_asof_join" ->
       """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
