@@ -789,6 +789,50 @@ object ExtensionQueries {
       .orderBy("doc_id", "j")
   }
 
+  /** AUDIO-codec round-trip certificate — [[qMultimodalImageioCert]]'s
+    * discipline on the `javax.sound.sampled` leg: every tenth doc
+    * synthesizes a deterministic 16-bit mono WAV (frame count derived
+    * from `n_chars`, an alternating-sign ramp seeded by doc_id),
+    * encodes and re-decodes it on the executors, and emits the decoded
+    * format fields plus `ok` = [rate/frames/channels match AND the
+    * loudness envelope extracted]; the oracle re-derives the fields
+    * from the same integer arithmetic and pins ok at 1, so a broken
+    * WAV encoder/decoder/envelope path fails the driver's hash gate.
+    */
+  private def qMultimodalAudioCert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val frames = (64 + nc % 256).toInt
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val amp = math.min((i + id % 17).toInt * 5, 24000)
+          val v = if (i % 2 == 0) amp else -amp
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        val rec = Multimodal.MediaRecord(id, "audio/wav", baos.toByteArray)
+        val dec = Multimodal.AudioCodec.decode(rec)
+        val ok = dec.exists(f =>
+          f.width == 8000 && f.height == frames && f.channels == 1) &&
+          Multimodal.AudioCodec.envelopeString(rec.payload).exists(_.nonEmpty)
+        (id, 8000L, frames.toLong, if (ok) 1L else 0L)
+      })
+      .toDF("doc_id", "sample_rate", "n_frames", "ok")
+      .orderBy("doc_id")
+  }
+
   /** Range join composed with sessionization: click-sessions become
     * intervals; every purchase is matched to the session of the same
     * user whose [start, end] contains it, where end = last click +
@@ -4223,6 +4267,7 @@ object ExtensionQueries {
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_phash_dup" -> (qMultimodalPhashDup _),
     "multimodal_imageio_cert" -> (qMultimodalImageioCert _),
+    "multimodal_audio_cert" -> (qMultimodalAudioCert _),
     "events_rollup_merge" -> (qEventsRollupMerge _),
     "events_salted_join" -> (qEventsSaltedJoin _),
     "orders_delta_join" -> (qOrdersDeltaJoin _),
@@ -5585,9 +5630,16 @@ object ExtensionQueries {
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // codec certificate: dimensions re-derive from the same n_chars
-    // arithmetic; ok is pinned at 1 (see the query scaladoc — a broken
-    // ImageIO encode/decode/luma path flips it and fails the hash gate)
+    // codec certificates: fields re-derive from the same n_chars
+    // arithmetic; ok is pinned at 1 (see the query scaladocs — a broken
+    // encode/decode/feature path flips it and fails the hash gate)
+    "multimodal_audio_cert" ->
+      """SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |       64 + n_chars % 256 AS n_frames,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
     "multimodal_imageio_cert" ->
       """SELECT doc_id, 16 + n_chars % 64 AS width,
         |       16 + (n_chars * 7) % 64 AS height,

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads with typed metadata, and run decode /
   * feature-extraction as batched per-partition transforms.
   *
-  * IMAGE decode is REAL: [[ImageCodec]] reads JPEG/PNG/BMP/GIF/WBMP
-  * through the JDK's own `javax.imageio` (public API, zero extra
-  * dependencies — the one codec stack this sandbox does ship),
-  * emitting true dimensions, channel count, grid-luma features, and a
-  * downsampled luma stream for the perceptual hash. Audio/video (and
-  * any payload ImageIO cannot parse) fall back to [[DecodeStub]]'s
-  * deterministic fake so the pipeline shape stays total — swapping in
-  * a real audio codec changes only that dispatch arm.
+  * IMAGE and AUDIO decode are REAL: [[ImageCodec]] reads
+  * JPEG/PNG/BMP/GIF/WBMP through the JDK's own `javax.imageio` and
+  * [[AudioCodec]] reads WAV/AIFF/AU through `javax.sound.sampled`
+  * (both public APIs, zero extra dependencies — the codec stacks this
+  * sandbox does ship), emitting true dimensions/rates/channels,
+  * grid features, and a downsampled luma/loudness stream for the
+  * perceptual hash. Video (and any payload the real codecs cannot
+  * parse) falls back to [[DecodeStub]]'s deterministic fake so the
+  * pipeline shape stays total — swapping in a video codec changes
+  * only that dispatch arm.
   *
   * Scale notes: decode is per-row work inside `mapPartitions` (no
   * shuffle); payloads never pass through the driver; partition sizing
@@ -103,12 +105,108 @@ object Multimodal {
       }
   }
 
+  /** Real audio decode via JDK `javax.sound.sampled` — WAV, AIFF, AU
+    * (the standard-provider set; like [[ImageCodec]], the MIME only
+    * gates WHETHER we try, the parser sniffs the container). PCM
+    * samples decode to exact integers, so features and hashes are
+    * bit-reproducible. Feature conventions on [[MediaFeatures]]:
+    * `width` = sample rate (Hz), `height` = frame count, `channels` =
+    * channel count, `feature` = mean |amplitude| of 8 equal time
+    * segments scaled to [0, 1] — the coarse loudness envelope.
+    */
+  object AudioCodec {
+    def isAudioMime(mime: String): Boolean =
+      mime != null && mime.startsWith("audio/")
+
+    /** First-channel PCM samples normalized to signed 16-bit, or None
+      * when no installed provider parses the payload. Supports the
+      * JDK's PCM frame layouts (8/16-bit, either endianness, signed
+      * or unsigned). */
+    def samples(payload: Array[Byte]): Option[Array[Int]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = in.getFormat
+        val bytes = in.readAllBytes()
+        in.close()
+        val frame = f.getFrameSize
+        val n = bytes.length / math.max(frame, 1)
+        val bits = f.getSampleSizeInBits
+        val signed = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (bits != 8 && bits != 16) None
+        else Some(Array.tabulate(n) { i =>
+          val o = i * frame
+          val raw =
+            if (bits == 8) {
+              val v = bytes(o) & 0xff
+              (if (signed) (bytes(o): Int) else v - 128) << 8
+            } else {
+              val (lo, hi) = if (f.isBigEndian) (o + 1, o) else (o, o + 1)
+              val v = ((bytes(hi) & 0xff) << 8) | (bytes(lo) & 0xff)
+              val s = if (signed) v.toShort.toInt else v - 32768
+              s
+            }
+          raw
+        })
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    /** Loudness envelope as a codepoint string (≤ 4096 cells, one
+      * char per cell = mean |amplitude| scaled to 0–255) — the audio
+      * analog of [[ImageCodec.lumaString]], feeding the same aHash
+      * kernel so near-identical recordings land within small Hamming
+      * distance. Integer arithmetic end to end. */
+    def envelopeString(payload: Array[Byte], cells: Int = 4096): Option[String] =
+      samples(payload).filter(_.nonEmpty).map { s =>
+        val n = s.length
+        val gc = math.min(cells, n)
+        val chars = Array.tabulate(gc) { g =>
+          val lo = (g.toLong * n / gc).toInt
+          val hi = ((g + 1).toLong * n / gc).toInt
+          var sum = 0L
+          var i = lo
+          while (i < hi) { sum += math.abs(s(i).toLong); i += 1 }
+          ((sum / math.max(hi - lo, 1)) / 129).toInt.min(255).toChar
+        }
+        new String(chars)
+      }
+
+    /** Full decode → [[MediaFeatures]] (see the conventions above). */
+    def decode(r: MediaRecord): Option[MediaFeatures] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = in.getFormat
+        in.close()
+        samples(r.payload).filter(_.nonEmpty).map { s =>
+          val n = s.length
+          val feature = Array.tabulate(8) { g =>
+            val lo = (g.toLong * n / 8).toInt
+            val hi = ((g + 1).toLong * n / 8).toInt
+            var sum = 0L
+            var i = lo
+            while (i < hi) { sum += math.abs(s(i).toLong); i += 1 }
+            (sum / math.max(hi - lo, 1)).toFloat / 32768f
+          }
+          MediaFeatures(r.media_id, r.mime, r.payload.length.toLong,
+            width = f.getSampleRate.toInt, height = n,
+            channels = f.getChannels, feature = feature)
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
   object DecodeStub {
-    /** STUB — stands in for the NON-IMAGE decode arms (audio/video
-      * codecs this environment doesn't ship) and for image payloads
-      * ImageIO rejects. Deterministic on the payload so tests are
-      * stable: "dimensions" derive from the byte length, the "feature
-      * vector" from a rolling hash of the bytes.
+    /** STUB — stands in for the remaining NON-IMAGE, NON-AUDIO decode
+      * arms (video codecs this environment doesn't ship) and for
+      * payloads the real codecs reject. Deterministic on the payload
+      * so tests are stable: "dimensions" derive from the byte length,
+      * the "feature vector" from a rolling hash of the bytes.
       */
     def decode(r: MediaRecord): MediaFeatures = {
       val n = r.payload.length
@@ -135,7 +233,9 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      (if (ImageCodec.isImageMime(r.mime)) ImageCodec.decode(r) else None)
+      (if (ImageCodec.isImageMime(r.mime)) ImageCodec.decode(r)
+       else if (AudioCodec.isAudioMime(r.mime)) AudioCodec.decode(r)
+       else None)
         .getOrElse(DecodeStub.decode(r))
     })
   }
