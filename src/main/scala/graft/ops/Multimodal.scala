@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * (both public APIs, zero extra dependencies — the codec stacks this
   * sandbox does ship), emitting true dimensions/rates/channels,
   * grid features, and a downsampled luma/loudness stream for the
-  * perceptual hash. Video (and any payload the real codecs cannot
-  * parse) falls back to [[DecodeStub]]'s deterministic fake so the
-  * pipeline shape stays total — swapping in a video codec changes
-  * only that dispatch arm.
+  * perceptual hash. VIDEO runs real container parsing + real
+  * per-frame PNG decode + temporal features through the documented
+  * [[VideoContainer]] format (only the industry bitstream codec is
+  * absent from the sandbox — a production demuxer swaps into
+  * `unpack` alone). Payloads none of the codecs parse fall back to
+  * [[DecodeStub]]'s deterministic fake so the pipeline shape stays
+  * total.
   *
   * Scale notes: decode is per-row work inside `mapPartitions` (no
   * shuffle); payloads never pass through the driver; partition sizing
@@ -235,6 +238,7 @@ object Multimodal {
     media.mapPartitions(_.map { r =>
       (if (ImageCodec.isImageMime(r.mime)) ImageCodec.decode(r)
        else if (AudioCodec.isAudioMime(r.mime)) AudioCodec.decode(r)
+       else if (r.mime == VideoContainer.Mime) VideoContainer.decode(r)
        else None)
         .getOrElse(DecodeStub.decode(r))
     })
@@ -253,6 +257,85 @@ object Multimodal {
         ImageCodec.lumaString(r.payload).map(s => (r.media_id, s))
       else None
     }).toDF("media_id", "luma")
+  }
+
+  /** Minimal FRAME-CONTAINER for the video path — `GFV1`: magic +
+    * big-endian frame count, then length-prefixed PNG frames. This is
+    * deliberately OUR OWN trivial container (an MJPEG-style
+    * concatenation), not an H.264 stand-in: the sandbox JDK ships no
+    * video codec, but container parsing, per-frame image decode, and
+    * temporal feature extraction — the Spark-side plumbing a video
+    * pipeline actually exercises — are all REAL through this format,
+    * and swapping in a production demuxer changes only [[unpack]].
+    */
+  object VideoContainer {
+    val Mime = "video/x-graft-frames"
+    private val Magic = Array[Byte]('G', 'F', 'V', '1')
+
+    def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(out)
+      d.write(Magic); d.writeInt(frames.length)
+      frames.foreach { f => d.writeInt(f.length); d.write(f) }
+      d.flush(); out.toByteArray
+    }
+
+    /** None on anything that is not a well-formed GFV1 payload —
+      * truncation, bad magic, or a frame length running past the end
+      * all reject rather than yielding partial frames. */
+    def unpack(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+      try {
+        val d = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val magic = new Array[Byte](4)
+        d.readFully(magic)
+        if (!magic.sameElements(Magic)) None
+        else {
+          val n = d.readInt()
+          if (n < 0 || n > 100000) None
+          else Some(Seq.fill(n) {
+            val len = d.readInt()
+            require(len >= 0 && len <= payload.length)
+            val f = new Array[Byte](len)
+            d.readFully(f)
+            f
+          })
+        }
+      } catch { case _: Exception => None }
+
+    /** Decode → [[MediaFeatures]]: dimensions/channels from the FIRST
+      * frame, `feature` = mean luma of ≤ 8 evenly sampled frames
+      * scaled to [-1, 1] — the temporal brightness envelope (a scene
+      * cut or fade shows up here the way a gradient does in the image
+      * feature). */
+    def decode(r: MediaRecord): Option[MediaFeatures] =
+      unpack(r.payload).filter(_.nonEmpty).flatMap { frames =>
+        val imgs = sampleIdx(frames.length, 8).map(i =>
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frames(i))))
+          catch { case _: java.io.IOException => None })
+        if (imgs.exists(_.isEmpty)) None
+        else {
+          val decoded = imgs.flatten
+          val head = decoded.head
+          val feature = decoded.map { img =>
+            val g = ImageCodec.lumaGrid(img, 8, 8)
+            val mean = g.map(b => (b & 0xff).toLong).sum / g.length
+            ((mean - 128) / 128.0f)
+          }.padTo(8, 0.0f).take(8).toArray
+          Some(MediaFeatures(r.media_id, r.mime, r.payload.length.toLong,
+            width = head.getWidth, height = head.getHeight,
+            channels = head.getColorModel.getNumComponents,
+            feature = feature))
+        }
+      }
+
+    /** `n` evenly spaced frame indices over `total` (all when
+      * total ≤ n) — the sampling rule [[Multimodal.sampleFrames]]
+      * documents, applied to real frames. */
+    def sampleIdx(total: Int, n: Int): Seq[Int] =
+      if (total <= n) 0 until total
+      else (0 until n).map(j => j * total / n)
   }
 
   /** A resized media row: fixed target dimensions + pixel buffer. */

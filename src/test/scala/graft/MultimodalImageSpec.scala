@@ -87,6 +87,39 @@ class MultimodalImageSpec extends SparkSpec {
       s"JPEG re-encode drifted $hamming aHash bits (> 3)")
   }
 
+  test("frame container: real per-frame decode, temporal envelope, reject on tamper") {
+    // 6 PNG frames of ramped brightness -> the temporal feature must
+    // follow the ramp; dims/channels come from the real first frame
+    val frames = (0 until 6).map { k =>
+      val img = new java.awt.image.BufferedImage(
+        20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val lum = 20 + k * 40
+      for (y <- 0 until 12; x <- 0 until 20)
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      encode(img, "png")
+    }
+    val payload = graft.ops.Multimodal.VideoContainer.pack(frames)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, graft.ops.Multimodal.VideoContainer.Mime, payload),
+      // tampered magic -> stub arm, not partial frames
+      Multimodal.MediaRecord(2L, graft.ops.Multimodal.VideoContainer.Mime,
+        payload.updated(0, 'X'.toByte))
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 20 && feats(1L).height == 12 &&
+      feats(1L).channels == 3)
+    val f = feats(1L).feature.take(6)
+    assert((0 until 5).forall(i => f(i) < f(i + 1)),
+      s"temporal envelope must follow the brightness ramp: ${f.toSeq}")
+    // tampered: byte-length stub dimensions, not frame dimensions
+    assert(feats(2L).width == 16 + (payload.length % 64))
+    // sampling rule: 6 frames at n=8 -> all; 100 at n=8 -> spaced
+    assert(graft.ops.Multimodal.VideoContainer.sampleIdx(6, 8) == (0 until 6))
+    assert(graft.ops.Multimodal.VideoContainer.sampleIdx(100, 8) ==
+      Seq(0, 12, 25, 37, 50, 62, 75, 87))
+  }
+
   test("luma grid is deterministic and caps at 64x64 cells") {
     val img = testImage()
     val g1 = Multimodal.ImageCodec.lumaGrid(img)
