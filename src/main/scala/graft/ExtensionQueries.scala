@@ -2277,6 +2277,79 @@ object ExtensionQueries {
       .orderBy("lang", "pack_id")
   }
 
+  /** FOLDED-PAIR context packing — the other packing discipline next
+    * to `corpus_pack`'s concat-and-chunk: docs rank by (tokens desc,
+    * id) on the distributed [[graft.ops.Linkage.globalRank]], and
+    * rank i pairs with rank n+1−i — the classic fold that puts the
+    * longest doc with the shortest (near-optimal for 2-per-bin
+    * packing, and unlike first-fit-decreasing it is ORDER-FREE:
+    * deterministic, engine-exact, one keyed join, no sequential bin
+    * state anywhere). Emits per pair the two docs, combined tokens,
+    * whether the 2048 window holds them, and the fill rate — the
+    * padding-waste audit a training-data pipeline runs before
+    * committing to a packing recipe. Odd corpus → the middle rank
+    * pairs with itself (doc_b null, its own tokens).
+    */
+  private def qCorpusFoldedPacking(s: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.ops.Linkage.globalRank(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(Text.tokens(col("text"))).cast("long").as("n_tok")),
+        col("n_tok").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("rank"))
+    val tot = ranked.agg(max(col("rank")).as("n"))
+    val lo = ranked.crossJoin(broadcast(tot))
+      .where(col("rank") * 2 <= col("n") + 1)
+      .select(col("rank").as("pair_id"), col("doc_id").as("doc_a"),
+        col("n_tok").as("tok_a"), (col("n") + 1 - col("rank")).as("prank"))
+    val hi = ranked.select(col("rank").as("prank"),
+      col("doc_id").as("doc_b"), col("n_tok").as("tok_b"))
+    lo.join(hi, Seq("prank"))
+      .select(col("pair_id"), col("doc_a"),
+        when(col("doc_b") =!= col("doc_a"), col("doc_b")).as("doc_b"),
+        (col("tok_a") + when(col("doc_b") =!= col("doc_a"), col("tok_b"))
+          .otherwise(0L)).as("pair_tokens"))
+      .withColumn("fits", (col("pair_tokens") <= 2048L).cast("long"))
+      .withColumn("fill_bp",
+        expr("least(10000L, (10000 * pair_tokens) div 2048)"))
+      .orderBy("pair_id")
+  }
+
+  /** A/B experiment readout in exact integers — the experimentation
+    * primitive next to the funnel/retention family: users split by the
+    * deterministic id parity (the fixture carries no assignment
+    * column, and parity IS how a hash-bucketed assignment behaves),
+    * conversion = the user ever purchased; per variant the user and
+    * converter counts with the conversion rate in basis points, plus
+    * the uplift of B over A cross-multiplied to avoid any division
+    * asymmetry. One distinct-user aggregate feeds everything; no
+    * window, no self-join.
+    */
+  private def qEventsAbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val per = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .withColumn("conv_bp", expr("(10000 * n_conv) div n_users"))
+    // uplift of B over A in bp of A's rate: (convB·nA − convA·nB)
+    // scaled — exact integers, both engines truncate identically on
+    // the non-negative clamp
+    val a = per.where(col("variant") === "A")
+      .select(col("n_users").as("na"), col("n_conv").as("ca"))
+    val b = per.where(col("variant") === "B")
+      .select(col("n_users").as("nb"), col("n_conv").as("cb"))
+    per.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("variant"), col("n_users"), col("n_conv"), col("conv_bp"),
+        expr("CAST(sign(cb * na - ca * nb) AS BIGINT)").as("uplift_sign"),
+        expr("(10000 * abs(cb * na - ca * nb)) div greatest(ca * nb, 1)")
+          .as("uplift_abs_bp"))
+      .orderBy("variant")
+  }
+
   /** Term-weighting inputs: per-doc term frequency (docs 0-24) × corpus
     * document frequency, restricted to the top-30 vocabulary. The float
     * tf-idf weight itself ([[Text.tfIdf]]) is equivalence-tested in
@@ -4230,6 +4303,8 @@ object ExtensionQueries {
     "corpus_source_cap" -> (qCorpusSourceCap _),
     "corpus_quality_mixture" -> (qCorpusQualityMixture _),
     "corpus_pack" -> (qCorpusPack _),
+    "corpus_folded_packing" -> (qCorpusFoldedPacking _),
+    "events_ab_test" -> (qEventsAbTest _),
     "text_tfidf" -> (qTextTfidf _),
     "text_length_quantiles" -> (qTextLengthQuantiles _),
     "text_pii_redact" -> (qTextPiiRedact _),
@@ -4890,6 +4965,44 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT doc_id, source, rk FROM r WHERE rk <= 30
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_folded_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(${graft.ops.Text.tokensSql()}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tok, CAST(row_number() OVER (
+         |    ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rank FROM d),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |lo AS (SELECT rank AS pair_id, doc_id AS doc_a, n_tok AS tok_a,
+         |         (SELECT n FROM n) + 1 - rank AS prank
+         |       FROM r WHERE rank * 2 <= (SELECT n FROM n) + 1),
+         |p AS (SELECT lo.pair_id, lo.doc_a,
+         |        CASE WHEN hi.doc_id <> lo.doc_a THEN hi.doc_id END AS doc_b,
+         |        lo.tok_a + CASE WHEN hi.doc_id <> lo.doc_a
+         |                        THEN hi.n_tok ELSE 0 END AS pair_tokens
+         |      FROM lo JOIN r hi ON hi.rank = lo.prank)
+         |SELECT pair_id, doc_a, doc_b, pair_tokens,
+         |       CAST(pair_tokens <= 2048 AS BIGINT) AS fits,
+         |       least(10000, (10000 * pair_tokens) // 2048) AS fill_bp
+         |FROM p ORDER BY pair_id""".stripMargin,
+
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |per AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |          CAST(SUM(converted) AS BIGINT) AS n_conv
+        |        FROM u GROUP BY 1),
+        |a AS (SELECT n_users AS na, n_conv AS ca FROM per WHERE variant = 'A'),
+        |b AS (SELECT n_users AS nb, n_conv AS cb FROM per WHERE variant = 'B')
+        |SELECT variant, n_users, n_conv,
+        |       (10000 * n_conv) // n_users AS conv_bp,
+        |       CAST(sign(cb * na - ca * nb) AS BIGINT) AS uplift_sign,
+        |       (10000 * abs(cb * na - ca * nb)) // greatest(ca * nb, 1)
+        |         AS uplift_abs_bp
+        |FROM per, a, b ORDER BY variant""".stripMargin,
 
     "corpus_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(len($TK) AS BIGINT) AS n FROM documents),
