@@ -81,7 +81,17 @@ class DeterminismSpec extends SparkSpec {
     "events_funnel_windowed", // interval-bounded conditional min chain
     "corpus_token_budget", // hash-priority prefix under a running sum
     "emb_outliers",        // exact d2 argmin + rank cut
-    "events_drift_halves") // midpoint pivot + integer share deltas
+    "events_drift_halves", // midpoint pivot + integer share deltas
+    "events_assortativity", // decimal moments + linear bp ratio
+    "lineitem_weighted_price", // globalRunningSum two-pass prefix sums
+    "corpus_negative_samples", // globalRank ring — THE partitioning-
+                           // sensitive primitive (range exchange
+                           // samples boundaries; the pin must hold)
+    "corpus_folded_packing", // same globalRank two-pass, fold join
+    "events_error_label",  // rows-following conditional min, ts ties
+    "events_ab_test",      // distinct-user fold + cross-multiplied uplift
+    "multimodal_imageio_cert", // PNG encode→decode round-trip verdicts
+    "multimodal_audio_cert") // WAV encode→decode round-trip verdicts
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
