@@ -2332,9 +2332,14 @@ object ExtensionQueries {
         .as("converted"))
       .withColumn("variant",
         when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    // pinned: the 2-row variant frame feeds itself plus BOTH 1-row
+    // uplift sides — unpinned, each branch re-runs the per-user fold
+    // from the raw scan (3 scans of events; PlanSpec pins 0 scans in
+    // the final plan, i.e. every branch reads this materialization)
     val per = users.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
       .withColumn("conv_bp", expr("(10000 * n_conv) div n_users"))
+      .localCheckpoint(true)
     // uplift of B over A in bp of A's rate: (convB·nA − convA·nB)
     // scaled — exact integers, both engines truncate identically on
     // the non-negative clamp

@@ -743,4 +743,40 @@ class PlanSpec extends SparkSpec {
         "the time predicate must ride a keyed join, not an unkeyed one")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("events_error_label: one user-keyed exchange feeds the window, no join") {
+    val p = planOf("events_error_label")
+    // labeling is embarrassingly parallel across users: the plan is
+    // scan → hash exchange on user_id → window → filter/project;
+    // a join or a second window would mean the forward carry got
+    // re-expressed as a self-join (the Σdeg blowup the scaladoc bans)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1,
+      "window must shuffle by user_id")
+    assert(!p.contains("Join"), "next-error labeling must not self-join")
+    assert("Window".r.findAllIn(p).length == 1, "exactly one window pass")
+  }
+
+  test("events_ab_test: aggregate-only plan — no window, no raw-events rejoin") {
+    val p = planOf("events_ab_test")
+    assert(!p.contains("Window"), "readout must stay aggregate-only")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row variant frames must broadcast, not cartesian")
+    // the 2-row per-variant frame is pinned and every branch reads the
+    // materialization — the final plan must touch NO parquet at all
+    // (the unpinned form re-ran the per-user fold per branch: 3 scans)
+    assert(!p.contains("Scan parquet"),
+      "all branches must read the pinned variant frame, not re-scan events")
+  }
+
+  test("corpus_folded_packing / corpus_negative_samples: " +
+    "fold joins stay keyed, no nested-loop fallback") {
+    for (q <- Seq("corpus_folded_packing", "corpus_negative_samples")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      // the only nested-loop allowed is the broadcast of the 1-row
+      // max-rank total; the partner-rank join itself must be keyed
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q lost its keyed partner join")
+    }
+  }
 }
