@@ -18,6 +18,13 @@ case class CappedDoc(doc_id: Long, source: String, seq: Long)
 case class BudgetedDoc(doc_id: Long, source: String, n_tok: Long,
                        cum_tokens: Long)
 
+/** A doc placed by the streaming packer: `pack_id` is the context
+  * window its first token lands in, `straddles` marks a window cut
+  * passing through it — [[graft.ops.Pack.assign]]'s exact output
+  * shape, computed on arrival. */
+case class PackedDoc(source: String, doc_id: Long, n_tok: Long,
+                     pack_id: Long, straddles: Boolean)
+
 /** The winner of a streaming keep-best decision: the highest-quality
   * doc under `key` seen inside the decision horizon. */
 case class BestPick(key: String, doc_id: Long, quality: Long)
@@ -628,6 +635,49 @@ object CorpusStream {
           .parquet(s"$storeDir/fp/batch=$batchId"),
         graft.ops.Text.polyHash(col("fingerprint")))
       .write.mode("overwrite").parquet(s"$storeDir/bloom/batch=$batchId")
+  }
+
+  /** Streaming CONCAT-AND-CHUNK packing — the continuous form of
+    * `corpus_pack` ([[graft.ops.Pack.assign]]), completing the
+    * streaming corpus family (cap, budget, keep-best, weighted
+    * sample, dedup ×3, ANN index, pack): docs lay end-to-end per
+    * source as they arrive, and each doc emits with the pack id its
+    * first token lands in plus the straddle flag, by the IDENTICAL
+    * integer formulas the batch operator uses — so replaying a log
+    * through the stream in the batch operator's order reproduces its
+    * assignment row for row (spec-pinned). The batch form needs the
+    * whole group in hand to rank a deterministic order; the streaming
+    * contract (the [[capBySource]] rule) is arrival order with
+    * intra-batch doc_id ties.
+    *
+    * State per source is ONE long — the running token total — the
+    * smallest state in the family alongside [[capBySource]]; no
+    * timeout needed.
+    */
+  def packBySource(docs: DataFrame, budget: Long): Dataset[PackedDoc] = {
+    require(budget >= 1, "budget must be at least 1 token")
+    import docs.sparkSession.implicits._
+    docs.select(col("source").cast("string").as("source"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_tok").cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) => {
+          var cum = if (state.exists) state.get else 0L
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, n) =>
+            val packId = cum / budget
+            // a zero-token doc occupies no span and can never straddle
+            // (same guard as the batch form — keeps (cum + n - 1) out
+            // of the negative-dividend regime too)
+            val straddles = n > 0 && packId != (cum + n - 1) / budget
+            cum += n
+            PackedDoc(src, id, n, packId, straddles)
+          }
+          state.update(cum)
+          out.iterator
+        })
   }
 
   /** Streaming KEEP-BEST decision — the continuous form of

@@ -488,6 +488,46 @@ class CorpusStreamSpec extends SparkSpec {
     assert(stats(7L) === Map(4L -> (1L, 0L)))
   }
 
+  test("streaming pack matches the batch assignment on the arrival order, " +
+    "cross-batch straddles included") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Long, Long)]
+    val q = CorpusStream.packBySource(
+        input.toDF().toDF("source", "doc_id", "n_tok"), budget = 100L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pack_stream").start()
+    // batch 1 ends mid-window at 70 tokens; batch 2's first doc (60)
+    // must straddle the 100-token cut — provable only if the running
+    // total survived the batch boundary
+    val b1 = Seq(("s", 1L, 40L), ("s", 2L, 30L), ("t", 10L, 250L))
+    val b2 = Seq(("s", 3L, 60L), ("s", 4L, 0L), ("t", 11L, 50L))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pack_stream")
+      .select($"source", $"doc_id", $"pack_id", $"straddles")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    // batch twin over the SAME order: per-source arrival = (batch, id)
+    val all = (b1.map((_, 0)) ++ b2.map((_, 1)))
+      .map { case ((s, id, n), b) => (s, b, id, n) }
+    val want = all.groupBy(_._1).flatMap { case (src, docs) =>
+      var cum = 0L
+      docs.sortBy(d => (d._2, d._3)).map { case (_, _, id, n) =>
+        val p = cum / 100L
+        val st = n > 0 && p != (cum + n - 1) / 100L
+        cum += n
+        (src, id, p, st)
+      }
+    }.toSet
+    assert(got === want)
+    // the planted cross-batch straddle actually fired
+    assert(got.contains(("s", 3L, 0L, true)),
+      "doc 3 spans the 100-token cut across the batch boundary")
+    // and the zero-token doc never straddles
+    assert(got.contains(("s", 4L, 1L, false)))
+  }
+
   test("incremental ANN index: streamed batches answer like a single build, " +
     "replay idempotent, probe prunes to cells") {
     val store = java.nio.file.Files.createTempDirectory("graft-ann").toString
