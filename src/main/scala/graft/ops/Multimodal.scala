@@ -100,7 +100,11 @@ object Multimodal {
     def decode(r: MediaRecord): Option[MediaFeatures] =
       readImage(r.payload).map { img =>
         val cells = lumaGrid(img, gridW = 4, gridH = 2)
+        // images smaller than the 4×2 grid yield fewer cells — pad to
+        // the fixed 8-float shape every codec arm emits (ANN consumers
+        // assume one embedding width; VideoContainer pads identically)
         val feature = cells.map(b => ((b & 0xff) - 128) / 128.0f)
+          .padTo(8, 0.0f).take(8)
         MediaFeatures(r.media_id, r.mime, r.payload.length.toLong,
           width = img.getWidth, height = img.getHeight,
           channels = img.getColorModel.getNumComponents,
@@ -133,25 +137,30 @@ object Multimodal {
         val bytes = in.readAllBytes()
         in.close()
         val frame = f.getFrameSize
-        val n = bytes.length / math.max(frame, 1)
         val bits = f.getSampleSizeInBits
         val signed = f.getEncoding ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        if (bits != 8 && bits != 16) None
-        else Some(Array.tabulate(n) { i =>
-          val o = i * frame
-          val raw =
-            if (bits == 8) {
-              val v = bytes(o) & 0xff
-              (if (signed) (bytes(o): Int) else v - 128) << 8
-            } else {
-              val (lo, hi) = if (f.isBigEndian) (o + 1, o) else (o, o + 1)
-              val v = ((bytes(hi) & 0xff) << 8) | (bytes(lo) & 0xff)
-              val s = if (signed) v.toShort.toInt else v - 32768
-              s
-            }
-          raw
-        })
+        // a container may report NOT_SPECIFIED (-1) frame size — the
+        // offset arithmetic below would walk negative indices and
+        // crash the task rather than take the graceful None arm
+        if (frame <= 0 || (bits != 8 && bits != 16)) None
+        else {
+          val n = bytes.length / frame
+          Some(Array.tabulate(n) { i =>
+            val o = i * frame
+            val raw =
+              if (bits == 8) {
+                val v = bytes(o) & 0xff
+                (if (signed) (bytes(o): Int) else v - 128) << 8
+              } else {
+                val (lo, hi) = if (f.isBigEndian) (o + 1, o) else (o, o + 1)
+                val v = ((bytes(hi) & 0xff) << 8) | (bytes(lo) & 0xff)
+                val s = if (signed) v.toShort.toInt else v - 32768
+                s
+              }
+            raw
+          })
+        }
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None

@@ -120,6 +120,18 @@ class MultimodalImageSpec extends SparkSpec {
       Seq(0, 12, 25, 37, 50, 62, 75, 87))
   }
 
+  test("tiny image still emits the fixed 8-float feature shape") {
+    // 2x1 image: the 4x2 grid degrades to 2 cells — the feature must
+    // pad to the codec family's fixed width, not shrink
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0)
+    val f = Multimodal.ImageCodec.decode(
+      Multimodal.MediaRecord(1L, "image/png", encode(img, "png"))).get
+    assert(f.feature.length == 8 && f.width == 2 && f.height == 1)
+    assert(f.feature.drop(2).forall(_ == 0.0f), "padding must be zeros")
+  }
+
   test("luma grid is deterministic and caps at 64x64 cells") {
     val img = testImage()
     val g1 = Multimodal.ImageCodec.lumaGrid(img)
