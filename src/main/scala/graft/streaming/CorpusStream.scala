@@ -430,8 +430,13 @@ object CorpusStream {
     */
   def annIndexBatch(storeDir: String, centroids: Seq[Seq[Float]])(
       batch: DataFrame, batchId: Long): Unit = {
+    // cell-partitioned layout: a probe touches nProbe cells, and the
+    // directory pruning below (annProbeStore's isin filter) skips the
+    // rest of the store ON DISK — the IVF inverted-list property,
+    // realized as parquet partition pruning
     annAssign(batch, centroids)
-      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$storeDir/batch=$batchId")
   }
 
   /** Shared exact-integer nearest-centroid assignment: (vec_id, v,
@@ -456,9 +461,11 @@ object CorpusStream {
     * query probes its `nProbe` nearest cells (same integer argmin as
     * the index side) and scores only those cells' vectors with the
     * fused `q_dot` — the IVF read path ([[graft.ops.Ivf.topK]])
-    * re-expressed against the store. The store scan prunes to the
-    * probed cells via partition-independent predicate pushdown on the
-    * `cell` column; queries broadcast (bounded query set).
+    * re-expressed against the store. The probed cell set is bounded
+    * (|queries| · nProbe — model-metadata scale, same class as the
+    * centroids themselves), so it collects and rides the store scan
+    * as an `isin` PARTITION filter against the cell-partitioned
+    * layout: unprobed cells never leave disk. Queries broadcast.
     */
   def annProbeStore(s: org.apache.spark.sql.SparkSession, storeDir: String,
       centroids: Seq[Seq[Float]], queries: DataFrame, k: Int,
@@ -488,7 +495,12 @@ object CorpusStream {
           .orderBy(col("cs.sc").asc, col("cs.cell").asc)))
       .where(col("crnk") <= nProbe)
       .select(col("q_vec_id"), col("qv"), col("cs.cell").as("cell"))
-    store.join(broadcast(probed), "cell")
+      .localCheckpoint(true) // collected below AND joined — one build
+    // bounded collect (|queries| · nProbe cell ids) → partition filter
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    store.where(col("cell").isin(cells: _*))
+      .join(broadcast(probed), "cell")
       .where(col("vec_id") =!= col("q_vec_id"))
       .select(col("q_vec_id"), col("vec_id"),
         qdot(col("v"), col("qv")).as("dot"))
