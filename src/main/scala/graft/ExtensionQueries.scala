@@ -2355,6 +2355,38 @@ object ExtensionQueries {
       .orderBy("variant")
   }
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every capacity /
+    * anomaly forecast must beat before it ships (predict each day's
+    * event count by the count 7 days earlier), scored over the
+    * fixture's own history: per event type the days scored, the total
+    * absolute error, and WAPE in basis points (Σ|actual − pred| /
+    * Σactual — the weighted form that doesn't explode on quiet days).
+    * Exact integers end to end; the daily frame is pinned because the
+    * backtest joins it to its own 7-day shift (unpinned, the scan +
+    * daily aggregate would run twice).
+    *
+    * Scale shape: one (type, day) aggregate over the raw events, then
+    * everything operates on the dimension-sized daily table — the
+    * join and the final fold never touch raw data again.
+    */
+  private def qEventsForecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    daily.join(
+        daily.select(col("event_type"), date_add(col("day"), 7).as("day"),
+          col("n").as("pred")),
+        Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("pred"))).cast("long").as("sum_abs_err"),
+        sum(col("n")).cast("long").as("sum_actual"))
+      .withColumn("wape_bp",
+        expr("(10000 * sum_abs_err) div greatest(sum_actual, 1L)"))
+      .orderBy("event_type")
+  }
+
   /** Term-weighting inputs: per-doc term frequency (docs 0-24) × corpus
     * document frequency, restricted to the top-30 vocabulary. The float
     * tf-idf weight itself ([[Text.tfIdf]]) is equivalence-tested in
@@ -4310,6 +4342,7 @@ object ExtensionQueries {
     "corpus_pack" -> (qCorpusPack _),
     "corpus_folded_packing" -> (qCorpusFoldedPacking _),
     "events_ab_test" -> (qEventsAbTest _),
+    "events_forecast_baseline" -> (qEventsForecastBaseline _),
     "text_tfidf" -> (qTextTfidf _),
     "text_length_quantiles" -> (qTextLengthQuantiles _),
     "text_pii_redact" -> (qTextPiiRedact _),
@@ -4990,6 +5023,19 @@ object ExtensionQueries {
          |       CAST(pair_tokens <= 2048 AS BIGINT) AS fits,
          |       least(10000, (10000 * pair_tokens) // 2048) AS fill_bp
          |FROM p ORDER BY pair_id""".stripMargin,
+
+    "events_forecast_baseline" ->
+      """WITH d AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_scored,
+        |       CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS sum_abs_err,
+        |       CAST(SUM(a.n) AS BIGINT) AS sum_actual,
+        |       (10000 * CAST(SUM(abs(a.n - b.n)) AS BIGINT))
+        |         // greatest(CAST(SUM(a.n) AS BIGINT), 1) AS wape_bp
+        |FROM d a JOIN d b
+        |  ON a.event_type = b.event_type AND a.day = b.day + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
