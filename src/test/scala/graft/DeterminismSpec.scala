@@ -91,7 +91,8 @@ class DeterminismSpec extends SparkSpec {
     "events_error_label",  // rows-following conditional min, ts ties
     "events_ab_test",      // distinct-user fold + cross-multiplied uplift
     "multimodal_imageio_cert", // PNG encode→decode round-trip verdicts
-    "multimodal_audio_cert") // WAV encode→decode round-trip verdicts
+    "multimodal_audio_cert", // WAV encode→decode round-trip verdicts
+    "events_forecast_baseline") // pinned daily frame + 7-day shift join
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
