@@ -28,16 +28,41 @@ object Dev {
           "ivf" -> (() => ExtensionQueries.simTopkIvfRows(spark, dir)),
           "pq" -> (() => ExtensionQueries.simTopkPqRows(spark, dir)),
           "ivfpq" -> (() => ExtensionQueries.simTopkIvfPqRows(spark, dir)))) {
+        val rows = mk()
+        // exact at any query-set size: the audit minimum is a 1-row
+        // aggregate computed BEFORE any limit, so the printed per-vector
+        // detail below can stay capped without ever hiding a worse row
+        val worst = rows.agg(min(col("recall_x100"))).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong))
+          .getOrElse(-1L)
         // bounded: one row per ANN query vector (a fixed, small query
         // set); the limit is a hard cap so a future unbounded query
         // set can't turn this dev probe into a driver OOM
-        val per = mk().groupBy(col("q_vec_id"))
+        val per = rows.groupBy(col("q_vec_id"))
           .agg(min(col("recall_x100")).as("r")).orderBy("q_vec_id")
           .limit(10000)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val worst = per.map(_._2).minOption.getOrElse(-1L)
         println(s"== recall $name $dir min=$worst " +
           per.map { case (q, r) => s"q$q=$r" }.mkString(" "))
+        spark.catalog.clearCache()
+        graft.ops.AnnCache.clear()
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("schemas")) {
+      // output-type audit: the driver's correctness hash is TYPED, so
+      // a Spark DECIMAL(38,0) against a DuckDB HUGEINT hash-splits even
+      // at equal values (the r15 assortativity red). Print every
+      // registered query's output schema, flagging the divergence-prone
+      // classes (any DecimalType, nested decimals, non-UTC timestamps)
+      for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val cols = df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}")
+        val flagged = df.schema.fields.filter(f =>
+          f.dataType.sql.toUpperCase.contains("DECIMAL"))
+        val tag = if (flagged.nonEmpty)
+          s" DECIMAL[${flagged.map(_.name).mkString(",")}]" else ""
+        println(s"== schema $name$tag ${cols.mkString(" ")}")
         spark.catalog.clearCache()
         graft.ops.AnnCache.clear()
       }

@@ -1731,28 +1731,41 @@ object ExtensionQueries {
     * "Assortative mixing in networks", PRL 2002): the Pearson
     * correlation of endpoint degrees over all directed edge instances
     * — positive = hubs befriend hubs (social mixing), negative =
-    * hub-and-spoke. Emitted in the `events_autocorr` convention:
-    * exact integer moment combinations (num, den_x, den_y) plus the
-    * signed `r_bp_signed` effect size, so the oracle hash-pins every
-    * piece and no square root ever runs. By symmetrization
-    * den_x = den_y — published anyway as the audit invariant. The
-    * moment combinations ride DECIMAL(38,0)/HUGEINT end to end
-    * (m·Σxy alone crosses 2⁶³ at ~10⁷ edge instances of ~10³
-    * degrees, and a wrapped long would corrupt them SILENTLY on the
-    * Spark side while DuckDB errored — the worst kind of split), so
-    * num/den stay exact to ~10³⁸. The bp ratio is the LINEAR
-    * num/den form of [[graft.ops.Graph.assortativityRbpSql]] — the
-    * r14 r² form (10000·num²) overflowed DECIMAL(38,0) at sf0.1
-    * while DuckDB's HUGEINT did not, the round's one red oracle row;
-    * symmetrization makes den_x = den_y so r needs no square at all
-    * and the widest intermediate (10000·|num|) is exact to
-    * |num| ≤ ~10³⁴ on both engines.
+    * hub-and-spoke. The REGISTERED query emits only the two
+    * BIGINT-representable columns — `m` (edge-instance count) and the
+    * signed `r_bp_signed` effect size — because the raw moment
+    * combinations (num, den_x, den_y) genuinely need 128-bit-class
+    * integers: Spark spells that DECIMAL(38,0), DuckDB spells it
+    * HUGEINT, and the driver's typed hash encodes those two
+    * representations differently EVEN WHEN the values are identical
+    * (the r15 red row — values verified equal at sf0.001/0.01/0.1,
+    * hash still split on type). The moments stay fully gated:
+    * [[assortativityMoments]] keeps the 5-column form and
+    * FrontierAnalyticsSpec pins num/den_x/den_y against a driver-side
+    * BigInt graph rebuild, plus den_x = den_y (the symmetrization
+    * invariant). Inside the computation the moments still ride
+    * DECIMAL(38,0)/HUGEINT end to end (m·Σxy alone crosses 2⁶³ at
+    * ~10⁷ edge instances of ~10³ degrees, and a wrapped long would
+    * corrupt them SILENTLY on the Spark side while DuckDB errored —
+    * the worst kind of split). The bp ratio is the LINEAR num/den
+    * form of [[graft.ops.Graph.assortativityRbpSql]] — symmetrization
+    * makes den_x = den_y so r needs no square at all and the widest
+    * intermediate (10000·|num|) is exact to |num| ≤ ~10³⁴ on both
+    * engines.
     *
     * Scale shape: one degree aggregate over the pinned edge table,
     * two keyed joins carrying only (endpoint, degree), one 1-row
     * moment fold. No window, no collect.
     */
-  private def qEventsAssortativity(s: SparkSession, dir: String): DataFrame = {
+  private def qEventsAssortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityMoments(s, dir).select(col("m"), col("r_bp_signed"))
+
+  /** Full 5-column moment form of [[qEventsAssortativity]] — m plus
+    * the exact DECIMAL(38,0) moment combinations and the bp ratio.
+    * Spec-gated (FrontierAnalyticsSpec) rather than driver-gated
+    * because DECIMAL(38,0) and DuckDB HUGEINT hash differently under
+    * the driver's typed compare even at equal values. */
+  private[graft] def assortativityMoments(s: SparkSession, dir: String): DataFrame = {
     val e = coPresenceEdges(s, dir)
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
@@ -5289,9 +5302,11 @@ object ExtensionQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     "events_error_label" ->
-      """WITH w AS (SELECT event_id, user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'error' THEN ts END) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id
+      """WITH w AS (SELECT event_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    min(CASE WHEN event_type = 'error'
+        |             THEN CAST(ts AS TIMESTAMP) END) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err_ts
         |  FROM events)
         |SELECT event_id, user_id, ts, next_err_ts,
@@ -6636,7 +6651,7 @@ object ExtensionQueries {
          |nd AS (SELECT m, m * sxy - sx * sy AS num,
          |              m * sxx - sx * sx AS den_x,
          |              m * syy - sy * sy AS den_y FROM mo)
-         |SELECT CAST(m AS BIGINT) AS m, num, den_x, den_y,
+         |SELECT CAST(m AS BIGINT) AS m,
          |       ${graft.ops.Graph.assortativityRbpSql("//")} AS r_bp_signed
          |FROM nd""".stripMargin,
 

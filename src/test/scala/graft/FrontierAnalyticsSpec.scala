@@ -569,7 +569,10 @@ class FrontierAnalyticsSpec extends SparkSpec {
     val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
     val num = m * sxy - sx * sy
     val denX = m * sxx - sx * sx; val denY = m * syy - sy * sy
-    val out = SparkEntry.queries("events_assortativity")(spark, dir).collect()
+    // Full 5-column moment form: the raw DECIMAL(38,0) combinations
+    // are spec-gated here (the driver's typed hash can't carry
+    // DECIMAL-vs-HUGEINT, so the registered query emits BIGINT only)
+    val out = ExtensionQueries.assortativityMoments(spark, dir).collect()
     assert(out.length == 1)
     val r = out.head
     def dec(c: String): Long =
@@ -582,6 +585,16 @@ class FrontierAnalyticsSpec extends SparkSpec {
         * num.sign)
     assert(math.abs(r.getAs[Long]("r_bp_signed")) <= 10000L,
       "a correlation effect size cannot exceed 10000 bp")
+    // Registered (driver-gated) query = the BIGINT projection of the
+    // same moments, nothing more
+    val reg = SparkEntry.queries("events_assortativity")(spark, dir)
+    assert(reg.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("m", "long"), ("r_bp_signed", "long")))
+    val regRow = reg.collect()
+    assert(regRow.length == 1)
+    assert(regRow.head.getAs[Long]("m") == m)
+    assert(regRow.head.getAs[Long]("r_bp_signed") ==
+      r.getAs[Long]("r_bp_signed"))
   }
 
   test("assortativity r_bp: planted near-overflow moments stay exact " +
