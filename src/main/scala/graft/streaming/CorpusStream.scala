@@ -510,6 +510,170 @@ object CorpusStream {
       .where(col("rnk") <= k)
   }
 
+  /** PQ-coded variant of [[annIndexBatch]] — the IVF-PQ serving path
+    * ([[graft.ops.IvfPq]]) as an INCREMENTAL store: each micro-batch
+    * coarse-assigns to its nearest fixed centroid, computes the
+    * residual (v − cell centroid), encodes it against FIXED per-subspace
+    * codebooks (nearest codebook entry per slice, ties → lowest code —
+    * the same argmin [[graft.ops.Pq.build]] encodes with), and appends
+    * (vec_id, v, codes, cell) under `batch=N` with overwrite — so
+    * crash-replay REPLACES a batch's partition exactly like the
+    * uncoded store, and a checkpointed restart is invisible to any
+    * later probe (CorpusStreamSpec proves this against a
+    * never-restarted twin).
+    *
+    * Both `centroids` and `codebook` are FIXED model metadata (train
+    * rarely, assign forever — re-training per batch would invalidate
+    * every historical code; rebuild offline when drift warrants). The
+    * codebook is the flattened (sub, code, centroid) table of
+    * [[graft.ops.Pq.Index.cents]], dense by construction.
+    *
+    * Scale shape: assignment + encoding are one scan-stage expression
+    * chain plus one keyed aggregation WITHIN the micro-batch (codes
+    * fold per vec_id); nothing reads the store, nothing shuffles
+    * across batches. The store keeps the raw vector beside the codes
+    * because the serving read path ends in an exact re-rank — at
+    * 100 TB the v column lives in the same cell-pruned parquet and
+    * only shortlisted rows' vectors are ever deserialized.
+    */
+  def annIndexBatchPq(storeDir: String, centroids: Seq[Seq[Float]],
+      codebook: Seq[(Int, Int, Seq[Double])])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val m = codebook.map(_._1).max + 1
+    val dim = centroids.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val coarse = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val cents = codebook.toDF("sub", "code", "sub_centroid")
+    val resid = annAssign(batch, centroids)
+      .join(broadcast(coarse), "cell")
+      .withColumn("rv", zip_with(col("v"), col("centroid"),
+        (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
+      .select(col("vec_id"), col("v"), col("cell"), col("rv"))
+    // slice the residual, encode each slice against its subspace
+    // codebook (min(struct) → deterministic lowest-code tie-break),
+    // refold to the positional codes array ADC indexes into
+    val subL2 = expr("""aggregate(zip_with(subv, sub_centroid,
+      (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+      0D, (acc, x) -> acc + x)""")
+    val coded = resid
+      .select(col("vec_id"), col("v"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(rv, i * $dsub + 1, $dsub))")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "subv")
+      .join(broadcast(cents), "sub")
+      .withColumn("d2", subL2)
+      .groupBy(col("vec_id"), col("v"), col("cell"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      .groupBy(col("vec_id"), col("v"), col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+    coded.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** IVF-PQ top-k over the incrementally-built [[annIndexBatchPq]]
+    * store — [[graft.ops.IvfPq.topK]]'s read path re-expressed against
+    * the cell-partitioned layout: probe `nProbe` cells per query (the
+    * same integer argmin the index side assigns with, so probe and
+    * assignment can never disagree on a cell boundary), ADC-score only
+    * those cells' CODES with the inner-product decomposition
+    * q·v ≈ q·c + Σ_s q_s·codebook_s (one flat table of the RAW query
+    * against the residual codebook, shared across probed cells — the
+    * q−c form is NOT rank-equivalent, see IvfPq), shortlist, then
+    * exact q_dot re-rank against the stored vectors.
+    *
+    * Scale shape: the probed cell set is bounded (|queries| · nProbe)
+    * and rides the store scan as an `isin` PARTITION filter — unprobed
+    * cells never leave disk; queries and their ADC tables broadcast;
+    * only `shortlist` rows per query deserialize the v column for the
+    * exact tail.
+    */
+  def annProbeStorePq(s: org.apache.spark.sql.SparkSession, storeDir: String,
+      centroids: Seq[Seq[Float]], codebook: Seq[(Int, Int, Seq[Double])],
+      queries: DataFrame, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val qdot = graft.functions.GraftFunctions.registerQDot(s)
+    val adc = graft.functions.GraftFunctions.registerAdcSum(s)
+    val m = codebook.map(_._1).max + 1
+    val kCodes = codebook.map(_._2).max + 1
+    val dim = centroids.head.size
+    val dsub = dim / m
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType)),
+      StructField("codes", ArrayType(IntegerType)),
+      StructField("cell", IntegerType), StructField("batch", LongType)))
+    val store = s.read.schema(schema).parquet(storeDir)
+    // probe cells by the index side's integer score; carry the DOUBLE
+    // q·c constant for ADC (the decomposition's cell term)
+    val qc = centroids.map(_.map(x => math.round(x * 1000f).toLong))
+    val centStructs = qc.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+        (lit(c.map(x => x * x).sum) - lit(2L) * graft.ops.Vectors.intDot(
+          graft.ops.Vectors.quantize(col("qv")), array(c.map(lit): _*))).as("sc"))
+    }
+    val coarse = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val probed = queries
+      .select(col("vec_id").cast("long").as("q_vec_id"),
+        col("v").cast("array<float>").as("qv"))
+      .select(col("q_vec_id"), col("qv"),
+        explode(array(centStructs: _*)).as("cs"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cs.sc").asc, col("cs.cell").asc)))
+      .where(col("crnk") <= nProbe)
+      .select(col("q_vec_id"), col("qv"), col("cs.cell").as("cell"))
+      .join(broadcast(coarse), "cell")
+      .withColumn("qcd", expr("""aggregate(zip_with(qv, centroid,
+        (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+        0D, (acc, x) -> acc + x)"""))
+      .select(col("q_vec_id"), col("qv"), col("cell"), col("qcd"))
+      .localCheckpoint(true) // collected below AND joined — one build
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // one flat ADC table per query: RAW query slices × residual codebook
+    val cents = codebook.toDF("sub", "code", "sub_centroid")
+    val ip = expr("""aggregate(zip_with(subv, sub_centroid,
+      (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)""")
+    val qtables = probed.select(col("q_vec_id"), col("qv")).distinct()
+      .select(col("q_vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(qv, i * $dsub + 1, $dsub))")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "subv")
+      .join(broadcast(cents), "sub")
+      .withColumn("ip", ip)
+      .groupBy(col("q_vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code, ip))), x -> x.ip)")
+        .as("tbl"))
+    val short = store.where(col("cell").isin(cells: _*))
+      .join(broadcast(probed.select(col("q_vec_id"), col("cell"), col("qcd"))), "cell")
+      .join(broadcast(qtables), "q_vec_id")
+      .where(col("vec_id") =!= col("q_vec_id"))
+      .withColumn("score", col("qcd") + adc(col("codes"), col("tbl"), kCodes))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("score").desc, col("vec_id").asc)))
+      .where(col("srnk") <= shortlist)
+      .select(col("q_vec_id"), col("vec_id"))
+    // exact re-rank against the STORED vectors (cell-pruned read)
+    val cand = store.where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("v").as("cv"))
+      .join(broadcast(short), "vec_id")
+    val qs = queries.select(col("vec_id").cast("long").as("qq"),
+      col("v").cast("array<float>").as("qv2"))
+    cand.join(broadcast(qs), col("q_vec_id") === col("qq"))
+      .withColumn("dot", qdot(col("cv"), col("qv2")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("dot").desc, col("vec_id").asc)))
+      .where(col("rnk") <= k)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+  }
+
   /** Streaming per-source admission cap — the continuous form of
     * [[graft.ops.Sampling.capPerGroup]]: each source admits at most
     * `cap` docs over the stream's lifetime, later arrivals drop. The

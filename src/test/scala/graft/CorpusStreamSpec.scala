@@ -636,4 +636,96 @@ class CorpusStreamSpec extends SparkSpec {
     // doc 4 near-dups BOTH folded claimants (1 and 3) plus nothing else
     assert(got === Set((1L, 3L), (1L, 4L), (3L, 4L)))
   }
+
+  test("PQ-coded ANN store: checkpointed restart answers identically to a " +
+    "never-restarted build; full probe equals brute force") {
+    // the IVF-PQ serving path through the SAME lifecycle the near-dup
+    // compaction proof runs: a real checkpointed streaming query
+    // indexes two batches, stops, RESTARTS from its checkpoint for a
+    // third, and every probe over the restored store must equal a twin
+    // store whose batches were applied in one uninterrupted sequence —
+    // the daily contract of a 100 TB incremental ingestion pipeline.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-pqckpt").toString
+    val in = s"$root/in"
+    val storeR = s"$root/store_restarted"
+    val storeT = s"$root/store_twin"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val rnd = new scala.util.Random(2718)
+    def vec(seedShift: Int): Seq[Float] =
+      Seq.tabulate(8)(j => (rnd.nextFloat() - 0.5f) * 2f +
+        (if (j == seedShift % 8) 2f else 0f))
+    val cents = (0 until 4).map(c => Seq.tabulate(8)(j => if (j == c) 3f else 0f))
+    val b0 = (1L to 20L).map(i => (i, vec(i.toInt)))
+    val b1 = (21L to 40L).map(i => (i, vec(i.toInt)))
+    val b2 = (41L to 60L).map(i => (i, vec(i.toInt)))
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "v")
+    // FIXED residual codebook, trained ONCE offline (train rarely,
+    // assign forever): Pq.build over the first batch's vectors; only
+    // the flattened (sub, code, centroid) metadata rides into the
+    // stream — codebook quality moves recall, never identity
+    val codebook = graft.ops.Pq.build(df(b0), col("v"), col("vec_id"),
+        dim = 8, m = 4, k = 4)
+      .cents.as[(Int, Int, Seq[Double])].collect().toSeq
+
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Float])]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (id, v) =>
+          s"""{"vec_id":$id,"v":[${v.mkString(",")}]}""" }
+          .mkString("\n").getBytes)
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .schema("vec_id LONG, v ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1) // one file = one micro-batch
+        .json(in)
+        .writeStream
+        .foreachBatch(CorpusStream.annIndexBatchPq(storeR, cents, codebook) _)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+
+    writeBatch("b0.json", b0)
+    writeBatch("b1.json", b1)
+    runStream() // batches 0 and 1 committed, query stops
+    writeBatch("b2.json", b2)
+    runStream() // RESTART from the checkpoint: only batch 2 processes
+
+    // twin: same batch sequence, never interrupted
+    for ((rows, id) <- Seq(b0, b1, b2).zipWithIndex)
+      CorpusStream.annIndexBatchPq(storeT, cents, codebook)(
+        df(rows), id.toLong)
+
+    // store integrity: every vector exactly once, codes dense
+    val stored = spark.read.parquet(storeR)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect()
+    assert(stored.length === 60 && stored.map(_._1).distinct.length === 60)
+    assert(stored.forall(_._2.length == 4), "every vector carries m=4 codes")
+
+    val queries = df(Seq((1000L, vec(3)), (1001L, vec(6))))
+    def probe(store: String, nProbe: Int, shortlist: Int) =
+      CorpusStream.annProbeStorePq(spark, store, cents, codebook, queries,
+          k = 5, nProbe = nProbe, shortlist = shortlist)
+        .select($"q_vec_id", $"rnk", $"vec_id", $"dot")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(probe(storeR, 2, 10) === probe(storeT, 2, 10),
+      "a checkpointed restart must be invisible to the PQ probe")
+    // probing ALL cells with an uncut shortlist makes the exact
+    // re-rank see every candidate — the result IS brute force
+    val full = probe(storeR, 4, 60)
+    val brute = graft.ops.Similarity.topKBruteForce(
+        df(b0 ++ b1 ++ b2), queries, col("v"), col("vec_id"), k = 5)
+      .select($"q_vec_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(full.map(t => (t._1, t._3)) === brute,
+      "all-cell probe + uncut shortlist must equal brute force")
+    // crash-replay idempotency: re-applying a batch replaces, never
+    // duplicates
+    CorpusStream.annIndexBatchPq(storeT, cents, codebook)(df(b1), 1L)
+    val replayed = spark.read.parquet(storeT)
+      .select($"vec_id").as[Long].collect()
+    assert(replayed.length === 60 && replayed.distinct.length === 60)
+    assert(probe(storeT, 2, 10) === probe(storeR, 2, 10),
+      "batch replay must not change any probe result")
+  }
 }
