@@ -79,6 +79,20 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // every run carries its own stage-metric + GC delta, so the
+    // attribution below can come from the MINIMUM-wall run instead of
+    // a dedicated extra execution — r15's stage tuples occasionally
+    // caught a noisy-neighbor spike in that extra slot (temporal_reach
+    // attributed 10.99 s against a 2.05 s min) and overstated the
+    // heaviest queries 5×
+    def onceWithStages(name: String): (Double, Array[Long], Long) = {
+      val s0 = stageSnap()
+      val (_, g0) = gcStats()
+      val t = once(name)
+      val (_, g1) = gcStats()
+      val s1 = stageSnap()
+      (t, s1.zip(s0).map { case (a, b) => a - b }, g1 - g0)
+    }
     def cleanup(): Unit = {
       spark.catalog.clearCache()
       System.gc() // lets ContextCleaner collect dead shuffles/broadcasts
@@ -99,33 +113,28 @@ object Bench {
       // wobbles ±30-50 % between bench invocations and round-over-
       // round comparisons read noise as regressions; the extra ~1 s
       // per fast query buys a stable floor.
-      val first = Seq.fill(3)(once(name))
-      val isResident = first.forall(_ >= 0) && first.min > 1.5
-      // Residents get ONE extra steady-state run with stage metrics
-      // snapshotted around exactly that execution (the min-of-N loop
-      // interleaves codegen/JIT warmup into any wider delta); fast
-      // queries keep the unchanged 3(+2) sampling.
-      val s0 = stageSnap()
-      val (_, gtA0) = gcStats()
-      val attributed = if (isResident) once(name) else -1.0
-      val (_, gtA1) = gcStats()
-      val s1 = stageSnap()
-      val runs0 = if (isResident) first :+ attributed else first
+      val first = Seq.fill(3)(onceWithStages(name))
+      val firstWalls = first.map(_._1)
+      val isResident = firstWalls.forall(_ >= 0) && firstWalls.min > 1.5
       val runs =
-        if (first.exists(r => r >= 0 && r < 0.3)) runs0 ++ Seq.fill(2)(once(name))
-        else runs0
+        if (firstWalls.exists(r => r >= 0 && r < 0.3))
+          firstWalls ++ Seq.fill(2)(once(name))
+        else firstWalls
       val (gc1, gt1) = gcStats()
       val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
       System.err.println(
         f"[bench] $name%-24s ${runs.map(r => f"$r%7.2f").mkString(" ")}s " +
           f"gc=${gc1 - gc0}%3d gcMs=${gt1 - gt0}%6d heapMb=$usedMb%6d")
       if (isResident) {
-        val d = s1.zip(s0).map { case (a, b) => a - b }
+        // attribute on the FASTEST of the three runs — by definition
+        // the one least polluted by host noise, and the same number
+        // the per-query timing reports, so the stage tuple's wall can
+        // no longer overstate the query against its own min
+        val (attributed, d, gcMs) = first.minBy(_._1)
         // gcMs rides the tuple so the parsed artifact can separate
         // heap/contention stalls from plan regressions: wall inflated
         // over flat execSec + high gcMs = the host or the heap, not
         // the query (VERDICT r13: identical-code queries swung 2-4x)
-        val gcMs = gtA1 - gtA0
         System.err.println(
           f"[bench-stages] $name%-24s wall=$attributed%6.2fs stages=${d(0)}%3d " +
             f"execSec=${d(1) / 1e3}%8.2f shufReadMb=${d(2) / 1e6}%7.1f " +
