@@ -632,6 +632,41 @@ object ExtensionQueries {
         min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"))
       .orderBy("label")
 
+  /** INT8 QUANTIZATION ERROR AUDIT — the quality report an embedding
+    * store produces before committing to int8 serving (the standard
+    * 4× compression: per-vector symmetric scale s = max|x|, code
+    * c = round(127·x/s)). Everything runs in the repo's exact
+    * milli-unit integer space ([[graft.ops.Vectors.quantize]]) so
+    * both engines compute the identical rounding: code and
+    * reconstruction use round-half-up on NON-NEGATIVE operands
+    * ((|q|·254 + s) div 2s and (c·2s + 127) div 254), sidestepping
+    * trunc-vs-floor divergence, and the per-dim error |‖q‖ − r| is
+    * sign-free because code and reconstruction carry q's sign.
+    * Per label: vector count, summed/max absolute reconstruction
+    * error, and summed scale (the denominATOR of any relative-error
+    * read) — all BIGINT.
+    *
+    * Scale shape: pure scan-stage HOF arithmetic per vector + one
+    * label aggregate; no join, no window, no collect.
+    */
+  private def qEmbInt8QuantError(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), graft.ops.Vectors.quantize(col("embedding")).as("q"))
+      .withColumn("s", expr(
+        "greatest(aggregate(q, 0L, (a, x) -> greatest(a, abs(x))), 1L)"))
+      .withColumn("errs", expr(
+        """transform(q, x -> abs(abs(x) -
+          |  (((abs(x) * 254 + s) div (2 * s)) * 2 * s + 127) div 254))"""
+          .stripMargin))
+      .withColumn("e_sum", expr("aggregate(errs, 0L, (a, x) -> a + x)"))
+      .withColumn("e_max", expr("aggregate(errs, 0L, (a, x) -> greatest(a, x))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("e_sum")).as("sum_err"),
+        max(col("e_max")).as("max_err"),
+        sum(col("s")).as("sum_scale"))
+      .orderBy("label")
+
   /** Source-balancing repetition factors — the data-mixing step before
     * packing: per source, token mass and the integer upsampling factor
     * epochs_x100 = ceil(100·max_tokens / tokens), capped at 4 epochs
@@ -2400,6 +2435,43 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** LAG FEATURE TABLE — the per-entity calendar-lag features every
+    * tabular training pipeline materializes from an event log: for
+    * each (user, active day), the day's event count, the CALENDAR
+    * lag-1 and lag-7 counts (0 when the user was inactive that day —
+    * a keyed self-join on day−k, not a positional lag() over observed
+    * rows, which would silently skip gaps), and the trailing 7-day
+    * total via a RANGE window over integer day numbers (frame by
+    * calendar distance, so gaps shrink the window instead of
+    * stretching it).
+    *
+    * Scale shape: one (user, day) aggregate over raw events, then
+    * everything is user-keyed — two keyed self-joins carrying only
+    * (user, day, n) and one user-partitioned range window. No global
+    * window, no collect.
+    */
+  private def qEventsLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("d", datediff(col("day"), lit("1970-01-01")))
+      .localCheckpoint(true) // three consumers below + nothing else
+    def lagged(k: Int, as: String) = daily.select(col("user_id"),
+      (col("d") + k).as("d"), col("n").as(as))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rangeBetween(-6, 0)
+    daily
+      .join(lagged(1, "n_lag1"), Seq("user_id", "d"), "left")
+      .join(lagged(7, "n_lag7"), Seq("user_id", "d"), "left")
+      .withColumn("n_lag1", coalesce(col("n_lag1"), lit(0L)))
+      .withColumn("n_lag7", coalesce(col("n_lag7"), lit(0L)))
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .select(col("user_id"), col("day"), col("n"), col("n_lag1"),
+        col("n_lag7"), col("n_7d"))
+      .orderBy("user_id", "day")
+  }
+
   /** Term-weighting inputs: per-doc term frequency (docs 0-24) × corpus
     * document frequency, restricted to the top-30 vocabulary. The float
     * tf-idf weight itself ([[Text.tfIdf]]) is equivalence-tested in
@@ -2417,6 +2489,36 @@ object ExtensionQueries {
     tf.join(broadcast(vocab), "token").join(dfreq, "token")
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
       .orderBy("doc_id", "token")
+  }
+
+  /** VOCABULARY GROWTH CURVE (Heaps' law audit) — per doc in corpus
+    * order, how many never-before-seen token types it contributes,
+    * plus the running vocabulary size. The curve is the standard
+    * corpus-health read before tokenizer training: a healthy crawl
+    * grows ∝ n^β (β ≈ 0.5); a flat tail means the crawl is recycling
+    * content, a superlinear head means boilerplate explosion. First
+    * occurrence = MIN(doc_id) per token — position-free, so the
+    * computation is one token aggregate, not a sequential scan.
+    *
+    * Scale shape: (doc, token) presence distinct + one groupBy(token)
+    * min + one groupBy(doc) count; the cumulative rides
+    * [[graft.ops.Linkage.globalRunningSum]] — the two-pass
+    * range-partitioned prefix sum (per-partition fold + broadcast
+    * offsets), NOT a single-partition global window, so the curve
+    * computes at any corpus size.
+    */
+  private def qTextVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val firstDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
+    val newPerDoc = firstDoc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("new_terms"))
+    val dense = Tables.documents(s, dir).select(col("doc_id"))
+      .join(newPerDoc, Seq("doc_id"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+    graft.ops.Linkage.globalRunningSum(dense, col("new_terms"), col("doc_id"))
+      .select(col("doc_id"), col("new_terms"), col("cum").as("cum_vocab"))
+      .orderBy("doc_id")
   }
 
   /** PII scrub gate: deterministic synthetic contact strings are
@@ -4356,7 +4458,10 @@ object ExtensionQueries {
     "corpus_folded_packing" -> (qCorpusFoldedPacking _),
     "events_ab_test" -> (qEventsAbTest _),
     "events_forecast_baseline" -> (qEventsForecastBaseline _),
+    "events_lag_features" -> (qEventsLagFeatures _),
     "text_tfidf" -> (qTextTfidf _),
+    "text_vocab_growth" -> (qTextVocabGrowth _),
+    "emb_int8_quant_error" -> (qEmbInt8QuantError _),
     "text_length_quantiles" -> (qTextLengthQuantiles _),
     "text_pii_redact" -> (qTextPiiRedact _),
     "split_ngram_leakage" -> (qSplitNgramLeakage _),
@@ -5049,6 +5154,56 @@ object ExtensionQueries {
         |FROM d a JOIN d b
         |  ON a.event_type = b.event_type AND a.day = b.day + 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_lag_features" ->
+      """WITH d AS MATERIALIZED (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dd AS MATERIALIZED (SELECT user_id, day, n,
+        |    datediff('day', DATE '1970-01-01', day) AS dnum FROM d)
+        |SELECT a.user_id, a.day, a.n,
+        |       COALESCE(l1.n, 0) AS n_lag1,
+        |       COALESCE(l7.n, 0) AS n_lag7,
+        |       CAST(SUM(a.n) OVER (PARTITION BY a.user_id ORDER BY a.dnum
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM dd a
+        |LEFT JOIN dd l1 ON l1.user_id = a.user_id AND l1.dnum = a.dnum - 1
+        |LEFT JOIN dd l7 ON l7.user_id = a.user_id AND l7.dnum = a.dnum - 7
+        |ORDER BY a.user_id, a.day""".stripMargin,
+
+    "text_vocab_growth" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest(${graft.ops.Text.tokensSql()}) AS token
+         |    FROM documents)),
+         |f AS (SELECT token, MIN(doc_id) AS doc_id FROM tok GROUP BY 1),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+         |      FROM f GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n.new_terms, 0) AS new_terms,
+         |       CAST(SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY d.doc_id)
+         |         AS BIGINT) AS cum_vocab
+         |FROM documents d LEFT JOIN n USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "emb_int8_quant_error" ->
+      s"""WITH q AS (SELECT label, ${Vectors.quantizeSql("embedding")} AS q
+         |           FROM embeddings),
+         |sc AS (SELECT label, q,
+         |         greatest(list_max(list_transform(q, x -> abs(x))), 1) AS s
+         |       FROM q),
+         |e AS (SELECT label, s,
+         |        CAST(list_sum(list_transform(q, x -> abs(abs(x) -
+         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254)))
+         |          AS BIGINT) AS e_sum,
+         |        CAST(list_max(list_transform(q, x -> abs(abs(x) -
+         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254)))
+         |          AS BIGINT) AS e_max
+         |      FROM sc)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(e_sum) AS BIGINT) AS sum_err,
+         |       CAST(MAX(e_max) AS BIGINT) AS max_err,
+         |       CAST(SUM(s) AS BIGINT) AS sum_scale
+         |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
 
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,

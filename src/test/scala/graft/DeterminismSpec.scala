@@ -92,7 +92,10 @@ class DeterminismSpec extends SparkSpec {
     "events_ab_test",      // distinct-user fold + cross-multiplied uplift
     "multimodal_imageio_cert", // PNG encode→decode round-trip verdicts
     "multimodal_audio_cert", // WAV encode→decode round-trip verdicts
-    "events_forecast_baseline") // pinned daily frame + 7-day shift join
+    "events_forecast_baseline", // pinned daily frame + 7-day shift join
+    "events_lag_features", // calendar-lag self-joins + RANGE window
+    "text_vocab_growth",   // min-doc first occurrence + globalRunningSum
+    "emb_int8_quant_error") // per-vector integer scale + HOF error fold
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
