@@ -779,4 +779,37 @@ class PlanSpec extends SparkSpec {
         p.contains("BroadcastHashJoin"), s"$q lost its keyed partner join")
     }
   }
+
+  test("emb_int8_quant_error: aggregate-only single-scan plan, pruned read") {
+    val p = planOf("emb_int8_quant_error")
+    assert(!p.contains("Join"), "the audit must not join")
+    assert(!p.contains("Window"), "the audit must not window")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "one pass over the embeddings, not one per statistic")
+    // error math runs on (label, embedding) only — vec_id never reads
+    assert(!p.contains("vec_id"), "column pruning must drop vec_id")
+  }
+
+  test("events_lag_features: user-keyed joins and window, no cartesian") {
+    val p = planOf("events_lag_features")
+    assert(!p.contains("CartesianProduct"),
+      "calendar lags must stay keyed self-joins")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1,
+      "the rolling window must shuffle by user_id")
+    assert("Window".r.findAllIn(p).length == 1, "exactly one window pass")
+  }
+
+  test("text_vocab_growth: cumulative rides the two-pass range exchange, " +
+    "no single-partition data window") {
+    val p = planOf("text_vocab_growth")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("rangepartitioning"),
+      "globalRunningSum's range exchange must appear — a plain " +
+        "Window.orderBy would single-partition the whole corpus")
+    // the only unpartitioned window allowed is the per-partition
+    // OFFSETS fold (32 rows); the data-path window partitions by _pid
+    assert("hashpartitioning\\(_pid".r.findAllIn(p).length >= 1 ||
+      "windowspecdefinition\\(_pid".r.findAllIn(p).length >= 1,
+      "the data-path prefix sum must stay partition-local")
+  }
 }
