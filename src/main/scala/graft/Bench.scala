@@ -79,6 +79,19 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // stage-completed events post to an ASYNC listener bus: without a
+    // drain, a run's tail events can land in the NEXT run's delta and
+    // misattribute metrics between the back-to-back runs below. The
+    // drain API is private[spark], so reflection with a no-op fallback
+    // (diagnostics degrade gracefully; timings are unaffected)
+    val drainListeners: () => Unit =
+      try {
+        val sc = spark.sparkContext
+        val busM = sc.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(sc)
+        val waitM = bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        () => { try waitM.invoke(bus, Long.box(10000L)) catch { case _: Throwable => () }; () }
+      } catch { case _: Throwable => () => () }
     // every run carries its own stage-metric + GC delta, so the
     // attribution below can come from the MINIMUM-wall run instead of
     // a dedicated extra execution — r15's stage tuples occasionally
@@ -86,9 +99,11 @@ object Bench {
     // attributed 10.99 s against a 2.05 s min) and overstated the
     // heaviest queries 5×
     def onceWithStages(name: String): (Double, Array[Long], Long) = {
+      drainListeners()
       val s0 = stageSnap()
       val (_, g0) = gcStats()
       val t = once(name)
+      drainListeners()
       val (_, g1) = gcStats()
       val s1 = stageSnap()
       (t, s1.zip(s0).map { case (a, b) => a - b }, g1 - g0)

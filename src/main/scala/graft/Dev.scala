@@ -28,7 +28,9 @@ object Dev {
           "ivf" -> (() => ExtensionQueries.simTopkIvfRows(spark, dir)),
           "pq" -> (() => ExtensionQueries.simTopkPqRows(spark, dir)),
           "ivfpq" -> (() => ExtensionQueries.simTopkIvfPqRows(spark, dir)))) {
-        val rows = mk()
+        // persisted across the two actions below (global min + printed
+        // detail) so the ANN pipeline builds once, not twice
+        val rows = mk().persist()
         // exact at any query-set size: the audit minimum is a 1-row
         // aggregate computed BEFORE any limit, so the printed per-vector
         // detail below can stay capped without ever hiding a worse row
@@ -54,14 +56,19 @@ object Dev {
       // a Spark DECIMAL(38,0) against a DuckDB HUGEINT hash-splits even
       // at equal values (the r15 assortativity red). Print every
       // registered query's output schema, flagging the divergence-prone
-      // classes (any DecimalType, nested decimals, non-UTC timestamps)
+      // classes: any decimal (incl. nested) and session-TZ TIMESTAMP
+      // (the board convention is TIMESTAMP_NTZ; OutputTypeContractSpec
+      // is the hard gate, this probe is the human-readable sweep)
       for (name <- SparkEntry.queries.keys.toSeq.sorted) {
         val df = SparkEntry.queries(name)(spark, dir)
         val cols = df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}")
-        val flagged = df.schema.fields.filter(f =>
-          f.dataType.sql.toUpperCase.contains("DECIMAL"))
+        val flagged = df.schema.fields.filter { f =>
+          val t = f.dataType.sql.toUpperCase
+          t.contains("DECIMAL") ||
+            t.replace("TIMESTAMP_NTZ", "").contains("TIMESTAMP")
+        }
         val tag = if (flagged.nonEmpty)
-          s" DECIMAL[${flagged.map(_.name).mkString(",")}]" else ""
+          s" FLAG[${flagged.map(_.name).mkString(",")}]" else ""
         println(s"== schema $name$tag ${cols.mkString(" ")}")
         spark.catalog.clearCache()
         graft.ops.AnnCache.clear()

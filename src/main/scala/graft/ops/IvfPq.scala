@@ -97,16 +97,9 @@ object IvfPq {
       .where(col("crnk") <= nProbe)
       .select(col("q_vec_id"), col("cell"), col("qc"))
     // one flat ADC table per QUERY (raw slices × residual codebook);
-    // the slicing layout is Pq.sliced's — codes and tables must agree
-    val ip = expr(
-      "aggregate(zip_with(subv, centroid, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
-    val qslices = Pq.sliced(queries, vecCol, idCol, m, dsub)
-      .withColumnRenamed("vec_id", "q_vec_id")
-    val qtables = qslices.join(broadcast(index.pq.cents), "sub")
-      .withColumn("ip", ip)
-      .groupBy(col("q_vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, code, ip))), x -> x.ip)")
-        .as("tbl"))
+    // the shared builder keeps the table layout identical to every
+    // other ADC consumer (Pq.sliced slicing, (sub·k + code) order)
+    val qtables = Pq.adcTables(queries, vecCol, idCol, index.pq.cents, m, dsub)
     // candidates pair with the queries probing their cell (cell-key
     // join — the probe prunes |corpus|·nProbe/cells BEFORE scoring),
     // then add the shared table's lookup sum to the cell constant.

@@ -34,7 +34,7 @@ object Pq {
     * (sub, code, centroid) — the m codebooks flattened. */
   final case class Index(codes: DataFrame, cents: DataFrame, m: Int, k: Int)
 
-  private[ops] def sliced(df: DataFrame, vecCol: Column, idCol: Column,
+  private[graft] def sliced(df: DataFrame, vecCol: Column, idCol: Column,
                           m: Int, dsub: Int): DataFrame =
     df.select(idCol.as("vec_id"), vecCol.as("v"))
       .select(col("vec_id"), posexplode(expr(
@@ -43,6 +43,26 @@ object Pq {
 
   private val subL2 = expr(
     "aggregate(zip_with(subv, centroid, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0D, (acc, x) -> acc + x)")
+
+  /** One flat ADC inner-product table per query — RAW query slices ×
+    * the (sub, code, centroid) codebook, sorted to the positional
+    * (sub·k + code) layout `adc_sum` indexes into. Shared by
+    * [[IvfPq.topK]] and the streaming store probe
+    * ([[graft.streaming.CorpusStream.annProbeStorePq]]) so the table
+    * layout can never drift between the batch and streaming read
+    * paths. */
+  private[graft] def adcTables(queries: DataFrame, vecCol: Column,
+      idCol: Column, cents: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val ip = expr(
+      "aggregate(zip_with(subv, centroid, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)")
+    sliced(queries, vecCol, idCol, m, dsub)
+      .withColumnRenamed("vec_id", "q_vec_id")
+      .join(broadcast(cents), "sub")
+      .withColumn("ip", ip)
+      .groupBy(col("q_vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code, ip))), x -> x.ip)")
+        .as("tbl"))
+  }
 
   /** Train per-subspace codebooks (id-hash-based init — no seed
     * parameter; determinism notes below) and encode the corpus. `dim`
@@ -185,7 +205,7 @@ object Pq {
     * original vectors — the shared tail of every two-stage ANN path
     * (PQ, IVF-PQ): one implementation so tie-breaks and null handling
     * cannot drift between them. */
-  private[ops] def rerankExact(corpus: DataFrame, queries: DataFrame,
+  private[graft] def rerankExact(corpus: DataFrame, queries: DataFrame,
                                pairs: DataFrame, vecCol: Column, idCol: Column,
                                k: Int): DataFrame = {
     val qdot = graft.functions.GraftFunctions.registerQDot(queries.sparkSession)

@@ -597,11 +597,13 @@ object CorpusStream {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val qdot = graft.functions.GraftFunctions.registerQDot(s)
     val adc = graft.functions.GraftFunctions.registerAdcSum(s)
     val m = codebook.map(_._1).max + 1
     val kCodes = codebook.map(_._2).max + 1
     val dim = centroids.head.size
+    // same guard as the index side: a silent floor here would slice
+    // queries short and null-poison every ADC table
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("v", ArrayType(FloatType)),
@@ -636,19 +638,13 @@ object CorpusStream {
       .localCheckpoint(true) // collected below AND joined — one build
     val cells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // one flat ADC table per query: RAW query slices × residual codebook
-    val cents = codebook.toDF("sub", "code", "sub_centroid")
-    val ip = expr("""aggregate(zip_with(subv, sub_centroid,
-      (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)""")
-    val qtables = probed.select(col("q_vec_id"), col("qv")).distinct()
-      .select(col("q_vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), i -> slice(qv, i * $dsub + 1, $dsub))")))
-      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "subv")
-      .join(broadcast(cents), "sub")
-      .withColumn("ip", ip)
-      .groupBy(col("q_vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, code, ip))), x -> x.ip)")
-        .as("tbl"))
+    // one flat ADC table per query — the SHARED builder
+    // (graft.ops.Pq.adcTables), so the table layout can never drift
+    // from the batch IVF-PQ read path
+    val cents = codebook.toDF("sub", "code", "centroid")
+    val qtables = graft.ops.Pq.adcTables(
+      probed.select(col("q_vec_id"), col("qv")).distinct(),
+      col("qv"), col("q_vec_id"), cents, m, dsub)
     val short = store.where(col("cell").isin(cells: _*))
       .join(broadcast(probed.select(col("q_vec_id"), col("cell"), col("qcd"))), "cell")
       .join(broadcast(qtables), "q_vec_id")
@@ -659,19 +655,13 @@ object CorpusStream {
           .orderBy(col("score").desc, col("vec_id").asc)))
       .where(col("srnk") <= shortlist)
       .select(col("q_vec_id"), col("vec_id"))
-    // exact re-rank against the STORED vectors (cell-pruned read)
-    val cand = store.where(col("cell").isin(cells: _*))
-      .select(col("vec_id"), col("v").as("cv"))
-      .join(broadcast(short), "vec_id")
-    val qs = queries.select(col("vec_id").cast("long").as("qq"),
-      col("v").cast("array<float>").as("qv2"))
-    cand.join(broadcast(qs), col("q_vec_id") === col("qq"))
-      .withColumn("dot", qdot(col("cv"), col("qv2")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_vec_id"))
-          .orderBy(col("dot").desc, col("vec_id").asc)))
-      .where(col("rnk") <= k)
-      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+    // exact re-rank against the STORED vectors (cell-pruned read),
+    // via the shared tail every two-stage ANN path uses
+    graft.ops.Pq.rerankExact(
+      store.where(col("cell").isin(cells: _*)).select(col("vec_id"), col("v")),
+      queries.select(col("vec_id").cast("long").as("vec_id"),
+        col("v").cast("array<float>").as("v")),
+      short, col("v"), col("vec_id"), k)
   }
 
   /** Streaming per-source admission cap — the continuous form of

@@ -603,7 +603,8 @@ class CorpusStreamSpec extends SparkSpec {
         .foreachBatch(CorpusStream.nearDupBatch(storeC) _)
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
+      assert(q.awaitTermination(180000),
+        "streaming query must terminate within the timeout")
     }
     def pairsAll(store: String): Set[(Long, Long)] =
       spark.read.parquet(s"$store/pairs")
@@ -683,7 +684,8 @@ class CorpusStreamSpec extends SparkSpec {
         .foreachBatch(CorpusStream.annIndexBatchPq(storeR, cents, codebook) _)
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(180000)
+      assert(q.awaitTermination(180000),
+        "streaming query must terminate within the timeout")
     }
 
     writeBatch("b0.json", b0)

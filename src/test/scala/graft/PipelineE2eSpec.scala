@@ -54,7 +54,8 @@ class PipelineE2eSpec extends SparkSpec {
     val q = CdcStream.start(
       graft.sources.CdcSources.wireJsonStream(spark, wireDir),
       store, s"$root/dlq", s"$root/ckpt", totalsPath = Some(s"$root/totals"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "the consume stream must terminate within the timeout")
 
     // verification scan: golden end state
     val dest = store.load().get
