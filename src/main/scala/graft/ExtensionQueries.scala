@@ -4066,6 +4066,30 @@ object ExtensionQueries {
   private def qEventsTriangles(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.triangleStats(coPresenceEdges(s, dir))
 
+  /** CONNECTED COMPONENTS of the co-presence graph — the community
+    * census completing the graph family (pagerank, k-core, triangles,
+    * reachability, assortativity all read the same pinned edge set):
+    * per component SIZE, how many components exist. The histogram is
+    * the canonical fragmentation read (one giant component = a social
+    * graph; many small ones = isolated cliques) and is deterministic
+    * where per-node labels need a representative convention.
+    * Labels come from [[graft.ops.Components.connectedComponentsAdaptive]]
+    * (label-prop probe + Large-Star/Small-Star finish — O(log n)
+    * rounds on deep graphs, the same engine the dedup clusters run);
+    * the oracle recomputes via exact recursive min-reach closure.
+    *
+    * Scale shape: edge-keyed iterate to the adaptive engine, then one
+    * (comp) count + one (size) count. No window, no collect.
+    */
+  private def qEventsComponents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Components.connectedComponentsAdaptive(
+        coPresenceEdges(s, dir)
+          .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("component_size")
+
   /** 3-core of the co-presence graph ([[graft.ops.Graph.kCore]],
     * 4 peeling rounds — fixture graphs converge in ≤ 2, and the
     * `converged` column in the output certifies it as data): the
@@ -4533,6 +4557,7 @@ object ExtensionQueries {
     "corpus_importance_resample" -> (qCorpusImportanceResample _),
     "emb_pca_project" -> (qEmbPcaProject _),
     "events_triangles" -> (qEventsTriangles _),
+    "events_components" -> (qEventsComponents _),
     "text_bpe_encode" -> (qTextBpeEncode _),
     "text_trigram_backoff" -> (qTextTrigramBackoff _),
     "emb_mutual_knn" -> (qEmbMutualKnn _),
@@ -6171,6 +6196,20 @@ object ExtensionQueries {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "events_components" ->
+      s"""WITH RECURSIVE $coPresenceSql,
+         |edges AS (SELECT a AS src, b AS dst FROM ed
+         |          UNION ALL SELECT b, a FROM ed),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY 1)
+         |SELECT sz AS component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_bpe_encode" -> {
       val pat = graft.ops.Text.bpeTokenPattern
