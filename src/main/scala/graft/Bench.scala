@@ -90,8 +90,20 @@ object Bench {
         val busM = sc.getClass.getMethod("listenerBus")
         val bus = busM.invoke(sc)
         val waitM = bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
-        () => { try waitM.invoke(bus, Long.box(10000L)) catch { case _: Throwable => () }; () }
-      } catch { case _: Throwable => () => () }
+        // NonFatal-only, same convention as `once`: an interrupt or a
+        // dying JVM must still stop the bench loudly — the interrupt
+        // flag is restored so the shutdown propagates
+        () => {
+          try waitM.invoke(bus, Long.box(10000L))
+          catch {
+            case e: java.lang.reflect.InvocationTargetException
+                if e.getCause.isInstanceOf[InterruptedException] =>
+              Thread.currentThread().interrupt()
+            case scala.util.control.NonFatal(_) => ()
+          }
+          ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () => () }
     // every run carries its own stage-metric + GC delta, so the
     // attribution below can come from the MINIMUM-wall run instead of
     // a dedicated extra execution — r15's stage tuples occasionally

@@ -34,7 +34,7 @@ object Pq {
     * (sub, code, centroid) — the m codebooks flattened. */
   final case class Index(codes: DataFrame, cents: DataFrame, m: Int, k: Int)
 
-  private[graft] def sliced(df: DataFrame, vecCol: Column, idCol: Column,
+  private[ops] def sliced(df: DataFrame, vecCol: Column, idCol: Column,
                           m: Int, dsub: Int): DataFrame =
     df.select(idCol.as("vec_id"), vecCol.as("v"))
       .select(col("vec_id"), posexplode(expr(

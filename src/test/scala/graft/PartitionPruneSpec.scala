@@ -88,12 +88,25 @@ class PartitionPruneSpec extends SparkSpec {
     val scans = allScans(probe.queryExecution.executedPlan)
       .filter(_.metadata.get("Location").exists(_.contains("graft-pqprune")))
     assert(scans.nonEmpty, "no store scans found in the probe plan")
+    // file counts measured from DISK, not assumed: the shuffle width
+    // decides how many part-files each (batch, cell) dir holds
+    def partFiles(p: java.io.File): Seq[java.io.File] =
+      if (p.isDirectory) p.listFiles().toSeq.flatMap(partFiles)
+      else if (p.getName.endsWith(".parquet")) Seq(p) else Seq.empty
+    val byCell = partFiles(new java.io.File(store))
+      .groupBy(_.getParentFile.getName) // cell=N
+    val totalFiles = byCell.values.map(_.size).sum
+    val maxCellFiles = byCell.values.map(_.size).max
+    assert(byCell.size == 4 && totalFiles > maxCellFiles,
+      s"fixture must spread files across cells (got $byCell)")
     for (scan <- scans) {
       assert(scan.metadata("PartitionFilters").contains("cell"),
         "the probed-cell set must become a PARTITION filter on the store")
-      // 1 probed cell of 4, 2 batch files per cell → 2 of 8 files
-      assert(scan.metrics("numFiles").value < 8L,
-        s"scan must skip unprobed cells, read ${scan.metrics("numFiles").value} files")
+      // nProbe = 1 → at most ONE cell's files are read, however many
+      // part-files the shuffle put there
+      assert(scan.metrics("numFiles").value <= maxCellFiles.toLong,
+        s"scan must read at most one cell's $maxCellFiles files, " +
+          s"read ${scan.metrics("numFiles").value} of $totalFiles")
     }
   }
 }

@@ -799,17 +799,21 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length == 1, "exactly one window pass")
   }
 
-  test("text_vocab_growth: cumulative rides the two-pass range exchange, " +
+  test("text_vocab_growth: cumulative rides the checkpointed two-pass, " +
     "no single-partition data window") {
     val p = planOf("text_vocab_growth")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("rangepartitioning"),
-      "globalRunningSum's range exchange must appear — a plain " +
-        "Window.orderBy would single-partition the whole corpus")
-    // the only unpartitioned window allowed is the per-partition
-    // OFFSETS fold (32 rows); the data-path window partitions by _pid
-    assert("hashpartitioning\\(_pid".r.findAllIn(p).length >= 1 ||
-      "windowspecdefinition\\(_pid".r.findAllIn(p).length >= 1,
-      "the data-path prefix sum must stay partition-local")
+    // globalRunningSum's range exchange + per-partition window sit
+    // BEHIND its eager localCheckpoint, so the honest plan signature
+    // is the materialized RDD scan feeding the final projection — a
+    // swapped-in Window.orderBy(doc_id) would show neither
+    assert(p.contains("Scan ExistingRDD"),
+      "the prefix sum must come from globalRunningSum's checkpointed " +
+        "two-pass, not be recomputed inline")
+    // ...and no window in the final plan may order the DATA by doc_id
+    // (that is the single-partition cumulative this query exists to
+    // avoid; the only allowed window is the 32-row _pid offsets fold)
+    assert(!"windowspecdefinition\\(doc_id".r.findAllIn(p).hasNext,
+      "a doc_id-ordered window means the global cumulative came back")
   }
 }
