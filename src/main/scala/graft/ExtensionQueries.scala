@@ -3640,6 +3640,37 @@ object ExtensionQueries {
     best.unionByName(singles).orderBy("doc_id")
   }
 
+  /** LENGTH-WARMUP CURRICULUM ORDER — the training-order assembly
+    * step (sequence-length warmup: Li et al., "The Stability-
+    * Efficiency Dilemma", 2022): short documents first, so early
+    * optimizer steps see short sequences. Docs that fail the shared
+    * quality gate ([[graft.ops.Text.isLowQuality]] — the same
+    * predicate corpus_clean filters on) never enter the curriculum;
+    * survivors bucket into length tiers (50 tokens per tier, capped
+    * at tier 9), and WITHIN a tier the order is the deterministic
+    * id-hash shuffle (decorrelates source/crawl order — adjacent ids
+    * are usually the same crawl slice, and a curriculum that feeds a
+    * model one source at a time destabilizes training). The global
+    * 1-based rank is [[graft.ops.Linkage.globalRank]]'s exact
+    * two-pass ranking — range exchange + partition-local row_number +
+    * broadcast offsets, never a single-partition window.
+    *
+    * Scale shape: one scan computes gate + tier + hash; the rank is
+    * the two-pass primitive (the only global window is the
+    * |partitions|-row offsets fold). No join on data, no collect.
+    */
+  private def qCorpusCurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .where(!graft.ops.Text.isLowQuality(col("text")))
+      .select(col("doc_id"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tier", expr("least(n_tokens div 50, 9L)"))
+      .withColumn("h", graft.ops.Sampling.hashVal(col("doc_id")))
+    graft.ops.Linkage.globalRank(base, col("tier"), col("h"), col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("tier"), col("rank"))
+      .orderBy("doc_id")
+  }
+
   /** Survivorship merge / GOLDEN RECORD (the master-data-management
     * ending of the dedup family; survivorship rules per Talburt,
     * "Entity Resolution and Information Quality", 2011): one
@@ -4543,6 +4574,7 @@ object ExtensionQueries {
     "events_pagerank" -> (qEventsPagerank _),
     "emb_kmeans" -> (qEmbKmeans _),
     "corpus_dedup_keep_best" -> (qCorpusDedupKeepBest _),
+    "corpus_curriculum_order" -> (qCorpusCurriculumOrder _),
     "events_itemset_pairs" -> (qEventsItemsetPairs _),
     "emb_random_projection" -> (qEmbRandomProjection _),
     "emb_kmeans2" -> (qEmbKmeans2 _),
@@ -4876,6 +4908,18 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
          |       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_curriculum_order" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+         |      WHERE NOT (len(tk) < 10 OR
+         |        100 * len(list_filter(tk, t -> t IN ($stopList))) > 60 * len(tk))),
+         |r AS (SELECT doc_id, n_tokens,
+         |        CAST(least(n_tokens // 50, 9) AS BIGINT) AS tier FROM q)
+         |SELECT doc_id, n_tokens, tier,
+         |       CAST(row_number() OVER (ORDER BY tier,
+         |         ${graft.ops.Sampling.hashValSql("doc_id")}, doc_id) AS BIGINT) AS rank
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk,

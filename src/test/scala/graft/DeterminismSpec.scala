@@ -96,9 +96,10 @@ class DeterminismSpec extends SparkSpec {
     "events_lag_features", // calendar-lag self-joins + RANGE window
     "text_vocab_growth",   // min-doc first occurrence + globalRunningSum
     "emb_int8_quant_error", // per-vector integer scale + HOF error fold
-    "events_components")   // adaptive label-prop/star rounds on the
+    "events_components",   // adaptive label-prop/star rounds on the
                            // co-presence graph — iterative min-label
                            // fixpoint must be partitioning-blind
+    "corpus_curriculum_order") // globalRank two-pass over (tier, hash)
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
