@@ -1183,6 +1183,65 @@ object ExtensionQueries {
       .orderBy("bin")
   }
 
+  /** CUPED-ADJUSTED EXPERIMENT READOUT (Deng/Xu/Kohavi/Walker,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data", WSDM 2013) — the industry-
+    * standard variance reduction `events_ab_test` lacks: each user's
+    * post-period conversion metric Y (second-half purchases) is
+    * adjusted by their PRE-period covariate X (first-half activity),
+    * with θ = cov(X,Y)/var(X) pooled over all users. Everything in
+    * exact integers, the `events_autocorr` convention: pooled moment
+    * combinations num = n·Σxy − Σx·Σy and den = n·Σxx − (Σx)² stay
+    * well inside BIGINT at any fixture scale (counts, not values);
+    * θ, both raw mean differences, and the adjusted uplift are basis
+    * points via the sign/abs division pattern (non-negative operands
+    * only — trunc-vs-floor never splits the engines). The pre/post
+    * pivot is `events_drift_halves`' midpoint convention.
+    *
+    * Scale shape: one user-keyed aggregate over raw events, pinned
+    * once for its two consumers (pooled moments + per-variant sums —
+    * both 1-row folds). No window, no data-sized join.
+    */
+  private def qEventsCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+    val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val per = ev.crossJoin(broadcast(b))
+      .withColumn("in_pre",
+        col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("in_pre"), 1L).otherwise(0L)).as("x"),
+        sum(when(!col("in_pre") && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      .localCheckpoint(true) // two 1-row consumers below + nothing else
+    val mo = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def side(v: String, suf: String) = per.where(col("variant") === v)
+      .agg(count(lit(1)).as(s"n_$suf"), sum(col("x")).as(s"sum_x_$suf"),
+        sum(col("y")).as(s"sum_y_$suf"))
+    side("A", "a").crossJoin(broadcast(side("B", "b")))
+      .crossJoin(broadcast(mo))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("theta_bp", expr(
+        "CAST(sign(num) * ((10000 * abs(num)) div greatest(den, 1L)) AS BIGINT)"))
+      .withColumn("diff_y_bp", expr(
+        "(10000 * sum_y_b) div greatest(n_b, 1L) - " +
+          "(10000 * sum_y_a) div greatest(n_a, 1L)"))
+      .withColumn("diff_x_bp", expr(
+        "(10000 * sum_x_b) div greatest(n_b, 1L) - " +
+          "(10000 * sum_x_a) div greatest(n_a, 1L)"))
+      .withColumn("adj_uplift_bp", expr(
+        "diff_y_bp - CAST(sign(theta_bp * diff_x_bp) * " +
+          "((abs(theta_bp) * abs(diff_x_bp)) div 10000) AS BIGINT)"))
+      .select(col("n_a"), col("n_b"), col("sum_x_a"), col("sum_x_b"),
+        col("sum_y_a"), col("sum_y_b"), col("theta_bp"),
+        col("diff_y_bp"), col("diff_x_bp"), col("adj_uplift_bp"))
+  }
+
   /** FIRST-touch attribution — the other standard model next to
     * `events_attribution`'s last-touch: each purchase credits the
     * user's EARLIEST touch ever seen before it (`first(touch,
@@ -4620,6 +4679,7 @@ object ExtensionQueries {
     "corpus_token_budget" -> (qCorpusTokenBudget _),
     "emb_outliers" -> (qEmbOutliers _),
     "events_drift_halves" -> (qEventsDriftHalves _),
+    "events_cuped" -> (qEventsCuped _),
     "events_twap" -> (qEventsTwap _),
     "events_drift_ks" -> (qEventsDriftKs _),
     "customer_gini" -> (qCustomerGini _),
@@ -6742,6 +6802,45 @@ object ExtensionQueries {
         |       (10000 * n_a) // greatest(tot_a, 1)
         |         - (10000 * n_b) // greatest(tot_b, 1) AS drift_bp
         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "events_cuped" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |            event_type FROM events),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ev.day <= b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN ev.day > b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+        |             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN b GROUP BY user_id),
+        |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy FROM per),
+        |va AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |         CAST(SUM(x) AS BIGINT) AS sum_x_a,
+        |         CAST(SUM(y) AS BIGINT) AS sum_y_a
+        |       FROM per WHERE user_id % 2 = 0),
+        |vb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |         CAST(SUM(x) AS BIGINT) AS sum_x_b,
+        |         CAST(SUM(y) AS BIGINT) AS sum_y_b
+        |       FROM per WHERE user_id % 2 <> 0),
+        |t AS (SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |      FROM va CROSS JOIN vb CROSS JOIN mo),
+        |u AS (SELECT *,
+        |        CAST(sign(num) * ((10000 * abs(num)) // greatest(den, 1))
+        |          AS BIGINT) AS theta_bp,
+        |        (10000 * sum_y_b) // greatest(n_b, 1)
+        |          - (10000 * sum_y_a) // greatest(n_a, 1) AS diff_y_bp,
+        |        (10000 * sum_x_b) // greatest(n_b, 1)
+        |          - (10000 * sum_x_a) // greatest(n_a, 1) AS diff_x_bp
+        |      FROM t)
+        |SELECT n_a, n_b, sum_x_a, sum_x_b, sum_y_a, sum_y_b, theta_bp,
+        |       diff_y_bp, diff_x_bp,
+        |       diff_y_bp - CAST(sign(theta_bp * diff_x_bp)
+        |         * ((abs(theta_bp) * abs(diff_x_bp)) // 10000) AS BIGINT)
+        |         AS adj_uplift_bp
+        |FROM u""".stripMargin,
 
     "events_attribution_first" ->
       """WITH t AS (SELECT *,

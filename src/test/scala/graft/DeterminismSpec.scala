@@ -99,7 +99,8 @@ class DeterminismSpec extends SparkSpec {
     "events_components",   // adaptive label-prop/star rounds on the
                            // co-presence graph — iterative min-label
                            // fixpoint must be partitioning-blind
-    "corpus_curriculum_order") // globalRank two-pass over (tier, hash)
+    "corpus_curriculum_order", // globalRank two-pass over (tier, hash)
+    "events_cuped")        // pooled integer moments + sign/abs bp folds
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
