@@ -816,4 +816,32 @@ class PlanSpec extends SparkSpec {
     assert(!"windowspecdefinition\\(doc_id".r.findAllIn(p).hasNext,
       "a doc_id-ordered window means the global cumulative came back")
   }
+
+  test("corpus_curriculum_order: rank rides the checkpointed two-pass, " +
+    "no tier-ordered data window") {
+    val p = planOf("corpus_curriculum_order")
+    assert(!p.contains("CartesianProduct"))
+    // same globalRank signature as vocab_growth: the range exchange +
+    // partition-local row_number live behind the eager checkpoint
+    assert(p.contains("Scan ExistingRDD"),
+      "the global rank must come from globalRank's checkpointed " +
+        "two-pass, not an inline Window")
+    assert(!"windowspecdefinition\\(tier".r.findAllIn(p).hasNext,
+      "a tier-ordered window means the single-partition rank came back")
+  }
+
+  test("events_cuped: one user-keyed aggregate, 1-row frames broadcast, " +
+    "no data-sized join") {
+    val p = planOf("events_cuped")
+    // the per-user fold (and its user_id shuffle) lives behind the
+    // eager localCheckpoint, so the honest final-plan signature is:
+    // ExistingRDD scans feeding 1-row aggregates composed by
+    // broadcast nested loops — NO parquet re-scan, NO data-sized join
+    assert(p.contains("Scan ExistingRDD"),
+      "branches must read the pinned per-user frame")
+    assert(!p.contains("Scan parquet"),
+      "the per-user frame is pinned — branches must not re-scan events")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no data-sized join belongs in a 1-row readout")
+  }
 }
