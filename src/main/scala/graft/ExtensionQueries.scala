@@ -1070,7 +1070,8 @@ object ExtensionQueries {
       .withColumn("n2", qdot(col("v"), col("v")))
     val pairs = a.as("x").join(a.as("y"),
         col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+      .select(col("x.cl").as("cell"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         qdot(col("x.v"), col("y.v")).as("dot"),
         col("x.n2").as("n2a"), col("y.n2").as("n2b"))
       .where(col("dot") > 0 &&
@@ -1078,13 +1079,17 @@ object ExtensionQueries {
           col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") >=
         lit(1600L).cast("decimal(38,0)") *
           col("n2a").cast("decimal(38,0)") * col("n2b").cast("decimal(38,0)"))
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    // adaptive components, not plain label-prop: semantic-dup graphs
-    // CHAIN (a≈b≈c without a≈c), and the r15 sf1 probe hit a component
-    // deeper than label-prop's 20-round budget — the adaptive form
-    // probes shallow first and finishes deep tails with star rounds,
-    // same min-id output contract (ComponentsSpec pins equality)
-    val comp = graft.ops.Components.connectedComponentsAdaptive(pairs)
+      .select(col("cell"), col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    // Components via the blocked one-shuffle form, NOT the iterative
+    // loop: SemDeDup pairs exist only WITHIN a cell (the join condition
+    // is x.cl = y.cl), so no component crosses a cell and a per-cell
+    // local union-find gives the identical min-id labels in a
+    // data-independent number of stages. Semantic-dup graphs CHAIN
+    // (a≈b≈c without a≈c) — the union-find handles arbitrary chain
+    // depth inside the cell, where the r15 probe's label-prop budget
+    // could not; and the r16 verdict measured the iterative form at
+    // ~93% stage-scheduling overhead (40 stages, 0.1 MB shuffle).
+    val comp = graft.ops.Components.componentsWithinGroups(pairs, col("cell"))
     a.select(col("vec_id"), col("cl"))
       .join(comp, col("vec_id") === comp("id"), "left")
       .select(col("vec_id"), col("cl").as("cluster"),
@@ -5318,14 +5323,18 @@ object ExtensionQueries {
       s"""WITH q AS (SELECT label, ${Vectors.quantizeSql("embedding")} AS q
          |           FROM embeddings),
          |sc AS (SELECT label, q,
-         |         greatest(list_max(list_transform(q, x -> abs(x))), 1) AS s
+         |         -- COALESCE matches Spark's aggregate(..., 0L, ...) fold,
+         |         -- which returns 0 (not NULL) on a zero-length embedding;
+         |         -- DuckDB's list_max/list_sum return NULL there (r16 ADVICE)
+         |         greatest(COALESCE(
+         |           list_max(list_transform(q, x -> abs(x))), 0), 1) AS s
          |       FROM q),
          |e AS (SELECT label, s,
-         |        CAST(list_sum(list_transform(q, x -> abs(abs(x) -
-         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254)))
+         |        CAST(COALESCE(list_sum(list_transform(q, x -> abs(abs(x) -
+         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254))), 0)
          |          AS BIGINT) AS e_sum,
-         |        CAST(list_max(list_transform(q, x -> abs(abs(x) -
-         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254)))
+         |        CAST(COALESCE(list_max(list_transform(q, x -> abs(abs(x) -
+         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254))), 0)
          |          AS BIGINT) AS e_max
          |      FROM sc)
          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -137,6 +137,72 @@ object Components {
     pinned.join(starLabels.select(col("id").as("comp"), col("comp").as("root")),
         Seq("comp"), "left")
       .select(col("id"), coalesce(col("root"), col("comp")).as("comp"))
+  }
+
+  /** Connected components when the pair graph is BLOCKED by a known
+    * key — every edge's endpoints share `group`, so no component can
+    * cross a group boundary and the whole computation collapses to ONE
+    * keyed shuffle + a per-group local union-find (flatMapGroups).
+    * This is the scale-correct shape whenever the blocking structure
+    * is part of the operator itself: SemDeDup's k-means cells
+    * (assignment is a function of the vector, so each vector lives in
+    * exactly one cell and pairs are generated within-cell only). It is
+    * NOT valid for banded candidate generation (MinHash/SimHash),
+    * where a doc sits in several buckets and components chain ACROSS
+    * buckets — those stay on the iterative machinery above.
+    *
+    * Why this exists (r16 verdict): the iterative loop costs one
+    * localCheckpoint job + one convergence probe PER ROUND — correct,
+    * but for emb_semdedup ~93% of wall was 40-stage scheduling over
+    * 0.1 MB of shuffle. Here the stage count is a CONSTANT in data
+    * size: one exchange on the group key, one narrow pass.
+    *
+    * Memory bound per task: the union-find map holds one entry per
+    * DISTINCT NODE in the group (not per pair — the pair iterator
+    * streams through once), so a task needs O(|cell|) longs. With
+    * corpus-scaled blocking (k ∝ n pins mean cell size) that is a few
+    * KB per group at any corpus size.
+    *
+    * Output contract matches [[connectedComponents]]: (id, comp = min
+    * id of the node's component) for every endpoint, pinned equal in
+    * ComponentsSpec on random blocked graphs. Min-id labels fall out
+    * of the union rule — the smaller root always becomes the parent,
+    * so a tree's root is the minimum id ever merged into it. */
+  def componentsWithinGroups(pairs: DataFrame, groupCol: Column): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(groupCol.cast("long").as("g"),
+        col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp
+            x = gp
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        // materialize ids before the final find() pass: path halving
+        // writes into `parent`, and mutating a LongMap mid-iteration
+        // is not contract-safe
+        val ids = parent.keysIterator.toArray
+        ids.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "comp")
   }
 
   /** Both edge directions of a canonical (hi, lo) edge set, with each

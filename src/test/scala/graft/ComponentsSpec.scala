@@ -103,6 +103,44 @@ class ComponentsSpec extends SparkSpec {
     assert(adaptive === star)
   }
 
+  test("blocked union-find matches the iterative labels on random blocked graphs") {
+    // componentsWithinGroups is only valid when no edge crosses a
+    // group — generate groups over DISJOINT id ranges with random
+    // chain/clique/self-pair mixtures, then check it against the
+    // generic iterative form run on the same pairs (which ignores the
+    // group column entirely).
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 8).flatMap { g =>
+      val base = g * 1000L
+      val nodes = rnd.shuffle((0 until 40).map(base + _.toLong).toList)
+      val chain = nodes.sliding(2).collect {
+        case List(a, b) if rnd.nextBoolean() => (g.toLong, a, b)
+      }.toList
+      val extra = List.fill(12)((g.toLong,
+        nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+      chain ++ extra
+    }
+    val df = pairs.toDF("cell", "doc_a", "doc_b")
+    val blocked = Components.componentsWithinGroups(df, $"cell")
+      .as[(Long, Long)].collect().toMap
+    val iterative = Components.connectedComponentsAdaptive(
+        df.select($"doc_a", $"doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(blocked === iterative)
+    assert(blocked.nonEmpty)
+  }
+
+  test("blocked union-find handles chains deeper than any round budget") {
+    // a 300-edge chain inside ONE group: the per-cell union-find has
+    // no round structure at all, so depth is free — this is the shape
+    // that forced emb_semdedup onto the adaptive fallback before
+    val chain = (0 until 300).map(i => (1L, i.toLong, i + 1L))
+    val got = Components.componentsWithinGroups(
+        chain.toDF("cell", "doc_a", "doc_b"), $"cell")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 301 && got.values.forall(_ == 0L))
+  }
+
   test("star labels are permutation-robust on a shuffled multi-component graph") {
     // two interleaved deep paths (evens and odds) plus a shared bridge
     // only in one of them, with edges listed in scrambled order
