@@ -5015,7 +5015,7 @@ object ExtensionQueries {
     "events_transitions" ->
       """WITH o AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS from_type
+        |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
         |  FROM events)
         |SELECT from_type, event_type AS to_type, COUNT(*) AS n
         |FROM o WHERE from_type IS NOT NULL
@@ -6181,7 +6181,7 @@ object ExtensionQueries {
       import graft.ops.Graph
       s"""WITH o AS (SELECT user_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id
-         |                          ORDER BY ts, event_id) AS src
+         |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
          |  FROM events),
          |e AS (SELECT src, event_type AS dst, COUNT(*) AS w
          |      FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
@@ -6461,7 +6461,7 @@ object ExtensionQueries {
       import graft.ops.Graph
       s"""WITH o AS (SELECT user_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id
-         |                          ORDER BY ts, event_id) AS src
+         |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
          |  FROM events),
          |e AS (SELECT src, event_type AS dst, COUNT(*) AS w
          |      FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
@@ -6855,7 +6855,7 @@ object ExtensionQueries {
       """WITH t AS (SELECT *,
         |             first_value(CASE WHEN event_type IN ('click','view','signup')
         |                        THEN event_type END IGNORE NULLS)
-        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |               AS touch
         |           FROM events)
@@ -7002,7 +7002,7 @@ object ExtensionQueries {
          |FROM nd""".stripMargin,
 
     "events_twap" ->
-      """WITH ev AS (SELECT event_type, ts, event_id,
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |                   greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100
         |                     AS BIGINT), CAST(0 AS BIGINT)) AS v
         |            FROM events WHERE value IS NOT NULL),
@@ -7287,7 +7287,7 @@ object ExtensionQueries {
       """WITH t AS (SELECT *,
         |             last_value(CASE WHEN event_type IN ('click','view','signup')
         |                        THEN event_type END IGNORE NULLS)
-        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |               AS touch
         |           FROM events)
