@@ -1,0 +1,2378 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{ApplyChanges, Fixtures, Routing}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, Text, Vectors}
+
+/** Extension queries — events-stream analytics (sessionization, funnels, graph mining, experimentation, drift).
+  * Builders + their DuckDB oracle mirrors for this family; shared
+  * fragments come from [[ExtensionQueriesBase]]. Registered into the
+  * single public registry by [[ExtensionQueries]].
+  */
+private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
+  /** Skew-safe distinct users per event type (low-cardinality group key
+    * → classic distinct-agg hotspot; two-stage form spreads it). */
+  private def qEventsDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.distinctCount(Tables.events(s, dir),
+        Seq(col("event_type")), col("user_id"), as = "n_distinct_users")
+      .orderBy("event_type")
+
+  /** HLL++ sketch distinct (`approx_count_distinct`) next to the exact
+    * two-stage count — the sketch is the 100 TB form (mergeable
+    * fixed-size state, one map-side pass, no (group, value) shuffle),
+    * and the exact side is the audit. Emitted as a CERTIFICATE: HLL
+    * register layouts are engine-specific, so the registered output
+    * carries only the oracle-computable exact count plus the hard
+    * verdict `ok` = [|est − exact| ≤ 6% of exact, i.e. 3σ at
+    * rsd=0.02] as BIGINT — the DuckDB oracle emits the same exact
+    * count and a literal 1, so any sketch regression flips `ok` to 0
+    * and FAILS THE DRIVER'S HASH GATE (the r14 form exposed the raw
+    * estimate and therefore had no oracle at all — a weaker rows-only
+    * check). SketchSpec asserts ok across fixtures.
+    */
+  private def qEventsApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val exact = graft.ops.Skew.distinctCount(ev, Seq(col("event_type")),
+      col("user_id"), as = "n_exact")
+    val approx = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) * lit(10000) / col("n_exact"))
+          .cast("long").as("err_x10k"))
+      .select(col("event_type"), col("n_exact"),
+        (col("err_x10k") <= 600).cast("long").as("ok"))
+      .orderBy("event_type")
+  }
+
+  /** KMV (k-minimum-values / bottom-k) sketch churn: day-over-day
+    * user-set Jaccard estimated from 32-value sketches, next to the
+    * exact answer as audit. Unlike HLL registers, a bottom-k sketch
+    * over a deterministic injective hash is bit-reproducible in SQL,
+    * so this sketch query IS oracle-exact. Mechanics: per day, keep
+    * the k smallest user hashes (row_number ≤ k → WindowGroupLimit
+    * pre-reduces map-side, k rows per day cross the exchange); merge
+    * adjacent days' sketches (k smallest of the union) and estimate
+    * J ≈ |both| / k over the merged sketch; estimate the union
+    * cardinality as (k−1)·P / h_k (exact k_union when the union is
+    * smaller than k — the sketch saw everything). All estimates are
+    * integer basis points. At 100 TB the exact side drops away and
+    * sketches persist as the mergeable daily profile — the same
+    * audit-next-to-sketch pattern as events_approx_distinct, but with
+    * a full SQL oracle. */
+  private def qEventsKmvChurn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 32
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    // tag rows into both adjacent pair-slots: day d is side a of pair d
+    // and side b of pair d-1 — one explode instead of a self-join
+    def tagged(src: DataFrame, valCol: String) = src.select(
+        explode(array(
+          struct(col("d").as("pd"), lit(1).as("in_a"), lit(0).as("in_b")),
+          struct(date_sub(col("d"), 1).as("pd"), lit(0).as("in_a"), lit(1).as("in_b")))).as("t"),
+        col(valCol))
+      .select(col("t.pd").as("pd"), col("t.in_a").as("in_a"),
+        col("t.in_b").as("in_b"), col(valCol))
+    // exact audit: distinct users per pair with side flags
+    val exact = tagged(du, "user_id")
+      .groupBy(col("pd"), col("user_id"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"),
+        max(col("in_a")).as("has_a"), max(col("in_b")).as("has_b"))
+      .where(col("has_a") === 1 && col("has_b") === 1)
+      .select(col("pd"), col("n_union"), col("n_both"),
+        expr("(10000 * n_both) div n_union").as("jaccard_bp"))
+    // sketch side: bottom-k hashes per day, then bottom-k of the merge
+    val wd = Window.partitionBy(col("d")).orderBy(col("h"))
+    val sk = du.withColumn("h", graft.ops.Sampling.hashVal(col("user_id")))
+      .withColumn("rk", row_number().over(wd)).where(col("rk") <= K)
+      .select(col("d"), col("h"))
+    val wp = Window.partitionBy(col("pd")).orderBy(col("h"))
+    val est = tagged(sk, "h")
+      .groupBy(col("pd"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rk", row_number().over(wp)).where(col("rk") <= K)
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("k_union"),
+        sum(col("in_a") * col("in_b")).cast("long").as("k_both"),
+        max(col("h")).as("h_k"))
+      .select(col("pd"), col("k_union"), col("k_both"),
+        expr("(10000 * k_both) div k_union").as("est_jaccard_bp"),
+        when(col("k_union") < K, col("k_union"))
+          .otherwise(expr(s"((k_union - 1) * ${graft.ops.Sampling.P}) div h_k"))
+          .as("est_union"))
+    est.join(exact, "pd")
+      .select(col("pd").as("day"), col("k_union"), col("k_both"),
+        col("est_jaccard_bp"), col("jaccard_bp"), col("est_union"),
+        col("n_union"), col("n_both"))
+      .orderBy("day")
+  }
+
+  /** Sliding-window aggregation (1h windows every 30min) — the batch
+    * mirror of the streaming `window()` operator. */
+  private def qEventsSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
+          .as("total_value_x100"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("window.end").cast("timestamp_ntz").as("w_end"),
+        col("event_type"), col("n"), col("total_value_x100"))
+      .orderBy("w_start", "event_type")
+
+  /** Event-type transition counts (first-order Markov structure of the
+    * event stream): per user, each event pairs with its predecessor
+    * via lag over one keyed time-ordered window; the (from, to) counts
+    * aggregate map-side. The in-window order (ts, event_id) is unique,
+    * so transitions are deterministic on both engines. One shuffle on
+    * user_id, a 25-row result — the shape survives any event volume. */
+  private def qEventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private def qEventsCmsCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val bytes = ev.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val slack = math.ceil(0.001 * cms.totalCount()).toLong
+    val top = cmsExactTop(s, dir).as[(Long, Long)].collect()
+    top.map { case (u, n) => (u, n, cms.estimateCount(u)) }.toSeq
+      .toDF("user_id", "n_exact", "n_est")
+      .select(col("user_id"), col("n_exact"),
+        (col("n_est") >= col("n_exact") &&
+          col("n_est") <= col("n_exact") + slack).cast("long").as("ok"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle-pinned exact half of the CMS audit ([[cmsExactTop]]): the
+    * top-20 user counts as plain ANSI SQL, so the DuckDB gate owns the
+    * truth the sketch's `within_bound` column is checked against.
+    * (events_approx_distinct's exact companion is already pinned the
+    * same way — `events_distinct_users` uses the identical
+    * Skew.distinctCount expression.) */
+  private def qEventsCmsExact(s: SparkSession, dir: String): DataFrame =
+    cmsExactTop(s, dir).orderBy("user_id")
+
+  /** GK-sketch quantiles (`percentile_approx`) next to their exact rank
+    * audit, mirroring events_approx_distinct's sketch-plus-audit
+    * pattern: the sketch is the 100 TB form (mergeable bounded state,
+    * map-side combine), and the audit proves the rank guarantee
+    * |rank(approx_p90) − 0.9·n| ≤ n/accuracy. Registered in
+    * CERTIFICATE form (sketch internals are engine-specific): the
+    * output carries the oracle-computable (n, target_rank) plus the
+    * hard verdict `ok` = [rank guarantee held] as BIGINT, mirrored by
+    * a literal 1 in the oracle — a sketch regression flips `ok` and
+    * fails the driver's hash gate. SketchSpec asserts ok across
+    * fixtures; the true p90 itself is pinned by
+    * `events_quantiles_exact`. */
+  private def qEventsApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.9), lit(100)).as("p90_approx"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(approx), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        first(col("p90_approx")).as("p90_approx"),
+        sum(when(col("value") <= col("p90_approx"), 1L).otherwise(0L))
+          .as("rank_of_approx"))
+      .select(col("event_type"), col("n"),
+        col("rank_of_approx"),
+        expr("(9 * n + 9) DIV 10").as("target_rank"))
+      .withColumn("rank_err", abs(col("rank_of_approx") - col("target_rank")))
+      .select(col("event_type"), col("n"), col("target_rank"),
+        (col("rank_err") <= col("n") / lit(100) + lit(1))
+          .cast("long").as("ok"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle-pinned exact half of the quantile audit: the TRUE p90 per
+    * event type (the value at rank ⌈0.9·n⌉ under (value) order,
+    * decimal-exact ×100), as plain ANSI SQL — so a fixture drift that
+    * moved the distribution fails the DuckDB gate instead of silently
+    * re-baselining `events_approx_quantiles`'s in-data rank bound.
+    * This is the AUDIT form: the per-type rank window sorts every row
+    * of the group, which is exactly the cost the GK sketch exists to
+    * avoid at 100 TB — at scale the sketch replaces it and this query
+    * drops away (the kmv-churn pattern). */
+  private def qEventsQuantilesExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v").asc)
+    ev.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(n), "event_type")
+      .where(col("rn") === expr("(9 * n + 9) div 10"))
+      .select(col("event_type"), col("n"),
+        (col("v") * 100).cast("long").as("p90_x100"),
+        col("rn").as("target_rank"))
+      .orderBy("event_type")
+  }
+
+  /** Per-event-type top-5 users by total value: keyed aggregation with
+    * map-side partials first, then a rank window over the (already
+    * reduced) per-user totals — WindowGroupLimit caps each partition's
+    * sort at k, so no group ever globally sorts. */
+  private def qEventsUserTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("total_x100").desc, col("user_id").asc)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(SparkEntry.decSumScaled(col("value"), "decimal(18,2)", 100, "total_x100"),
+        count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("user_id"),
+        col("total_x100"), col("n_events"))
+      .orderBy("event_type", "rk")
+  }
+
+  /** As-of join over events: every click picks up the latest signup of
+    * the same user at-or-before its timestamp (right side deduped to
+    * one row per (user, ts) so the match is deterministic). Oracle uses
+    * DuckDB's native ASOF JOIN — an independent implementation of the
+    * same semantics. */
+  private def qEventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("signup_event_id"))
+    graft.ops.AsOf.asOfJoin(clicks, signups, Seq("user_id"), "ts", "ts",
+        Map("signup_event_id" -> "signup_event_id"))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("asof_ts").cast("timestamp_ntz").as("asof_ts"),
+        col("signup_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Supervised-label generation — the "did an error follow within the
+    * horizon" churn/incident label a training pipeline attaches to
+    * each purchase: next_err_ts = the user's earliest error event
+    * STRICTLY AFTER the purchase (conditional min over the
+    * rows-following frame under the (ts, event_id) total order — the
+    * forward twin of events_attribution's strictly-preceding carry),
+    * label = 1 iff it lands within 7 days. Exactly ONE user-keyed
+    * shuffle feeds the window; labeling is embarrassingly parallel
+    * across users, and the frame is rows-based on a total order so
+    * both engines agree under timestamp ties.
+    */
+  private def qEventsErrorLabel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("next_err_ts",
+        min(when(col("event_type") === "error", col("ts"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("next_err_ts").cast("timestamp_ntz").as("next_err_ts"),
+        (col("next_err_ts").isNotNull &&
+          col("next_err_ts") <= col("ts") + expr("INTERVAL 7 DAY"))
+          .cast("long").as("label"))
+      .orderBy("event_id")
+  }
+
+  /** Range join composed with sessionization: click-sessions become
+    * intervals; every purchase is matched to the session of the same
+    * user whose [start, end] contains it, where end = last click +
+    * the 30 min session gap (session-window close semantics — a bare
+    * MIN..MAX of clicks is a near-degenerate interval). Bucketed
+    * interval join (30min buckets = the gap), oracle = plain BETWEEN
+    * join over the same session CTEs. */
+  private def qEventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sessions = Sessionize.sessionStats(ev.where(col("event_type") === "click"),
+        key = col("user_id"), ts = col("ts"), gapMicros = 1800L * 1000000L,
+        valueCol = col("value"), tieBreak = Seq(col("event_id")))
+      .select(col("key").as("user_id"), col("session_id"), col("session_start"),
+        (col("session_end") + expr("INTERVAL 30 MINUTES")).as("session_end"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.ops.RangeJoin.pointInInterval(purchases, sessions, Seq("user_id"),
+        "ts", "session_start", "session_end", bucketMicros = 1800L * 1000000L)
+      .select(col("user_id"), col("session_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"))
+      .orderBy("user_id", "session_id", "event_id")
+  }
+
+  /** Funnel analysis: per user, first signup → first click at-or-after
+    * it → first purchase at-or-after that; one row per funnel stage
+    * with the user count that reached it. Three keyed aggregations
+    * (conditional mins), no self-joins over raw events. */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("t_signup"),
+        col("ts"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+        col("ts"))).as("t_purchase"))
+    s3.agg(
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_click").isNotNull, 1)).as("n_click_after"),
+        count(when(col("t_purchase").isNotNull, 1)).as("n_purchase_after"))
+      .select(expr("stack(3, 'signup', n_signup, 'click_after', n_click_after, " +
+        "'purchase_after', n_purchase_after) as (stage, n_users)"))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention: users grouped by signup week, counted in each
+    * later week they were active (any event type). Two keyed
+    * aggregations + one keyed join — the classic retention matrix with
+    * no per-user driver work. `week_offset` = whole weeks since the
+    * cohort week. */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .where(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Distribution-drift audit between the event stream's first and
+    * second half (by day, pivot = exact midpoint of the observed
+    * range): per fixed-width value bin, row counts and share deltas
+    * in basis points — the monitoring table a PSI/KS drift alarm
+    * reads, with the log-free integer form of the comparison (share
+    * deltas, not Σ(a−b)·ln(a/b), so both engines agree bit-for-bit).
+    * One binning pass + one 16-key aggregate; the date bounds ride one
+    * broadcast row, and the half totals are derived FROM the binned
+    * aggregate (every in-scope row lands in exactly one bin, so
+    * tot_a = Σ n_a) via a window sum over the ≤16-row post-aggregate
+    * frame — never a second events pass (plan-guarded in PlanSpec).
+    * Divisors clamp to ≥1 in both engines: a single-day fixture puts
+    * every event in half A and Spark's non-ANSI `div 0` → NULL where
+    * DuckDB's `// 0` raises — the clamp keeps the engines
+    * bit-identical under that drift (n_b = 0 forces the share to 0).
+    */
+  private def qEventsDriftHalves(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val wAll = Window.partitionBy(lit(1))
+    ev.crossJoin(broadcast(b))
+      .withColumn("in_a",
+        col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      // non-negative dividend: a negative value would split the
+      // engines on trunc-vs-floor division (none in the fixture, but
+      // the guard costs nothing and survives drift)
+      .withColumn("bin",
+        least(lit(15L), expr("greatest(CAST(v * 100 AS BIGINT), 0L) div 2000")))
+      .groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(wAll))
+      .withColumn("tot_b", sum(col("n_b")).over(wAll))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("(10000 * n_a) div greatest(tot_a, 1L)").as("share_a_bp"),
+        expr("(10000 * n_b) div greatest(tot_b, 1L)").as("share_b_bp"),
+        expr("(10000 * n_a) div greatest(tot_a, 1L) - " +
+          "(10000 * n_b) div greatest(tot_b, 1L)").as("drift_bp"))
+      .orderBy("bin")
+  }
+
+  /** CUPED-ADJUSTED EXPERIMENT READOUT (Deng/Xu/Kohavi/Walker,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data", WSDM 2013) — the industry-
+    * standard variance reduction `events_ab_test` lacks: each user's
+    * post-period conversion metric Y (second-half purchases) is
+    * adjusted by their PRE-period covariate X (first-half activity),
+    * with θ = cov(X,Y)/var(X) pooled over all users. Everything in
+    * exact integers, the `events_autocorr` convention: pooled moment
+    * combinations num = n·Σxy − Σx·Σy and den = n·Σxx − (Σx)² stay
+    * well inside BIGINT at any fixture scale (counts, not values);
+    * θ, both raw mean differences, and the adjusted uplift are basis
+    * points via the sign/abs division pattern (non-negative operands
+    * only — trunc-vs-floor never splits the engines). The pre/post
+    * pivot is `events_drift_halves`' midpoint convention.
+    *
+    * Scale shape: one user-keyed aggregate over raw events, pinned
+    * once for its two consumers (pooled moments + per-variant sums —
+    * both 1-row folds). No window, no data-sized join.
+    */
+  private def qEventsCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+    val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val per = ev.crossJoin(broadcast(b))
+      .withColumn("in_pre",
+        col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("in_pre"), 1L).otherwise(0L)).as("x"),
+        sum(when(!col("in_pre") && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      .localCheckpoint(true) // two 1-row consumers below + nothing else
+    val mo = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def side(v: String, suf: String) = per.where(col("variant") === v)
+      .agg(count(lit(1)).as(s"n_$suf"), sum(col("x")).as(s"sum_x_$suf"),
+        sum(col("y")).as(s"sum_y_$suf"))
+    side("A", "a").crossJoin(broadcast(side("B", "b")))
+      .crossJoin(broadcast(mo))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("theta_bp", expr(
+        "CAST(sign(num) * ((10000 * abs(num)) div greatest(den, 1L)) AS BIGINT)"))
+      .withColumn("diff_y_bp", expr(
+        "(10000 * sum_y_b) div greatest(n_b, 1L) - " +
+          "(10000 * sum_y_a) div greatest(n_a, 1L)"))
+      .withColumn("diff_x_bp", expr(
+        "(10000 * sum_x_b) div greatest(n_b, 1L) - " +
+          "(10000 * sum_x_a) div greatest(n_a, 1L)"))
+      .withColumn("adj_uplift_bp", expr(
+        "diff_y_bp - CAST(sign(theta_bp * diff_x_bp) * " +
+          "((abs(theta_bp) * abs(diff_x_bp)) div 10000) AS BIGINT)"))
+      .select(col("n_a"), col("n_b"), col("sum_x_a"), col("sum_x_b"),
+        col("sum_y_a"), col("sum_y_b"), col("theta_bp"),
+        col("diff_y_bp"), col("diff_x_bp"), col("adj_uplift_bp"))
+  }
+
+  /** FIRST-touch attribution — the other standard model next to
+    * `events_attribution`'s last-touch: each purchase credits the
+    * user's EARLIEST touch ever seen before it (`first(touch,
+    * ignoreNulls)` over the same strictly-preceding frame). Shipping
+    * both models side by side is the point: the fixture makes them
+    * visibly disagree, which is the argument attribution reporting
+    * actually has to carry. Same single user-keyed shuffle.
+    */
+  private def qEventsAttributionFirst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch", first(
+        when(col("event_type").isin("click", "view", "signup"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_x100"))
+      .orderBy("touch_type")
+  }
+
+  /** Max concurrent sessions per day — the sweep-line / interval-
+    * overlap operator (capacity planning: "how many sessions were
+    * open at once?"). Sessions come from the same 30-min-gap
+    * gaps-and-islands build as `events_sessionize`; each session's
+    * [start, end] interval is split at midnight into per-day segments
+    * (`sequence` over its day span — a session is bounded, so the
+    * explode fan-out is its day count, not data-sized), then each
+    * segment emits a +1/−1 boundary pair and a per-day running sum
+    * over (t ASC, delta DESC) sweeps the day. Ordering +1 before −1
+    * at equal timestamps makes overlap INCLUSIVE (a session ending
+    * exactly when another starts counts as concurrent, and a
+    * single-instant session counts as 1). The per-day max is
+    * order-invariant under the remaining ties — within an equal
+    * (t, delta) block every permutation yields the same prefix-sum
+    * set — so the result is engine- and partitioning-exact.
+    *
+    * Scale shape: one user-keyed shuffle (sessionize), then the
+    * HOT-DAY-SAFE two-pass sweep ([[graft.ops.Intervals
+    * .maxConcurrentPerDay]]): running sums inside (day, hour-bucket)
+    * partitions + per-bucket offsets from a day-keyed window over the
+    * ≤ 25-row bucket summary — no day-wide single task anywhere, so a
+    * skewed day at 100 TB fans across its hours. Identical output to
+    * the single-sweep form (offset + local run = global run;
+    * FrontierAnalyticsSpec pins it against brute force on a
+    * one-hot-day fixture, PlanSpec pins the partition spec).
+    */
+  private def qEventsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.withSessionId(Tables.events(s, dir),
+        col("user_id"), col("ts"), gapMicros = 1800L * 1000000L,
+        tieBreak = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val segs = sess
+      .select(col("t0"), col("t1"),
+        explode(sequence(to_date(col("t0")), to_date(col("t1")))).as("day"))
+      .select(col("day"),
+        greatest(col("t0"), col("day").cast("timestamp")).as("seg_start"),
+        least(col("t1"), date_add(col("day"), 1).cast("timestamp")).as("seg_end"))
+    // both boundaries explode from ONE seg row — a union of two segs
+    // branches would rebuild the whole sessionize subtree (two scans,
+    // two user-keyed shuffles) since Spark doesn't dedup subtrees
+    val bounds = segs
+      .select(col("day"), explode(array(
+        struct(col("seg_start").as("t"), lit(1L).as("delta")),
+        struct(col("seg_end").as("t"), lit(-1L).as("delta")))).as("b"))
+      .select(col("day"), col("b.t").as("t"), col("b.delta").as("delta"))
+    graft.ops.Intervals.maxConcurrentPerDay(bounds)
+      .select(col("day"), col("max_concurrent"),
+        (col("n_bounds") / 2).cast("long").as("n_active_sessions"))
+      .orderBy("day")
+  }
+
+  /** k-hop reachability ([[graft.ops.Graph.bfsHops]], 3 levels) from
+    * the deterministic seed cohort `user_id % 7 = 0` over the shared
+    * co-presence graph — the influence-radius / blast-radius query
+    * (which users are within 3 collaboration hops of the cohort?).
+    * Emits (user_id, dist) with dist = exact minimum hop count; the
+    * fixture discriminates all four levels at sf0.01. Seeds are all
+    * event users, not just graph nodes, so isolated seeds surface at
+    * dist 0 instead of vanishing. The oracle mirrors the level loop
+    * as chained CTEs — deliberately NOT WITH RECURSIVE, which
+    * enumerates paths (Σ deg^h) where the level form carries node
+    * sets (see [[graft.ops.Graph.bfsHopsSql]]).
+    */
+  private def qEventsBfsReach(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.events(s, dir)
+      .select(col("user_id").as("v")).where(col("v") % 7 === 0).distinct()
+    graft.ops.Graph.bfsHops(coPresenceEdges(s, dir), seeds, maxHops = 3)
+      .select(col("v").as("user_id"), col("dist"))
+      .orderBy("user_id")
+  }
+
+  /** TIME-RESPECTING diffusion reach ([[graft.ops.Graph
+    * .temporalReach]], 3 hops) from the same `user_id % 7 = 0` seed
+    * cohort over the TIMESTAMPED co-presence contacts — the
+    * information-diffusion / contamination-spread query plain BFS
+    * answers wrongly: a contact that happened BEFORE a user was
+    * reached cannot spread, so edge times along a path must be
+    * non-decreasing and the first hop departs at-or-after the seed's
+    * own first appearance. Emits each reached user's earliest
+    * possible arrival hour; the fixture discriminates (temporal reach
+    * ⊂ static reach, and some arrivals realize through LONGER paths
+    * that depart earlier — pinned in FrontierAnalyticsSpec). Oracle
+    * mirrors the Bellman-Ford rounds as chained CTEs relaxing the
+    * full arrival table (same ≤ 3-hop fixed point, frontier-free).
+    */
+  private def qEventsTemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.events(s, dir).where(col("user_id") % 7 === 0)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts"))).as("t0"))
+      .select(col("user_id").as("v"), col("t0"))
+    graft.ops.Graph.temporalReach(temporalEdges(s, dir), seeds, maxHops = 3)
+      .select(col("v").as("user_id"),
+        col("arr").cast("timestamp_ntz").as("arr_hour"))
+      .orderBy("user_id")
+  }
+
+  /** CHEAPEST-REACH cost ([[graft.ops.Graph.cheapestPaths]], 3 hops)
+    * from the `user_id % 7 = 0` cohort over STRENGTH-WEIGHTED
+    * co-presence ties — the weighted member of the reach family
+    * (hops → bfs_reach, time → temporal_reach, cost → this): tie
+    * cost is `ceil(100 / ns)` for ns shared cells, so frequent
+    * contacts are cheap to traverse and the minimal summed cost is
+    * the diffusion-resistance distance. Integer weights end-to-end;
+    * the ns ≥ 2 floor keeps one-off collisions out of the graph.
+    * Oracle mirrors the Bellman-Ford rounds as chained CTEs (full
+    * relaxation — same ≤ 3-hop fixed point).
+    */
+  private def qEventsCheapestReach(s: SparkSession, dir: String): DataFrame = {
+    val capped = cappedCells(s, dir).select(col("cell"), col("user_id"))
+    val wed = capped.select(col("cell"), col("user_id").as("a"))
+      .join(capped.select(col("cell"), col("user_id").as("b")), "cell")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ns"))
+      .where(col("ns") >= 2)
+      .select(col("a"), col("b"), expr("(100 + ns - 1) div ns").as("w"))
+    val seeds = Tables.events(s, dir)
+      .select(col("user_id").as("v")).where(col("v") % 7 === 0).distinct()
+    graft.ops.Graph.cheapestPaths(wed, seeds, maxHops = 3)
+      .select(col("v").as("user_id"), col("dist").as("cost"))
+      .orderBy("user_id")
+  }
+
+  /** Time-weighted average value per event type (TWAP /
+    * last-observation-carried-forward): each reading holds until the
+    * type's NEXT reading, so the mean weights every value by its
+    * holding duration in seconds — the correct average for
+    * irregularly-sampled series (a plain AVG over-weights bursts; the
+    * fixture's burst pattern makes the two visibly diverge). Exact
+    * integers throughout: value in cents, weight in whole seconds,
+    * `twap_x100 = Σ(v·w) div Σw` with the non-negative-dividend clamp
+    * and the weighted sum in DECIMAL(38,0) (cents × seconds × rows
+    * crosses 2^63 at ~10¹⁰ row-seconds). The span's LAST reading has
+    * no successor and drops from the weighting (standard LOCF-over-
+    * observed-span contract; `n_open` reports how many).
+    *
+    * Scale shape: ONE shuffle (hash by event_type) feeds the lead
+    * window and the per-type fold — same single-exchange discipline
+    * as events_attribution; no global window, no self-join.
+    */
+  private def qEventsTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        greatest((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L)).as("v"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("wsec",
+        when(col("next_ts").isNotNull,
+          unix_timestamp(col("next_ts")) - unix_timestamp(col("ts"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_readings"),
+        sum(when(col("wsec").isNull, 1L).otherwise(0L)).as("n_open"),
+        // coalesce: a type with a single (open) reading sums NULL, and
+        // the engines disagree on greatest(NULL, 1) — clamp to 0 here
+        // so the division clamp below sees a real number in both
+        coalesce(sum(col("wsec")), lit(0L)).as("total_sec"),
+        coalesce(sum(col("v") * col("wsec").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("vw"),
+        sum(col("v")).as("sv"))
+      .select(col("event_type"), col("n_readings"), col("n_open"),
+        col("total_sec"),
+        expr("CAST(vw div greatest(CAST(total_sec AS DECIMAL(38,0)), 1) " +
+          "AS BIGINT)").as("twap_x100"),
+        // integer division, not AVG: a float mean would round vs
+        // truncate differently across engines
+        expr("sv div n_readings").as("naive_mean_x100"))
+      .orderBy("event_type")
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift statistic — the
+    * CUMULATIVE companion of `events_drift_halves` (same midpoint
+    * split, same 16 value bins, same clamps): per bin the cumulative
+    * share of each half in basis points, their signed gap, and the KS
+    * statistic (max absolute gap) carried on every row. PSI-style
+    * per-bin deltas catch level shifts; the KS max-gap catches a
+    * DISTRIBUTIONAL shift that no single bin dominates. Same
+    * non-negative-dividend discipline — cumulative counts are
+    * monotone non-negative, so trunc-vs-floor division can never
+    * split the engines.
+    *
+    * Scale shape: identical to the drift audit — one events scan into
+    * a 16-key aggregate; every window (cumsum, totals, the max gap)
+    * sits on the 16-row binned frame.
+    */
+  private def qEventsDriftKs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = wAll.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(b))
+      .withColumn("in_a",
+        col("day") <= expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .withColumn("bin",
+        least(lit(15L), expr("greatest(CAST(v * 100 AS BIGINT), 0L) div 2000")))
+      .groupBy("bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("cum_a", sum(col("n_a")).over(wCum))
+      .withColumn("cum_b", sum(col("n_b")).over(wCum))
+      .withColumn("tot_a", sum(col("n_a")).over(wAll))
+      .withColumn("tot_b", sum(col("n_b")).over(wAll))
+      .withColumn("cum_share_a_bp",
+        expr("(10000 * cum_a) div greatest(tot_a, 1L)"))
+      .withColumn("cum_share_b_bp",
+        expr("(10000 * cum_b) div greatest(tot_b, 1L)"))
+      .withColumn("gap_bp", col("cum_share_a_bp") - col("cum_share_b_bp"))
+      .withColumn("ks_bp", max(abs(col("gap_bp"))).over(wAll))
+      .select(col("bin"), col("n_a"), col("n_b"), col("cum_share_a_bp"),
+        col("cum_share_b_bp"), col("gap_bp"), col("ks_bp"))
+      .orderBy("bin")
+  }
+
+  /** Global EQUI-DEPTH histogram (ntile(16)) of event value in exact
+    * cents — the statistics-collection primitive every cost-based
+    * optimizer and data-profiling pass builds (equi-depth beats
+    * equi-width under skew: every bucket carries the same row count,
+    * so bucket WIDTH is the density signal). Bucket boundaries are
+    * engine-exact: ranks come from the deterministic total order
+    * (value, event_id) and SQL ntile's uneven-split rule (first
+    * N mod k buckets hold one extra row) is reproduced in integer
+    * arithmetic from the rank, so the DuckDB `ntile` mirror matches
+    * hash-for-hash.
+    *
+    * Scale shape: the rank rides [[graft.ops.Linkage.globalRank]]
+    * (range repartition + per-partition offsets — NO single-partition
+    * window over the data), the 1-row total broadcasts back, and the
+    * bucket rollup is one keyed aggregate. The classic naive form —
+    * `ntile(16) OVER (ORDER BY v)` — funnels the table through one
+    * task at 100 TB; this is its distributed equivalent, exactly.
+    */
+  private def qEventsEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val base = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        col("event_id"))
+    val ranked = graft.ops.Linkage.globalRank(base, col("v"), col("event_id"))
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      // ntile(k): q = n div k, r = n mod k; buckets 1..r hold q+1 rows
+      // (greatest guards the n < k corner where the ELSE divisor would
+      // be zero — the branch is unreachable there, but neither engine
+      // should be asked to prove that)
+      .withColumn("bucket",
+        expr(s"""CASE WHEN rank <= (n % $k) * (n div $k + 1)
+                 THEN (rank - 1) div (n div $k + 1) + 1
+                 ELSE (n % $k) + (rank - 1 - (n % $k) * (n div $k + 1))
+                      div greatest(n div $k, 1) + 1 END"""))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_values"),
+        min(col("v")).as("lo_x100"), max(col("v")).as("hi_x100"))
+      .orderBy("bucket")
+  }
+
+  /** CUSUM changepoint monitor (Page, Biometrika 1954) on the daily
+    * event-count series — the sequential alarm a pipeline health
+    * check runs over ingest volume (a level shift trips the alarm
+    * within days even when each single day stays inside its own
+    * noise band). Exact integer form, log-free and division-free:
+    * deviations are scaled by the day count D so the mean never
+    * becomes a fraction (`dev_d = n_d·D − N`, zero-sum by
+    * construction), and the one-sided resets ride the prefix-extrema
+    * identity — `CUSUM⁺_d = S_d − min(0, min_{j≤d} S_j)` for the
+    * running sum S — instead of the recursive max(0, ·) fold, which
+    * no window function expresses directly. Alarm thresholds at 2·N
+    * scaled units ≈ two mean-days of accumulated excess.
+    *
+    * Scale shape: ONE shuffle for the daily aggregate; the cumsum /
+    * running-extrema windows and the (N, D) scalar all sit on the
+    * ≤|days| post-aggregate frame (the parts_abc_analysis rule:
+    * global windows only on dimension-sized frames). No division
+    * anywhere, so trunc-vs-floor can never split the engines.
+    */
+  private def qEventsCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val scalar = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("d"))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(scalar))
+      .withColumn("dev", col("n") * col("d") - col("total"))
+      .withColumn("s_run", sum(col("dev")).over(wCum))
+      .withColumn("cusum_pos",
+        col("s_run") - least(lit(0L), min(col("s_run")).over(wCum)))
+      .withColumn("cusum_neg",
+        greatest(lit(0L), max(col("s_run")).over(wCum)) - col("s_run"))
+      .select(col("day"), col("n"), col("dev"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > lit(2L) * col("total")).as("alarm_hi"),
+        (col("cusum_neg") > lit(2L) * col("total")).as("alarm_lo"))
+      .orderBy("day")
+  }
+
+  /** Half-life-decayed engagement score per user — the recency
+    * weighting a freshness-aware sampler or engagement ranker uses
+    * (yesterday's event counts double tomorrow's). The decay is
+    * EXACT dyadic arithmetic: each event contributes
+    * `v_x100 div 2^age_days` (half-life = 1 day), the power riding a
+    * bigint shift capped at 40 (beyond that the contribution is 0 at
+    * any representable value — the cap bounds the shift, it never
+    * changes a result). Dividends clamp non-negative so trunc-vs-
+    * floor division can never split the engines under fixture drift.
+    *
+    * Scale shape: the corpus max-day is a 1-row scan-level aggregate
+    * broadcast into the scan stage; contributions are per-row
+    * projections folded by ONE user-keyed partial-agg shuffle —
+    * per-event division before the sum keeps the fold order-free.
+    */
+  private def qEventsDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        greatest((col("value").cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+          .as("v_x100"))
+    val last = ev.agg(max(col("day")).as("d1"))
+    ev.crossJoin(broadcast(last))
+      .withColumn("age", datediff(col("d1"), col("day")).cast("long"))
+      .withColumn("contrib", expr(
+        "v_x100 div shiftleft(CAST(1 AS BIGINT), CAST(least(age, 40) AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v_x100")).as("raw_x100"),
+        sum(col("contrib")).as("decayed_x100"))
+      .orderBy("user_id")
+  }
+
+  /** Lag-k AUTOCORRELATION audit (k = 1..7) of the daily event-count
+    * series — the seasonality probe run before trusting any
+    * day-over-day drift number (a strong lag-7 says the weekday cycle,
+    * not drift, explains the movement). Pearson over calendar-lagged
+    * pairs in EXACT integers: per lag, num = n·Σxy − Σx·Σy and the
+    * two variance legs den_x/den_y publish as bigints, and the signed
+    * effect size r²_bp = sign(num) · (10⁴·num²) div (den_x·den_y)
+    * rides DECIMAL(38,0) (num² alone crosses 2^63 at ~3000 daily
+    * events over a year) with greatest(·,1) clamps so a constant
+    * series yields 0, not an engine-split division.
+    *
+    * Scale shape: ONE shuffle for the daily aggregate; the lag join
+    * explodes the ≤|days| frame 7× and self-joins BROADCAST on the
+    * lagged calendar day — every post-aggregate frame is
+    * dimension-sized, the 100 TB cost is the daily group-by alone.
+    */
+  private def qEventsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // both sides of the lag join + nothing else
+    val lagged = daily
+      .withColumn("k", explode(expr("sequence(1, 7)")))
+      .withColumn("day_k", date_add(col("day"), col("k")))
+      .select(col("k"), col("day_k"), col("x").as("x_t"))
+    val pairs = lagged.join(broadcast(daily.select(
+        col("day").as("day_k"), col("x").as("x_k"))), Seq("day_k"))
+    pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x_t")).as("sx"), sum(col("x_k")).as("sy"),
+        sum(col("x_t") * col("x_t")).as("sxx"),
+        sum(col("x_k") * col("x_k")).as("syy"),
+        sum(col("x_t") * col("x_k")).as("sxy"))
+      .select(col("k").cast("long").as("k"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("r2_bp", expr(
+        """CAST(sign(num) * ((10000 * CAST(num AS DECIMAL(38,0)) * num)
+          | div greatest(CAST(den_x AS DECIMAL(38,0)) * den_y, 1)) AS BIGINT)"""
+          .stripMargin))
+      .orderBy("k")
+  }
+
+  /** DEGREE ASSORTATIVITY of the co-presence graph (Newman,
+    * "Assortative mixing in networks", PRL 2002): the Pearson
+    * correlation of endpoint degrees over all directed edge instances
+    * — positive = hubs befriend hubs (social mixing), negative =
+    * hub-and-spoke. The REGISTERED query emits only the two
+    * BIGINT-representable columns — `m` (edge-instance count) and the
+    * signed `r_bp_signed` effect size — because the raw moment
+    * combinations (num, den_x, den_y) genuinely need 128-bit-class
+    * integers: Spark spells that DECIMAL(38,0), DuckDB spells it
+    * HUGEINT, and the driver's typed hash encodes those two
+    * representations differently EVEN WHEN the values are identical
+    * (the r15 red row — values verified equal at sf0.001/0.01/0.1,
+    * hash still split on type). The moments stay fully gated:
+    * [[assortativityMoments]] keeps the 5-column form and
+    * FrontierAnalyticsSpec pins num/den_x/den_y against a driver-side
+    * BigInt graph rebuild, plus den_x = den_y (the symmetrization
+    * invariant). Inside the computation the moments still ride
+    * DECIMAL(38,0)/HUGEINT end to end (m·Σxy alone crosses 2⁶³ at
+    * ~10⁷ edge instances of ~10³ degrees, and a wrapped long would
+    * corrupt them SILENTLY on the Spark side while DuckDB errored —
+    * the worst kind of split). The bp ratio is the LINEAR num/den
+    * form of [[graft.ops.Graph.assortativityRbpSql]] — symmetrization
+    * makes den_x = den_y so r needs no square at all and the widest
+    * intermediate (10000·|num|) is exact to |num| ≤ ~10³⁴ on both
+    * engines.
+    *
+    * Scale shape: one degree aggregate over the pinned edge table,
+    * two keyed joins carrying only (endpoint, degree), one 1-row
+    * moment fold. No window, no collect.
+    */
+  private def qEventsAssortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityMoments(s, dir).select(col("m"), col("r_bp_signed"))
+
+  /** LAST-TOUCH ATTRIBUTION — each purchase credits the user's most
+    * recent preceding touch event (click / view / signup; purchases
+    * and errors are not touches), the standard product-analytics
+    * attribution model; purchases with no prior touch credit
+    * 'direct'. The carry is `last(touch, ignoreNulls)` over the
+    * strictly-preceding rows frame ordered by (ts, event_id) — the
+    * conditional last-value idiom both engines implement natively —
+    * and revenue lands in exact cents.
+    *
+    * Scale shape: ONE shuffle (hash by user_id) feeds the window —
+    * attribution is embarrassingly parallel across users — then a
+    * 4-row channel aggregate. No global window, no self-join.
+    */
+  private def qEventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch", last(
+        when(col("event_type").isin("click", "view", "signup"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_x100"))
+      .orderBy("touch_type")
+  }
+
+  /** Time-BOUND funnel — `events_funnel` with conversion windows,
+    * the form product analytics actually ships (a purchase three
+    * weeks after the click is not attribution): each stage must land
+    * within 3 days of the previous stage's timestamp (a horizon the
+    * fixture discriminates: 15 -> 11 -> 8 users at sf0.001, where an
+    * unwindowed funnel converts all 15). Same
+    * three-conditional-min shape (no self-join over raw events — each
+    * pass joins the per-user stage table, dimension-sized, back to
+    * one events scan), the window constraint rides inside the
+    * conditional. Timestamp-interval arithmetic is engine-exact.
+    */
+  private def qEventsFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts") >= col("t_signup") &&
+        col("ts") <= col("t_signup") + expr("INTERVAL 3 DAY"),
+        col("ts"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("t_click") &&
+        col("ts") <= col("t_click") + expr("INTERVAL 3 DAY"),
+        col("ts"))).as("t_purchase"))
+    s3.agg(
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_click").isNotNull, 1)).as("n_click_3d"),
+        count(when(col("t_purchase").isNotNull, 1)).as("n_purchase_3d"))
+      .select(expr("stack(3, 'signup', n_signup, 'click_3d', n_click_3d, " +
+        "'purchase_3d', n_purchase_3d) as (stage, n_users)"))
+      .orderBy("stage")
+  }
+
+  /** Winsorization / robust clipping — the feature-engineering
+    * operator that tames heavy-tailed numeric columns before
+    * training: per event type, values clip to the exact [p1, p99]
+    * rank bounds (the same ⌈q·n⌉ rank arithmetic as
+    * events_quantiles_exact, both bounds read from ONE window pass
+    * via conditional aggregates), and the query emits per-type
+    * clipped-tail counts and the clipped decimal sum. The per-type
+    * rank window is the audit-grade exact form; at 100 TB the GK
+    * sketch supplies the bounds and the clip itself stays a
+    * scan-stage projection against the broadcast bounds row.
+    */
+  private def qEventsWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v").asc)
+    val bounds = ev.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(n), "event_type")
+      .groupBy("event_type")
+      .agg(min(when(col("rn") === expr("(n + 99) div 100"), col("v"))).as("p1"),
+        min(when(col("rn") === expr("(99 * n + 99) div 100"), col("v"))).as("p99"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        greatest(col("p1"), least(col("p99"), col("v"))).as("cv"),
+        (col("v") < col("p1")).as("lo"), (col("v") > col("p99")).as("hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        (sum(col("cv")) * 100).cast("long").as("clipped_sum_x100"))
+      .orderBy("event_type")
+  }
+
+  /** Sketch-served winsorize — the 100 TB form [[qEventsWinsorize]]'s
+    * scaladoc promises: the [p1, p99] bounds come from the GK sketch
+    * (`percentile_approx`: mergeable bounded state, map-side combine —
+    * no per-type rank window anywhere in the plan, guarded by
+    * SketchSpec), and the clip is a scan-stage projection against the
+    * broadcast 1-row-per-type bounds frame. Payload matches the exact
+    * form; the audit pins the GK rank guarantee: each clipped tail
+    * can hold at most ⌈n/100⌉ + n/accuracy + 1 rows (the exact tail
+    * size plus the sketch's worst-case rank slack). Registered in
+    * CERTIFICATE form (sketch-derived bounds are engine-specific):
+    * the output carries the oracle-computable group count plus the
+    * hard verdict `ok` = [both tails within the GK cap] as BIGINT,
+    * mirrored by a literal 1 in the oracle — a sketch regression
+    * flips `ok` and fails the driver's hash gate, the
+    * events_approx_quantiles pattern. The winsorized payload itself
+    * is pinned by the exact twin `events_winsorize`.
+    */
+  private def qEventsWinsorizeApprox(s: SparkSession, dir: String): DataFrame = {
+    val acc = 100
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val bounds = ev.groupBy("event_type")
+      .agg(percentile_approx(col("v"), lit(0.01), lit(acc)).as("p1"),
+        percentile_approx(col("v"), lit(0.99), lit(acc)).as("p99"),
+        count(lit(1)).as("n"))
+    val tailCap = expr(s"(n + 99) div 100") + col("n") / lit(acc) + lit(1)
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("n"),
+        greatest(col("p1"), least(col("p99"), col("v"))).as("cv"),
+        (col("v") < col("p1")).as("lo"), (col("v") > col("p99")).as("hi"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
+      .select(col("event_type"), col("n"),
+        (col("n_clipped_lo") <= tailCap && col("n_clipped_hi") <= tailCap)
+          .cast("long").as("ok"))
+      .orderBy("event_type")
+  }
+
+  /** A/B experiment readout in exact integers — the experimentation
+    * primitive next to the funnel/retention family: users split by the
+    * deterministic id parity (the fixture carries no assignment
+    * column, and parity IS how a hash-bucketed assignment behaves),
+    * conversion = the user ever purchased; per variant the user and
+    * converter counts with the conversion rate in basis points, plus
+    * the uplift of B over A cross-multiplied to avoid any division
+    * asymmetry. One distinct-user aggregate feeds everything; no
+    * window, no self-join.
+    */
+  private def qEventsAbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    // pinned: the 2-row variant frame feeds itself plus BOTH 1-row
+    // uplift sides — unpinned, each branch re-runs the per-user fold
+    // from the raw scan (3 scans of events; PlanSpec pins 0 scans in
+    // the final plan, i.e. every branch reads this materialization)
+    val per = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .withColumn("conv_bp", expr("(10000 * n_conv) div n_users"))
+      .localCheckpoint(true)
+    // uplift of B over A in bp of A's rate: (convB·nA − convA·nB)
+    // scaled — exact integers, both engines truncate identically on
+    // the non-negative clamp
+    val a = per.where(col("variant") === "A")
+      .select(col("n_users").as("na"), col("n_conv").as("ca"))
+    val b = per.where(col("variant") === "B")
+      .select(col("n_users").as("nb"), col("n_conv").as("cb"))
+    per.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("variant"), col("n_users"), col("n_conv"), col("conv_bp"),
+        expr("CAST(sign(cb * na - ca * nb) AS BIGINT)").as("uplift_sign"),
+        expr("(10000 * abs(cb * na - ca * nb)) div greatest(ca * nb, 1)")
+          .as("uplift_abs_bp"))
+      .orderBy("variant")
+  }
+
+  /** Seasonal-naive forecast BACKTEST — the baseline every capacity /
+    * anomaly forecast must beat before it ships (predict each day's
+    * event count by the count 7 days earlier), scored over the
+    * fixture's own history: per event type the days scored, the total
+    * absolute error, and WAPE in basis points (Σ|actual − pred| /
+    * Σactual — the weighted form that doesn't explode on quiet days).
+    * Exact integers end to end; the daily frame is pinned because the
+    * backtest joins it to its own 7-day shift (unpinned, the scan +
+    * daily aggregate would run twice).
+    *
+    * Scale shape: one (type, day) aggregate over the raw events, then
+    * everything operates on the dimension-sized daily table — the
+    * join and the final fold never touch raw data again.
+    */
+  private def qEventsForecastBaseline(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    daily.join(
+        daily.select(col("event_type"), date_add(col("day"), 7).as("day"),
+          col("n").as("pred")),
+        Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("pred"))).cast("long").as("sum_abs_err"),
+        sum(col("n")).cast("long").as("sum_actual"))
+      .withColumn("wape_bp",
+        expr("(10000 * sum_abs_err) div greatest(sum_actual, 1L)"))
+      .orderBy("event_type")
+  }
+
+  /** LAG FEATURE TABLE — the per-entity calendar-lag features every
+    * tabular training pipeline materializes from an event log: for
+    * each (user, active day), the day's event count, the CALENDAR
+    * lag-1 and lag-7 counts (0 when the user was inactive that day —
+    * a keyed self-join on day−k, not a positional lag() over observed
+    * rows, which would silently skip gaps), and the trailing 7-day
+    * total via a RANGE window over integer day numbers (frame by
+    * calendar distance, so gaps shrink the window instead of
+    * stretching it).
+    *
+    * Scale shape: one (user, day) aggregate over raw events, then
+    * everything is user-keyed — two keyed self-joins carrying only
+    * (user, day, n) and one user-partitioned range window. No global
+    * window, no collect.
+    */
+  private def qEventsLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("d", datediff(col("day"), lit("1970-01-01")))
+      .localCheckpoint(true) // three consumers below + nothing else
+    def lagged(k: Int, as: String) = daily.select(col("user_id"),
+      (col("d") + k).as("d"), col("n").as(as))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rangeBetween(-6, 0)
+    daily
+      .join(lagged(1, "n_lag1"), Seq("user_id", "d"), "left")
+      .join(lagged(7, "n_lag7"), Seq("user_id", "d"), "left")
+      .withColumn("n_lag1", coalesce(col("n_lag1"), lit(0L)))
+      .withColumn("n_lag7", coalesce(col("n_lag7"), lit(0L)))
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .select(col("user_id"), col("day"), col("n"), col("n_lag1"),
+        col("n_lag7"), col("n_7d"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Time-series densification (gap fill): the hourly rollup left as a
+    * sparse table re-emitted on a dense per-type hour grid with zero
+    * fills — what anomaly/window passes need so silence reads as 0, not
+    * as a missing row. The per-type (min, max) span is a tiny
+    * aggregate; the grid explodes map-side from `sequence()`; one keyed
+    * left join fills it. */
+  private def qEventsHourlyDense(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val span = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = span.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Skew-safe dimension enrichment via [[graft.ops.Skew.saltedJoin]]:
+    * the per-user cohort dim joins back to the fact stream with the
+    * build side replicated over 8 salts and the probe side scattered
+    * by row hash — a hot user's rows land on 8 reducers, not 1. The
+    * oracle runs the PLAIN join: hash equality proves the salted form
+    * is row-identical, which is the operator's whole contract. */
+  private def qEventsSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val dim = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    graft.ops.Skew.saltedJoin(ev, dim, Seq("user_id"), 8)
+      .groupBy(col("cohort_day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("cohort_day", "event_type")
+  }
+
+  /** Robust dispersion per event type: exact median and MAD (median
+    * absolute deviation — the robust spread statistic behind
+    * median±k·MAD outlier fences, which one wild value can't drag the
+    * way events_anomaly's σ can). Everything is exact integer
+    * arithmetic: x doubles to x200 so the even-integer median is
+    * integral, and deviations double again (x400) for the same reason
+    * — Spark `percentile` and DuckDB `quantile_cont` agree
+    * bit-for-bit on integer inputs (the customer_rfm parity basis).
+    * Two keyed aggregations plus a broadcast of the 5-row median
+    * table; like customer_rfm, the exact percentile buffers each
+    * group's values — at open-ended scale the swap is
+    * percentile_approx (text_length_quantiles documents that trade).
+    */
+  private def qEventsValueMad(s: SparkSession, dir: String): DataFrame = {
+    val x2 = (round(col("value") * 100) * 2).cast("long")
+    val base = Tables.events(s, dir).select(col("event_type"), x2.as("x2"))
+    val med = base.groupBy(col("event_type"))
+      .agg(percentile(col("x2"), lit(0.5)).cast("long").as("median_x200"))
+    base.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("median_x200"),
+        (abs(col("x2") - col("median_x200")) * 2).cast("long").as("d4"))
+      .groupBy(col("event_type"), col("median_x200"))
+      .agg(percentile(col("d4"), lit(0.5)).cast("long").as("mad_x400"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Explicit GROUPING SETS — the asymmetric-subtotal surface cube()
+    * can't express without waste: (type, day) detail, per-day totals,
+    * and a grand total, but NO per-type-all-days set. One Expand over
+    * the input (3 replicas) feeding a single partial-agg shuffle —
+    * same plan family as events_cube, with the replica count equal to
+    * the set count rather than 2^dims. Labels come from GROUPING()
+    * (never NULL indicators), as events_cube establishes. */
+  private def qEventsGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      to_date(col("ts")).as("day"), col("value"))
+    e.groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        SparkEntry.decSumScaled(col("value"), "decimal(18,2)", 100, "total_value_x100"),
+        grouping(col("event_type")).as("_gt"),
+        grouping(col("day")).as("_gd"))
+      .select(
+        when(col("_gt") === 1, "ALL").otherwise(col("event_type")).as("event_type"),
+        when(col("_gd") === 1, lit("1900-01-01").cast("date")).otherwise(col("day")).as("day"),
+        col("n"), col("total_value_x100"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Native `session_window` (the merging-window operator the
+    * STREAMING sessionizer uses, run in batch) pinned against the
+    * gaps-and-islands construction events_sessionize hand-rolls: same
+    * 30-minute gap, session end = last event + gap by the operator's
+    * definition. Two independent implementations of session semantics
+    * agreeing on every window is the point — like
+    * dedup_clusters_star vs dedup_clusters, the oracle arbitrates
+    * both. One keyed shuffle + in-partition merge, no window pass. */
+  private def qEventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Incremental rollup ([[graft.ops.Rollup]]): facts reduce into
+    * per-(day, type) MERGEABLE partials in two independent refresh
+    * slices (split at mid-month — the incremental-refresh shape), and
+    * the read-time merge folds the union to per-type totals. The
+    * oracle aggregates the facts directly in one pass: hash equality
+    * proves the partial state is a lossless monoid under any split.
+    * Value is pre-quantized `round(value*100)` (the covar parity
+    * rule), so sums are exact integers on both engines. */
+  private def qEventsRollupMerge(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.events(s, dir).select(col("event_type"),
+      to_date(col("ts")).as("day"), round(col("value") * 100).cast("long").as("x"))
+    val cut = lit("2024-01-15").cast("date")
+    def slicePartials(sl: DataFrame) = graft.ops.Rollup.partials(
+      sl, col("day"), Seq(col("event_type")), col("x"))
+    // the split must be EXHAUSTIVE or the mergeability proof is void:
+    // a NULL day matches neither <= nor >, so it rides the first slice
+    // explicitly (the oracle's direct GROUP BY would count it)
+    val merged = graft.ops.Rollup.merge(
+      slicePartials(facts.where(col("day") <= cut || col("day").isNull))
+        .unionByName(slicePartials(facts.where(col("day") > cut))),
+      Seq(col("event_type")))
+    merged.select(col("event_type"), col("n"), col("total").as("total_x100"),
+        col("vmin").as("vmin_x100"), col("vmax").as("vmax_x100"))
+      .orderBy("event_type")
+  }
+
+  /** [[graft.ops.Rollup]]'s algebra with SKETCH state: the stored
+    * partial per (day, type) is a bottom-K KMV sketch of the distinct
+    * user hashes, and the read-time merge to the type grain is set
+    * union + re-truncation — the mergeable-monoid shape every
+    * distinct-count rollup runs at scale (a COUNT DISTINCT partial
+    * is not mergeable; a KMV is). The global K smallest hashes are
+    * each among their own day's K smallest, so merging the daily
+    * sketches loses nothing — and because the hash is deterministic
+    * and injective ([[graft.ops.Sampling.hashVal]]), the whole
+    * construction is oracle-EXACT, estimate included (the same
+    * property events_kmv_churn rides). Emits the merged estimate
+    * beside the exact audit. */
+  private def qEventsRollupKmv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 32
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("event_type"), col("user_id"))
+      .distinct()
+    // the stored partial: bottom-K per (day, type) — WindowGroupLimit
+    // pre-reduces map-side, so partial size is K rows per bucket
+    val wd = Window.partitionBy(col("d"), col("event_type")).orderBy(col("h"))
+    val partials = du
+      .withColumn("h", graft.ops.Sampling.hashVal(col("user_id")))
+      .withColumn("rk", row_number().over(wd)).where(col("rk") <= K)
+      .select(col("d"), col("event_type"), col("h"))
+    // read-time merge: union, dedup, re-truncate to K, estimate
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val merged = partials.select(col("event_type"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wt)).where(col("rk") <= K)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("h_k"))
+      .select(col("event_type"), col("k_union"),
+        when(col("k_union") < K, col("k_union"))
+          .otherwise(expr(s"((k_union - 1) * ${graft.ops.Sampling.P}) div h_k"))
+          .as("est_distinct"))
+    val exact = du.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"))
+    merged.join(exact, "event_type").orderBy("event_type")
+  }
+
+  /** Z-order key derivation ([[graft.ops.ZOrder]]): the bit-interleave
+    * arithmetic gated bit-for-bit against the same arithmetic in
+    * DuckDB. The layout/pruning half (range-partition by z, per-file
+    * manifest, box skip ratio) is exercised on real written files in
+    * ZOrderSpec — file layout isn't observable through a result
+    * DataFrame. */
+  private def qEventsZorderKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("event_id") < 200)
+      .select(col("event_id"), graft.ops.ZOrder.zValue(
+        hour(col("ts")), pmod(col("user_id"), lit(256)), 8).as("z"))
+      .orderBy("event_id")
+
+  /** Damped PageRank (3 rounds, fixed-point integer — see
+    * [[graft.ops.Graph]]) over the event-type transition graph: which
+    * event types accumulate behavioral mass. The raw 100 TB scan is
+    * paid ONCE (the same one-shuffle lag/groupBy as
+    * events_transitions); the iterations run on the aggregated
+    * |types|² edge table with the rank vector broadcast. */
+  private def qEventsPagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.pageRank(edges, iters = 3)
+      .select(col("node").as("event_type"), col("pr"))
+      .orderBy("event_type")
+  }
+
+  /** Frequent-itemset pairs (support + lift) over per-user event-type
+    * baskets — the market-basket / co-occurrence mining primitive.
+    * Support = users with both types; lift is emitted in integer basis
+    * points ((10000·n_ab·N) div (n_a·n_b)) so the oracle hash-pins it.
+    * Scale shape: the basket self-join co-partitions on user_id (both
+    * sides are the same distinct frame — one exchange, reused), and
+    * per-user output is bounded by |item vocabulary|² — at real scale
+    * the standard move is capping per-user distinct items first, which
+    * [[graft.ops.Sampling.capPerGroup]] already provides. */
+  private def qEventsItemsetPairs(s: SparkSession, dir: String): DataFrame = {
+    // the distinct basket frame feeds four consumers (both self-join
+    // sides, the per-item counts, the user total) — pinned so the raw
+    // scan + distinct shuffle run once, not five times (same
+    // discipline as Graph.pageRank's edge table)
+    val ut = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      .distinct().localCheckpoint(true)
+    val n1 = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val tot = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("nt"))
+    val p = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+    p.join(broadcast(n1.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(n1.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(tot))
+      // numerator and denominator ride DECIMAL(38,0): 10000·n_ab·N and
+      // n_a·n_b both exceed 2^63 once user counts pass ~3·10^9, and a
+      // wrapped long would corrupt the ratio silently; the quotient is
+      // ≤ 10000·N so BIGINT again
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        expr("CAST((10000 * CAST(n_users AS DECIMAL(38,0)) * nt)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_bp"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Triangle census over the co-presence graph
+    * ([[graft.ops.Graph.triangleStats]]): degree-ordered orientation
+    * bounds wedge volume at m^1.5 regardless of hub skew. One summary
+    * row; every count engine-exact because the (deg, id) orientation
+    * order is total. */
+  private def qEventsTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(coPresenceEdges(s, dir))
+
+  /** CONNECTED COMPONENTS of the co-presence graph — the community
+    * census completing the graph family (pagerank, k-core, triangles,
+    * reachability, assortativity all read the same pinned edge set):
+    * per component SIZE, how many components exist. The histogram is
+    * the canonical fragmentation read (one giant component = a social
+    * graph; many small ones = isolated cliques) and is deterministic
+    * where per-node labels need a representative convention.
+    * Labels come from [[graft.ops.Components.connectedComponentsAdaptive]]
+    * (label-prop probe + Large-Star/Small-Star finish — O(log n)
+    * rounds on deep graphs, the same engine the dedup clusters run);
+    * the oracle recomputes via exact recursive min-reach closure.
+    *
+    * Scale shape: edge-keyed iterate to the adaptive engine, then one
+    * (comp) count + one (size) count. No window, no collect.
+    */
+  private def qEventsComponents(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Components.connectedComponentsAdaptive(
+        coPresenceEdges(s, dir)
+          .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("component_size")
+
+  /** 3-core of the co-presence graph ([[graft.ops.Graph.kCore]],
+    * 4 peeling rounds — fixture graphs converge in ≤ 2, and the
+    * `converged` column in the output certifies it as data): the
+    * dense-community extractor over the same edge set the triangle
+    * census reads.
+    */
+  private def qEventsKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCore(coPresenceEdges(s, dir), k = 3, rounds = 4)
+
+  /** Longest consecutive-day activity streak per user — the retention
+    * metric cohort tables can't express (gaps-and-islands over DISTINCT
+    * active days: island key = epoch-day − row_number, constant within
+    * a consecutive run). One user-keyed window shuffle; the two
+    * aggregates above it reuse the same partitioning (no extra
+    * exchange). Integer day arithmetic, so streak boundaries are
+    * engine-exact.
+    */
+  private def qEventsUserStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val grp = days.withColumn("g",
+      col("d") - row_number().over(Window.partitionBy("user_id").orderBy("d")))
+    grp.groupBy("user_id", "g").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** Personalized PageRank over the same event-type transition graph
+    * as `events_pagerank`, seeded on the types below 'm' (click,
+    * error) — behavioral proximity to the seed behaviors, the
+    * related-items form. Same pinned-edge/broadcast-rank shape and
+    * 10¹² fixed-point arithmetic; only the teleport changes.
+    */
+  private def qEventsPpr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.personalizedPageRank(edges, iters = 3, col("node") < "m")
+      .select(col("node").as("event_type"), col("pr"))
+      .orderBy("event_type")
+  }
+
+  /** k-anonymity audit (Sweeney 2002) over the events table: treat
+    * (event_type, day) as the quasi-identifier and measure
+    * re-identification risk — how many quasi-identifier groups have
+    * fewer than k = 5 distinct users, and how many users sit in such
+    * groups. The governance-side counterpart of text_pii_redact: one
+    * keyed aggregate over (type, day), one rollup — no row-level data
+    * leaves the aggregate. Emits one row per k-anonymity status so
+    * the risky population is a first-class number.
+    */
+  private def qEventsKanonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("anonymous", col("group_size") >= 5)
+      .groupBy(col("anonymous"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("group_size")).as("n_memberships"))
+      .orderBy("anonymous")
+
+  protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_test" -> (qEventsAbTest _),
+    "events_approx_distinct" -> (qEventsApproxDistinct _),
+    "events_approx_quantiles" -> (qEventsApproxQuantiles _),
+    "events_asof_join" -> (qEventsAsofJoin _),
+    "events_assortativity" -> (qEventsAssortativity _),
+    "events_attribution" -> (qEventsAttribution _),
+    "events_attribution_first" -> (qEventsAttributionFirst _),
+    "events_autocorr" -> (qEventsAutocorr _),
+    "events_bfs_reach" -> (qEventsBfsReach _),
+    "events_cheapest_reach" -> (qEventsCheapestReach _),
+    "events_cms_counts" -> (qEventsCmsCounts _),
+    "events_cms_exact" -> (qEventsCmsExact _),
+    "events_components" -> (qEventsComponents _),
+    "events_concurrency" -> (qEventsConcurrency _),
+    "events_cuped" -> (qEventsCuped _),
+    "events_cusum" -> (qEventsCusum _),
+    "events_decay_score" -> (qEventsDecayScore _),
+    "events_distinct_users" -> (qEventsDistinctUsers _),
+    "events_drift_halves" -> (qEventsDriftHalves _),
+    "events_drift_ks" -> (qEventsDriftKs _),
+    "events_equidepth" -> (qEventsEquidepth _),
+    "events_error_label" -> (qEventsErrorLabel _),
+    "events_forecast_baseline" -> (qEventsForecastBaseline _),
+    "events_funnel" -> (qEventsFunnel _),
+    "events_funnel_windowed" -> (qEventsFunnelWindowed _),
+    "events_grouping_sets" -> (qEventsGroupingSets _),
+    "events_hourly_dense" -> (qEventsHourlyDense _),
+    "events_itemset_pairs" -> (qEventsItemsetPairs _),
+    "events_kanonymity" -> (qEventsKanonymity _),
+    "events_kcore" -> (qEventsKcore _),
+    "events_kmv_churn" -> (qEventsKmvChurn _),
+    "events_lag_features" -> (qEventsLagFeatures _),
+    "events_pagerank" -> (qEventsPagerank _),
+    "events_ppr" -> (qEventsPpr _),
+    "events_quantiles_exact" -> (qEventsQuantilesExact _),
+    "events_range_join" -> (qEventsRangeJoin _),
+    "events_retention" -> (qEventsRetention _),
+    "events_rollup_kmv" -> (qEventsRollupKmv _),
+    "events_rollup_merge" -> (qEventsRollupMerge _),
+    "events_salted_join" -> (qEventsSaltedJoin _),
+    "events_session_window" -> (qEventsSessionWindow _),
+    "events_sliding_window" -> (qEventsSlidingWindow _),
+    "events_temporal_reach" -> (qEventsTemporalReach _),
+    "events_transitions" -> (qEventsTransitions _),
+    "events_triangles" -> (qEventsTriangles _),
+    "events_twap" -> (qEventsTwap _),
+    "events_user_streaks" -> (qEventsUserStreaks _),
+    "events_user_topk" -> (qEventsUserTopk _),
+    "events_value_mad" -> (qEventsValueMad _),
+    "events_winsorize" -> (qEventsWinsorize _),
+    "events_winsorize_approx" -> (qEventsWinsorizeApprox _),
+    "events_zorder_key" -> (qEventsZorderKey _),
+  )
+
+  protected def eventsExtOracles: Map[String, String] = Map(
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |per AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |          CAST(SUM(converted) AS BIGINT) AS n_conv
+        |        FROM u GROUP BY 1),
+        |a AS (SELECT n_users AS na, n_conv AS ca FROM per WHERE variant = 'A'),
+        |b AS (SELECT n_users AS nb, n_conv AS cb FROM per WHERE variant = 'B')
+        |SELECT variant, n_users, n_conv,
+        |       (10000 * n_conv) // n_users AS conv_bp,
+        |       CAST(sign(cb * na - ca * nb) AS BIGINT) AS uplift_sign,
+        |       (10000 * abs(cb * na - ca * nb)) // greatest(ca * nb, 1)
+        |         AS uplift_abs_bp
+        |FROM per, a, b ORDER BY variant""".stripMargin,
+
+    // Sketch CERTIFICATES: the oracle computes the exact half and
+    // pins the verdict at 1 — the Spark side computes the verdict
+    // from the live sketch, so an out-of-envelope sketch flips ok to
+    // 0 and the driver's hash compare catches it. See the query
+    // scaladocs for each bound.
+    "events_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_approx_quantiles" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       (9 * CAST(COUNT(*) AS BIGINT) + 9) // 10 AS target_rank,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |signups AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    max(event_id) AS signup_event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.ts, s.ts AS asof_ts, s.signup_event_id
+        |FROM clicks c ASOF JOIN signups s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "events_assortativity" ->
+      s"""WITH $coPresenceSql,
+         |sym AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+         |deg AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY 1),
+         |xy AS (SELECT da.d AS dx, db.d AS dy FROM sym s
+         |       JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
+         |mo AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         |              CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+         |              CAST(SUM(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+         |              CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+         |              CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+         |              CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+         |       FROM xy),
+         |nd AS (SELECT m, m * sxy - sx * sy AS num,
+         |              m * sxx - sx * sx AS den_x,
+         |              m * syy - sy * sy AS den_y FROM mo)
+         |SELECT CAST(m AS BIGINT) AS m,
+         |       ${graft.ops.Graph.assortativityRbpSql("//")} AS r_bp_signed
+         |FROM nd""".stripMargin,
+
+    "events_attribution" ->
+      """WITH t AS (SELECT *,
+        |             last_value(CASE WHEN event_type IN ('click','view','signup')
+        |                        THEN event_type END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS touch
+        |           FROM events)
+        |SELECT COALESCE(touch, 'direct') AS touch_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS revenue_x100
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_attribution_first" ->
+      """WITH t AS (SELECT *,
+        |             first_value(CASE WHEN event_type IN ('click','view','signup')
+        |                        THEN event_type END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS touch
+        |           FROM events)
+        |SELECT COALESCE(touch, 'direct') AS touch_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS revenue_x100
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(COUNT(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1),
+        |lagged AS (SELECT k, day + CAST(k AS INTEGER) AS day_k, x AS x_t
+        |           FROM daily, (SELECT unnest(range(1, 8)) AS k) ks),
+        |pairs AS (SELECT l.k, l.x_t, d.x AS x_k
+        |          FROM lagged l JOIN daily d ON d.day = l.day_k),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |             CAST(SUM(x_t) AS BIGINT) AS sx,
+        |             CAST(SUM(x_k) AS BIGINT) AS sy,
+        |             CAST(SUM(x_t * x_t) AS BIGINT) AS sxx,
+        |             CAST(SUM(x_k * x_k) AS BIGINT) AS syy,
+        |             CAST(SUM(x_t * x_k) AS BIGINT) AS sxy
+        |      FROM pairs GROUP BY 1),
+        |d AS (SELECT CAST(k AS BIGINT) AS k, n_pairs,
+        |             n_pairs * sxy - sx * sy AS num,
+        |             n_pairs * sxx - sx * sx AS den_x,
+        |             n_pairs * syy - sy * sy AS den_y
+        |      FROM a)
+        |SELECT k, n_pairs, num, den_x, den_y,
+        |       CAST(CAST(sign(num) AS HUGEINT)
+        |         * ((10000 * CAST(num AS HUGEINT) * num)
+        |            // greatest(CAST(den_x AS HUGEINT) * den_y, 1))
+        |         AS BIGINT) AS r2_bp
+        |FROM d ORDER BY k""".stripMargin,
+
+    "events_bfs_reach" ->
+      s"""WITH $coPresenceSql,
+         |seeds AS (SELECT DISTINCT user_id AS v FROM events
+         |          WHERE user_id % 7 = 0),
+         |${graft.ops.Graph.bfsHopsSql(3)}
+         |SELECT v AS user_id, dist FROM bfs ORDER BY user_id""".stripMargin,
+
+    "events_cheapest_reach" ->
+      s"""WITH cells AS MATERIALIZED (SELECT DISTINCT user_id,
+         |    event_type || '|' ||
+         |      CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell
+         |  FROM events),
+         |cap AS MATERIALIZED (SELECT cell, user_id FROM (
+         |    SELECT cell, user_id, row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk
+         |    FROM cells) WHERE rk <= 50),
+         |wed AS MATERIALIZED (SELECT a, b, (100 + ns - 1) // ns AS w FROM (
+         |    SELECT x.user_id AS a, y.user_id AS b,
+         |           CAST(COUNT(*) AS BIGINT) AS ns
+         |    FROM cap x JOIN cap y ON x.cell = y.cell AND x.user_id < y.user_id
+         |    GROUP BY 1, 2 HAVING COUNT(*) >= 2) g),
+         |seeds AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events
+         |  WHERE user_id % 7 = 0),
+         |${graft.ops.Graph.cheapestPathsSql(3)}
+         |SELECT v AS user_id, dist AS cost FROM d3 ORDER BY user_id""".stripMargin,
+
+    "events_cms_counts" ->
+      """SELECT user_id, n_exact, CAST(1 AS BIGINT) AS ok FROM (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events
+        |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 20)
+        |ORDER BY user_id""".stripMargin,
+
+    "events_cms_exact" ->
+      """SELECT user_id, n_exact FROM (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM events
+        |  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 20)
+        |ORDER BY user_id""".stripMargin,
+
+    "events_components" ->
+      s"""WITH RECURSIVE $coPresenceSql,
+         |edges AS (SELECT a AS src, b AS dst FROM ed
+         |          UNION ALL SELECT b, a FROM ed),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY 1)
+         |SELECT sz AS component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |       (PARTITION BY user_id ORDER BY ts, event_id)
+        |       > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+        |sess AS (SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+        |         FROM s GROUP BY 1, 2),
+        |segs AS (SELECT CAST(d.day AS DATE) AS day,
+        |           greatest(t0, CAST(CAST(d.day AS DATE) AS TIMESTAMP)) AS seg_start,
+        |           least(t1, CAST(CAST(d.day AS DATE) + INTERVAL 1 DAY
+        |                          AS TIMESTAMP)) AS seg_end
+        |         FROM sess, LATERAL (SELECT unnest(generate_series(
+        |           CAST(t0 AS DATE), CAST(t1 AS DATE), INTERVAL 1 DAY)) AS day) d),
+        |bd AS (SELECT day, seg_start AS t, CAST(1 AS BIGINT) AS delta FROM segs
+        |       UNION ALL SELECT day, seg_end, -1 FROM segs),
+        |r AS (SELECT day, SUM(delta) OVER (PARTITION BY day
+        |       ORDER BY t ASC, delta DESC ROWS UNBOUNDED PRECEDING) AS run FROM bd)
+        |SELECT day, CAST(MAX(run) AS BIGINT) AS max_concurrent,
+        |       CAST(COUNT(*) // 2 AS BIGINT) AS n_active_sessions
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_cuped" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |            event_type FROM events),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN ev.day <= b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN ev.day > b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+        |             AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN b GROUP BY user_id),
+        |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy FROM per),
+        |va AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |         CAST(SUM(x) AS BIGINT) AS sum_x_a,
+        |         CAST(SUM(y) AS BIGINT) AS sum_y_a
+        |       FROM per WHERE user_id % 2 = 0),
+        |vb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |         CAST(SUM(x) AS BIGINT) AS sum_x_b,
+        |         CAST(SUM(y) AS BIGINT) AS sum_y_b
+        |       FROM per WHERE user_id % 2 <> 0),
+        |t AS (SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |      FROM va CROSS JOIN vb CROSS JOIN mo),
+        |u AS (SELECT *,
+        |        CAST(sign(num) * ((10000 * abs(num)) // greatest(den, 1))
+        |          AS BIGINT) AS theta_bp,
+        |        (10000 * sum_y_b) // greatest(n_b, 1)
+        |          - (10000 * sum_y_a) // greatest(n_a, 1) AS diff_y_bp,
+        |        (10000 * sum_x_b) // greatest(n_b, 1)
+        |          - (10000 * sum_x_a) // greatest(n_a, 1) AS diff_x_bp
+        |      FROM t)
+        |SELECT n_a, n_b, sum_x_a, sum_x_b, sum_y_a, sum_y_b, theta_bp,
+        |       diff_y_bp, diff_x_bp,
+        |       diff_y_bp - CAST(sign(theta_bp * diff_x_bp)
+        |         * ((abs(theta_bp) * abs(diff_x_bp)) // 10000) AS BIGINT)
+        |         AS adj_uplift_bp
+        |FROM u""".stripMargin,
+
+    "events_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(COUNT(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |sc AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |              CAST(COUNT(*) AS BIGINT) AS d FROM daily),
+        |dev AS (SELECT day, n, n * d - total AS dev, total
+        |        FROM daily CROSS JOIN sc),
+        |runs AS (SELECT *,
+        |           CAST(SUM(dev) OVER (ORDER BY day
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_run
+        |         FROM dev),
+        |ex AS (SELECT *,
+        |         CAST(MIN(s_run) OVER (ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_min,
+        |         CAST(MAX(s_run) OVER (ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_max
+        |       FROM runs)
+        |SELECT day, n, dev,
+        |       s_run - least(CAST(0 AS BIGINT), run_min) AS cusum_pos,
+        |       greatest(CAST(0 AS BIGINT), run_max) - s_run AS cusum_neg,
+        |       (s_run - least(CAST(0 AS BIGINT), run_min)) > 2 * total AS alarm_hi,
+        |       (greatest(CAST(0 AS BIGINT), run_max) - s_run) > 2 * total AS alarm_lo
+        |FROM ex ORDER BY day""".stripMargin,
+
+    "events_decay_score" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                   greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |                            CAST(0 AS BIGINT)) AS v_x100
+        |            FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT MAX(day) AS d1 FROM ev),
+        |c AS (SELECT user_id, v_x100,
+        |             v_x100 // (CAST(1 AS BIGINT) <<
+        |               least(CAST(d1 - day AS BIGINT), 40)) AS contrib
+        |      FROM ev CROSS JOIN l)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(v_x100) AS BIGINT) AS raw_x100,
+        |       CAST(SUM(contrib) AS BIGINT) AS decayed_x100
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_drift_halves" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |h AS (SELECT CASE WHEN ev.day <= b.d0 + CAST((b.d1 - b.d0) // 2 AS INTEGER)
+        |             THEN 1 ELSE 0 END AS in_a,
+        |             least(15, greatest(CAST(v * 100 AS BIGINT), 0) // 2000) AS bin
+        |      FROM ev CROSS JOIN b),
+        |g AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS n_a,
+        |             CAST(SUM(1 - in_a) AS BIGINT) AS n_b FROM h GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |             CAST(SUM(n_b) AS BIGINT) AS tot_b FROM g)
+        |SELECT bin, n_a, n_b,
+        |       (10000 * n_a) // greatest(tot_a, 1) AS share_a_bp,
+        |       (10000 * n_b) // greatest(tot_b, 1) AS share_b_bp,
+        |       (10000 * n_a) // greatest(tot_a, 1)
+        |         - (10000 * n_b) // greatest(tot_b, 1) AS drift_bp
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "events_drift_ks" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+        |                   CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |g AS (SELECT least(15, greatest(CAST(v * 100 AS BIGINT), 0) // 2000)
+        |               AS bin,
+        |             CAST(SUM(CASE WHEN day <= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             CAST(SUM(CASE WHEN day <= d0 + CAST((d1 - d0) // 2 AS INTEGER)
+        |                      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |      FROM ev CROSS JOIN b GROUP BY 1),
+        |cu AS (SELECT *,
+        |         CAST(SUM(n_a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS cum_a,
+        |         CAST(SUM(n_b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS cum_b,
+        |         CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+        |         CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b
+        |       FROM g),
+        |sh AS (SELECT bin, n_a, n_b,
+        |              (10000 * cum_a) // greatest(tot_a, 1) AS cum_share_a_bp,
+        |              (10000 * cum_b) // greatest(tot_b, 1) AS cum_share_b_bp
+        |       FROM cu)
+        |SELECT bin, n_a, n_b, cum_share_a_bp, cum_share_b_bp,
+        |       cum_share_a_bp - cum_share_b_bp AS gap_bp,
+        |       CAST(MAX(abs(cum_share_a_bp - cum_share_b_bp)) OVER ()
+        |         AS BIGINT) AS ks_bp
+        |FROM sh ORDER BY bin""".stripMargin,
+
+    "events_equidepth" ->
+      """WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             AS v, event_id
+        |           FROM events WHERE value IS NOT NULL),
+        |nt AS (SELECT v, ntile(16) OVER (ORDER BY v, event_id) AS bucket FROM v)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_values,
+        |       MIN(v) AS lo_x100, MAX(v) AS hi_x100
+        |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_error_label" ->
+      """WITH w AS (SELECT event_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    min(CASE WHEN event_type = 'error'
+        |             THEN CAST(ts AS TIMESTAMP) END) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts, next_err_ts,
+        |       CAST(next_err_ts IS NOT NULL AND
+        |            next_err_ts <= ts + INTERVAL 7 DAY AS BIGINT) AS label
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_forecast_baseline" ->
+      """WITH d AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_scored,
+        |       CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS sum_abs_err,
+        |       CAST(SUM(a.n) AS BIGINT) AS sum_actual,
+        |       (10000 * CAST(SUM(abs(a.n - b.n)) AS BIGINT))
+        |         // greatest(CAST(SUM(a.n) AS BIGINT), 1) AS wape_bp
+        |FROM d a JOIN d b
+        |  ON a.event_type = b.event_type AND a.day = b.day + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM ev GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t_signup,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_signup
+        |        THEN e.ts END) AS t_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |        THEN e.ts END) AS t_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1, 2, 3),
+        |agg AS (SELECT
+        |    COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        |    COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click_after,
+        |    COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase_after
+        |  FROM s3)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'signup' AS stage, n_signup AS n_users FROM agg
+        |  UNION ALL SELECT 'click_after', n_click_after FROM agg
+        |  UNION ALL SELECT 'purchase_after', n_purchase_after FROM agg)
+        |ORDER BY stage""".stripMargin,
+
+    "events_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM ev GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t_signup,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_signup
+        |        AND e.ts <= s1.t_signup + INTERVAL 3 DAY
+        |        THEN e.ts END) AS t_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |        AND e.ts <= s2.t_click + INTERVAL 3 DAY
+        |        THEN e.ts END) AS t_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1, 2, 3),
+        |agg AS (SELECT
+        |    COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        |    COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click_3d,
+        |    COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase_3d
+        |  FROM s3)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'signup' AS stage, n_signup AS n_users FROM agg
+        |  UNION ALL SELECT 'click_3d', n_click_3d FROM agg
+        |  UNION ALL SELECT 'purchase_3d', n_purchase_3d FROM agg)
+        |ORDER BY stage""".stripMargin,
+
+    // GROUPING() labels (not NULL indicators), as events_cube; the
+    // per-day and grand-total sets get sentinel labels on both sides
+    "events_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+        |       CASE WHEN GROUPING(day) = 1 THEN DATE '1900-01-01' ELSE day END AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
+        |FROM (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type, day), (day), ())
+        |ORDER BY 1, 2""".stripMargin,
+
+    "events_hourly_dense" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        |         FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |         FROM span)
+        |SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.event_type = h.event_type AND g.hour = h.hour
+        |ORDER BY 1, 2""".stripMargin,
+
+    "events_itemset_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n1 AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS nt FROM ut),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             COUNT(*) AS n_users
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                         AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_users,
+        |       CAST((10000 * CAST(p.n_users AS HUGEINT) * tot.nt)
+        |            // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_bp
+        |FROM p
+        |CROSS JOIN tot
+        |JOIN n1 na ON na.event_type = p.type_a
+        |JOIN n1 nb ON nb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "events_kanonymity" ->
+      """WITH d AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+        |g AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS group_size
+        |      FROM d GROUP BY 1, 2)
+        |SELECT (group_size >= 5) AS anonymous, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(group_size) AS BIGINT) AS n_memberships
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_kcore" ->
+      s"""WITH $coPresenceSql,
+         |${graft.ops.Graph.kCoreSql(3, 4)}
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dg4) AS n_core_nodes,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e4) AS n_core_edges,
+         |       COALESCE((SELECT MIN(d) >= 3 FROM dg4), TRUE) AS converged""".stripMargin,
+
+    "events_kmv_churn" -> {
+      val h = graft.ops.Sampling.hashValSql("user_id")
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         |tagu AS (SELECT d AS pd, 1 AS in_a, 0 AS in_b, user_id FROM du
+         |         UNION ALL SELECT d - 1, 0, 1, user_id FROM du),
+         |exu AS (SELECT pd, user_id, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+         |        FROM tagu GROUP BY 1, 2),
+         |ex AS (SELECT pd, CAST(COUNT(*) AS BIGINT) AS n_union,
+         |         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+         |       FROM exu GROUP BY 1 HAVING MAX(in_a) = 1 AND MAX(in_b) = 1),
+         |sk AS (SELECT d, h FROM (
+         |         SELECT d, $h AS h,
+         |                row_number() OVER (PARTITION BY d ORDER BY $h) AS rk
+         |         FROM du) WHERE rk <= 32),
+         |tags AS (SELECT d AS pd, 1 AS in_a, 0 AS in_b, h FROM sk
+         |         UNION ALL SELECT d - 1, 0, 1, h FROM sk),
+         |mg AS (SELECT pd, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+         |       FROM tags GROUP BY 1, 2),
+         |mk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pd ORDER BY h) AS rk
+         |                      FROM mg) WHERE rk <= 32),
+         |es AS (SELECT pd, CAST(COUNT(*) AS BIGINT) AS k_union,
+         |         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both,
+         |         MAX(h) AS h_k
+         |       FROM mk GROUP BY 1)
+         |SELECT es.pd AS day, k_union, k_both,
+         |       (10000 * k_both) // k_union AS est_jaccard_bp,
+         |       (10000 * n_both) // n_union AS jaccard_bp,
+         |       CASE WHEN k_union < 32 THEN k_union
+         |            ELSE ((k_union - 1) * ${graft.ops.Sampling.P}) // h_k END AS est_union,
+         |       n_union, n_both
+         |FROM es JOIN ex ON es.pd = ex.pd
+         |ORDER BY day""".stripMargin
+    },
+
+    "events_lag_features" ->
+      """WITH d AS MATERIALIZED (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dd AS MATERIALIZED (SELECT user_id, day, n,
+        |    datediff('day', DATE '1970-01-01', day) AS dnum FROM d)
+        |SELECT a.user_id, a.day, a.n,
+        |       COALESCE(l1.n, 0) AS n_lag1,
+        |       COALESCE(l7.n, 0) AS n_lag7,
+        |       CAST(SUM(a.n) OVER (PARTITION BY a.user_id ORDER BY a.dnum
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM dd a
+        |LEFT JOIN dd l1 ON l1.user_id = a.user_id AND l1.dnum = a.dnum - 1
+        |LEFT JOIN dd l7 ON l7.user_id = a.user_id AND l7.dnum = a.dnum - 7
+        |ORDER BY a.user_id, a.day""".stripMargin,
+
+    "events_pagerank" -> {
+      import graft.ops.Graph
+      s"""WITH o AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+         |  FROM events),
+         |e AS (SELECT src, event_type AS dst, COUNT(*) AS w
+         |      FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow ON e.src = ow.src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT node, (SELECT COUNT(*) FROM nodes) AS n_nodes FROM nodes),
+         |r0 AS (SELECT node, n_nodes, ${Graph.Scale} // n_nodes AS pr FROM nn),
+         |r1 AS (${Graph.rankStepSql("r0")}),
+         |r2 AS (${Graph.rankStepSql("r1")}),
+         |r3 AS (${Graph.rankStepSql("r2")})
+         |SELECT node AS event_type, CAST(pr AS BIGINT) AS pr
+         |FROM r3 ORDER BY event_type""".stripMargin
+    },
+
+    "events_ppr" -> {
+      import graft.ops.Graph
+      s"""WITH o AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+         |  FROM events),
+         |e AS (SELECT src, event_type AS dst, COUNT(*) AS w
+         |      FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
+         |ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow ON e.src = ow.src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT node, node < 'm' AS seed,
+         |         (SELECT COUNT(*) FROM nodes WHERE node < 'm') AS n_seeds
+         |       FROM nodes),
+         |r0 AS (SELECT node, seed, n_seeds,
+         |         CASE WHEN seed THEN ${Graph.Scale} // n_seeds ELSE 0 END AS pr
+         |       FROM nn),
+         |r1 AS (${Graph.pprStepSql("r0")}),
+         |r2 AS (${Graph.pprStepSql("r1")}),
+         |r3 AS (${Graph.pprStepSql("r2")})
+         |SELECT node AS event_type, CAST(pr AS BIGINT) AS pr
+         |FROM r3 ORDER BY event_type""".stripMargin
+    },
+
+    "events_quantiles_exact" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+        |r AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM ev)
+        |SELECT r.event_type, n.n, CAST(r.v * 100 AS BIGINT) AS p90_x100,
+        |       rn AS target_rank
+        |FROM r JOIN n USING (event_type)
+        |WHERE rn = (9 * n.n + 9) // 10 ORDER BY 1""".stripMargin,
+
+    "events_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |     (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |     > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |     ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM b),
+        |sess AS (SELECT user_id, session_id, MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM s GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, sess.session_id, p.event_id, p.ts,
+        |       sess.session_start, sess.session_end
+        |FROM p JOIN sess ON p.user_id = sess.user_id
+        | AND p.ts BETWEEN sess.session_start AND sess.session_end
+        |ORDER BY p.user_id, sess.session_id, p.event_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |cohort AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM ev)
+        |SELECT c.cohort_week, CAST(floor(date_diff('day', c.cohort_week, a.week) / 7) AS BIGINT) AS week_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |WHERE a.week >= c.cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_rollup_kmv" -> {
+      val h = graft.ops.Sampling.hashValSql("user_id")
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, user_id
+         |            FROM events),
+         |hp AS (SELECT d, event_type, $h AS h FROM du),
+         |pk AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY d, event_type ORDER BY h) AS rk
+         |         FROM hp) WHERE rk <= 32),
+         |mg AS (SELECT DISTINCT event_type, h FROM pk),
+         |mk AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |         FROM mg) WHERE rk <= 32),
+         |es AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_union, MAX(h) AS h_k
+         |       FROM mk GROUP BY 1),
+         |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+         |       FROM du GROUP BY 1)
+         |SELECT es.event_type, k_union,
+         |       CASE WHEN k_union < 32 THEN k_union
+         |            ELSE ((k_union - 1) * ${graft.ops.Sampling.P}) // h_k END AS est_distinct,
+         |       n_distinct
+         |FROM es JOIN ex ON es.event_type = ex.event_type
+         |ORDER BY es.event_type""".stripMargin
+    },
+
+    // the engine merges two-slice partials; the oracle aggregates the
+    // facts directly — equality pins partial-state mergeability
+    "events_rollup_merge" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_x100,
+        |       CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vmin_x100,
+        |       CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vmax_x100
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the PLAIN join — equality pins the salted join's row-identity
+    "events_salted_join" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |dim AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ev JOIN dim USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gaps-and-islands reconstruction of session_window's semantics:
+    // break on gap > 30 min, end = last event + gap
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT user_id, ts,
+        |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  <= INTERVAL 30 MINUTE
+        |             THEN 0 ELSE 1 END AS brk FROM e),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "events_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (SELECT event_type, value,
+        |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+        |                   - k * 1800000000) AS w_start
+        |  FROM e, LATERAL (SELECT unnest([0, 1]) AS k) s)
+        |SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_x100
+        |FROM w GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+
+    "events_temporal_reach" ->
+      s"""WITH tcells AS MATERIALIZED (SELECT DISTINCT user_id,
+         |    event_type || '|' ||
+         |      CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS cell,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t
+         |  FROM events),
+         |tcap AS MATERIALIZED (SELECT cell, user_id, t FROM (
+         |    SELECT cell, user_id, t, row_number() OVER (PARTITION BY cell
+         |      ORDER BY ${graft.ops.Sampling.capOrderSql("user_id")}) AS rk
+         |    FROM tcells) WHERE rk <= 50),
+         |ted AS MATERIALIZED (SELECT DISTINCT x.user_id AS a, y.user_id AS b, x.t
+         |     FROM tcap x JOIN tcap y
+         |     ON x.cell = y.cell AND x.user_id < y.user_id),
+         |seeds AS MATERIALIZED (SELECT user_id AS v,
+         |    MIN(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS t0
+         |  FROM events WHERE user_id % 7 = 0 GROUP BY 1),
+         |${graft.ops.Graph.temporalReachSql(3)}
+         |SELECT v AS user_id, CAST(arr AS TIMESTAMP) AS arr_hour
+         |FROM r3 ORDER BY user_id""".stripMargin,
+
+    "events_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |FROM o WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_triangles" ->
+      s"""WITH $coPresenceSql,
+         |${graft.ops.Graph.triangleStatsSql}
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "events_twap" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                   greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |                     AS BIGINT), CAST(0 AS BIGINT)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT *,
+        |        lead(ts) OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) AS next_ts
+        |      FROM ev),
+        |wgt AS (SELECT event_type, v,
+        |          CASE WHEN next_ts IS NOT NULL
+        |               THEN epoch_us(next_ts) // 1000000
+        |                  - epoch_us(ts) // 1000000 END AS wsec
+        |        FROM l),
+        |a AS (SELECT event_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n_readings,
+        |        CAST(SUM(CASE WHEN wsec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_open,
+        |        CAST(COALESCE(SUM(wsec), 0) AS BIGINT) AS total_sec,
+        |        CAST(COALESCE(SUM(CAST(v AS HUGEINT) * wsec), 0) AS HUGEINT)
+        |          AS vw,
+        |        CAST(SUM(v) AS BIGINT) AS sv
+        |      FROM wgt GROUP BY 1)
+        |SELECT event_type, n_readings, n_open, total_sec,
+        |       CAST(vw // greatest(CAST(total_sec AS HUGEINT), 1) AS BIGINT)
+        |         AS twap_x100,
+        |       sv // n_readings AS naive_mean_x100
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "events_user_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT user_id, CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS d
+        |      FROM days),
+        |g AS (SELECT user_id,
+        |        d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g FROM d),
+        |s AS (SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_user_topk" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_x100,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY total_x100 DESC, user_id ASC) AS rk FROM t)
+        |SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, total_x100, n_events
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+
+    // doubled scales keep every median integral: x200 values are even
+    // ints, deviations double again to x400 — quantile_cont on integer
+    // inputs matches Spark `percentile` bit-for-bit (customer_rfm rule)
+    "events_value_mad" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) * 2 AS x2 FROM events),
+        |m AS (SELECT event_type, CAST(quantile_cont(x2, 0.5) AS BIGINT) AS median_x200
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, median_x200, abs(x2 - median_x200) * 2 AS d4
+        |      FROM e JOIN m USING (event_type))
+        |SELECT event_type, median_x200,
+        |       CAST(quantile_cont(d4, 0.5) AS BIGINT) AS mad_x400,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "events_winsorize" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+        |r AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM ev),
+        |b AS (SELECT r.event_type,
+        |        MIN(CASE WHEN rn = (n.n + 99) // 100 THEN v END) AS p1,
+        |        MIN(CASE WHEN rn = (99 * n.n + 99) // 100 THEN v END) AS p99
+        |      FROM r JOIN n USING (event_type) GROUP BY 1),
+        |c AS (SELECT ev.event_type,
+        |        greatest(b.p1, least(b.p99, ev.v)) AS cv,
+        |        (ev.v < b.p1) AS lo, (ev.v > b.p99) AS hi
+        |      FROM ev JOIN b USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |       CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |       CAST(SUM(cv) * 100 AS BIGINT) AS clipped_sum_x100
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "events_winsorize_approx" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_zorder_key" ->
+      s"""SELECT event_id,
+         |  ${graft.ops.ZOrder.zValueSql("hour(CAST(ts AS TIMESTAMP))", "((user_id % 256 + 256) % 256)", 8)} AS z
+         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+  )
+}

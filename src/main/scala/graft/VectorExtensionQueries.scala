@@ -1,0 +1,730 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{ApplyChanges, Fixtures, Routing}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, Text, Vectors}
+
+/** Extension queries — embedding & similarity serving (ANN, k-means, PCA, quantization, semantic dedup).
+  * Builders + their DuckDB oracle mirrors for this family; shared
+  * fragments come from [[ExtensionQueriesBase]]. Registered into the
+  * single public registry by [[ExtensionQueries]].
+  */
+private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
+  /** Per-label embedding norm statistics over the quantized integer
+    * norms — the corpus-health check before ANN indexing (a label whose
+    * norms collapse or explode poisons cosine buckets). Quantization
+    * makes the sums exact and order-independent; one scan, one keyed
+    * shuffle of 4-value partials. */
+  private def qEmbNormStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        graft.ops.Vectors.intNorm2(graft.ops.Vectors.quantize(col("embedding"))).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("sum_norm2"),
+        min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"))
+      .orderBy("label")
+
+  /** INT8 QUANTIZATION ERROR AUDIT — the quality report an embedding
+    * store produces before committing to int8 serving (the standard
+    * 4× compression: per-vector symmetric scale s = max|x|, code
+    * c = round(127·x/s)). Everything runs in the repo's exact
+    * milli-unit integer space ([[graft.ops.Vectors.quantize]]) so
+    * both engines compute the identical rounding: code and
+    * reconstruction use round-half-up on NON-NEGATIVE operands
+    * ((|q|·254 + s) div 2s and (c·2s + 127) div 254), sidestepping
+    * trunc-vs-floor divergence, and the per-dim error |‖q‖ − r| is
+    * sign-free because code and reconstruction carry q's sign.
+    * Per label: vector count, summed/max absolute reconstruction
+    * error, and summed scale (the denominATOR of any relative-error
+    * read) — all BIGINT.
+    *
+    * Scale shape: pure scan-stage HOF arithmetic per vector + one
+    * label aggregate; no join, no window, no collect.
+    */
+  private def qEmbInt8QuantError(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), graft.ops.Vectors.quantize(col("embedding")).as("q"))
+      .withColumn("s", expr(
+        "greatest(aggregate(q, 0L, (a, x) -> greatest(a, abs(x))), 1L)"))
+      .withColumn("errs", expr(
+        """transform(q, x -> abs(abs(x) -
+          |  (((abs(x) * 254 + s) div (2 * s)) * 2 * s + 127) div 254))"""
+          .stripMargin))
+      .withColumn("e_sum", expr("aggregate(errs, 0L, (a, x) -> a + x)"))
+      .withColumn("e_max", expr("aggregate(errs, 0L, (a, x) -> greatest(a, x))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("e_sum")).as("sum_err"),
+        max(col("e_max")).as("max_err"),
+        sum(col("s")).as("sum_scale"))
+      .orderBy("label")
+
+  private def qEmbSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qdot = graft.functions.GraftFunctions.registerQDot(s)
+    val k = math.max(4L, emb.count() / SemdedupCellTarget)
+    val a = graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
+        col("vec_id"), emb.where(col("vec_id") < k))
+      .withColumn("n2", qdot(col("v"), col("v")))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cl").as("cell"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        qdot(col("x.v"), col("y.v")).as("dot"),
+        col("x.n2").as("n2a"), col("y.n2").as("n2b"))
+      .where(col("dot") > 0 &&
+        lit(10000L).cast("decimal(38,0)") *
+          col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") >=
+        lit(1600L).cast("decimal(38,0)") *
+          col("n2a").cast("decimal(38,0)") * col("n2b").cast("decimal(38,0)"))
+      .select(col("cell"), col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    // Components via the blocked one-shuffle form, NOT the iterative
+    // loop: SemDeDup pairs exist only WITHIN a cell (the join condition
+    // is x.cl = y.cl), so no component crosses a cell and a per-cell
+    // local union-find gives the identical min-id labels in a
+    // data-independent number of stages. Semantic-dup graphs CHAIN
+    // (a≈b≈c without a≈c) — the union-find handles arbitrary chain
+    // depth inside the cell, where the r15 probe's label-prop budget
+    // could not; and the r16 verdict measured the iterative form at
+    // ~93% stage-scheduling overhead (40 stages, 0.1 MB shuffle).
+    val comp = graft.ops.Components.componentsWithinGroups(pairs, col("cell"))
+    a.select(col("vec_id"), col("cl"))
+      .join(comp, col("vec_id") === comp("id"), "left")
+      .select(col("vec_id"), col("cl").as("cluster"),
+        (col("comp").isNull || col("comp") === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Embedding-outlier screen: the 20 vectors farthest (exact integer
+    * squared distance) from their assigned k-means seed centroid —
+    * the corrupt-embedding / out-of-distribution detector an index
+    * build runs first (a zeroed or garbage vector poisons cosine
+    * buckets and recall audits). Rides the SAME seed-assignment frame
+    * as SemDeDup (d2 comes free with the argmin); rank-based cut, no
+    * magic distance threshold. TakeOrdered top-20, window over 20
+    * rows post-cut.
+    */
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
+        col("vec_id"), emb.where(col("vec_id") < 4))
+      .select(col("vec_id"), col("cl"), col("d2"))
+      .orderBy(col("d2").desc, col("vec_id").asc).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("d2").desc, col("vec_id").asc))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("cl"), col("d2"))
+      .orderBy("rank")
+  }
+
+  /** MMR diversity re-rank over the query-0 retrieval shortlist
+    * ([[graft.ops.Similarity.mmrRerank]]): top-20 by exact integer
+    * dot, then 5 greedy λ=1/2 MMR picks — the near-dup-suppressing
+    * context-window selection RAG serving needs after ANN retrieval.
+    * The greedy loop runs driver-side over the bounded shortlist (the
+    * PQ-codebook pattern); the oracle replays the identical fold as a
+    * generated CTE chain. */
+  private def qSimMmrRerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.mmrRerank(Tables.embeddings(s, dir), col("embedding"),
+        col("vec_id"), queryId = 0L, shortlist = 20, k = 5)
+      .orderBy("rank")
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) — the standard RAG serving pattern: a
+    * lexical channel (integer BM25 top-20 on the literal query terms)
+    * and a dense channel (exact integer-dot top-20 for the query
+    * embedding, doc_id ≡ vec_id in the fixture) fuse by
+    * `Σ 1e6 div (60 + rank)` — RRF's 1/(k₀+r) at scale 10⁶ in pure
+    * integer division, so the fused ORDER is engine-exact (no float
+    * reciprocal crosses the compare). A doc absent from a channel
+    * contributes 0 (rank 0 encodes absence in the output).
+    *
+    * Scale shape: each channel is its existing one-scan serving plan
+    * (BM25: zero-join scan + TakeOrdered; dense: brute/ANN top-k);
+    * the fusion then runs on two ≤20-row frames — full-outer join,
+    * score, top-10 — bounded by the channel k's, never corpus-sized,
+    * and the global row_number windows sit on post-limit frames only.
+    */
+  private def qSimHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val dense = Similarity.topKBruteForce(
+        emb.where(col("vec_id") =!= 0), emb.where(col("vec_id") === 0),
+        col("embedding"), col("vec_id"), k = 20)
+      .select(col("vec_id").as("doc_id"), col("rnk").cast("long").as("dense_rank"))
+    val lex = graft.ops.Retrieval.bm25TopK(Tables.documents(s, dir),
+        col("text"), col("doc_id"), bm25Terms, 20)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf_x1e6",
+        when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)"))
+          .otherwise(0L) +
+        when(col("dense_rank") > 0, expr("1000000 div (60 + dense_rank)"))
+          .otherwise(0L))
+      .orderBy(col("rrf_x1e6").desc, col("doc_id"))
+      .limit(10)
+    fused
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(col("rrf_x1e6").desc, col("doc_id"))).cast("long"))
+      .select(col("fused_rank"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf_x1e6"))
+      .orderBy("fused_rank")
+  }
+
+  private def qSimTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKBruteForce(emb.where(col("vec_id") >= 8),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  private def qSimTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKLsh(emb.where(col("vec_id") >= 8),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+        k = 5, bits = 8)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  // recall floors: measured per-query minima are 80 (IVF), 40 (PQ), 50
+  // (IVF-PQ) at sf0.01 and 80/30/30 at sf0.001; the floors sit ≥ 15
+  // recall points below every observed value so a one-neighbor flip
+  // from float-merge-order jitter can't cross them
+  private def qSimTopkIvf(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfRows(s, dir), minRecallX100 = 45)
+
+  private def qSimTopkIvfFiltered(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfFilteredRows(s, dir), minRecallX100 = 45)
+
+  private def qSimTopkIvfPqFiltered(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfPqFilteredRows(s, dir), minRecallX100 = 15)
+
+  private def qSimTopkPq(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkPqRows(s, dir), minRecallX100 = 15)
+
+  private def qSimTopkPqFiltered(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkPqFilteredRows(s, dir), minRecallX100 = 15)
+
+  private def qSimTopkIvfPq(s: SparkSession, dir: String): DataFrame =
+    annAudit(simTopkIvfPqRows(s, dir), minRecallX100 = 15)
+
+  /** Filtered (hybrid) vector search: top-k restricted to candidates
+    * whose metadata passes a predicate (here `label < 5`) — the
+    * "search only the docs this user may see / only this language"
+    * production shape. The label predicate is a plain scan filter, so
+    * it pushes into the parquet reader and the expensive dot product
+    * only runs on the matching fraction (PlanSpec pins the pushdown) —
+    * at 100 TB a selective filter is the single biggest ANN
+    * accelerator, ahead of any index. */
+  private def qSimTopkFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKBruteForce(
+        emb.where(col("vec_id") >= 8 && col("label") < 5),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"), col("rnk"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  /** Semantic clustering / semantic dedup: one exact-integer Lloyd
+    * round of k-means over the embeddings (seeds = vec_id < 4),
+    * emitting per-cluster size, inertia, and the representative
+    * vector ([[graft.ops.SemanticCluster]]). The whole round is two
+    * scan-stage assignment passes against literal centroids plus one
+    * bounded (k·dim) refit aggregate — no shuffle ever carries a
+    * vector. */
+  private def qEmbKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.SemanticCluster.lloydOnce(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id") < 4))
+      .orderBy("cluster")
+  }
+
+  /** [[qEmbKmeans]] run to a second Lloyd round — assignments move as
+    * the centroids leave their seed positions, and the oracle mirrors
+    * BOTH rounds as generated CTE chains ([[kmeansOracleSql]]), the
+    * same single-source-of-truth pattern as the PageRank rank steps.
+    * Cost grows by exactly one scan + one bounded refit aggregate per
+    * extra round. */
+  private def qEmbKmeans2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.ops.SemanticCluster.lloyd(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id") < 4), refits = 2)
+      .orderBy("cluster")
+  }
+
+  /** [[qEmbKmeans]] with farthest-point (Gonzalez k-center) seeding
+    * instead of lowest-id seeds — the deterministic k-means++ stand-in
+    * AND a diversity-sampling primitive (the seeds themselves are k
+    * maximally-spread exemplars). The traversal and the Lloyd round
+    * are both integer-exact, so the full chain — including the
+    * non-contiguous seed ids the traversal picks — hash-matches the
+    * generated CTE mirror. */
+  private def qEmbKmeansFp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ids = graft.ops.SemanticCluster.farthestPointSeedIds(
+      emb, col("embedding"), col("vec_id"), k = 4)
+    graft.ops.SemanticCluster.lloydOnce(emb, col("embedding"), col("vec_id"),
+        emb.where(col("vec_id").isin(ids: _*)))
+      .orderBy("cluster")
+  }
+
+  /** Johnson–Lindenstrauss ±1 sign projection of the embeddings
+    * (64 → 16 dims, [[Vectors.signProject]]): the ANN-prefilter /
+    * embedding-compression primitive — distances survive (Achlioptas),
+    * memory and per-pair compute drop 4×. Integer-exact, so the
+    * oracle hash-pins the projected table (sampled components + the
+    * full projected norm² — array columns stay out of the compare).
+    * Pure scan-stage expression: one scan, zero shuffles before the
+    * final sort. */
+  private def qEmbRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val proj = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qz"))
+      .select(col("vec_id"), Vectors.signProject(col("qz"), 16, EMB_DIM).as("p"))
+    proj.select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"),
+        element_at(col("p"), 3).as("p2"), element_at(col("p"), 4).as("p3"),
+        Vectors.intNorm2(col("p")).as("pnorm2"))
+      .orderBy("vec_id")
+  }
+
+  /** EMBEDDING-SPACE DRIFT audit — cosine between the CENTROIDS of
+    * two deterministic halves of the embedding table (vec_id parity =
+    * the deployment-A/B or before/after-reencode split), plus the
+    * squared L2 gap and the worst-drifting dimension's gap — the
+    * regression check an embedding pipeline runs when the encoder,
+    * preprocessing, or corpus mix changes (the vector-space sibling
+    * of `events_drift_halves`). Exact integers throughout: centroids
+    * in MILLI-quantized units via `sign(s)·(|s|·1000 div n)` — the
+    * abs/sign form makes trunc and floor agree, so Spark's
+    * toward-zero `div` and DuckDB's floor `//` cannot split on
+    * negative sums — and cosine is emitted as `sign` + `cos²·10⁴`
+    * cross-multiplied (the [[graft.ops.Dedup.embeddingNearDups]]
+    * convention). Milli-centroid components are bounded by 10⁶
+    * regardless of n, so every product fits DECIMAL(38,0)/HUGEINT at
+    * ANY corpus size — the naive mean-free form (dot of raw sums)
+    * would overflow its square past ~10⁶ rows.
+    *
+    * Scale shape: scan-stage quantize + posexplode, ONE dim-keyed
+    * shuffle whose partial aggregates reduce to 64 rows map-side,
+    * then a 64-row fold — no window, no join, no collect.
+    */
+  private def qEmbCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 2 === 0).as("ha"),
+        posexplode(Vectors.quantize(col("embedding"))).as(Seq("dim", "qv")))
+    q.groupBy(col("dim"))
+      .agg(sum(when(col("ha"), col("qv")).otherwise(0L)).as("sa"),
+        sum(when(!col("ha"), col("qv")).otherwise(0L)).as("sb"),
+        sum(when(col("ha"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ha"), 1L).otherwise(0L)).as("cb"))
+      .select(
+        // greatest(·, 1): an empty parity half has sum 0, so the
+        // clamped division still yields the correct 0 centroid instead
+        // of a Spark-NULL / DuckDB-error engine split
+        expr("CAST(sign(sa) AS BIGINT) * ((abs(sa) * 1000) div greatest(ca, 1))")
+          .as("ma"),
+        expr("CAST(sign(sb) AS BIGINT) * ((abs(sb) * 1000) div greatest(cb, 1))")
+          .as("mb"),
+        col("ca"), col("cb"))
+      .agg(min(col("ca")).as("n_a"), min(col("cb")).as("n_b"),
+        sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("n2a"),
+        sum(col("mb") * col("mb")).as("n2b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .as("l2sq_diff_milli2"),
+        max(abs(col("ma") - col("mb"))).as("max_dim_gap"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(sign(dot) AS BIGINT)").as("dot_sign"),
+        expr("""CAST((10000 * CAST(dot AS DECIMAL(38,0)) * dot)
+                div greatest(CAST(n2a AS DECIMAL(38,0)) * n2b, 1)
+                AS BIGINT)""").as("cos2_bp"),
+        col("l2sq_diff_milli2"), col("max_dim_gap"))
+  }
+
+  /** Principal-direction projection ([[graft.ops.Pca]]): the corpus
+    * Gram matrix aggregates distributed (4096-long bounded collect),
+    * three integer power-iteration rounds run driver-side in BigInt,
+    * and every vector projects onto the literal converged direction as
+    * a scan-stage dot — the anisotropy-axis / whitening primitive for
+    * embedding spaces. Oracle replays the identical integer recurrence
+    * as CTEs, so pc1 is bit-exact across engines.
+    */
+  private def qEmbPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dirV = graft.ops.Pca.powerIterate(
+      graft.ops.Pca.gram(emb, col("embedding"), EMB_DIM), rounds = 3)
+    emb.select(col("vec_id"), col("label"),
+        graft.ops.Pca.project(Vectors.quantize(col("embedding")), dirV).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  /** Mutual 5-NN graph ([[mutualKnnEdges]]): the reciprocal-neighbor
+    * edge set that k-NN-graph clustering and agreement-based semantic
+    * dedup consume. Bucket-keyed self-join, WindowGroupLimit top-k,
+    * one semi join for reciprocity — engine-exact by integer dot +
+    * total rank order.
+    */
+  private def qEmbMutualKnn(s: SparkSession, dir: String): DataFrame =
+    mutualKnnEdges(s, dir)
+      .orderBy("vec_a", "vec_b")
+
+  /** Semi-supervised label spreading over the mutual-kNN graph (Zhu &
+    * Ghahramani 2002 label propagation, in the data-annotation role:
+    * a 10% labeled seed set annotates the rest of the corpus through
+    * embedding-neighborhood majority votes). Two rounds; each
+    * unlabeled vector adopts the majority label of its CURRENTLY
+    * labeled mutual neighbors (count desc, label asc — a total order,
+    * so the spread is engine-exact), seeds never change, and vectors
+    * with no labeled neighbor stay null. Rides the same memoized
+    * mutual-kNN edge set as `emb_mutual_knn` ([[mutualKnnEdges]] —
+    * the expensive build is paid once per session, not per consumer;
+    * each round is one edge-keyed join + one majority window on the
+    * src key).
+    */
+  private def qEmbLabelSpread(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val mk = mutualKnnEdges(s, dir)
+    val edges = mk.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(mk.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint(true) // 2 rounds re-read it; the kNN build runs once
+    val seeds = emb.select(col("vec_id"),
+      when(col("vec_id") % 10 === 0, col("label").cast("long")).as("lab"))
+    var lab = seeds
+    for (_ <- 1 to 2) {
+      val nbr = edges
+        .join(lab.select(col("vec_id").as("dst"), col("lab").as("nlab")), "dst")
+        .where(col("nlab").isNotNull)
+        .groupBy(col("src"), col("nlab")).agg(count(lit(1)).as("cnt"))
+      val top = nbr.withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("nlab").asc)))
+        .where(col("rn") === 1).select(col("src"), col("nlab"))
+      lab = lab.join(top, lab("vec_id") === top("src"), "left")
+        .select(col("vec_id"), coalesce(col("lab"), col("nlab")).as("lab"))
+    }
+    seeds.select(col("vec_id"), col("lab").as("seed_label"))
+      .join(lab.withColumnRenamed("lab", "spread_label"), "vec_id")
+      .orderBy("vec_id")
+  }
+
+  protected def vectorExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroid_drift" -> (qEmbCentroidDrift _),
+    "emb_int8_quant_error" -> (qEmbInt8QuantError _),
+    "emb_kmeans" -> (qEmbKmeans _),
+    "emb_kmeans2" -> (qEmbKmeans2 _),
+    "emb_kmeans_fp" -> (qEmbKmeansFp _),
+    "emb_label_spread" -> (qEmbLabelSpread _),
+    "emb_mutual_knn" -> (qEmbMutualKnn _),
+    "emb_norm_stats" -> (qEmbNormStats _),
+    "emb_outliers" -> (qEmbOutliers _),
+    "emb_pca_project" -> (qEmbPcaProject _),
+    "emb_random_projection" -> (qEmbRandomProjection _),
+    "emb_semdedup" -> (qEmbSemdedup _),
+    "sim_hybrid_rrf" -> (qSimHybridRrf _),
+    "sim_mmr_rerank" -> (qSimMmrRerank _),
+    "sim_topk_bruteforce" -> (qSimTopkBrute _),
+    "sim_topk_filtered" -> (qSimTopkFiltered _),
+    "sim_topk_ivf" -> (qSimTopkIvf _),
+    "sim_topk_ivf_filtered" -> (qSimTopkIvfFiltered _),
+    "sim_topk_ivfpq" -> (qSimTopkIvfPq _),
+    "sim_topk_ivfpq_filtered" -> (qSimTopkIvfPqFiltered _),
+    "sim_topk_lsh" -> (qSimTopkLsh _),
+    "sim_topk_pq" -> (qSimTopkPq _),
+    "sim_topk_pq_filtered" -> (qSimTopkPqFiltered _),
+  )
+
+  protected def vectorExtOracles: Map[String, String] = Map(
+    "emb_centroid_drift" ->
+      s"""WITH q AS (SELECT vec_id % 2 = 0 AS ha,
+         |             ${Vectors.quantizeSql("embedding")} AS qz
+         |           FROM embeddings),
+         |e AS (SELECT ha, i AS dim, qz[i] AS qv
+         |      FROM q, LATERAL (SELECT unnest(generate_series(1, $EMB_DIM)) AS i) g),
+         |s AS (SELECT dim,
+         |        CAST(SUM(CASE WHEN ha THEN qv ELSE 0 END) AS BIGINT) AS sa,
+         |        CAST(SUM(CASE WHEN NOT ha THEN qv ELSE 0 END) AS BIGINT) AS sb,
+         |        CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(SUM(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM e GROUP BY 1),
+         |m AS (SELECT CAST(sign(sa) AS BIGINT)
+         |               * ((abs(sa) * 1000) // greatest(ca, 1)) AS ma,
+         |             CAST(sign(sb) AS BIGINT)
+         |               * ((abs(sb) * 1000) // greatest(cb, 1)) AS mb,
+         |             ca, cb FROM s),
+         |a AS (SELECT MIN(ca) AS n_a, MIN(cb) AS n_b,
+         |             CAST(SUM(ma * mb) AS BIGINT) AS dot,
+         |             CAST(SUM(ma * ma) AS BIGINT) AS n2a,
+         |             CAST(SUM(mb * mb) AS BIGINT) AS n2b,
+         |             CAST(SUM((ma - mb) * (ma - mb)) AS BIGINT)
+         |               AS l2sq_diff_milli2,
+         |             CAST(MAX(abs(ma - mb)) AS BIGINT) AS max_dim_gap
+         |      FROM m)
+         |SELECT n_a, n_b, CAST(sign(dot) AS BIGINT) AS dot_sign,
+         |       CAST((10000 * CAST(dot AS HUGEINT) * dot)
+         |            // greatest(CAST(n2a AS HUGEINT) * n2b, 1) AS BIGINT)
+         |         AS cos2_bp,
+         |       l2sq_diff_milli2, max_dim_gap
+         |FROM a""".stripMargin,
+
+    "emb_int8_quant_error" ->
+      s"""WITH q AS (SELECT label, ${Vectors.quantizeSql("embedding")} AS q
+         |           FROM embeddings),
+         |sc AS (SELECT label, q,
+         |         -- COALESCE matches Spark's aggregate(..., 0L, ...) fold,
+         |         -- which returns 0 (not NULL) on a zero-length embedding;
+         |         -- DuckDB's list_max/list_sum return NULL there (r16 ADVICE)
+         |         greatest(COALESCE(
+         |           list_max(list_transform(q, x -> abs(x))), 0), 1) AS s
+         |       FROM q),
+         |e AS (SELECT label, s,
+         |        CAST(COALESCE(list_sum(list_transform(q, x -> abs(abs(x) -
+         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254))), 0)
+         |          AS BIGINT) AS e_sum,
+         |        CAST(COALESCE(list_max(list_transform(q, x -> abs(abs(x) -
+         |          (((abs(x) * 254 + s) // (2 * s)) * 2 * s + 127) // 254))), 0)
+         |          AS BIGINT) AS e_max
+         |      FROM sc)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(e_sum) AS BIGINT) AS sum_err,
+         |       CAST(MAX(e_max) AS BIGINT) AS max_err,
+         |       CAST(SUM(s) AS BIGINT) AS sum_scale
+         |FROM e GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "emb_kmeans" -> kmeansOracleSql(refits = 1),
+
+    "emb_kmeans2" -> kmeansOracleSql(refits = 2),
+
+    "emb_kmeans_fp" -> kmeansOracleSql(refits = 1, seedsCte = kcenterSeedsCte(4)),
+
+    "emb_label_spread" ->
+      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, 32, EMB_DIM)},
+         |ed AS (SELECT vec_a AS src, vec_b AS dst FROM mk
+         |       UNION ALL SELECT vec_b, vec_a FROM mk),
+         |l0 AS (SELECT vec_id,
+         |         CASE WHEN vec_id % 10 = 0 THEN CAST(label AS BIGINT) END AS lab
+         |       FROM embeddings),
+         |n1 AS (SELECT ed.src, l0.lab AS nlab, COUNT(*) AS cnt
+         |       FROM ed JOIN l0 ON ed.dst = l0.vec_id
+         |       WHERE l0.lab IS NOT NULL GROUP BY 1, 2),
+         |t1 AS (SELECT src, nlab FROM (
+         |         SELECT src, nlab, row_number() OVER (PARTITION BY src
+         |           ORDER BY cnt DESC, nlab) AS rn FROM n1) WHERE rn = 1),
+         |l1 AS (SELECT l0.vec_id, COALESCE(l0.lab, t1.nlab) AS lab
+         |       FROM l0 LEFT JOIN t1 ON l0.vec_id = t1.src),
+         |n2 AS (SELECT ed.src, l1.lab AS nlab, COUNT(*) AS cnt
+         |       FROM ed JOIN l1 ON ed.dst = l1.vec_id
+         |       WHERE l1.lab IS NOT NULL GROUP BY 1, 2),
+         |t2 AS (SELECT src, nlab FROM (
+         |         SELECT src, nlab, row_number() OVER (PARTITION BY src
+         |           ORDER BY cnt DESC, nlab) AS rn FROM n2) WHERE rn = 1),
+         |l2 AS (SELECT l1.vec_id, COALESCE(l1.lab, t2.nlab) AS lab
+         |       FROM l1 LEFT JOIN t2 ON l1.vec_id = t2.src)
+         |SELECT l0.vec_id, l0.lab AS seed_label, l2.lab AS spread_label
+         |FROM l0 JOIN l2 ON l0.vec_id = l2.vec_id ORDER BY 1""".stripMargin,
+
+    "emb_mutual_knn" ->
+      s"""WITH ${graft.ops.Similarity.mutualKnnSqlCtes(5, 6, 32, EMB_DIM)}
+         |SELECT vec_a, vec_b, dot FROM mk ORDER BY 1, 2""".stripMargin,
+
+    "emb_norm_stats" ->
+      s"""WITH q AS (SELECT label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |n AS (SELECT label, ${Vectors.intNorm2Sql("q", EMB_DIM)} AS n2 FROM q)
+         |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(n2) AS BIGINT) AS sum_norm2,
+         |       MIN(n2) AS min_norm2, MAX(n2) AS max_norm2
+         |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "emb_outliers" -> {
+      val dim = EMB_DIM
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4),
+         |d1 AS (SELECT v.vec_id, v.q, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, q, cid AS cl, sc FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
+         |o AS (SELECT vec_id, cl, ${Vectors.intNorm2Sql("q", dim)} + sc AS d2
+         |      FROM a1 ORDER BY d2 DESC, vec_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank,
+         |       vec_id, cl, d2
+         |FROM o ORDER BY rank""".stripMargin
+    },
+
+    "emb_pca_project" -> graft.ops.Pca.projectSql(EMB_DIM, rounds = 3),
+
+    "emb_random_projection" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |p AS (SELECT vec_id, ${Vectors.signProjectSql("q", 16, EMB_DIM)} AS p FROM q)
+         |SELECT vec_id, p[1] AS p0, p[2] AS p1, p[3] AS p2, p[4] AS p3,
+         |       ${Vectors.intNorm2Sql("p", 16)} AS pnorm2
+         |FROM p ORDER BY vec_id""".stripMargin,
+
+    "emb_semdedup" -> {
+      val dim = EMB_DIM
+      s"""WITH RECURSIVE q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q
+         |          WHERE vec_id < (SELECT greatest(4, count(*) // $SemdedupCellTarget)
+         |                          FROM embeddings)),
+         |d1 AS (SELECT v.vec_id, v.q, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, q, cid AS cl FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
+         |n AS (SELECT vec_id, cl, q, ${Vectors.intNorm2Sql("q", dim)} AS n2 FROM a1),
+         |p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+         |       ${Vectors.intDotSql("x.q", "y.q", dim)} AS dot,
+         |       x.n2 AS n2a, y.n2 AS n2b
+         |      FROM n x JOIN n y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |  WHERE dot > 0 AND 10000 * CAST(dot AS HUGEINT) * dot >= 1600 * CAST(n2a AS HUGEINT) * n2b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT a1.vec_id, a1.cl AS cluster,
+         |       (cc.comp IS NULL OR cc.comp = a1.vec_id) AS keep
+         |FROM a1 LEFT JOIN cc ON a1.vec_id = cc.id
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "sim_hybrid_rrf" ->
+      s"""WITH lexb AS (SELECT * FROM (
+         |${graft.ops.Retrieval.bm25TopKSql(bm25Terms, 20)}) x),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM lexb),
+         |q AS (SELECT vec_id, ${graft.ops.Vectors.quantizeSql("embedding")} AS qz
+         |      FROM embeddings),
+         |qq AS (SELECT qz AS qqz FROM q WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id AS doc_id,
+         |         ${graft.ops.Vectors.intDotSql("c.qz", "qqz", EMB_DIM)} AS dot
+         |       FROM q c CROSS JOIN qq WHERE c.vec_id <> 0),
+         |dense AS (SELECT doc_id, rnk AS dense_rank FROM (
+         |            SELECT doc_id, CAST(row_number() OVER (
+         |              ORDER BY dot DESC, doc_id) AS BIGINT) AS rnk FROM sc) r
+         |          WHERE rnk <= 20),
+         |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |             COALESCE(l.lex_rank, 0) AS lex_rank,
+         |             COALESCE(d.dense_rank, 0) AS dense_rank
+         |      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+         |scr AS (SELECT *,
+         |          (CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank) ELSE 0 END)
+         |        + (CASE WHEN dense_rank > 0 THEN 1000000 // (60 + dense_rank) ELSE 0 END)
+         |          AS rrf_x1e6 FROM f),
+         |t AS (SELECT * FROM scr ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT)
+         |         AS fused_rank,
+         |       doc_id, lex_rank, dense_rank, CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+         |FROM t ORDER BY fused_rank""".stripMargin,
+
+    "sim_mmr_rerank" ->
+      s"""WITH ${graft.ops.Similarity.mmrRerankSql(0L, 20, 5, EMB_DIM)}
+         |SELECT rank, vec_id, dot_q, mmr FROM picks ORDER BY rank""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM q c CROSS JOIN q s WHERE c.vec_id >= 8 AND s.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
+         |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "sim_topk_filtered" ->
+      s"""WITH q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM q c CROSS JOIN q s
+         |      WHERE c.vec_id >= 8 AND c.label < 5 AND s.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
+         |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    // the ANN audit contract: every query vector yields exactly
+    // least(k=10, candidate availability) results and clears its
+    // calibrated recall floor. The neighbor SETS can't be
+    // SQL-expressed (iterative k-means training), but this summary is
+    // deterministic on the seeded fixture — the engine-side recall_ok
+    // is computed against the in-engine exact brute-force top-k, so a
+    // broken index (empty cells, collapsed codebook, lost shortlist)
+    // fails the hash compare. The expected count derives from the
+    // fixture (LEAST over the candidate pool), not a hard-coded 10,
+    // so a regenerated fixture with a scarcer pool fails as a recall
+    // problem, not a spurious row-count mismatch. Residual
+    // assumption, probed-cells-local and NOT SQL-derivable: whenever
+    // the GLOBAL pool holds ≥ k candidates, the probed cells retain
+    // ≥ k too — true by a wide margin on all measured fixtures
+    // (calibration next to the 45/15 recall floors).
+    "sim_topk_ivf" ->
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8)) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    // same audit contract as sim_topk_ivf, with the candidate pool
+    // restricted by the engine's metadata predicate (label < 5)
+    "sim_topk_ivf_filtered" ->
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8 AND label < 5)) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    "sim_topk_ivfpq" ->
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8)) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    "sim_topk_ivfpq_filtered" ->
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8 AND label < 5)) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${Vectors.signBucketSql("q", 8)} AS bucket FROM q),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM n c JOIN n s ON c.bucket = s.bucket
+         |      WHERE c.vec_id >= 8 AND s.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
+         |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
+         |WHERE rnk <= 5 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "sim_topk_pq" ->
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8)) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+    "sim_topk_pq_filtered" ->
+      """SELECT vec_id AS q_vec_id,
+        |       LEAST(CAST(10 AS BIGINT), (SELECT COUNT(*) FROM embeddings
+        |              WHERE vec_id >= 8 AND label < 5)) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY 1""".stripMargin,
+
+  )
+}
