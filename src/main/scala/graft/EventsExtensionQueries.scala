@@ -1048,6 +1048,29 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("event_type")
   }
 
+  /** Sample-ratio-mismatch guardrail — the sanity gate every A/B
+    * readout runs FIRST (a biased assignment invalidates ab_test and
+    * cuped before any effect is read). Under a 50/50 split the
+    * one-degree chi-square statistic collapses to the exact integer
+    * form (n_a − n_b)² / n: with e = n/2, both squared deviations are
+    * (d/2)², so χ² = 2·(d/2)²/(n/2) = d²/n — no floats anywhere.
+    * Flag at the standard α = 0.05 critical value 3.8415 (×10⁴ as an
+    * integer threshold). One distinct-user aggregate into a 1-row
+    * fold; no window, no join, no re-scan.
+    */
+  private def qEventsSrmCheck(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .agg(
+        sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("user_id"), lit(2)) =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b")).as("n_users"),
+        (col("n_a") - col("n_b")).as("diff"),
+        expr("((n_a - n_b) * (n_a - n_b) * 10000) div greatest(n_a + n_b, 1)")
+          .as("chi2_x10000"))
+      .withColumn("srm_flag", col("chi2_x10000") >= 38415L)
+
   /** A/B experiment readout in exact integers — the experimentation
     * primitive next to the funnel/retention family: users split by the
     * deterministic id parity (the fixture carries no assignment
@@ -1503,6 +1526,7 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
 
   protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_test" -> (qEventsAbTest _),
+    "events_srm_check" -> (qEventsSrmCheck _),
     "events_approx_distinct" -> (qEventsApproxDistinct _),
     "events_approx_quantiles" -> (qEventsApproxQuantiles _),
     "events_asof_join" -> (qEventsAsofJoin _),
@@ -1557,6 +1581,19 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def eventsExtOracles: Map[String, String] = Map(
+    "events_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b, n_a + n_b AS n_users, n_a - n_b AS diff,
+        |       ((n_a - n_b) * (n_a - n_b) * 10000) // greatest(n_a + n_b, 1)
+        |         AS chi2_x10000,
+        |       ((n_a - n_b) * (n_a - n_b) * 10000) // greatest(n_a + n_b, 1)
+        |         >= 38415 AS srm_flag
+        |FROM c""".stripMargin,
+
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -571,6 +571,44 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
           .as("compression_bp"))
       .orderBy("doc_id")
 
+  /** Boilerplate-coverage quality signal: the share of each document
+    * made of the corpus's 20 most frequent trigrams — the
+    * template/navigation/licence-header detector that complements
+    * text_repetition (WITHIN-doc repetition): a doc can be internally
+    * diverse yet 80% assembled from corpus-wide boilerplate, and it's
+    * the cross-doc kind that poisons an LM. Per doc: trigram position
+    * count, boilerplate-position count, and coverage in basis points
+    * (exact integer division).
+    *
+    * Scale shape: two passes over the trigram stream — a gram-keyed
+    * count for the global top-20 (map-side combined, top-k bounded),
+    * then a scan with the 20-row table broadcast and one doc-keyed
+    * aggregate. The two passes are the honest trade: persisting the
+    * exploded gram stream to save a scan would cache a frame ~3× the
+    * corpus. */
+  private def qTextBoilerplateCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+    def tris(src: DataFrame): DataFrame = src.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 2),
+          slice(col("tk"), lit(2), size(col("tk")) - 2),
+          slice(col("tk"), lit(3), size(col("tk")) - 2))).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("tri"))
+    val top = tris(docs).groupBy(col("tri")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tri").asc).limit(20)
+      .select(col("tri"), lit(true).as("boiler"))
+    tris(docs).join(broadcast(top), Seq("tri"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_boiler"),
+        expr("(10000 * n_boiler) div n_trigrams").as("coverage_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007 —
     * "Large Language Models in Machine Translation": at web scale the
     * unnormalized 0.4-backoff score replaces Kneser-Ney and quality
@@ -676,12 +714,29 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
     "text_tfidf" -> (qTextTfidf _),
     "text_token_stats" -> (qTextTokenStats _),
     "text_trigram_backoff" -> (qTextTrigramBackoff _),
+    "text_boilerplate_coverage" -> (qTextBoilerplateCoverage _),
     "text_vocab_growth" -> (qTextVocabGrowth _),
     "text_vocab_topk" -> (qTextVocabTopk _),
     "text_zipf_audit" -> (qTextZipfAudit _),
   )
 
   protected def textExtOracles: Map[String, String] = Map(
+    // same deterministic top-20 cut both sides: (freq DESC, tri ASC)
+    "text_boilerplate_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
+         |tg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tri
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) g
+         |       WHERE len(tk) >= 3),
+         |bp AS (SELECT tri FROM (SELECT tri, COUNT(*) AS f FROM tg GROUP BY 1
+         |        ORDER BY f DESC, tri ASC LIMIT 20)),
+         |agg AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |          CAST(SUM(CASE WHEN bp.tri IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_boiler
+         |        FROM tg d LEFT JOIN bp ON d.tri = bp.tri GROUP BY 1)
+         |SELECT doc_id, n_trigrams, n_boiler,
+         |       (10000 * n_boiler) // n_trigrams AS coverage_bp
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
     "text_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),
          |b0 AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS l, unnest(tk[2:len(tk)]) AS r

@@ -184,6 +184,82 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
       .orderBy("q_vec_id", "rnk")
   }
 
+  /** k-NN label-vote classification over the serving split — the
+    * labeling/moderation service one step past top-k retrieval: each
+    * query vector takes the majority label of its 10 exact nearest
+    * candidates (ties → smallest label), reported against its own
+    * label. Neighbor sets ride the SAME integer-dot brute-force
+    * contract as sim_topk_bruteforce, so the oracle reproduces them
+    * bit-for-bit.
+    *
+    * Scale shape: the query side is a bounded serving set (8 vectors
+    * broadcast), so scoring is one scan-stage pass over candidates;
+    * the label lookup joins the 80-row top-k frame INTO the
+    * embeddings scan as a broadcast, never the reverse; the vote is
+    * an 80-row aggregate. No data-sized shuffle anywhere. */
+  private def qSimKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val top = Similarity.topKBruteForce(emb.where(col("vec_id") >= 8),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"), k = 10)
+      .select(col("q_vec_id"), col("vec_id"))
+    val nbr = emb.select(col("vec_id"), col("label").cast("long").as("nbr_label"))
+      .join(broadcast(top), Seq("vec_id"))
+    val votes = nbr.groupBy(col("q_vec_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("votes").desc, col("nbr_label").asc)))
+      .where(col("pr") === 1)
+    pred.join(broadcast(emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_vec_id"), col("label").cast("long").as("true_label"))),
+        Seq("q_vec_id"))
+      .select(col("q_vec_id"), col("nbr_label").as("pred_label"),
+        col("votes"), col("true_label"),
+        (col("nbr_label") === col("true_label")).as("correct"))
+      .orderBy("q_vec_id")
+  }
+
+  /** Triplet mining for contrastive training: per anchor (the serving
+    * query set), the HARDEST POSITIVE (same-label candidate with the
+    * minimum dot — the farthest example the model must still pull in)
+    * and the HARDEST NEGATIVE (different-label candidate with the
+    * maximum dot — the closest impostor it must push out), plus the
+    * triplet margin pos_dot − neg_dot (negative ⇒ violated triplet —
+    * exactly the rows a miner feeds back into training). Exact
+    * integer dots, argmin/argmax tie-broken by vec_id.
+    *
+    * Scale shape: anchors broadcast, so scoring is scan-stage; the
+    * arg-extremes are struct-min AGGREGATES (map-side combined, one
+    * shuffle of 2 tiny partials per anchor) — NOT windows over the
+    * scored frame, which would sort data-sized partitions per anchor
+    * at 100 TB. (-dot, vec_id) struct-min gives the max-dot argmax
+    * with the same asc vec_id tie-break the oracle's window uses. */
+  private def qEmbTripletMining(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qdot = graft.functions.GraftFunctions.registerQDot(s)
+    val anchors = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
+        col("label").cast("long").as("a_label"))
+    val scored = emb.where(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding").as("v"),
+        col("label").cast("long").as("c_label"))
+      .crossJoin(broadcast(anchors))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"),
+        qdot(col("v"), col("qv")).as("dot"),
+        (col("c_label") === col("a_label")).as("same"))
+    scored.groupBy(col("anchor_id"), col("a_label"))
+      .agg(
+        min(when(col("same"), struct(col("dot"), col("vec_id")))).as("pos"),
+        min(when(!col("same"), struct((-col("dot")).as("ndot"), col("vec_id")))).as("neg"))
+      .where(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor_id"), col("a_label"),
+        col("pos.vec_id").as("pos_id"), col("pos.dot").as("pos_dot"),
+        col("neg.vec_id").as("neg_id"), (-col("neg.ndot")).as("neg_dot"),
+        (col("pos.dot") + col("neg.ndot")).as("margin"))
+      .orderBy("anchor_id")
+  }
+
   private def qSimTopkLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.topKLsh(emb.where(col("vec_id") >= 8),
@@ -430,6 +506,8 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "sim_mmr_rerank" -> (qSimMmrRerank _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
+    "sim_knn_classify" -> (qSimKnnClassify _),
+    "emb_triplet_mining" -> (qEmbTripletMining _),
     "sim_topk_filtered" -> (qSimTopkFiltered _),
     "sim_topk_ivf" -> (qSimTopkIvf _),
     "sim_topk_ivf_filtered" -> (qSimTopkIvfFiltered _),
@@ -633,6 +711,50 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
     "sim_mmr_rerank" ->
       s"""WITH ${graft.ops.Similarity.mmrRerankSql(0L, 20, 5, EMB_DIM)}
          |SELECT rank, vec_id, dot_q, mmr FROM picks ORDER BY rank""".stripMargin,
+
+    // identical neighbor contract as sim_topk_bruteforce (same scored
+    // CTE), then the vote: per (query, neighbor-label) counts, rank 1
+    // by (votes DESC, label ASC) — the engine's window mirror
+    "sim_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM q c CROSS JOIN q s WHERE c.vec_id >= 8 AND s.vec_id < 8),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored),
+         |top AS (SELECT q_vec_id, vec_id FROM r WHERE rnk <= 10),
+         |v AS (SELECT t.q_vec_id, CAST(e.label AS BIGINT) AS nbr_label,
+         |        CAST(COUNT(*) AS BIGINT) AS votes
+         |      FROM top t JOIN q e ON t.vec_id = e.vec_id GROUP BY 1, 2),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |       ORDER BY votes DESC, nbr_label ASC) AS pr FROM v)
+         |SELECT p.q_vec_id, p.nbr_label AS pred_label, p.votes,
+         |       CAST(e.label AS BIGINT) AS true_label,
+         |       p.nbr_label = CAST(e.label AS BIGINT) AS correct
+         |FROM p JOIN q e ON p.q_vec_id = e.vec_id
+         |WHERE p.pr = 1 ORDER BY p.q_vec_id""".stripMargin,
+
+    // argmin/argmax mirrored as rank-1 windows with the same
+    // (dot, vec_id) tie-break the engine's struct-min aggregates use
+    "emb_triplet_mining" ->
+      s"""WITH q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT s.vec_id AS anchor_id,
+         |       CAST(s.label AS BIGINT) AS a_label, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot,
+         |       c.label = s.label AS same
+         |      FROM q c CROSS JOIN q s WHERE c.vec_id >= 8 AND s.vec_id < 8),
+         |pos AS (SELECT anchor_id, a_label, vec_id AS pos_id, dot AS pos_dot,
+         |          row_number() OVER (PARTITION BY anchor_id
+         |            ORDER BY dot ASC, vec_id ASC) AS rn
+         |        FROM scored WHERE same),
+         |neg AS (SELECT anchor_id, vec_id AS neg_id, dot AS neg_dot,
+         |          row_number() OVER (PARTITION BY anchor_id
+         |            ORDER BY dot DESC, vec_id ASC) AS rn
+         |        FROM scored WHERE NOT same)
+         |SELECT p.anchor_id, p.a_label, p.pos_id, p.pos_dot,
+         |       n.neg_id, n.neg_dot, p.pos_dot - n.neg_dot AS margin
+         |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+         |WHERE p.rn = 1 AND n.rn = 1 ORDER BY p.anchor_id""".stripMargin,
 
     "sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
