@@ -100,7 +100,12 @@ class DeterminismSpec extends SparkSpec {
                            // co-presence graph — iterative min-label
                            // fixpoint must be partitioning-blind
     "corpus_curriculum_order", // globalRank two-pass over (tier, hash)
-    "events_cuped")        // pooled integer moments + sign/abs bp folds
+    "events_cuped",        // pooled integer moments + sign/abs bp folds
+    "events_srm_check",    // distinct-user parity fold + integer chi2
+    "sim_knn_classify",    // top-k neighbor votes + (votes, label) rank
+    "emb_triplet_mining",  // struct-min arg-extremes with vec_id ties
+    "emb_semdedup",        // per-cell union-find labels (blocked form)
+    "text_boilerplate_coverage") // global top-20 cut + membership fold
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

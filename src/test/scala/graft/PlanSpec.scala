@@ -844,4 +844,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "no data-sized join belongs in a 1-row readout")
   }
+
+  test("events_srm_check: aggregate-only plan — no join, no window, one scan") {
+    val p = planOf("events_srm_check")
+    assert(!p.contains("Join"), "the guardrail must not join")
+    assert(!p.contains("Window"), "the guardrail must not window")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "one pass over events feeds the 1-row fold")
+    assert(!p.contains("event_type"),
+      "column pruning must drop everything but user_id")
+  }
+
+  test("sim_knn_classify: top-k frame broadcasts INTO the label scan, never the reverse") {
+    val p = planOf("sim_knn_classify")
+    assert(!p.contains("CartesianProduct"),
+      "query scoring must be a broadcast, not a cartesian")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 80-row top-k and 8-row label frames must broadcast — a " +
+        "data-sized shuffle join means the broadcast direction flipped")
+    assert(p.contains("WindowGroupLimit"),
+      "the top-10 rank cut must pre-reduce map-side")
+  }
+
+  test("emb_triplet_mining: arg-extremes are aggregates, not per-anchor windows") {
+    val p = planOf("emb_triplet_mining")
+    assert(!p.contains("Window"),
+      "struct-min aggregates replaced per-anchor windows — a Window " +
+        "here sorts data-sized partitions per anchor at scale")
+    assert(!p.contains("CartesianProduct"),
+      "anchor scoring must be a broadcast, not a cartesian")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "nothing data-sized may shuffle-join in the mining readout")
+  }
+
+  test("text_boilerplate_coverage: top-20 broadcast membership, two honest gram passes") {
+    val p = planOf("text_boilerplate_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20-row boilerplate set must broadcast into the gram stream")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffled membership join means the broadcast was lost")
+    assert(!p.contains("Window"), "coverage is aggregate-only")
+    assert("Scan parquet".r.findAllIn(p).length == 2,
+      "exactly two passes over documents (top-k count, membership fold) " +
+        "— more means a branch re-derived the gram stream")
+  }
 }
