@@ -41,6 +41,50 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
     * corpus. Every stage is one of the already-oracle-checked operators;
     * this query gates their composition.
     */
+  /** Dedup-funnel readout — the per-stage attrition table a corpus
+    * datacard publishes: raw → exact dedup (md5-of-normal-form
+    * first-writer-wins) → near-dup dedup (MinHash-verified component
+    * minima), with docs in / dropped / out at each stage. Exact-dup
+    * groups are subsets of near-dup components, so every component
+    * minimum survives the exact stage and the stages compose without
+    * a re-canonicalization pass (the property that makes staged dedup
+    * safe to pipeline at all).
+    *
+    * Scale shape: two cheap projected scans of documents (fingerprint
+    * fold, survivor count) plus the memoized component labels the
+    * cluster queries already share; the three counts ride 1-row
+    * broadcast frames into a literal 3-row explode. Oracle recomputes
+    * the near-dup fixpoint with the exact recursive closure.
+    */
+  private def qCorpusDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val comp = dedupComponents(s, dir)
+    val nearKeep = keepers.join(comp, keepers("doc_id") === comp("id"), "left")
+      .where(col("id").isNull || col("comp") === keepers("doc_id"))
+    val c0 = docs.agg(count(lit(1)).as("n_raw"))
+    val c1 = keepers.agg(count(lit(1)).as("n_exact"))
+    val c2 = nearKeep.agg(count(lit(1)).as("n_near"))
+    c0.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+      .select(explode(array(
+        struct(lit(1L).as("stage_ord"), lit("raw").as("stage"),
+          col("n_raw").as("n_in"), lit(0L).as("n_dropped"),
+          col("n_raw").as("n_out")),
+        struct(lit(2L).as("stage_ord"), lit("exact_dedup").as("stage"),
+          col("n_raw").as("n_in"),
+          (col("n_raw") - col("n_exact")).as("n_dropped"),
+          col("n_exact").as("n_out")),
+        struct(lit(3L).as("stage_ord"), lit("near_dedup").as("stage"),
+          col("n_exact").as("n_in"),
+          (col("n_exact") - col("n_near")).as("n_dropped"),
+          col("n_near").as("n_out")))).as("r"))
+      .select(col("r.stage_ord").as("stage_ord"), col("r.stage").as("stage"),
+        col("r.n_in").as("n_in"), col("r.n_dropped").as("n_dropped"),
+        col("r.n_out").as("n_out"))
+      .orderBy("stage_ord")
+  }
+
   private def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val quality = docs.select(col("doc_id"), col("text"))
@@ -672,6 +716,7 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
     "corpus_curriculum_order" -> (qCorpusCurriculumOrder _),
     "corpus_datacard" -> (qCorpusDatacard _),
     "corpus_dedup_keep_best" -> (qCorpusDedupKeepBest _),
+    "corpus_dedup_funnel" -> (qCorpusDedupFunnel _),
     "corpus_folded_packing" -> (qCorpusFoldedPacking _),
     "corpus_golden_record" -> (qCorpusGoldenRecord _),
     "corpus_importance_resample" -> (qCorpusImportanceResample _),
@@ -695,6 +740,27 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def corpusExtOracles: Map[String, String] = Map(
+    // near-dup fixpoint = the exact recursive closure (dedupClustersCtes,
+    // which opens the WITH RECURSIVE); stage counts from scalar subqueries
+    "corpus_dedup_funnel" ->
+      s"""$dedupClustersCtes,
+         |fp AS (SELECT doc_id,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |       FROM documents),
+         |ek AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+         |nd AS (SELECT e.doc_id FROM ek e LEFT JOIN cc ON cc.id = e.doc_id
+         |       WHERE cc.id IS NULL OR cc.comp = e.doc_id),
+         |c AS (SELECT CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_raw,
+         |             CAST((SELECT COUNT(*) FROM ek) AS BIGINT) AS n_exact,
+         |             CAST((SELECT COUNT(*) FROM nd) AS BIGINT) AS n_near)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage,
+         |         n_raw AS n_in, CAST(0 AS BIGINT) AS n_dropped, n_raw AS n_out
+         |  FROM c
+         |  UNION ALL SELECT 2, 'exact_dedup', n_raw, n_raw - n_exact, n_exact FROM c
+         |  UNION ALL SELECT 3, 'near_dedup', n_exact, n_exact - n_near, n_near FROM c)
+         |ORDER BY stage_ord""".stripMargin,
+
     "corpus_chunk_dedup" -> {
       val C = ChunkTokens
       s"""WITH t AS (SELECT doc_id, $TK AS tk FROM documents),

@@ -19,6 +19,51 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
     dedupPairs(s, dir)
       .orderBy("doc_a", "doc_b")
 
+  /** MinHash-estimator calibration certificate — the exact-audit-
+    * beside-sketch pattern (CMS, KMV, Bloom) applied to the dedup
+    * family's own sketch: for every LSH candidate pair, the Broder
+    * match-fraction Jaccard ESTIMATE from the 32-hash signature next
+    * to the EXACT shingle Jaccard, with the signed error in basis
+    * points. This is the table that justifies the banding thresholds:
+    * a drifting estimator (bad hash family, too few hashes) shows up
+    * here before it shows up as missed duplicates. All integer
+    * arithmetic; candidates, signatures, and constants are byte-shared
+    * with dedup_minhash_lsh so the oracle mirrors exactly.
+    *
+    * Scale shape: signature = one keyed wide-min shuffle; candidates
+    * = the capped band-bucket join; estimate = two doc-keyed joins of
+    * the candidate list against the signature frame; exact = the
+    * shingle-keyed intersection join. Nothing all-pairs.
+    */
+  private def qDedupMinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sig = Dedup.minhashSignature(sh, 32)
+    val cand = Dedup.lshCandidates(Dedup.minhashBandKeys(sh, 8, 4))
+    val matches = (0 until 32)
+      .map(h => when(col(s"x.mh$h") === col(s"y.mh$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("matches"),
+        expr("(10000 * matches) div 32").as("est_bp"),
+        expr("(10000 * coalesce(inter, 0L)) div (na + nb - coalesce(inter, 0L))")
+          .as("exact_bp"))
+      .withColumn("err_bp", col("est_bp") - col("exact_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
       .orderBy("doc_id")
@@ -156,6 +201,7 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
     "dedup_embedding_cos" -> (qDedupEmbedding _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_minhash_estimate" -> (qDedupMinhashEstimate _),
     "dedup_ngram_blocked" -> (qDedupNgramBlocked _),
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -164,6 +210,41 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def dedupExtOracles: Map[String, String] = Map(
+    // signature/candidate CTEs byte-shared with dedup_minhash_lsh;
+    // LEFT JOIN on the intersection: a band collision between docs
+    // with zero shared shingles is a legitimate estimator error row
+    "dedup_minhash_estimate" ->
+      s"""WITH $SHINGLE3,
+         |${Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |m AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(${(0 until 32).map(h =>
+               s"(CASE WHEN x.mh$h = y.mh$h THEN 1 ELSE 0 END)").mkString(" + ")}
+         |          AS BIGINT) AS matches
+         |      FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+         |                  JOIN sig y ON y.doc_id = c.doc_b),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN sh sa ON sa.doc_id = c.doc_a
+         |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2),
+         |e AS (SELECT m.doc_a, m.doc_b, m.matches,
+         |        (10000 * m.matches) // 32 AS est_bp,
+         |        CAST((10000 * COALESCE(i.inter, 0)) //
+         |          (ca.n_sh + cb.n_sh - COALESCE(i.inter, 0)) AS BIGINT) AS exact_bp
+         |      FROM m
+         |      LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+         |      JOIN cnt ca ON ca.doc_id = m.doc_a
+         |      JOIN cnt cb ON cb.doc_id = m.doc_b)
+         |SELECT doc_a, doc_b, matches, est_bp, exact_bp,
+         |       est_bp - exact_bp AS err_bp
+         |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+
     // shared by dedup_clusters / dedup_clusters_star /
     // dedup_clusters_adaptive: all three operators compute the
     // identical fixpoint, so one oracle gates them all

@@ -1048,6 +1048,30 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("event_type")
   }
 
+  /** Bot / automated-traffic screen — the data-hygiene filter an
+    * event-derived training corpus runs before anything else (a
+    * scripted client at machine rate poisons sessionization, funnels,
+    * and any engagement label). Per user: event count, distinct
+    * active minutes, and the sustained rate events-per-100-active-
+    * minutes in exact integers; flagged when the rate clears 300
+    * (≥ 3 events/min sustained) on a support of ≥ 20 events — both
+    * thresholds integer-exact on both engines. One distinct pass +
+    * one user-keyed aggregate; minute bucketing happens in the scan
+    * stage, and ts is normalized before any comparison.
+    */
+  private def qEventsBotDetection(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("minute", col("ts")).as("m"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("m")).as("active_min"))
+      .select(col("user_id"), col("n_events"), col("active_min"),
+        expr("(100 * n_events) div active_min").as("rate_x100"))
+      .withColumn("bot_flag",
+        col("rate_x100") >= 300L && col("n_events") >= 20L)
+      .orderBy("user_id")
+
   /** Sample-ratio-mismatch guardrail — the sanity gate every A/B
     * readout runs FIRST (a biased assignment invalidates ab_test and
     * cuped before any effect is read). Under a 50/50 split the
@@ -1527,6 +1551,7 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
   protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_test" -> (qEventsAbTest _),
     "events_srm_check" -> (qEventsSrmCheck _),
+    "events_bot_detection" -> (qEventsBotDetection _),
     "events_approx_distinct" -> (qEventsApproxDistinct _),
     "events_approx_quantiles" -> (qEventsApproxQuantiles _),
     "events_asof_join" -> (qEventsAsofJoin _),
@@ -1581,6 +1606,19 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def eventsExtOracles: Map[String, String] = Map(
+    "events_bot_detection" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m
+        |           FROM events),
+        |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(COUNT(DISTINCT m) AS BIGINT) AS active_min
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n_events, active_min,
+        |       (100 * n_events) // active_min AS rate_x100,
+        |       (100 * n_events) // active_min >= 300
+        |         AND n_events >= 20 AS bot_flag
+        |FROM u ORDER BY user_id""".stripMargin,
+
     "events_srm_check" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |c AS (SELECT

@@ -124,6 +124,23 @@ object Dedup {
       .select(col("doc_id"), expr(stackExpr))
   }
 
+  /** Per-doc minhash signature as WIDE columns (doc_id, mh0..mh{n-1}) —
+    * the raw per-hash minima [[minhashBandKeys]] folds into band keys,
+    * exposed for signature-level reads: Jaccard ESTIMATION (match
+    * fraction across the n hashes — Broder's original estimator) and
+    * its calibration against the exact shingle Jaccard. Same
+    * [[hashConsts]] family and the same one-keyed-shuffle wide
+    * aggregation, so the SQL mirror generated from the identical
+    * constants ([[minhashBandSqlCtes]]'s `sig` CTE) can never drift. */
+  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = shingles.select(col("doc_id"), Text.polyHash(col("shingle")).as("d"))
+    val mins = (0 until numHashes).map { h =>
+      val (a, b) = hashConsts(h)
+      min((col("d") * lit(a) + lit(b)) % lit(P)).as(s"mh$h")
+    }
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
   /** Per-ROW banded signature: the same (band, bk) keys as
     * [[minhashBandKeys]], computed with higher-order functions over the
     * doc's own shingle array — no explode, no keyed aggregation, no

@@ -105,7 +105,10 @@ class DeterminismSpec extends SparkSpec {
     "sim_knn_classify",    // top-k neighbor votes + (votes, label) rank
     "emb_triplet_mining",  // struct-min arg-extremes with vec_id ties
     "emb_semdedup",        // per-cell union-find labels (blocked form)
-    "text_boilerplate_coverage") // global top-20 cut + membership fold
+    "text_boilerplate_coverage", // global top-20 cut + membership fold
+    "dedup_minhash_estimate", // signature match-counts vs exact Jaccard
+    "events_bot_detection",  // minute-bucket distinct + rate quotients
+    "corpus_dedup_funnel")   // staged attrition counts over shared labels
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

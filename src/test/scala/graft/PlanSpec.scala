@@ -888,4 +888,22 @@ class PlanSpec extends SparkSpec {
       "exactly two passes over documents (top-k count, membership fold) " +
         "— more means a branch re-derived the gram stream")
   }
+
+  test("events_bot_detection: one pruned scan, no join, aggregate-only") {
+    val p = planOf("events_bot_detection")
+    assert(!p.contains("Join"), "the screen must not join")
+    assert(!p.contains("Window"), "the screen must not window")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "one pass over events feeds the user-keyed fold")
+    assert(!p.contains("props"), "column pruning must drop the wide props column")
+  }
+
+  test("dedup_minhash_estimate / corpus_dedup_funnel: keyed joins only, no cartesian") {
+    for (q <- Seq("dedup_minhash_estimate", "corpus_dedup_funnel")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a cartesian — the only nested loops allowed are " +
+          "broadcast 1-row/bounded frames")
+    }
+  }
 }
