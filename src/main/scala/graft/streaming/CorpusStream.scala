@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.ops.{Dedup, Text}
@@ -508,6 +508,132 @@ object CorpusStream {
         Window.partitionBy(col("q_vec_id"))
           .orderBy(col("dot").desc, col("vec_id").asc)))
       .where(col("rnk") <= k)
+  }
+
+  /** foreachBatch body for STREAMING SEMANTIC DEDUP — the continuous
+    * form of `emb_semdedup`: each micro-batch's vectors coarse-assign
+    * to their fixed k-means cell ([[annAssign]]) and are ADMITTED only
+    * if no already-admitted vector in the same cell sits within the
+    * SemDeDup cosine threshold (the identical integer form as the
+    * batch query: dot > 0 ∧ 10⁴·dot² ≥ 1600·n2a·n2b, i.e. cos ≥ 0.4).
+    * Admitted vectors append to the cell-partitioned store under
+    * `batch=N` with overwrite; per-vector decisions (admitted,
+    * dup_of) land in `decisionsDir/batch=N` the same way — so
+    * crash-replay REPLACES both outputs and the store read excludes
+    * the replaying batch's own partition ([[dedupBatch]]'s
+    * discipline).
+    *
+    * POLICY — greedy prefix admission, not component minima: a vector
+    * is rejected iff an ADMITTED earlier vector (earlier batch, or
+    * smaller vec_id within the batch) is within threshold, with
+    * dup_of = the smallest such admitted id. This is what a
+    * production ingest store can actually decide online (it can only
+    * compare against what it kept), and it makes admission
+    * BATCH-SPLIT INVARIANT: processing the same id-ordered rows in
+    * one batch or many yields identical decisions, because the
+    * admitted set is a deterministic function of the processed
+    * prefix. It intentionally differs from the batch query's
+    * component-minimum rule on CHAINS (a≈b≈c, a≉c: the offline pass
+    * keeps only a; the online pass must re-admit c after rejecting b,
+    * or every long drift chain would collapse to its first arrival).
+    * SemanticStreamSpec pins the greedy-MIS properties (every
+    * rejection names an admitted in-threshold witness; no two
+    * admitted vectors in a cell are within threshold) against a
+    * sequential in-memory replay, plus split-invariance and replay
+    * idempotence.
+    *
+    * Scale shape: within-batch pair generation and the store probe
+    * are both cell-blocked (the SemDeDup trade — cells bounded by
+    * sizing k to the corpus, the same fixed-model assumption as
+    * [[annIndexBatchPq]]); the greedy resolution runs per cell in one
+    * [[graft.ops.Components.componentsWithinGroups]]-style
+    * flatMapGroups whose memory is one entry per batch vector in the
+    * cell plus the cell's batch-internal edge list. Nothing iterates,
+    * nothing collects to the driver.
+    */
+  def semanticAdmitBatch(storeDir: String, decisionsDir: String,
+      centroids: Seq[Seq[Float]])(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    import s.implicits._
+    val qdot = graft.functions.GraftFunctions.registerQDot(s)
+    def nearTest(dot: Column, n2a: Column, n2b: Column): Column =
+      dot > 0 &&
+        lit(10000L).cast("decimal(38,0)") *
+          dot.cast("decimal(38,0)") * dot.cast("decimal(38,0)") >=
+        lit(1600L).cast("decimal(38,0)") *
+          n2a.cast("decimal(38,0)") * n2b.cast("decimal(38,0)")
+    val a = annAssign(batch, centroids)
+      .withColumn("n2", qdot(col("v"), col("v")))
+      .localCheckpoint(true) // feeds the probe, the pair join, and the append
+    val storeSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(FloatType)), StructField("cell", IntegerType),
+      StructField("batch", LongType)))
+    val store =
+      try s.read.schema(storeSchema).parquet(storeDir)
+        .where(col("batch") =!= batchId)
+        .select(col("vec_id"), col("v"), col("cell"))
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(storeSchema.dropRight(1)))
+      }
+    // earliest admitted store near-dup per batch vector (store rows are
+    // admitted by construction — the store IS the admitted set)
+    val storeDup = a.as("b").join(store.as("st"), col("b.cell") === col("st.cell"))
+      .where(nearTest(qdot(col("st.v"), col("b.v")),
+        qdot(col("st.v"), col("st.v")), col("b.n2")))
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("st.vec_id")).as("store_dup"))
+    // batch-internal threshold edges, cell-blocked like the batch query
+    val edges = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .where(nearTest(qdot(col("x.v"), col("y.v")), col("x.n2"), col("y.n2")))
+      .select(col("x.cell").as("cell"), col("x.vec_id").as("ea"),
+        col("y.vec_id").as("eb"))
+    // greedy prefix admission per cell: nodes (kind 0, with their store
+    // verdict) and edges (kind 1) fold through one grouped pass
+    val nodes = a.select(col("cell"), col("vec_id"))
+      .join(storeDup, Seq("vec_id"), "left")
+      .select(col("cell"), lit(0).as("kind"), col("vec_id").as("ea"),
+        coalesce(col("store_dup"), lit(-1L)).as("eb"))
+    val decided = nodes
+      .unionByName(edges.select(col("cell"), lit(1).as("kind"),
+        col("ea"), col("eb")))
+      .as[(Int, Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val storeHit = scala.collection.mutable.LongMap.empty[Long]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // neighbors of the LARGER endpoint — greedy only ever looks back
+        val back = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach {
+          case (_, 0, id, sd) =>
+            ids += id; if (sd >= 0) storeHit(id) = sd
+          case (_, _, ea, eb) =>
+            back.getOrElseUpdate(eb,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += ea
+        }
+        val admitted = scala.collection.mutable.LongMap.empty[Long]
+        ids.sorted.iterator.map { id =>
+          val inBatch = back.get(id).iterator.flatten
+            .filter(admitted.contains).reduceOption(_ min _)
+          val dup = (storeHit.get(id), inBatch) match {
+            case (Some(sdv), Some(ib)) => Some(sdv min ib)
+            case (sdv, ib) => sdv.orElse(ib)
+          }
+          if (dup.isEmpty) admitted(id) = id
+          (id, cell, dup.isEmpty, dup.getOrElse(-1L))
+        }
+      }
+      .toDF("vec_id", "cell", "admitted", "dup_of")
+      .localCheckpoint(true) // two writes below read one materialization
+    decided.write.mode("overwrite").parquet(s"$decisionsDir/batch=$batchId")
+    a.join(decided.where(col("admitted")).select(col("vec_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$storeDir/batch=$batchId")
   }
 
   /** PQ-coded variant of [[annIndexBatch]] — the IVF-PQ serving path
