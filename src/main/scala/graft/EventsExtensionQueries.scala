@@ -1048,6 +1048,82 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("event_type")
   }
 
+  /** Experiment power / minimum-detectable-effect readout — the
+    * fourth member of the experimentation quartet (srm → ab_test →
+    * cuped → power): at the standard 80% power / 5% two-sided alpha
+    * (z-combination 2.8016), the smallest conversion-rate lift the
+    * current sample can detect, in basis points. mde = 2.8016 ·
+    * √(2·p·(1−p)/n_min) with p the pooled rate; squared and scaled,
+    * mde_bp² = 156979252·p_bp·(10000−p_bp)/(10⁷·n_min), all integer.
+    * The square root is an EXACT integer sqrt: floor(sqrt(double))
+    * then a ±1 adjustment against the integer square — so a 1-ulp
+    * wobble in either engine's (correctly-rounded) sqrt cannot split
+    * the result. One distinct-user fold into a 1-row readout.
+    */
+  private def qEventsPowerAnalysis(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("a", pmod(col("user_id"), lit(2)) === 0)
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("a"), col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("a"), col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("pooled_bp",
+        expr("(10000 * (conv_a + conv_b)) div (n_a + n_b)"))
+      .withColumn("n_min", least(col("n_a"), col("n_b")))
+      .withColumn("m2", expr(
+        "(156979252 * pooled_bp * (10000 - pooled_bp)) div (10000000 * n_min)"))
+      .withColumn("r0", floor(sqrt(col("m2"))).cast("long"))
+      .withColumn("mde_bp", expr(
+        """CASE WHEN (r0 + 1) * (r0 + 1) <= m2 THEN r0 + 1
+          |     WHEN r0 * r0 > m2 THEN r0 - 1 ELSE r0 END""".stripMargin))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("pooled_bp"), col("n_min"), col("mde_bp"))
+
+  /** Inter-arrival burstiness profile — per event type, the exact
+    * rank-targeted p50/p90/max of the gap (in whole seconds, the twap
+    * truncation convention) between consecutive events: the temporal
+    * shape signal behind rate-limiter sizing, sessionization gap
+    * choice, and synthetic-traffic detection (a scripted feed shows a
+    * collapsed p50≈p90). Same rank convention as
+    * events_quantiles_exact ((n+1)//2 and (9n+9)//10 over the sorted
+    * multiset — deterministic values under ties). One type-keyed
+    * window for the lag, one for the gap ranks; ts normalized before
+    * any comparison.
+    */
+  private def qEventsInterArrival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        (expr("unix_micros(ts) div 1000000") - expr("prev_us div 1000000"))
+          .as("gap_s"))
+    // ONE pass: ranks and the per-type gap count ride the same
+    // event_type exchange (two Window specs, one shuffle), and the
+    // rank-targeted picks fold in a conditional aggregate — the
+    // join-back formulation re-scanned events once per percentile
+    val r = gaps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("gap_s").asc)))
+      .withColumn("n_gaps",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    r.groupBy(col("event_type"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        max(when(col("rn") === expr("(n_gaps + 1) div 2"), col("gap_s")))
+          .as("p50_gap_s"),
+        max(when(col("rn") === expr("(9 * n_gaps + 9) div 10"), col("gap_s")))
+          .as("p90_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
   /** Bot / automated-traffic screen — the data-hygiene filter an
     * event-derived training corpus runs before anything else (a
     * scripted client at machine rate poisons sessionization, funnels,
@@ -1552,6 +1628,8 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
     "events_ab_test" -> (qEventsAbTest _),
     "events_srm_check" -> (qEventsSrmCheck _),
     "events_bot_detection" -> (qEventsBotDetection _),
+    "events_power_analysis" -> (qEventsPowerAnalysis _),
+    "events_inter_arrival" -> (qEventsInterArrival _),
     "events_approx_distinct" -> (qEventsApproxDistinct _),
     "events_approx_quantiles" -> (qEventsApproxQuantiles _),
     "events_asof_join" -> (qEventsAsofJoin _),
@@ -1606,6 +1684,58 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def eventsExtOracles: Map[String, String] = Map(
+    // exact isqrt both sides: floor(sqrt(double)) then the ±1
+    // adjustment against the integer square, so sqrt rounding can't split
+    "events_power_analysis" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted,
+        |    user_id % 2 = 0 AS a
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u),
+        |d AS (SELECT *,
+        |    (10000 * (conv_a + conv_b)) // (n_a + n_b) AS pooled_bp,
+        |    least(n_a, n_b) AS n_min FROM f),
+        |m AS (SELECT *,
+        |    (156979252 * pooled_bp * (10000 - pooled_bp)) // (10000000 * n_min)
+        |      AS m2 FROM d),
+        |r AS (SELECT *, CAST(floor(sqrt(CAST(m2 AS DOUBLE))) AS BIGINT) AS r0
+        |      FROM m)
+        |SELECT n_a, n_b, conv_a, conv_b, pooled_bp, n_min,
+        |       CASE WHEN (r0 + 1) * (r0 + 1) <= m2 THEN r0 + 1
+        |            WHEN r0 * r0 > m2 THEN r0 - 1 ELSE r0 END AS mde_bp
+        |FROM r""".stripMargin,
+
+    // twap's whole-second truncation for the gap; quantile ranks use
+    // the events_quantiles_exact convention ((n+1)//2, (9n+9)//10)
+    "events_inter_arrival" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |        us // 1000000 - lag(us) OVER (PARTITION BY event_type
+        |          ORDER BY us, event_id) // 1000000 AS gap_s
+        |      FROM e),
+        |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |        CAST(MAX(gap_s) AS BIGINT) AS max_gap_s FROM gg GROUP BY 1),
+        |r AS (SELECT event_type, gap_s, row_number() OVER
+        |        (PARTITION BY event_type ORDER BY gap_s) AS rn FROM gg),
+        |p50 AS (SELECT r.event_type, CAST(r.gap_s AS BIGINT) AS p50_gap_s
+        |        FROM r JOIN n USING (event_type)
+        |        WHERE rn = (n_gaps + 1) // 2),
+        |p90 AS (SELECT r.event_type, CAST(r.gap_s AS BIGINT) AS p90_gap_s
+        |        FROM r JOIN n USING (event_type)
+        |        WHERE rn = (9 * n_gaps + 9) // 10)
+        |SELECT n.event_type, n.n_gaps, p50.p50_gap_s, p90.p90_gap_s,
+        |       n.max_gap_s
+        |FROM n JOIN p50 USING (event_type) JOIN p90 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "events_bot_detection" ->
       """WITH e AS (SELECT user_id, event_id,
         |             date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m

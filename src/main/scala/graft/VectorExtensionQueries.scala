@@ -184,6 +184,30 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
       .orderBy("q_vec_id", "rnk")
   }
 
+  /** IVF cell-balance audit — the index-health readout an ANN build
+    * publishes before serving: per coarse cell its occupancy and
+    * corpus share, plus the global imbalance factor max/mean ×100
+    * (a skewed cell is the one whose probe latency dominates the
+    * p99 at scale — the signal that triggers re-training or cell
+    * splitting). Rides the same seed-assignment frame as SemDeDup /
+    * emb_kmeans; the two global statistics join back as a 1-row
+    * broadcast. All integer arithmetic.
+    */
+  private def qEmbCellBalance(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val per = graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
+        col("vec_id"), emb.where(col("vec_id") < 4))
+      .groupBy(col("cl").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum(col("n_vecs")).as("total"),
+      max(col("n_vecs")).as("max_n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("(10000 * n_vecs) div total").as("share_bp"),
+        expr("(max_n * 400) div total").as("imbalance_x100"))
+      .orderBy("cell")
+  }
+
   /** k-NN label-vote classification over the serving split — the
     * labeling/moderation service one step past top-k retrieval: each
     * query vector takes the majority label of its 10 exact nearest
@@ -508,6 +532,7 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
     "sim_knn_classify" -> (qSimKnnClassify _),
     "emb_triplet_mining" -> (qEmbTripletMining _),
+    "emb_cell_balance" -> (qEmbCellBalance _),
     "sim_topk_filtered" -> (qSimTopkFiltered _),
     "sim_topk_ivf" -> (qSimTopkIvf _),
     "sim_topk_ivf_filtered" -> (qSimTopkIvfFiltered _),
@@ -711,6 +736,26 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
     "sim_mmr_rerank" ->
       s"""WITH ${graft.ops.Similarity.mmrRerankSql(0L, 20, 5, EMB_DIM)}
          |SELECT rank, vec_id, dot_q, mmr FROM picks ORDER BY rank""".stripMargin,
+
+    // same seed-assignment CTEs as the kmeans family (argmin ties →
+    // lowest cid on both engines); totals fold from the 4-row frame
+    "emb_cell_balance" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", EMB_DIM)} AS cn2 FROM q WHERE vec_id < 4),
+         |d1 AS (SELECT v.vec_id, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", EMB_DIM)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, cid AS cl FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
+         |per AS (SELECT cl AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |        FROM a1 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+         |             CAST(MAX(n_vecs) AS BIGINT) AS max_n FROM per)
+         |SELECT cell, n_vecs, (10000 * n_vecs) // total AS share_bp,
+         |       (max_n * 400) // total AS imbalance_x100
+         |FROM per, t ORDER BY cell""".stripMargin,
 
     // identical neighbor contract as sim_topk_bruteforce (same scored
     // CTE), then the vote: per (query, neighbor-label) counts, rank 1

@@ -108,7 +108,10 @@ class DeterminismSpec extends SparkSpec {
     "text_boilerplate_coverage", // global top-20 cut + membership fold
     "dedup_minhash_estimate", // signature match-counts vs exact Jaccard
     "events_bot_detection",  // minute-bucket distinct + rate quotients
-    "corpus_dedup_funnel")   // staged attrition counts over shared labels
+    "corpus_dedup_funnel",   // staged attrition counts over shared labels
+    "emb_cell_balance",      // seed-cell occupancy + 1-row imbalance fold
+    "events_power_analysis", // pooled moments + exact integer sqrt
+    "events_inter_arrival")  // lag gaps + rank-targeted exact percentiles
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

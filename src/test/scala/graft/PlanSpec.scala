@@ -898,6 +898,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("props"), "column pruning must drop the wide props column")
   }
 
+  test("events_power_analysis: aggregate-only 1-row readout, single scan") {
+    val p = planOf("events_power_analysis")
+    assert(!p.contains("Join"), "the readout must not join")
+    assert(!p.contains("Window"), "the readout must not window")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "one pass over events feeds the pooled moments")
+  }
+
+  test("events_inter_arrival: one scan, one event_type exchange, no join-back") {
+    val p = planOf("events_inter_arrival")
+    assert(!p.contains("Join"),
+      "ranks, counts, and picks must fold in one pass — a join means " +
+        "the per-percentile re-scan came back")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "exactly one pass over events")
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).length >= 1,
+      "the windows must share the event_type exchange")
+  }
+
+  test("emb_cell_balance: no data-sized join, totals broadcast") {
+    val p = planOf("emb_cell_balance")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row totals frame must broadcast, not cartesian")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "nothing data-sized may shuffle-join in a 4-row readout")
+  }
+
   test("dedup_minhash_estimate / corpus_dedup_funnel: keyed joins only, no cartesian") {
     for (q <- Seq("dedup_minhash_estimate", "corpus_dedup_funnel")) {
       val p = planOf(q)
