@@ -1624,6 +1624,70 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .agg(count(lit(1)).as("n_groups"), sum(col("group_size")).as("n_memberships"))
       .orderBy("anonymous")
 
+  /** Memoized common-neighbor pair counts over the co-presence graph
+    * ([[graft.ops.Graph.commonNeighborCounts]], cap 64) — the wedge
+    * enumeration is the expensive artifact shared by BOTH triadic
+    * consumers (link prediction scores the non-edges, embeddedness
+    * annotates the edges), so it runs once per session and each
+    * consumer reads the pinned frame, the same discipline as the edge
+    * set itself. */
+  private def cnPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.AnnCache.memo(s, s"cnpairs:$dir:cap=64") {
+      graft.ops.AnnCache.pin(
+        graft.ops.Graph.commonNeighborCounts(coPresenceEdges(s, dir), cap = 64))
+    }
+
+  /** Triadic-closure link prediction over the co-presence graph — the
+    * graph-ML primitive one step past the census queries: score every
+    * NON-adjacent pair by its common-neighbor count (Liben-Nowell &
+    * Kleinberg, CIKM'03's strongest cheap baseline) and emit the top
+    * 50 candidate edges. Deterministic: the (cn DESC, a, b) tiebreak
+    * totally orders candidates, so the limit is engine-stable.
+    *
+    * Scale shape: wedge generation rides the capped shared [[cnPairs]]
+    * frame (Σ min(deg, 64)², never Σ deg²); the anti-join keys on the
+    * pair, one shuffle; the top-50 is a TakeOrdered, not a global
+    * sort. Nothing all-pairs, nothing driver-side.
+    */
+  private def qEventsLinkPrediction(s: SparkSession, dir: String): DataFrame =
+    cnPairs(s, dir)
+      .join(coPresenceEdges(s, dir).select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .select(col("x").as("user_a"), col("y").as("user_b"), col("cn"))
+      .orderBy(col("cn").desc, col("user_a"), col("user_b"))
+      .limit(50)
+
+  /** Edge embeddedness / neighborhood-Jaccard tie strength — the
+    * second triadic consumer: every EXISTING co-presence edge
+    * annotated with its common-neighbor count and the Jaccard of the
+    * two endpoints' neighbor sets ×10⁴ (cn / (da + db − cn), the
+    * standard embeddedness measure — a high-Jaccard edge is an
+    * intra-community tie, a zero-cn edge is a local bridge). Degrees
+    * come from the SAME capped adjacency the wedge pass read, so the
+    * three integers are mutually consistent and the division is exact
+    * on both engines.
+    *
+    * Scale shape: one left join of the edge set against the shared
+    * [[cnPairs]] frame (missing pair = bridge, cn 0) + two
+    * dimension-sized degree joins. No window, no re-scan of events.
+    */
+  private def qEventsEdgeEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = coPresenceEdges(s, dir)
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = graft.ops.Sampling.capPerGroup(adj, col("v"), col("n"), 64)
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    e.join(cnPairs(s, dir).select(col("x").as("a"), col("y").as("b"), col("cn")),
+        Seq("a", "b"), "left")
+      .join(deg.select(col("v").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("deg_b")), "b")
+      .select(col("a"), col("b"), coalesce(col("cn"), lit(0L)).as("cn"),
+        col("deg_a"), col("deg_b"))
+      .withColumn("jaccard_bp",
+        expr("(10000 * cn) div greatest(deg_a + deg_b - cn, 1)"))
+      .orderBy("a", "b")
+  }
+
   protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_test" -> (qEventsAbTest _),
     "events_srm_check" -> (qEventsSrmCheck _),
@@ -1674,6 +1738,8 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
     "events_temporal_reach" -> (qEventsTemporalReach _),
     "events_transitions" -> (qEventsTransitions _),
     "events_triangles" -> (qEventsTriangles _),
+    "events_link_prediction" -> (qEventsLinkPrediction _),
+    "events_edge_embed" -> (qEventsEdgeEmbed _),
     "events_twap" -> (qEventsTwap _),
     "events_user_streaks" -> (qEventsUserStreaks _),
     "events_user_topk" -> (qEventsUserTopk _),
@@ -2481,6 +2547,29 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "events_link_prediction" ->
+      s"""WITH $coPresenceSql,
+         |${graft.ops.Graph.commonNeighborSql(64)}
+         |SELECT c.x AS user_a, c.y AS user_b, c.cn
+         |FROM cnp c
+         |WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.a = c.x AND ed.b = c.y)
+         |ORDER BY c.cn DESC, user_a, user_b LIMIT 50""".stripMargin,
+
+    "events_edge_embed" ->
+      s"""WITH $coPresenceSql,
+         |${graft.ops.Graph.commonNeighborSql(64)},
+         |deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM adjc GROUP BY 1)
+         |SELECT e.a, e.b, COALESCE(c.cn, 0) AS cn,
+         |       da.d AS deg_a, db.d AS deg_b,
+         |       (10000 * COALESCE(c.cn, 0))
+         |         // greatest(da.d + db.d - COALESCE(c.cn, 0), 1) AS jaccard_bp
+         |FROM ed e
+         |LEFT JOIN cnp c ON c.x = e.a AND c.y = e.b
+         |JOIN deg da ON da.v = e.a
+         |JOIN deg db ON db.v = e.b
+         |ORDER BY e.a, e.b""".stripMargin,
 
     "events_twap" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

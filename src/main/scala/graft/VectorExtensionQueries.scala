@@ -514,7 +514,55 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
       .orderBy("vec_id")
   }
 
+  /** Matryoshka adaptive-retrieval serving — prefix-16 shortlist of
+    * 30, full-64 re-rank to top-10 ([[graft.ops.Similarity
+    * .topKMatryoshka]]): the funnel an MRL-trained embedding runs at
+    * scale, where the narrow pass reads 1/4 of the bytes and only 30
+    * rows per query pay full-width arithmetic. Same output contract
+    * as `sim_topk_bruteforce` (q_vec_id, vec_id, dot, rnk) so the two
+    * serving paths are directly comparable — and `emb_matryoshka_audit`
+    * does exactly that comparison as a registered certificate.
+    */
+  private def qSimTopkMrl(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKMatryoshka(emb.where(col("vec_id") >= 8),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+        k = 10, prefixDim = 16, shortlist = 30)
+      .select(col("q_vec_id"), col("vec_id"), col("dot"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("q_vec_id", "rnk")
+  }
+
+  /** Matryoshka funnel QUALITY certificate — per query vector, how
+    * much of the exact top-10 the prefix-16 funnel retained
+    * (overlap@10) and whether the top-1 survived. The audit every
+    * adaptive-retrieval deployment publishes before cutting scan
+    * width; both sides ride the same integer-dot contract, so the
+    * numbers are engine-exact rather than sampled. MRL always emits
+    * 10 rows per query (the shortlist is ≥ k), so the left join
+    * cannot lose a query.
+    */
+  private def qEmbMatryoshkaAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cand = emb.where(col("vec_id") >= 8)
+    val qs = emb.where(col("vec_id") < 8)
+    val mrl = Similarity.topKMatryoshka(cand, qs, col("embedding"),
+      col("vec_id"), k = 10, prefixDim = 16, shortlist = 30)
+      .select(col("q_vec_id"), col("vec_id"), col("rnk"))
+    val full = Similarity.topKBruteForce(cand, qs, col("embedding"),
+      col("vec_id"), k = 10)
+      .select(col("q_vec_id"), col("vec_id"), col("rnk").as("frnk"))
+    mrl.join(full, Seq("q_vec_id", "vec_id"), "left")
+      .groupBy(col("q_vec_id"))
+      .agg(sum(when(col("frnk").isNotNull, 1L).otherwise(0L)).as("overlap_10"),
+        max(when(col("rnk") === 1 && col("frnk") === 1, 1L).otherwise(0L))
+          .as("top1_match"))
+      .orderBy("q_vec_id")
+  }
+
   protected def vectorExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_mrl" -> (qSimTopkMrl _),
+    "emb_matryoshka_audit" -> (qEmbMatryoshkaAudit _),
     "emb_centroid_drift" -> (qEmbCentroidDrift _),
     "emb_int8_quant_error" -> (qEmbInt8QuantError _),
     "emb_kmeans" -> (qEmbKmeans _),
@@ -544,6 +592,28 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def vectorExtOracles: Map[String, String] = Map(
+    "sim_topk_mrl" ->
+      s"""WITH ${Similarity.matryoshkaSql(prefixDim = 16, shortlist = 30, dim = EMB_DIM)}
+         |SELECT q_vec_id, vec_id, dot, rnk FROM mrl
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "emb_matryoshka_audit" ->
+      s"""WITH ${Similarity.matryoshkaSql(prefixDim = 16, shortlist = 30, dim = EMB_DIM)},
+         |fscored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |    ${graft.ops.Vectors.intDotSql("c.z", "s.z", EMB_DIM)} AS dot
+         |  FROM qv c CROSS JOIN qv s WHERE c.vec_id >= 8 AND s.vec_id < 8),
+         |full10 AS (SELECT q_vec_id, vec_id, rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |      ORDER BY dot DESC, vec_id ASC) AS rnk FROM fscored)
+         |  WHERE rnk <= 10)
+         |SELECT m.q_vec_id,
+         |  CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS overlap_10,
+         |  CAST(MAX(CASE WHEN m.rnk = 1 AND f.rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS top1_match
+         |FROM (SELECT * FROM mrl WHERE rnk <= 10) m
+         |LEFT JOIN full10 f ON f.q_vec_id = m.q_vec_id AND f.vec_id = m.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_centroid_drift" ->
       s"""WITH q AS (SELECT vec_id % 2 = 0 AS ha,
          |             ${Vectors.quantizeSql("embedding")} AS qz

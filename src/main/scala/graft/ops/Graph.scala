@@ -529,4 +529,52 @@ object Graph {
        |r0 AS MATERIALIZED (SELECT v, MIN(t0) AS arr FROM seeds GROUP BY 1),
        |$rounds""".stripMargin
   }
+
+  /** Common-neighbor counts over every wedge-connected pair of an
+    * undirected `(a, b)` edge set: rows `(x, y, cn)` with `x < y` and
+    * `cn` = the number of shared neighbors — the raw material of both
+    * triadic-closure link prediction (score NON-edges by cn) and edge
+    * embeddedness (annotate existing edges with cn / neighborhood
+    * Jaccard).
+    *
+    * Scale shape: wedges are enumerated by their CENTER, so the work
+    * is Σ deg(u)², and a single hub would make that quadratic — the
+    * adjacency is therefore capped at `cap` neighbors per center by
+    * the deterministic hash-rank every blocker in the repo uses
+    * ([[Sampling.capPerGroup]], mirrored in SQL by
+    * [[Sampling.capOrderSql]]), bounding any node's wedge
+    * contribution at cap². Pairs seen through a dropped wedge lose
+    * only that center's vote; the cap binds nowhere on the driver
+    * fixtures (max co-presence degree 17 at sf0.01) so the gate
+    * compares the UNCAPPED semantics on both engines, while at 100 TB
+    * the cap is the difference between Σ deg² and Σ min(deg, cap)².
+    * One self-join keyed on the center + one (x, y) aggregate — two
+    * shuffles total, never an all-pairs.
+    */
+  def commonNeighborCounts(edges: DataFrame, cap: Int = 64): DataFrame = {
+    val adj = edges.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("n")))
+    val capped = Sampling.capPerGroup(adj, col("v"), col("n"), cap)
+      .select(col("v"), col("n")).localCheckpoint(true)
+    capped.select(col("v"), col("n").as("x"))
+      .join(capped.select(col("v"), col("n").as("y")), "v")
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"))
+  }
+
+  /** DuckDB mirror of [[commonNeighborCounts]] given a CTE
+    * `ed(a, b)`: defines `adjc` (capped symmetric adjacency) and
+    * `cnp(x, y, cn)`. MATERIALIZED — `adjc` is read twice by the
+    * wedge join and again by any degree consumer. */
+  def commonNeighborSql(cap: Int = 64): String =
+    s"""adjc AS MATERIALIZED (SELECT v, n FROM (
+       |    SELECT v, n, row_number() OVER (PARTITION BY v
+       |      ORDER BY ${Sampling.capOrderSql("n")}) AS rk
+       |    FROM (SELECT a AS v, b AS n FROM ed UNION ALL SELECT b, a FROM ed))
+       |  WHERE rk <= $cap),
+       |cnp AS MATERIALIZED (SELECT l.n AS x, r.n AS y,
+       |      CAST(COUNT(*) AS BIGINT) AS cn
+       |    FROM adjc l JOIN adjc r ON l.v = r.v AND l.n < r.n
+       |    GROUP BY 1, 2)""".stripMargin
 }

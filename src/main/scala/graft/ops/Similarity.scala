@@ -41,6 +41,63 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Matryoshka / adaptive retrieval (Kusupati et al., NeurIPS'22):
+    * shortlist `shortlist` candidates per query by the dot product of
+    * the first `prefixDim` QUANTIZED components, then re-rank the
+    * shortlist by the full-dimension dot and keep top `k`. The cheap
+    * pass reads prefixDim/dim of the bytes a full scan would; only
+    * shortlist·|q| rows pay full-width arithmetic — the standard
+    * funnel an MRL-trained embedding serves at scale (and the reason
+    * to store the prefix as its own column family / parquet column
+    * group).
+    *
+    * Integer arithmetic end to end (quantize → slice → intDot), so
+    * both stages and both tiebreaks are engine-exact and the SQL
+    * mirror reproduces the funnel bit-for-bit.
+    */
+  def topKMatryoshka(candidates: DataFrame, queries: DataFrame,
+                     vecCol: Column, idCol: Column, k: Int,
+                     prefixDim: Int, shortlist: Int): DataFrame = {
+    val cand = candidates.select(idCol.as("vec_id"),
+      Vectors.quantize(vecCol).as("cz"))
+    val qs = queries.select(idCol.as("q_vec_id"),
+      Vectors.quantize(vecCol).as("sz"))
+    // prefix slices materialize once per row; the narrow pass scores
+    // every pair but on prefixDim-wide arrays only
+    val scored = cand.withColumn("cp", slice(col("cz"), 1, prefixDim))
+      .crossJoin(broadcast(qs.withColumn("sp", slice(col("sz"), 1, prefixDim))))
+      .select(col("q_vec_id"), col("vec_id"), col("cz"), col("sz"),
+        Vectors.intDot(col("cp"), col("sp")).as("pdot"))
+    val short = scored.withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("pdot").desc, col("vec_id").asc)))
+      .where(col("prnk") <= shortlist)
+    ranked(short.select(col("q_vec_id"), col("vec_id"),
+      Vectors.intDot(col("cz"), col("sz")).as("dot")), k)
+  }
+
+  /** DuckDB mirror of [[topKMatryoshka]] over the embeddings table
+    * with the standard serving split (candidates vec_id ≥ 8, queries
+    * < 8): defines `mrl(q_vec_id, vec_id, dot, rnk)` ranked over the
+    * shortlist — consumers filter `rnk <= k`. The prefix dot reads
+    * the first `prefixDim` components of the same quantized arrays,
+    * exactly what the Spark side's slice computes. */
+  def matryoshkaSql(prefixDim: Int, shortlist: Int, dim: Int): String =
+    s"""qv AS MATERIALIZED (SELECT vec_id,
+       |    ${Vectors.quantizeSql("embedding")} AS z FROM embeddings),
+       |pscored AS (SELECT s.vec_id AS q_vec_id, c.vec_id, c.z AS cz, s.z AS sz,
+       |    ${Vectors.intDotSql("c.z", "s.z", prefixDim)} AS pdot
+       |  FROM qv c CROSS JOIN qv s WHERE c.vec_id >= 8 AND s.vec_id < 8),
+       |short AS (SELECT q_vec_id, vec_id, cz, sz FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+       |      ORDER BY pdot DESC, vec_id ASC) AS prnk FROM pscored)
+       |  WHERE prnk <= $shortlist),
+       |mrl AS MATERIALIZED (SELECT q_vec_id, vec_id, dot,
+       |    CAST(row_number() OVER (PARTITION BY q_vec_id
+       |      ORDER BY dot DESC, vec_id ASC) AS INT) AS rnk
+       |  FROM (SELECT q_vec_id, vec_id,
+       |      ${Vectors.intDotSql("cz", "sz", dim)} AS dot FROM short))""".stripMargin
+
   /** LSH-bucketed approximate top-k: score only candidates in the
     * query's sign bucket (bucketing is on the quantized components so
     * the SQL oracle mirrors exactly). */
