@@ -1688,7 +1688,45 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("a", "b")
   }
 
+  /** Exact ROC-AUC of the activity score as a conversion predictor —
+    * the model-evaluation primitive the experimentation family lacked
+    * (ab_test/cuped/srm read EFFECTS; a ranking model ships on AUC).
+    * Score = events per user, label = ever purchased; AUC computed by
+    * the rank-sum (Mann-Whitney) identity with the standard mid-rank
+    * tie treatment. All arithmetic stays integral by carrying 2×
+    * ranks: a tie group spanning ranks [a, b] has 2·avgrank = a + b,
+    * so r2 = Σ_pos 2·avgrank is an integer, 2U = r2 − n_pos(n_pos+1),
+    * and AUC×10⁴ = 10⁴·2U div (2·n_pos·n_neg) — bit-identical on both
+    * engines where a float AUC is not.
+    *
+    * Scale shape: one per-user aggregate, then everything runs on the
+    * SCORE HISTOGRAM (distinct activity counts — bounded by the max
+    * events/user, not by users); the prefix count over the histogram
+    * is [[graft.ops.Linkage.globalRunningSum]]'s two-pass exchange,
+    * never a single-partition window; the fold is 1 row.
+    */
+  private def qEventsScoreAuc(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("label"))
+    val hist = users.groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+    graft.ops.Linkage.globalRunningSum(hist, col("cnt"), col("score"))
+      .select(col("score"), col("cnt"), col("pos"),
+        (col("cum") - col("cnt")).as("cb"))
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cb") + col("cnt") + 1L)).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1L)).as("u2"))
+      .withColumn("auc_x10000",
+        expr("(10000 * u2) div greatest(2 * n_pos * n_neg, 1)"))
+  }
+
   protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_score_auc" -> (qEventsScoreAuc _),
     "events_ab_test" -> (qEventsAbTest _),
     "events_srm_check" -> (qEventsSrmCheck _),
     "events_bot_detection" -> (qEventsBotDetection _),
@@ -2547,6 +2585,28 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    // mid-rank Mann-Whitney carried at 2× scale so ties stay integral;
+    // cb = ranks strictly before this tie group (prefix count)
+    "events_score_auc" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS label
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(label) AS BIGINT) AS pos
+        |  FROM u GROUP BY 1),
+        |c AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM h),
+        |f AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+        |    CAST(SUM(pos * (2 * cb + cnt + 1)) AS BIGINT) AS r2
+        |  FROM c)
+        |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2,
+        |       (10000 * (r2 - n_pos * (n_pos + 1)))
+        |         // greatest(2 * n_pos * n_neg, 1) AS auc_x10000
+        |FROM f""".stripMargin,
 
     "events_link_prediction" ->
       s"""WITH $coPresenceSql,

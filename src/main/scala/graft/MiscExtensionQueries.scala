@@ -568,6 +568,22 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         Multimodal.envelopeFeatures(encode(col("text"), "UTF-8"), col("n_chars"))): _*)
       .orderBy("doc_id")
 
+  /** Video-style stride frame sampling over the binary media column
+    * ([[Multimodal.frameSample]]): payload → 16-byte frames → keep
+    * every 4th → envelope + exact first-byte checksum of the sampled
+    * frames. The thinning step every vision pipeline runs before
+    * per-frame decode; the checksum makes WHICH frames were kept an
+    * oracle-checkable fact (the fixture is ASCII, so the oracle
+    * recomputes the same bytes via ascii()/substr — the same
+    * byte==char mirror the phash oracle uses).
+    */
+  private def qMultimodalFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        col("payload"), col("doc_id"), frameBytes = 16, stride = 4)
+      .orderBy("media_id")
+
   /** Perceptual-hash near-dup pairs over a BINARY media column
     * ([[Multimodal.aHashNearDups]]): payload → stub decode → 60-bit
     * piecewise-average hash → Manku band join, Hamming ≤ 3. The whole
@@ -721,6 +737,7 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "lineitem_weighted_price" -> (qLineitemWeightedPrice _),
     "multimodal_audio_cert" -> (qMultimodalAudioCert _),
     "multimodal_features" -> (qMultimodalFeatures _),
+    "multimodal_frame_sample" -> (qMultimodalFrameSample _),
     "multimodal_imageio_cert" -> (qMultimodalImageioCert _),
     "multimodal_phash_dup" -> (qMultimodalPhashDup _),
     "orders_benford" -> (qOrdersBenford _),
@@ -926,6 +943,24 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |       CAST(3 AS BIGINT) AS channels,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // LEFT JOIN LATERAL so a zero-frame payload keeps its row (the
+    // Spark side always emits one row per media)
+    "multimodal_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, text
+        |  FROM documents),
+        |f AS (SELECT media_id, byte_len,
+        |    (byte_len + 15) // 16 AS n_frames, text FROM m)
+        |SELECT media_id, byte_len, n_frames,
+        |  CAST(COALESCE(SUM(CASE WHEN k.k % 4 = 0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(SUM(CASE WHEN k.k % 4 = 0
+        |      THEN ascii(substr(text, CAST(k.k * 16 + 1 AS INT), 1))
+        |      ELSE 0 END), 0) AS BIGINT) AS checksum
+        |FROM f LEFT JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(n_frames - 1 AS BIGINT))) AS k) k ON TRUE
+        |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     "multimodal_imageio_cert" ->
       """SELECT doc_id, 16 + n_chars % 64 AS width,
