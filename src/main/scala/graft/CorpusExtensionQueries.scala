@@ -710,7 +710,33 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
         col("vocab_size"), expr("n_tokens div n_docs").as("mean_tokens"))
   }
 
+  /** Shard-assignment balance audit — the readout a distributed
+    * training job publishes before an epoch: docs routed to 8 shards
+    * by the deterministic id hash ([[graft.ops.Sampling.bucket]] mod
+    * 8 — the same stable bucketing the split/sample family rides), per
+    * shard the doc/token counts, token share in bp, and the
+    * imbalance factor n_tokens·8/total ×100 (the straggler predictor:
+    * a shard at 130 means its data-parallel rank does 1.3× the work).
+    * One doc-level scan + one 8-row aggregate; the total joins back
+    * as a 1-row broadcast.
+    */
+  private def qCorpusShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select((graft.ops.Sampling.bucket(col("doc_id")) % 8).cast("long")
+          .as("shard"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("(10000 * n_tokens) div total").as("share_bp"),
+        expr("(100 * n_tokens * 8) div total").as("imbalance_x100"))
+      .orderBy("shard")
+  }
+
   protected def corpusExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shard_balance" -> (qCorpusShardBalance _),
     "corpus_chunk_dedup" -> (qCorpusChunkDedup _),
     "corpus_clean" -> (qCorpusClean _),
     "corpus_curriculum_order" -> (qCorpusCurriculumOrder _),
@@ -962,6 +988,19 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
          |       ${graft.ops.Sampling.assignSplitSql("COALESCE(cc.comp, d.doc_id)")} AS split
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_shard_balance" ->
+      s"""WITH d AS (SELECT ${graft.ops.Sampling.bucketSql("doc_id")} % 8 AS shard,
+         |            CAST(len($TK) AS BIGINT) AS n_tok
+         |          FROM documents),
+         |s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s)
+         |SELECT shard, n_docs, n_tokens,
+         |       (10000 * n_tokens) // total AS share_bp,
+         |       (100 * n_tokens * 8) // total AS imbalance_x100
+         |FROM s, t ORDER BY shard""".stripMargin,
 
     "corpus_mixture_epochs" ->
       s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,

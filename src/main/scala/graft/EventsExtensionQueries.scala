@@ -1725,7 +1725,130 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
         expr("(10000 * u2) div greatest(2 * n_pos * n_neg, 1)"))
   }
 
+  /** Heterogeneous treatment effect — the A/B readout SLICED by
+    * activity tier (the first question after a significant ab_test:
+    * WHO moved?). Users split by the same id-parity assignment as
+    * ab_test/cuped; tiers are integer event-count thresholds
+    * (< 60 low, < 72 mid, else high — the fixture's activity rate is
+    * ~66 events/user at EVERY SF, so these quartile-ish cuts populate
+    * all three tiers at every gate scale); per tier the variant counts and
+    * the cross-multiplied uplift of B over A in bp of A's rate —
+    * exact integers end to end, same arithmetic as ab_test so the
+    * slice rows reconcile with the global readout.
+    *
+    * Scale shape: one per-user aggregate, one 3-row tier aggregate;
+    * no window, no join, no re-scan.
+    */
+  private def qEventsUpliftSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .select(
+        when(col("n") < 60, "low").when(col("n") < 72, "mid")
+          .otherwise("high").as("tier"),
+        (col("user_id") % 2 === 0).as("in_a"), col("converted"))
+      .groupBy(col("tier"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a"), col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("uplift_sign",
+        expr("CAST(sign(conv_b * n_a - conv_a * n_b) AS BIGINT)"))
+      .withColumn("uplift_abs_bp",
+        expr("(10000 * abs(conv_b * n_a - conv_a * n_b)) " +
+          "div greatest(conv_a * n_b, 1)"))
+      .orderBy("tier")
+
+  /** Time-to-convert profile per signup cohort — the activation-speed
+    * readout next to retention: for every CONVERTING user the gap
+    * from first event to first purchase in whole seconds, then p50 /
+    * p90 / max across the user's signup-day cohort (exact rank-pick
+    * percentiles, the inter_arrival trick: value AT a target rank is
+    * deterministic under ties even though rank assignment isn't).
+    *
+    * Scale shape: one user-keyed aggregate builds (first_ts,
+    * first_purchase); ranks and cohort counts ride ONE cohort-day
+    * exchange (two Window specs, same partitioning) — the global
+    * percentile variant would funnel all users through one task,
+    * which is why the profile is per-cohort by design.
+    */
+  private def qEventsConversionLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("conv_us"))
+      .where(col("conv_us").isNotNull)
+      .select(expr("CAST(to_date(timestamp_micros(first_us)) AS STRING)")
+          .as("cohort_day"),
+        (expr("conv_us div 1000000") - expr("first_us div 1000000"))
+          .as("lag_s"))
+    val r = per
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cohort_day")).orderBy(col("lag_s").asc)))
+      .withColumn("n_conv",
+        count(lit(1)).over(Window.partitionBy(col("cohort_day"))))
+    r.groupBy(col("cohort_day"))
+      .agg(max(col("n_conv")).as("n_conv"),
+        max(when(col("rn") === expr("(n_conv + 1) div 2"), col("lag_s")))
+          .as("p50_lag_s"),
+        max(when(col("rn") === expr("(9 * n_conv + 9) div 10"), col("lag_s")))
+          .as("p90_lag_s"),
+        max(col("lag_s")).as("max_lag_s"))
+      .orderBy("cohort_day")
+  }
+
+  /** Daily growth accounting (the new / returning / resurrected /
+    * churned decomposition every growth team reads): per active day,
+    * n_new = first-ever-day users, n_returning = also active the
+    * previous day, n_resurrected = back after a gap, n_churned =
+    * active the previous day but not today. The four numbers
+    * reconcile by construction (new + returning + resurrected =
+    * active), which makes the output self-auditing.
+    *
+    * Scale shape: everything runs on the DISTINCT (user, day) frame —
+    * one distinct shuffle over raw events, then a per-user min for
+    * first days and two (user, day)-keyed equi-joins (previous-day
+    * presence, next-day absence). No window over users, no re-scan.
+    * Churn into a day with zero actives (the day after the fixture
+    * ends) is definitionally out of the output's day domain.
+    */
+  private def qEventsGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true) // four consumers below ride one distinct
+    val firstD = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prevShift = ud.select(col("user_id"), date_add(col("day"), 1).as("day"))
+    val labeled = ud.join(firstD, "user_id")
+      .join(prevShift.withColumn("had_prev", lit(1L)).distinct(),
+        Seq("user_id", "day"), "left")
+      .select(col("day"),
+        when(col("day") === col("first_day"), "new")
+          .when(col("had_prev").isNotNull, "returning")
+          .otherwise("resurrected").as("kind"))
+    val perDay = labeled.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "returning", 1L).otherwise(0L))
+          .as("n_returning"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churned = prevShift.join(ud, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    perDay.join(churned, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"), col("n_active"),
+        col("n_new"), col("n_returning"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
+
   protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_growth_accounting" -> (qEventsGrowthAccounting _),
+    "events_uplift_segments" -> (qEventsUpliftSegments _),
+    "events_conversion_lag" -> (qEventsConversionLag _),
     "events_score_auc" -> (qEventsScoreAuc _),
     "events_ab_test" -> (qEventsAbTest _),
     "events_srm_check" -> (qEventsSrmCheck _),
@@ -2585,6 +2708,79 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "events_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+        |pv AS (SELECT DISTINCT user_id, day + 1 AS day FROM ud),
+        |lab AS (SELECT ud.day,
+        |    CASE WHEN ud.day = fd.first_day THEN 'new'
+        |         WHEN pv.user_id IS NOT NULL THEN 'returning'
+        |         ELSE 'resurrected' END AS kind
+        |  FROM ud JOIN fd ON ud.user_id = fd.user_id
+        |  LEFT JOIN pv ON pv.user_id = ud.user_id AND pv.day = ud.day),
+        |per AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN kind = 'returning' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_returning,
+        |    CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM lab GROUP BY 1),
+        |ch AS (SELECT pv.day, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM pv LEFT JOIN ud ON ud.user_id = pv.user_id AND ud.day = pv.day
+        |  WHERE ud.user_id IS NULL GROUP BY 1)
+        |SELECT CAST(per.day AS VARCHAR) AS day, n_active, n_new, n_returning,
+        |       n_resurrected, COALESCE(ch.n_churned, 0) AS n_churned
+        |FROM per LEFT JOIN ch ON ch.day = per.day
+        |ORDER BY day""".stripMargin,
+
+    "events_uplift_segments" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CASE WHEN n < 60 THEN 'low'
+        |               WHEN n < 72 THEN 'mid' ELSE 'high' END AS tier,
+        |        user_id % 2 = 0 AS in_a, converted FROM u),
+        |p AS (SELECT tier,
+        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN NOT in_a THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM t GROUP BY 1)
+        |SELECT tier, n_a, conv_a, n_b, conv_b,
+        |       CAST(sign(conv_b * n_a - conv_a * n_b) AS BIGINT) AS uplift_sign,
+        |       (10000 * abs(conv_b * n_a - conv_a * n_b))
+        |         // greatest(conv_a * n_b, 1) AS uplift_abs_bp
+        |FROM p ORDER BY tier""".stripMargin,
+
+    // rank-pick percentiles: the value AT a target rank is unique under
+    // ties even though which row carries the rank isn't
+    "events_conversion_lag" ->
+      """WITH u AS (SELECT user_id,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS conv_us
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(CAST(make_timestamp(first_us) AS DATE) AS VARCHAR)
+        |      AS cohort_day,
+        |    conv_us // 1000000 - first_us // 1000000 AS lag_s
+        |  FROM u WHERE conv_us IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY cohort_day ORDER BY lag_s) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cohort_day) AS n_conv
+        |  FROM c)
+        |SELECT cohort_day, CAST(MAX(n_conv) AS BIGINT) AS n_conv,
+        |       MAX(CASE WHEN rn = (n_conv + 1) // 2 THEN lag_s END) AS p50_lag_s,
+        |       MAX(CASE WHEN rn = (9 * n_conv + 9) // 10 THEN lag_s END)
+        |         AS p90_lag_s,
+        |       MAX(lag_s) AS max_lag_s
+        |FROM r GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
 
     // mid-rank Mann-Whitney carried at 2× scale so ties stay integral;
     // cb = ranks strictly before this tie group (prefix count)

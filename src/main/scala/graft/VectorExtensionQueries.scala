@@ -560,7 +560,42 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
       .orderBy("q_vec_id")
   }
 
+  /** Per-dimension variance audit — the feature-selection readout
+    * behind dimension pruning / PCA triage (and the sanity check for
+    * the Matryoshka funnel: if variance is NOT front-loaded, a prefix
+    * shortlist is the wrong funnel). Per dimension the exact integer
+    * moment form n·Σq² − (Σq)² over the milli-quantized components,
+    * its share of total variance in bp, and the variance rank. The
+    * share's operands are pre-scaled by 10⁶ IDENTICALLY on both
+    * engines (headroom: the raw numerator clears 10¹⁸ around sf100,
+    * the scaled form never does; both engines compute the same
+    * truncated value at every SF, which is all the hash compare
+    * needs).
+    *
+    * Scale shape: scan-stage quantize + posexplode, ONE dim-keyed
+    * aggregate (64 output rows), total and rank on the 64-row frame
+    * (dimension-sized window, the globalRank-offsets pattern).
+    */
+  private def qEmbDimVariance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.embeddings(s, dir)
+      .select(posexplode(Vectors.quantize(col("embedding"))).as(Seq("d", "qv")))
+      .groupBy(col("d").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s1"),
+        sum(col("qv") * col("qv")).as("s2"))
+      .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
+    val tot = per.agg(sum(col("var_num")).as("tot_var"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dim"), col("n"), col("var_num"),
+        expr("(10000 * (var_num div 1000000)) " +
+          "div greatest(tot_var div 1000000, 1)").as("share_bp"))
+      .withColumn("var_rank", row_number().over(
+        Window.orderBy(col("var_num").desc, col("dim"))).cast("long"))
+      .orderBy("dim")
+  }
+
   protected def vectorExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_variance" -> (qEmbDimVariance _),
     "sim_topk_mrl" -> (qSimTopkMrl _),
     "emb_matryoshka_audit" -> (qEmbMatryoshkaAudit _),
     "emb_centroid_drift" -> (qEmbCentroidDrift _),
@@ -592,6 +627,26 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def vectorExtOracles: Map[String, String] = Map(
+    // the CASTs keep DuckDB's HUGEINT promotion out of the output; the
+    // 10^6 pre-scale mirrors the Spark side token for token
+    "emb_dim_variance" ->
+      s"""WITH q AS (SELECT ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |d AS (SELECT i - 1 AS dim, q[i] AS qv FROM q,
+         |        LATERAL (SELECT unnest(generate_series(1, $EMB_DIM)) AS i) t),
+         |per AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qv) AS BIGINT) AS s1,
+         |    CAST(SUM(qv * qv) AS BIGINT) AS s2
+         |  FROM d GROUP BY 1),
+         |v AS (SELECT dim, n, CAST(n * s2 - s1 * s1 AS BIGINT) AS var_num
+         |  FROM per),
+         |t AS (SELECT CAST(SUM(var_num) AS BIGINT) AS tot_var FROM v)
+         |SELECT dim, n, var_num,
+         |  (10000 * (var_num // 1000000))
+         |    // greatest(tot_var // 1000000, 1) AS share_bp,
+         |  CAST(row_number() OVER (ORDER BY var_num DESC, dim) AS BIGINT)
+         |    AS var_rank
+         |FROM v, t ORDER BY dim""".stripMargin,
+
     "sim_topk_mrl" ->
       s"""WITH ${Similarity.matryoshkaSql(prefixDim = 16, shortlist = 30, dim = EMB_DIM)}
          |SELECT q_vec_id, vec_id, dot, rnk FROM mrl

@@ -933,4 +933,74 @@ class PlanSpec extends SparkSpec {
           "broadcast 1-row/bounded frames")
     }
   }
+
+  test("events_score_auc: histogram prefix sum rides the checkpointed " +
+    "two-pass, no window in the final plan") {
+    val p = planOf("events_score_auc")
+    assert(p.contains("Scan ExistingRDD"),
+      "the rank prefix must come from globalRunningSum's checkpointed " +
+        "two-pass over the score histogram")
+    // the ONLY window allowed is globalRunningSum's offsets summary —
+    // |shuffle partitions| rows keyed on _pid; a window ordering the
+    // histogram itself (by score) would be the inline single-partition
+    // cumulative this query avoids
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toSeq
+    assert(windows.forall(_.contains("_pid")),
+      "a non-offsets window survived into the final plan: " + windows)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_link_prediction: top-50 is a TakeOrdered over the pinned " +
+    "wedge frame, never a global sort") {
+    val p = planOf("events_link_prediction")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as TakeOrdered (map-side k rows), not a " +
+        "full sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_growth_accounting: all four consumers read the pinned " +
+    "distinct frame, joins keyed") {
+    val p = planOf("events_growth_accounting")
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "first-day, previous-day, and churn branches must all read the " +
+        "checkpointed (user, day) distinct — a parquet scan here means " +
+        "the raw pass runs per consumer")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_topk_mrl: both funnel stages pre-reduce map-side") {
+    val p = planOf("sim_topk_mrl")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "shortlist and re-rank rank-filters must both plan as " +
+        "WindowGroupLimit — losing either turns the funnel into a full " +
+        "per-query sort at scale")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multimodal_frame_sample: scan pruned to id + payload source") {
+    val p = planOf("multimodal_frame_sample")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "the sampler must read only the id and payload-source columns")
+  }
+
+  test("events_uplift_segments: pure aggregate pipeline, no join, one scan") {
+    val p = planOf("events_uplift_segments")
+    assert(!p.contains("Join"), "tier readout is two folds — no join")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "one pass over events")
+  }
+
+  test("corpus_shard_balance: totals broadcast, nothing data-sized joins") {
+    val p = planOf("corpus_shard_balance")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the 1-row total must broadcast into the 8-row shard frame")
+  }
+
+  test("events_conversion_lag: ranks and counts share one cohort exchange") {
+    val p = planOf("events_conversion_lag")
+    assert(!p.contains("Join"),
+      "percentile picks must fold in one pass — no join-back")
+    assert("hashpartitioning\\(cohort_day".r.findAllIn(p).length >= 1,
+      "the windows must share the cohort_day exchange")
+  }
 }
