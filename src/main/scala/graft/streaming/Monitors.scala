@@ -356,4 +356,94 @@ object Monitors {
             q(9900L), (epsBp.toLong * n) / 10000L, s.size))
         })
   }
+
+  /** foreachBatch body for STREAMING growth accounting — the
+    * continuous form of `events_growth_accounting`: the presence
+    * store is an external parquet table of (user_id, day) rows under
+    * batchId-keyed partitions (queryable, restart-survivable, shared
+    * with batch backfills — the [[CorpusStream.dedupBatch]] store
+    * discipline verbatim), and each micro-batch (re)emits the daily
+    * new / returning / resurrected / churned decomposition for
+    * exactly the days it carries, classified against EVERYTHING seen
+    * so far. Day rows land under `outDir/day=YYYY-MM-DD` with
+    * overwrite, so a crash-replayed batch REPLACES its own output and
+    * a late batch that reopens a day simply rewrites that day's row
+    * with the fuller truth — replay-idempotent and eventually equal
+    * to the batch query on the same data.
+    *
+    * Contract pinned by GrowthStreamSpec: with day-ordered batches
+    * (the watermark-closed arrival order), the accumulated output ==
+    * the batch query row-for-row, under any day-aligned batch split;
+    * churn for day d is emitted when day d is processed (a user's
+    * absence is only decidable once the day closes).
+    *
+    * At scale: the store read prunes to earlier-batch partitions; the
+    * batch classifies against the store by one (user)-keyed join for
+    * first-days plus one (user, day)-keyed join for previous-day
+    * presence — both shuffle the BATCH side when the batch is small;
+    * the store never rescans its own history beyond those two joins.
+    */
+  def growthAccountBatch(storeDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+    // exclude THIS batch's partition on replay (same reasoning as
+    // dedupBatch); explicit schema so a footerless crashed write reads
+    // as empty instead of failing inference
+    val prior =
+      try s.read.schema(storeSchema).parquet(storeDir)
+        .where(col("batch") =!= batchId)
+        .select(col("user_id"), col("day"))
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(storeSchema.dropRight(1)))
+      }
+    val ud = batch.select(col("user_id").cast("long").as("user_id"),
+        to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true) // read by the union, two joins, and the store write
+    val all = prior.unionByName(ud).distinct().localCheckpoint(true)
+    val firstD = all.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prevShift = all.select(col("user_id"), date_add(col("day"), 1).as("day"))
+      .distinct()
+    val labeled = ud.join(firstD, "user_id")
+      .join(prevShift.withColumn("had_prev", lit(1L)),
+        Seq("user_id", "day"), "left")
+      .select(col("day"),
+        when(col("day") === col("first_day"), "new")
+          .when(col("had_prev").isNotNull, "returning")
+          .otherwise("resurrected").as("kind"))
+    val perDay = labeled.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "returning", 1L).otherwise(0L))
+          .as("n_returning"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churn(d) = active d-1 anywhere in history, absent on d — only for
+    // the days THIS batch carries (those days just closed)
+    val batchDays = ud.select(col("day")).distinct()
+    val churned = prevShift.join(batchDays, Seq("day"), "left_semi")
+      .join(all, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    val out = perDay.join(churned, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"), col("n_active"),
+        col("n_new"), col("n_returning"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    // per-day dynamic overwrite: a replayed or late batch replaces
+    // exactly the day rows it recomputes
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try out.write.mode("overwrite").partitionBy("day").parquet(outDir)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // the partition value comes from the directory at read time (the
+    // dedupBatch layout), so the frame itself carries no batch column
+    ud.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
 }
