@@ -1845,7 +1845,31 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("day")
   }
 
+  /** l-diversity audit (Machanavajjhala et al., TKDD'07) — the
+    * privacy gate one step past k-anonymity: a quasi-identifier group
+    * can be large (k-anonymous) yet expose everyone in it if the
+    * SENSITIVE attribute is uniform inside the group. Same QI as
+    * events_kanonymity ((event-day, hour-of-day) here — a bucketed
+    * observation context), sensitive attribute = event_type; a group
+    * is l-diverse at l = 3 when it carries ≥ 3 distinct types. Emits
+    * groups and member counts by diversity status so the exposed
+    * population is a first-class number next to the k-anonymity row.
+    * One (QI)-keyed aggregate + one 2-row rollup.
+    */
+  private def qEventsLdiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("day"), col("hr"))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("diverse", col("n_types") >= 3)
+      .groupBy(col("diverse"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_users")).as("n_memberships"))
+      .orderBy("diverse")
+
   protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ldiversity" -> (qEventsLdiversity _),
     "events_growth_accounting" -> (qEventsGrowthAccounting _),
     "events_uplift_segments" -> (qEventsUpliftSegments _),
     "events_conversion_lag" -> (qEventsConversionLag _),
@@ -2708,6 +2732,16 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "events_ldiversity" ->
+      """WITH g AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1, 2)
+        |SELECT n_types >= 3 AS diverse, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(n_users) AS BIGINT) AS n_memberships
+        |FROM g GROUP BY 1 ORDER BY diverse""".stripMargin,
 
     "events_growth_accounting" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

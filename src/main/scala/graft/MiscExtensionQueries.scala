@@ -568,6 +568,48 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         Multimodal.envelopeFeatures(encode(col("text"), "UTF-8"), col("n_chars"))): _*)
       .orderBy("doc_id")
 
+  /** Discount lift per brand — the merchandising elasticity readout:
+    * does a discounted line actually move more units? Per p_brand the
+    * discounted/undiscounted line counts and quantity sums (quantity
+    * ×100 through the exact decimal path), plus the cross-multiplied
+    * mean-quantity lift in bp — (sum_disc·n_full) vs (sum_full·n_disc),
+    * so no per-row division and no floats anywhere.
+    *
+    * Scale shape: part is a DIMENSION — the join broadcasts it into
+    * the lineitem scan; one brand-keyed aggregate (25 rows), no
+    * window. At 100 TB the fact side never shuffles.
+    */
+  private def qLineitemDiscountLift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_discount"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+          .as("qty_x100"))
+    val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("l_discount") > 0, 1L).otherwise(0L)).as("n_disc"),
+        sum(when(col("l_discount") > 0, col("qty_x100")).otherwise(0L))
+          .as("qty_disc_x100"),
+        sum(when(col("l_discount") > 0, 0L).otherwise(1L)).as("n_full"),
+        sum(when(col("l_discount") > 0, 0L).otherwise(col("qty_x100")))
+          .as("qty_full_x100"))
+      .withColumn("mean_disc_x100",
+        expr("qty_disc_x100 div greatest(n_disc, 1)"))
+      .withColumn("mean_full_x100",
+        expr("qty_full_x100 div greatest(n_full, 1)"))
+      // lift on the TRUNCATED means, not cross-multiplied sums: the
+      // sum×count product would clear 2^63 around sf10, while means
+      // are bounded by the quantity domain at any scale; the sub-unit
+      // truncation is identical on both engines
+      .withColumn("lift_sign",
+        expr("CAST(sign(mean_disc_x100 - mean_full_x100) AS BIGINT)"))
+      .withColumn("lift_abs_bp",
+        expr("(10000 * abs(mean_disc_x100 - mean_full_x100)) " +
+          "div greatest(mean_full_x100, 1)"))
+      .orderBy("p_brand")
+  }
+
   /** Video-style stride frame sampling over the binary media column
     * ([[Multimodal.frameSample]]): payload → 16-byte frames → keep
     * every 4th → envelope + exact first-byte checksum of the sampled
@@ -736,6 +778,7 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "lineitem_profile_approx" -> (qLineitemProfileApprox _),
     "lineitem_weighted_price" -> (qLineitemWeightedPrice _),
     "multimodal_audio_cert" -> (qMultimodalAudioCert _),
+    "lineitem_discount_lift" -> (qLineitemDiscountLift _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frame_sample" -> (qMultimodalFrameSample _),
     "multimodal_imageio_cert" -> (qMultimodalImageioCert _),
@@ -943,6 +986,33 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |       CAST(3 AS BIGINT) AS channels,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lineitem_discount_lift" ->
+      """WITH li AS (SELECT l_partkey, l_discount,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_x100
+        |  FROM lineitem),
+        |j AS (SELECT p.p_brand, li.l_discount, li.qty_x100
+        |      FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+        |g AS (SELECT p_brand,
+        |    CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_disc,
+        |    CAST(SUM(CASE WHEN l_discount > 0 THEN qty_x100 ELSE 0 END)
+        |      AS BIGINT) AS qty_disc_x100,
+        |    CAST(SUM(CASE WHEN l_discount > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_full,
+        |    CAST(SUM(CASE WHEN l_discount > 0 THEN 0 ELSE qty_x100 END)
+        |      AS BIGINT) AS qty_full_x100
+        |  FROM j GROUP BY 1),
+        |m AS (SELECT *, qty_disc_x100 // greatest(n_disc, 1) AS mean_disc_x100,
+        |        qty_full_x100 // greatest(n_full, 1) AS mean_full_x100
+        |      FROM g)
+        |SELECT p_brand, n_disc, qty_disc_x100, n_full, qty_full_x100,
+        |       mean_disc_x100, mean_full_x100,
+        |       CAST(sign(mean_disc_x100 - mean_full_x100) AS BIGINT)
+        |         AS lift_sign,
+        |       (10000 * abs(mean_disc_x100 - mean_full_x100))
+        |         // greatest(mean_full_x100, 1) AS lift_abs_bp
+        |FROM m ORDER BY p_brand""".stripMargin,
 
     // LEFT JOIN LATERAL so a zero-frame payload keeps its row (the
     // Spark side always emits one row per media)

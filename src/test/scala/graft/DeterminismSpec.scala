@@ -122,7 +122,9 @@ class DeterminismSpec extends SparkSpec {
     "events_conversion_lag", // cohort rank picks; tie ranks share a value
     "events_growth_accounting", // pinned distinct + two keyed presence joins
     "corpus_shard_balance",  // hash-shard routing + 1-row total fold
-    "multimodal_frame_sample") // typed mapPartitions byte walk, row-local
+    "multimodal_frame_sample", // typed mapPartitions byte walk, row-local
+    "events_ldiversity",     // QI-keyed multi-distinct + threshold rollup
+    "lineitem_discount_lift") // broadcast dim join + truncated-mean lift
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"

@@ -996,6 +996,13 @@ class PlanSpec extends SparkSpec {
       "the 1-row total must broadcast into the 8-row shard frame")
   }
 
+  test("lineitem_discount_lift: part dimension broadcasts into the fact scan") {
+    val p = planOf("lineitem_discount_lift")
+    assert(p.contains("BroadcastHashJoin"),
+      "part is a dimension — it must broadcast, never shuffle the fact side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("events_conversion_lag: ranks and counts share one cohort exchange") {
     val p = planOf("events_conversion_lag")
     assert(!p.contains("Join"),
