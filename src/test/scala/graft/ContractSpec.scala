@@ -28,6 +28,18 @@ class ContractSpec extends SparkSpec {
     assert(byId(None).getAs[Boolean]("corrupt") === true)
   }
 
+  test("registry parity: every query has an oracle and every oracle a query") {
+    // the driver downgrades an oracle-less query to a weak rows-only
+    // check SILENTLY — this pin turns a forgotten oracleSql entry into
+    // a loud failure; an orphan oracle is a typo'd key (the column-name
+    // trap's cheaper cousin)
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries with no oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles with no query: ${(o -- q).toSeq.sorted}")
+    assert(q.size >= 242, s"registry shrank: ${q.size}")
+  }
+
   test("checkedLong raises on BIGINT overflow instead of silently nulling") {
     // non-ANSI Spark would emit NULL where DuckDB raises — the guard
     // must turn the quiet divergence into a loud failure
