@@ -568,6 +568,42 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         Multimodal.envelopeFeatures(encode(col("text"), "UTF-8"), col("n_chars"))): _*)
       .orderBy("doc_id")
 
+  /** Supplier market concentration per part type — the
+    * Herfindahl–Hirschman index every sourcing/risk team reads (a
+    * type at HHI > 2500 bp² is single-supplier risk; the DOJ merger
+    * thresholds use the same scale). Revenue = extendedprice cents
+    * summed per (type, supplier); share in bp against the type total
+    * (truncated identically on both engines); HHI = Σ share_bp² —
+    * bounded by 10⁸ regardless of data size, so no overflow at any
+    * SF. Emits the supplier count and the top supplier's share beside
+    * the index so the readout is self-explaining.
+    *
+    * Scale shape: part is a broadcast dimension; one (type, supplier)
+    * aggregate over the fact table, then everything runs on the
+    * dimension-sized (type, supplier) frame — type totals join back
+    * broadcast, the final fold is per type. No window over data.
+    */
+  private def qSupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("rev_x100"))
+    val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    val per = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("rev_x100")).as("rev"))
+    val tot = per.groupBy(col("p_type")).agg(sum(col("rev")).as("total"))
+    per.join(broadcast(tot), "p_type")
+      .select(col("p_type"),
+        expr("(10000 * rev) div greatest(total, 1)").as("share_bp"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("share_bp") * col("share_bp")).as("hhi"),
+        max(col("share_bp")).as("top_share_bp"))
+      .withColumn("concentrated", col("hhi") >= 2500L)
+      .orderBy("p_type")
+  }
+
   /** Discount lift per brand — the merchandising elasticity readout:
     * does a discounted line actually move more units? Per p_brand the
     * discounted/undiscounted line counts and quantity sums (quantity
@@ -779,6 +815,7 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "lineitem_weighted_price" -> (qLineitemWeightedPrice _),
     "multimodal_audio_cert" -> (qMultimodalAudioCert _),
     "lineitem_discount_lift" -> (qLineitemDiscountLift _),
+    "supplier_hhi" -> (qSupplierHhi _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frame_sample" -> (qMultimodalFrameSample _),
     "multimodal_imageio_cert" -> (qMultimodalImageioCert _),
@@ -986,6 +1023,26 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |       CAST(3 AS BIGINT) AS channels,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "supplier_hhi" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS rev_x100
+        |  FROM lineitem),
+        |per AS (SELECT p.p_type, li.l_suppkey,
+        |    CAST(SUM(rev_x100) AS BIGINT) AS rev
+        |  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT p_type, CAST(SUM(rev) AS BIGINT) AS total
+        |  FROM per GROUP BY 1),
+        |sh AS (SELECT per.p_type,
+        |    (10000 * rev) // greatest(total, 1) AS share_bp
+        |  FROM per JOIN t ON per.p_type = t.p_type)
+        |SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |       CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+        |       CAST(MAX(share_bp) AS BIGINT) AS top_share_bp,
+        |       CAST(SUM(share_bp * share_bp) AS BIGINT) >= 2500 AS concentrated
+        |FROM sh GROUP BY p_type ORDER BY p_type""".stripMargin,
 
     "lineitem_discount_lift" ->
       """WITH li AS (SELECT l_partkey, l_discount,

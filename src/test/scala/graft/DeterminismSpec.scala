@@ -124,7 +124,8 @@ class DeterminismSpec extends SparkSpec {
     "corpus_shard_balance",  // hash-shard routing + 1-row total fold
     "multimodal_frame_sample", // typed mapPartitions byte walk, row-local
     "events_ldiversity",     // QI-keyed multi-distinct + threshold rollup
-    "lineitem_discount_lift") // broadcast dim join + truncated-mean lift
+    "lineitem_discount_lift", // broadcast dim join + truncated-mean lift
+    "supplier_hhi")          // truncated bp shares + squared-share fold
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
