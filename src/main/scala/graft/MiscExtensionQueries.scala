@@ -568,6 +568,46 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         Multimodal.envelopeFeatures(encode(col("text"), "UTF-8"), col("n_chars"))): _*)
       .orderBy("doc_id")
 
+  /** Fulfillment-lag SLA profile per order priority — the
+    * supply-chain sibling of events_conversion_lag: for every
+    * lineitem the whole-day gap from order placement to line
+    * shipment, then exact rank-pick p50 / p90 / max per priority
+    * class (the value AT a target rank is deterministic under ties).
+    * The readout that answers "does 1-URGENT actually ship faster?"
+    * with exact integers.
+    *
+    * Scale shape: orders(key, date, priority) joins INTO the lineitem
+    * scan — at the driver fixtures it broadcasts; at 100 TB both
+    * sides are fact-sized and the keyed shuffle join is the correct
+    * shape, which is why the join keys on l_orderkey rather than
+    * anything derived. Ranks and counts ride ONE priority-keyed
+    * exchange (the inter_arrival fold).
+    */
+  private def qOrdersFulfillmentLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lags = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_d"),
+            col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship_d"), col("order_d")).cast("long").as("lag_days"))
+    val r = lags
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("lag_days").asc)))
+      .withColumn("n_lines",
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    r.groupBy(col("o_orderpriority"))
+      .agg(max(col("n_lines")).as("n_lines"),
+        max(when(col("rn") === expr("(n_lines + 1) div 2"), col("lag_days")))
+          .as("p50_lag_days"),
+        max(when(col("rn") === expr("(9 * n_lines + 9) div 10"), col("lag_days")))
+          .as("p90_lag_days"),
+        max(col("lag_days")).as("max_lag_days"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Supplier market concentration per part type — the
     * Herfindahl–Hirschman index every sourcing/risk team reads (a
     * type at HHI > 2500 bp² is single-supplier risk; the DOJ merger
@@ -816,6 +856,7 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "multimodal_audio_cert" -> (qMultimodalAudioCert _),
     "lineitem_discount_lift" -> (qLineitemDiscountLift _),
     "supplier_hhi" -> (qSupplierHhi _),
+    "orders_fulfillment_lag" -> (qOrdersFulfillmentLag _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frame_sample" -> (qMultimodalFrameSample _),
     "multimodal_imageio_cert" -> (qMultimodalImageioCert _),
@@ -1023,6 +1064,25 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |       CAST(3 AS BIGINT) AS channels,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "orders_fulfillment_lag" ->
+      """WITH l AS (SELECT li.l_orderkey,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |              CAST(li.l_shipdate AS DATE)) AS lag_days,
+        |    o.o_orderpriority
+        |  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+        |r AS (SELECT o_orderpriority, CAST(lag_days AS BIGINT) AS lag_days,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY lag_days) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_lines
+        |  FROM l)
+        |SELECT o_orderpriority, CAST(MAX(n_lines) AS BIGINT) AS n_lines,
+        |       MAX(CASE WHEN rn = (n_lines + 1) // 2 THEN lag_days END)
+        |         AS p50_lag_days,
+        |       MAX(CASE WHEN rn = (9 * n_lines + 9) // 10 THEN lag_days END)
+        |         AS p90_lag_days,
+        |       MAX(lag_days) AS max_lag_days
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "supplier_hhi" ->
       """WITH li AS (SELECT l_partkey, l_suppkey,

@@ -125,7 +125,8 @@ class DeterminismSpec extends SparkSpec {
     "multimodal_frame_sample", // typed mapPartitions byte walk, row-local
     "events_ldiversity",     // QI-keyed multi-distinct + threshold rollup
     "lineitem_discount_lift", // broadcast dim join + truncated-mean lift
-    "supplier_hhi")          // truncated bp shares + squared-share fold
+    "supplier_hhi",          // truncated bp shares + squared-share fold
+    "orders_fulfillment_lag") // fact-fact keyed join + priority rank picks
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
