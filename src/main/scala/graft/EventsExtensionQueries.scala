@@ -1868,7 +1868,31 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .agg(count(lit(1)).as("n_groups"), sum(col("n_users")).as("n_memberships"))
       .orderBy("diverse")
 
+  /** Source freshness / staleness audit — the ops gate every
+    * ingestion dashboard leads with: per event type the last event
+    * seen and its lag in whole minutes behind the corpus frontier,
+    * flagged stale past 60. A silently-dead instrumentation source is
+    * invisible to every volume metric (its absence is the signal);
+    * this readout makes it a row. Two tiny aggregates, frontier joins
+    * back as a 1-row broadcast; minute truncation on both engines
+    * before the subtraction so the lag is engine-exact.
+    */
+  private def qEventsFreshness(s: SparkSession, dir: String): DataFrame = {
+    val last = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val frontier = last.agg(max(col("last_us")).as("corpus_us"))
+    last.crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("n_events"),
+        expr("timestamp_micros(last_us)").cast("timestamp_ntz").as("last_ts"),
+        expr("corpus_us div 60000000 - last_us div 60000000").as("lag_min"))
+      .withColumn("stale", col("lag_min") >= 60L)
+      .orderBy("event_type")
+  }
+
   protected def eventsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_freshness" -> (qEventsFreshness _),
     "events_ldiversity" -> (qEventsLdiversity _),
     "events_growth_accounting" -> (qEventsGrowthAccounting _),
     "events_uplift_segments" -> (qEventsUpliftSegments _),
@@ -2732,6 +2756,17 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wg) AS n_wedges,
          |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin,
+
+    "events_freshness" ->
+      """WITH l AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT MAX(last_us) AS corpus_us FROM l)
+        |SELECT event_type, n_events,
+        |       make_timestamp(last_us) AS last_ts,
+        |       corpus_us // 60000000 - last_us // 60000000 AS lag_min,
+        |       corpus_us // 60000000 - last_us // 60000000 >= 60 AS stale
+        |FROM l, f ORDER BY event_type""".stripMargin,
 
     "events_ldiversity" ->
       """WITH g AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

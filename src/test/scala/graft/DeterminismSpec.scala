@@ -126,7 +126,8 @@ class DeterminismSpec extends SparkSpec {
     "events_ldiversity",     // QI-keyed multi-distinct + threshold rollup
     "lineitem_discount_lift", // broadcast dim join + truncated-mean lift
     "supplier_hhi",          // truncated bp shares + squared-share fold
-    "orders_fulfillment_lag") // fact-fact keyed join + priority rank picks
+    "orders_fulfillment_lag", // fact-fact keyed join + priority rank picks
+    "events_freshness")      // per-type frontier lag, minute truncation
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
