@@ -1878,10 +1878,14 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
     * before the subtraction so the lag is engine-exact.
     */
   private def qEventsFreshness(s: SparkSession, dir: String): DataFrame = {
+    // pinned: the frontier fold and the readout both consume this
+    // |types|-row frame — unpinned, the frontier branch re-runs the
+    // events scan (the PlanSpec pin caught exactly that)
     val last = Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("last_us"))
+      .localCheckpoint(true)
     val frontier = last.agg(max(col("last_us")).as("corpus_us"))
     last.crossJoin(broadcast(frontier))
       .select(col("event_type"), col("n_events"),

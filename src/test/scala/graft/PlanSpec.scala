@@ -1003,6 +1003,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("supplier_hhi: part dimension broadcasts, type totals broadcast back") {
+    val p = planOf("supplier_hhi")
+    assert(p.contains("BroadcastHashJoin"),
+      "part and the type totals are dimension-sized — both must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("orders_fulfillment_lag: ranks and counts share one priority exchange") {
+    val p = planOf("orders_fulfillment_lag")
+    assert("hashpartitioning\\(o_orderpriority".r.findAllIn(p).length >= 1,
+      "the windows must share the priority exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_ldiversity / events_freshness: one scan, nothing data-sized joins") {
+    for (q <- Seq("events_ldiversity", "events_freshness")) {
+      val p = planOf(q)
+      // freshness pins its |types|-row frame, so its final plan reads
+      // the checkpoint (0 parquet scans); ldiversity is one raw pass
+      assert("Scan parquet".r.findAllIn(p).length <= 1, s"$q: one events pass")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q: the only join allowed is the broadcast 1-row frontier")
+    }
+  }
+
   test("events_conversion_lag: ranks and counts share one cohort exchange") {
     val p = planOf("events_conversion_lag")
     assert(!p.contains("Join"),
