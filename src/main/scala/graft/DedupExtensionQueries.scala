@@ -130,6 +130,46 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
         rankedShingles = Some(docShinglesRanked(s, dir)))
       .orderBy("doc_a", "doc_b")
 
+  /** LSH RECALL CURVE — the certificate that closes the dedup
+    * family's calibration story: dedup_minhash_estimate audits the
+    * estimator's VALUES, this audits the pipeline's COVERAGE. Ground
+    * truth is the exact PPJoin pair set (prefix filtering is
+    * candidate-complete for J ≥ 1/2 — no sketch, no banding); a truth
+    * pair is "caught" when the production MinHash-LSH channel (the
+    * same memoized [[dedupPairs]] frame five queries serve from) also
+    * returns it. Per 1000-bp Jaccard bucket: pairs, caught, recall in
+    * bp — the measured S-curve that justifies the 8×4 banding choice
+    * (theory: catch P = 1−(1−j⁴)⁸ ≈ 40% at j = 0.5, → 1 as j → 1;
+    * the table shows where the corpus actually sits against that).
+    *
+    * Scale shape: both inputs are the family's shared memoized
+    * artifacts (no new scan of documents); the join is pair-keyed;
+    * the fold is ≤ 6 buckets.
+    *
+    * On the driver fixtures the corpus's true dups all sit at
+    * J ≥ 0.8 and the curve reads 10000 bp in every populated bucket —
+    * i.e. the banding missed NOTHING, which is exactly the production
+    * question the certificate answers (a borderline-J corpus would
+    * populate the 5000–7000 buckets at the theoretical ~40–90%).
+    */
+  private def qDedupLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = Dedup.prefixFilterPairs(Tables.documents(s, dir), col("text"),
+        col("doc_id"), shingles = Some(docShingles(s, dir)),
+        rankedShingles = Some(docShinglesRanked(s, dir)))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10000 * inter) div union_sz").as("j_bp"))
+    val caught = dedupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(caught, Seq("doc_a", "doc_b"), "left")
+      .select((least(expr("j_bp div 1000"), lit(9)) * 1000).cast("long")
+          .as("j_bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_caught"))
+      .withColumn("recall_bp", expr("(10000 * n_caught) div n_pairs"))
+      .orderBy("j_bucket")
+  }
+
   /** Manku-style simhash near-dup pairs (banded 60-bit fingerprints,
     * Hamming ≤ 3 verified by exact popcount). */
   private def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -202,6 +242,7 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_estimate" -> (qDedupMinhashEstimate _),
+    "dedup_lsh_recall" -> (qDedupLshRecall _),
     "dedup_ngram_blocked" -> (qDedupNgramBlocked _),
     "dedup_prefix_filter" -> (qDedupPrefixFilter _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -325,6 +366,63 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    // truth = the prefix-filter CTEs verbatim (candidate-complete for
+    // J >= 1/2); caught = the minhash-LSH CTEs verbatim; both ride the
+    // SHARED shingle table. MATERIALIZED: sh/cnt feed both channels.
+    "dedup_lsh_recall" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $TK AS tk FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+         |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk)-2)) AS i) g
+         |       WHERE len(tk) >= 3),
+         |cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY 1),
+         |rk AS (SELECT doc_id, sh.shingle,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, sh.shingle) AS rn,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |       FROM sh JOIN freq USING (shingle)),
+         |pre AS (SELECT doc_id, shingle FROM rk WHERE rn <= n - ((n + 1) // 2) + 1),
+         |candp AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM pre x JOIN pre y
+         |          ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |interp AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |           FROM candp c
+         |           JOIN sh a ON a.doc_id = c.doc_a
+         |           JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |           GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT i.doc_a, i.doc_b,
+         |          (10000 * i.inter) // (ca.n_sh + cb.n_sh - i.inter) AS j_bp
+         |        FROM interp i
+         |        JOIN cnt ca ON ca.doc_id = i.doc_a
+         |        JOIN cnt cb ON cb.doc_id = i.doc_b
+         |        WHERE 2 * i.inter >= ca.n_sh + cb.n_sh - i.inter),
+         |${Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |interl AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |           FROM cand c
+         |           JOIN sh sa ON sa.doc_id = c.doc_a
+         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |           GROUP BY 1, 2),
+         |lsh AS MATERIALIZED (SELECT i.doc_a, i.doc_b
+         |       FROM interl i
+         |       JOIN cnt ca ON ca.doc_id = i.doc_a
+         |       JOIN cnt cb ON cb.doc_id = i.doc_b
+         |       WHERE 2 * i.inter >= ca.n_sh + cb.n_sh - i.inter)
+         |SELECT CAST(LEAST(j_bp // 1000, 9) * 1000 AS BIGINT) AS j_bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_caught,
+         |       (10000 * CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0
+         |         END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS recall_bp
+         |FROM truth tr LEFT JOIN lsh l
+         |  ON l.doc_a = tr.doc_a AND l.doc_b = tr.doc_b
+         |GROUP BY 1 ORDER BY j_bucket""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $SHINGLE3,

@@ -127,7 +127,8 @@ class DeterminismSpec extends SparkSpec {
     "lineitem_discount_lift", // broadcast dim join + truncated-mean lift
     "supplier_hhi",          // truncated bp shares + squared-share fold
     "orders_fulfillment_lag", // fact-fact keyed join + priority rank picks
-    "events_freshness")      // per-type frontier lag, minute truncation
+    "events_freshness",      // per-type frontier lag, minute truncation
+    "dedup_lsh_recall")      // PPJoin truth x LSH caught, bucketed recall
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
