@@ -735,7 +735,34 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
       .orderBy("shard")
   }
 
+  /** Near-dup pollution per source — the datacard row that names the
+    * OFFENDER: for each source, how many of its docs sit in at least
+    * one verified near-dup pair (the shared memoized LSH frame), as a
+    * rate in bp. The per-source attribution is what turns a corpus-
+    * level dup rate into an actionable crawl/licensing decision
+    * ("source X is 30% self-copies; renegotiate or re-crawl").
+    *
+    * Scale shape: the pair frame is the family's memoized artifact;
+    * its doc-id explode is 2·|pairs|; one (doc_id)-keyed join against
+    * the documents projection and one source-keyed fold. No new scan
+    * of text, nothing all-pairs.
+    */
+  private def qCorpusDupBySource(s: SparkSession, dir: String): DataFrame = {
+    val inPair = dedupPairs(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("in_pair", lit(1L))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(inPair, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("in_pair"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate_bp", expr("(10000 * n_dup_docs) div n_docs"))
+      .orderBy("source")
+  }
+
   protected def corpusExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dup_by_source" -> (qCorpusDupBySource _),
     "corpus_shard_balance" -> (qCorpusShardBalance _),
     "corpus_chunk_dedup" -> (qCorpusChunkDedup _),
     "corpus_clean" -> (qCorpusClean _),
@@ -988,6 +1015,37 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
          |       ${graft.ops.Sampling.assignSplitSql("COALESCE(cc.comp, d.doc_id)")} AS split
          |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
          |ORDER BY doc_id""".stripMargin,
+
+    // the LSH pair CTEs verbatim (the dedup_minhash_lsh oracle), then
+    // the per-source attribution fold
+    "corpus_dup_by_source" ->
+      s"""WITH $SHINGLE3,
+         |${graft.ops.Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN sh sa ON sa.doc_id = c.doc_a
+         |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |          JOIN cnt ca ON ca.doc_id = i.doc_a
+         |          JOIN cnt cb ON cb.doc_id = i.doc_b
+         |          WHERE 2 * i.inter >= ca.n_sh + cb.n_sh - i.inter),
+         |ip AS (SELECT DISTINCT doc_id FROM (
+         |         SELECT doc_a AS doc_id FROM pairs
+         |         UNION ALL SELECT doc_b FROM pairs))
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN ip.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dup_docs,
+         |       (10000 * CAST(SUM(CASE WHEN ip.doc_id IS NOT NULL THEN 1 ELSE 0
+         |         END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS dup_rate_bp
+         |FROM documents d LEFT JOIN ip ON ip.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "corpus_shard_balance" ->
       s"""WITH d AS (SELECT ${graft.ops.Sampling.bucketSql("doc_id")} % 8 AS shard,

@@ -128,7 +128,8 @@ class DeterminismSpec extends SparkSpec {
     "supplier_hhi",          // truncated bp shares + squared-share fold
     "orders_fulfillment_lag", // fact-fact keyed join + priority rank picks
     "events_freshness",      // per-type frontier lag, minute truncation
-    "dedup_lsh_recall")      // PPJoin truth x LSH caught, bucketed recall
+    "dedup_lsh_recall",      // PPJoin truth x LSH caught, bucketed recall
+    "corpus_dup_by_source")  // pair-side explode + source attribution fold
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
