@@ -345,6 +345,45 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("stage")
   }
 
+  /** Funnel × experiment interaction — the analysis that follows a
+    * significant ab_test: WHERE in the signup→click→purchase chain
+    * does variant B actually win? Same chained conditional-min funnel
+    * as events_funnel, folded per id-parity variant instead of
+    * globally, with each stage's step conversion from the PRIOR stage
+    * in exact bp (a variant can win the top of the funnel and lose
+    * the bottom — the global uplift number can't show that). Same
+    * scale shape as events_funnel: three user-keyed aggregates, 2-row
+    * fold, stack to long form.
+    */
+  private def qEventsFunnelByVariant(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("t_signup"),
+        col("ts"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+        col("ts"))).as("t_purchase"))
+    s3.withColumn("variant",
+        when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      .groupBy(col("variant"))
+      .agg(count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_click").isNotNull, 1)).as("n_click_after"),
+        count(when(col("t_purchase").isNotNull, 1)).as("n_purchase_after"))
+      .select(col("variant"), expr(
+        """stack(3,
+          |'signup', n_signup, CAST(10000 AS BIGINT),
+          |'click_after', n_click_after,
+          |  (10000 * n_click_after) div greatest(n_signup, 1),
+          |'purchase_after', n_purchase_after,
+          |  (10000 * n_purchase_after) div greatest(n_click_after, 1))
+          |as (stage, n_users, step_conv_bp)""".stripMargin))
+      .orderBy("variant", "stage")
+  }
+
   /** Cohort retention: users grouped by signup week, counted in each
     * later week they were active (any event type). Two keyed
     * aggregations + one keyed join — the classic retention matrix with
@@ -1930,6 +1969,7 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
     "events_error_label" -> (qEventsErrorLabel _),
     "events_forecast_baseline" -> (qEventsForecastBaseline _),
     "events_funnel" -> (qEventsFunnel _),
+    "events_funnel_by_variant" -> (qEventsFunnelByVariant _),
     "events_funnel_windowed" -> (qEventsFunnelWindowed _),
     "events_grouping_sets" -> (qEventsGroupingSets _),
     "events_hourly_dense" -> (qEventsHourlyDense _),
@@ -2431,6 +2471,38 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
         |  UNION ALL SELECT 'click_after', n_click_after FROM agg
         |  UNION ALL SELECT 'purchase_after', n_purchase_after FROM agg)
         |ORDER BY stage""".stripMargin,
+
+    "events_funnel_by_variant" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM ev GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t_signup,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_signup
+        |        THEN e.ts END) AS t_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click
+        |        THEN e.ts END) AS t_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1, 2, 3),
+        |agg AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_signup,
+        |    CAST(COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_click_after,
+        |    CAST(COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS n_purchase_after
+        |  FROM s3 GROUP BY 1)
+        |SELECT variant, stage, n_users, step_conv_bp FROM (
+        |  SELECT variant, 'signup' AS stage, n_signup AS n_users,
+        |         CAST(10000 AS BIGINT) AS step_conv_bp FROM agg
+        |  UNION ALL SELECT variant, 'click_after', n_click_after,
+        |         (10000 * n_click_after) // greatest(n_signup, 1) FROM agg
+        |  UNION ALL SELECT variant, 'purchase_after', n_purchase_after,
+        |         (10000 * n_purchase_after) // greatest(n_click_after, 1)
+        |    FROM agg)
+        |ORDER BY variant, stage""".stripMargin,
 
     "events_funnel_windowed" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

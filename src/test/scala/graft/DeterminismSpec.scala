@@ -129,7 +129,8 @@ class DeterminismSpec extends SparkSpec {
     "orders_fulfillment_lag", // fact-fact keyed join + priority rank picks
     "events_freshness",      // per-type frontier lag, minute truncation
     "dedup_lsh_recall",      // PPJoin truth x LSH caught, bucketed recall
-    "corpus_dup_by_source")  // pair-side explode + source attribution fold
+    "corpus_dup_by_source",  // pair-side explode + source attribution fold
+    "events_funnel_by_variant") // chained conditional mins + variant stack
 
   test("results are bit-identical under different shuffle partitioning") {
     val dir = "/root/testdata/sf0.001"
