@@ -1702,9 +1702,12 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
     * two endpoints' neighbor sets ×10⁴ (cn / (da + db − cn), the
     * standard embeddedness measure — a high-Jaccard edge is an
     * intra-community tie, a zero-cn edge is a local bridge). Degrees
-    * come from the SAME capped adjacency the wedge pass read, so the
-    * three integers are mutually consistent and the division is exact
-    * on both engines.
+    * come from the SAME capped adjacency the wedge pass read; because
+    * cn is counted at the wedge CENTER's capped list while the degrees
+    * are the endpoints' own capped lists, cn can exceed an endpoint's
+    * capped degree once the 64-cap binds on hubs — so cn is clamped to
+    * least(cn, deg_a, deg_b) before the Jaccard, keeping the ratio in
+    * [0, 10⁴] and the denominator positive at every scale.
     *
     * Scale shape: one left join of the edge set against the shared
     * [[cnPairs]] frame (missing pair = bridge, cn 0) + two
@@ -1720,7 +1723,9 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
         Seq("a", "b"), "left")
       .join(deg.select(col("v").as("a"), col("d").as("deg_a")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("deg_b")), "b")
-      .select(col("a"), col("b"), coalesce(col("cn"), lit(0L)).as("cn"),
+      .select(col("a"), col("b"),
+        least(coalesce(col("cn"), lit(0L)), col("deg_a"), col("deg_b"))
+          .as("cn"),
         col("deg_a"), col("deg_b"))
       .withColumn("jaccard_bp",
         expr("(10000 * cn) div greatest(deg_a + deg_b - cn, 1)"))
@@ -2962,10 +2967,12 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
          |${graft.ops.Graph.commonNeighborSql(64)},
          |deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
          |  FROM adjc GROUP BY 1)
-         |SELECT e.a, e.b, COALESCE(c.cn, 0) AS cn,
+         |SELECT e.a, e.b,
+         |       least(COALESCE(c.cn, 0), da.d, db.d) AS cn,
          |       da.d AS deg_a, db.d AS deg_b,
-         |       (10000 * COALESCE(c.cn, 0))
-         |         // greatest(da.d + db.d - COALESCE(c.cn, 0), 1) AS jaccard_bp
+         |       (10000 * least(COALESCE(c.cn, 0), da.d, db.d))
+         |         // greatest(da.d + db.d
+         |              - least(COALESCE(c.cn, 0), da.d, db.d), 1) AS jaccard_bp
          |FROM ed e
          |LEFT JOIN cnp c ON c.x = e.a AND c.y = e.b
          |JOIN deg da ON da.v = e.a

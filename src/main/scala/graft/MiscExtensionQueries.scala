@@ -609,9 +609,10 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
   }
 
   /** Supplier market concentration per part type — the
-    * Herfindahl–Hirschman index every sourcing/risk team reads (a
-    * type at HHI > 2500 bp² is single-supplier risk; the DOJ merger
-    * thresholds use the same scale). Revenue = extendedprice cents
+    * Herfindahl–Hirschman index every sourcing/risk team reads. The
+    * DOJ merger threshold of 2500 is on percent-scale shares; this
+    * query works in basis points, so the equivalent flag level is
+    * 2500 × 100² = 25,000,000 bp². Revenue = extendedprice cents
     * summed per (type, supplier); share in bp against the type total
     * (truncated identically on both engines); HHI = Σ share_bp² —
     * bounded by 10⁸ regardless of data size, so no overflow at any
@@ -640,7 +641,11 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
       .agg(count(lit(1)).as("n_suppliers"),
         sum(col("share_bp") * col("share_bp")).as("hhi"),
         max(col("share_bp")).as("top_share_bp"))
-      .withColumn("concentrated", col("hhi") >= 2500L)
+      // the DOJ 2500 threshold is on PERCENT-scale shares; on the bp²
+      // scale used here that is 2500 × 100² = 25,000,000 (a flat field
+      // of n equal suppliers scores 10⁸/n, so the percent-scale 2500
+      // would flag everything)
+      .withColumn("concentrated", col("hhi") >= 25000000L)
       .orderBy("p_type")
   }
 
@@ -1101,7 +1106,8 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
         |       CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
         |       CAST(MAX(share_bp) AS BIGINT) AS top_share_bp,
-        |       CAST(SUM(share_bp * share_bp) AS BIGINT) >= 2500 AS concentrated
+        |       CAST(SUM(share_bp * share_bp) AS BIGINT) >= 25000000
+        |         AS concentrated
         |FROM sh GROUP BY p_type ORDER BY p_type""".stripMargin,
 
     "lineitem_discount_lift" ->

@@ -563,14 +563,16 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
   /** Per-dimension variance audit — the feature-selection readout
     * behind dimension pruning / PCA triage (and the sanity check for
     * the Matryoshka funnel: if variance is NOT front-loaded, a prefix
-    * shortlist is the wrong funnel). Per dimension the exact integer
-    * moment form n·Σq² − (Σq)² over the milli-quantized components,
-    * its share of total variance in bp, and the variance rank. The
-    * share's operands are pre-scaled by 10⁶ IDENTICALLY on both
-    * engines (headroom: the raw numerator clears 10¹⁸ around sf100,
-    * the scaled form never does; both engines compute the same
-    * truncated value at every SF, which is all the hash compare
-    * needs).
+    * shortlist is the wrong funnel). Per dimension the variance in
+    * milli² units via the truncated-mean form s2 div n − (s1 div n)²
+    * over the milli-quantized components, its share of total variance
+    * in bp, and the variance rank. The raw moment n·s2 − s1² grows as
+    * n²·10⁶ and clears 2⁶³ near 3M rows; the truncated-mean form is
+    * bounded by the quantization DOMAIN (max qv² = 10⁶) at any row
+    * count, so it is genuinely SF-independent. Both engines apply the
+    * identical truncation, which is all the hash compare needs; the
+    * greatest(…, 0) guards the rare case where the two truncations
+    * land the difference a hair below zero.
     *
     * Scale shape: scan-stage quantize + posexplode, ONE dim-keyed
     * aggregate (64 output rows), total and rank on the 64-row frame
@@ -583,14 +585,14 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
       .groupBy(col("d").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).as("s1"),
         sum(col("qv") * col("qv")).as("s2"))
-      .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
-    val tot = per.agg(sum(col("var_num")).as("tot_var"))
+      .withColumn("var_milli2",
+        expr("greatest(s2 div n - (s1 div n) * (s1 div n), 0)"))
+    val tot = per.agg(sum(col("var_milli2")).as("tot_var"))
     per.crossJoin(broadcast(tot))
-      .select(col("dim"), col("n"), col("var_num"),
-        expr("(10000 * (var_num div 1000000)) " +
-          "div greatest(tot_var div 1000000, 1)").as("share_bp"))
+      .select(col("dim"), col("n"), col("var_milli2"),
+        expr("(10000 * var_milli2) div greatest(tot_var, 1)").as("share_bp"))
       .withColumn("var_rank", row_number().over(
-        Window.orderBy(col("var_num").desc, col("dim"))).cast("long"))
+        Window.orderBy(col("var_milli2").desc, col("dim"))).cast("long"))
       .orderBy("dim")
   }
 
@@ -637,13 +639,14 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
          |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qv) AS BIGINT) AS s1,
          |    CAST(SUM(qv * qv) AS BIGINT) AS s2
          |  FROM d GROUP BY 1),
-         |v AS (SELECT dim, n, CAST(n * s2 - s1 * s1 AS BIGINT) AS var_num
+         |v AS (SELECT dim, n,
+         |    CAST(greatest(s2 // n - (s1 // n) * (s1 // n), 0) AS BIGINT)
+         |      AS var_milli2
          |  FROM per),
-         |t AS (SELECT CAST(SUM(var_num) AS BIGINT) AS tot_var FROM v)
-         |SELECT dim, n, var_num,
-         |  (10000 * (var_num // 1000000))
-         |    // greatest(tot_var // 1000000, 1) AS share_bp,
-         |  CAST(row_number() OVER (ORDER BY var_num DESC, dim) AS BIGINT)
+         |t AS (SELECT CAST(SUM(var_milli2) AS BIGINT) AS tot_var FROM v)
+         |SELECT dim, n, var_milli2,
+         |  (10000 * var_milli2) // greatest(tot_var, 1) AS share_bp,
+         |  CAST(row_number() OVER (ORDER BY var_milli2 DESC, dim) AS BIGINT)
          |    AS var_rank
          |FROM v, t ORDER BY dim""".stripMargin,
 

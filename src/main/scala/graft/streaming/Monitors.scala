@@ -366,16 +366,23 @@ object Monitors {
     * new / returning / resurrected / churned decomposition for
     * exactly the days it carries, classified against EVERYTHING seen
     * so far. Day rows land under `outDir/day=YYYY-MM-DD` with
-    * overwrite, so a crash-replayed batch REPLACES its own output and
-    * a late batch that reopens a day simply rewrites that day's row
-    * with the fuller truth — replay-idempotent and eventually equal
-    * to the batch query on the same data.
+    * overwrite, so a crash-replayed batch REPLACES its own output —
+    * replay of the SAME batch is idempotent.
     *
-    * Contract pinned by GrowthStreamSpec: with day-ordered batches
-    * (the watermark-closed arrival order), the accumulated output ==
-    * the batch query row-for-row, under any day-aligned batch split;
-    * churn for day d is emitted when day d is processed (a user's
-    * absence is only decidable once the day closes).
+    * Contract pinned by GrowthStreamSpec, and the only one this sink
+    * promises: with day-ordered batches (the watermark-closed arrival
+    * order), the accumulated output == the batch query row-for-row,
+    * under any day-aligned batch split; churn for day d is emitted
+    * when day d is processed (a user's absence is only decidable once
+    * the day closes). A late batch that REOPENS an already-emitted
+    * day rewrites only that day's partition with the fuller presence
+    * set — neighboring days' rows (churn into d+1, and the new /
+    * returning / resurrected labels on any later day whose first-day
+    * or prev-day facts the late rows change) are NOT recomputed and
+    * go stale. Out-of-order arrival therefore needs a batch backfill
+    * over the presence store (exactly `events_growth_accounting` run
+    * on the store's rows), not this incremental sink; the upstream
+    * watermark is what makes day-ordered arrival the normal case.
     *
     * At scale: the store read prunes to earlier-batch partitions; the
     * batch classifies against the store by one (user)-keyed join for
