@@ -11,6 +11,7 @@ import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, Text, Vectors}
   */
 object ExtensionQueries
     extends EventsExtensionQueries
+    with EventsGraphExtensionQueries
     with TextExtensionQueries
     with CorpusExtensionQueries
     with DedupExtensionQueries
@@ -21,10 +22,10 @@ object ExtensionQueries
     * this with the TPC-H/CDC base set). Keys are unique across the
     * family traits; the aggregation is pure concatenation. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    eventsExtQueries ++ textExtQueries ++ corpusExtQueries ++ dedupExtQueries ++ vectorExtQueries ++ miscExtQueries
+    eventsExtQueries ++ eventsGraphExtQueries ++ textExtQueries ++ corpusExtQueries ++ dedupExtQueries ++ vectorExtQueries ++ miscExtQueries
 
   /** DuckDB oracle SQL for every key in [[queries]] — same
     * aggregation, same keys. */
   def oracleSql: Map[String, String] =
-    eventsExtOracles ++ textExtOracles ++ corpusExtOracles ++ dedupExtOracles ++ vectorExtOracles ++ miscExtOracles
+    eventsExtOracles ++ eventsGraphExtOracles ++ textExtOracles ++ corpusExtOracles ++ dedupExtOracles ++ vectorExtOracles ++ miscExtOracles
 }
