@@ -297,6 +297,32 @@ private[graft] trait EventsGraphExtensionQueries extends ExtensionQueriesBase {
       .orderBy("event_type")
   }
 
+  /** Markov stationary distribution of the event-type transition chain
+    * (pure power iteration, 4 rounds, [[graft.ops.Graph.Scale]]
+    * fixed-point — PageRank's undamped sibling): the chain's own
+    * long-run occupancy per event type, the "where do sessions settle"
+    * readout next to events_pagerank's damped behavioral mass and
+    * events_transitions' raw counts. Dangling types keep their mass
+    * (self-loop closure), so Σpr is conserved up to div truncation.
+    *
+    * Scale shape: identical to events_pagerank — the 100 TB scan pays
+    * one lag/groupBy shuffle into a |types|² edge table; all four
+    * iterations run on that pinned aggregate with the |types|-row rank
+    * vector broadcast. */
+  private def qEventsMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.markovStationary(edges, iters = 4)
+      .select(col("node").as("event_type"), col("pr"))
+      .orderBy("event_type")
+  }
+
   /** Frequent-itemset pairs (support + lift) over per-user event-type
     * baskets — the market-basket / co-occurrence mining primitive.
     * Support = users with both types; lift is emitted in integer basis
@@ -476,6 +502,7 @@ private[graft] trait EventsGraphExtensionQueries extends ExtensionQueriesBase {
     "events_kcore" -> (qEventsKcore _),
     "events_kmv_churn" -> (qEventsKmvChurn _),
     "events_link_prediction" -> (qEventsLinkPrediction _),
+    "events_markov_stationary" -> (qEventsMarkovStationary _),
     "events_pagerank" -> (qEventsPagerank _),
     "events_ppr" -> (qEventsPpr _),
     "events_rollup_kmv" -> (qEventsRollupKmv _),
@@ -624,6 +651,31 @@ private[graft] trait EventsGraphExtensionQueries extends ExtensionQueriesBase {
          |       n_union, n_both
          |FROM es JOIN ex ON es.pd = ex.pd
          |ORDER BY day""".stripMargin
+    },
+
+    "events_markov_stationary" -> {
+      import graft.ops.Graph
+      s"""WITH o AS (SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+         |  FROM events),
+         |e AS (SELECT src, event_type AS dst, COUNT(*) AS w
+         |      FROM o WHERE src IS NOT NULL GROUP BY 1, 2),
+         |ow AS MATERIALIZED (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+         |ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, ow.out_w
+         |      FROM e JOIN ow ON e.src = ow.src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT n.node,
+         |    NOT EXISTS (SELECT 1 FROM ow WHERE ow.src = n.node) AS dangling
+         |  FROM nodes n),
+         |m0 AS MATERIALIZED (SELECT node, dangling,
+         |    ${Graph.Scale} // (SELECT COUNT(*) FROM nn) AS pr FROM nn),
+         |m1 AS MATERIALIZED (${Graph.markovStepSql("m0")}),
+         |m2 AS MATERIALIZED (${Graph.markovStepSql("m1")}),
+         |m3 AS MATERIALIZED (${Graph.markovStepSql("m2")}),
+         |m4 AS MATERIALIZED (${Graph.markovStepSql("m3")})
+         |SELECT node AS event_type, CAST(pr AS BIGINT) AS pr
+         |FROM m4 ORDER BY event_type""".stripMargin
     },
 
     "events_pagerank" -> {

@@ -16,16 +16,17 @@ object ExtensionQueries
     with CorpusExtensionQueries
     with DedupExtensionQueries
     with VectorExtensionQueries
+    with StatsExtensionQueries
     with MiscExtensionQueries {
 
   /** The single registry the driver contract reads (SparkEntry merges
     * this with the TPC-H/CDC base set). Keys are unique across the
     * family traits; the aggregation is pure concatenation. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    eventsExtQueries ++ eventsGraphExtQueries ++ textExtQueries ++ corpusExtQueries ++ dedupExtQueries ++ vectorExtQueries ++ miscExtQueries
+    eventsExtQueries ++ eventsGraphExtQueries ++ textExtQueries ++ corpusExtQueries ++ dedupExtQueries ++ vectorExtQueries ++ statsExtQueries ++ miscExtQueries
 
   /** DuckDB oracle SQL for every key in [[queries]] — same
     * aggregation, same keys. */
   def oracleSql: Map[String, String] =
-    eventsExtOracles ++ eventsGraphExtOracles ++ textExtOracles ++ corpusExtOracles ++ dedupExtOracles ++ vectorExtOracles ++ miscExtOracles
+    eventsExtOracles ++ eventsGraphExtOracles ++ textExtOracles ++ corpusExtOracles ++ dedupExtOracles ++ vectorExtOracles ++ statsExtOracles ++ miscExtOracles
 }

@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension queries — statistical modeling over the event stream
+  * (survival analysis, seasonality, concentration, adoption): the
+  * lifecycle readouts a growth/analytics team runs beside the
+  * experimentation family. Builders + their DuckDB oracle mirrors;
+  * shared fragments come from [[ExtensionQueriesBase]]. Registered
+  * into the single public registry by [[ExtensionQueries]].
+  *
+  * Exactness conventions as everywhere: integer/decimal arithmetic
+  * only, identical truncation (`div` / `//`, both toward zero) on both
+  * engines, BIGINT/STRING/BOOLEAN/DATE outputs.
+  */
+private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
+
+  /** Discrete-time survival of time-to-first-purchase — the
+    * Kaplan-Meier-style life table (at-risk / died / censored per day
+    * since first activity) behind every retention-curve readout. A
+    * user "dies" at their first purchase, measured in whole days from
+    * their first event; non-converters are right-censored at the
+    * corpus frontier. The per-day hazard is emitted in bp
+    * ((10⁴·died) div at_risk — exact, both engines); the cumulative
+    * survival product is left to the reader because a running product
+    * is not integer-exact, and the life table IS the standard
+    * publishable artifact.
+    *
+    * Scale shape: one per-user aggregate (the only data-sized
+    * shuffle), then everything runs on the DAY HISTOGRAM — bounded by
+    * the date span, not by users. The running exit count rides
+    * [[graft.ops.Linkage.globalRunningSum]]'s two-pass exchange, never
+    * a single-partition window; the frontier and the user total are
+    * 1-row broadcasts.
+    */
+  private def qEventsSurvivalHazard(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+    val u = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f_day"),
+        min(when(col("event_type") === "purchase", col("day"))).as("c_day"))
+    val frontier = ev.agg(max(col("day")).as("l_day"))
+    val t = u.crossJoin(broadcast(frontier))
+      .select(datediff(col("c_day"), col("f_day")).cast("long").as("t_conv"),
+        datediff(col("l_day"), col("f_day")).cast("long").as("t_cens"))
+      .select(coalesce(col("t_conv"), col("t_cens")).as("day_t"),
+        when(col("t_conv").isNotNull, 1L).otherwise(0L).as("died"))
+    val hist = t.groupBy(col("day_t"))
+      .agg(count(lit(1)).as("exits"), sum(col("died")).as("died"))
+    val tot = hist.agg(sum(col("exits")).as("n_users"))
+    graft.ops.Linkage.globalRunningSum(hist, col("exits"), col("day_t"))
+      .crossJoin(broadcast(tot))
+      .select(col("day_t"),
+        (col("n_users") - col("cum") + col("exits")).as("at_risk"),
+        col("died"), (col("exits") - col("died")).as("censored"),
+        expr("(10000 * died) div (n_users - cum + exits)").as("hazard_bp"))
+      .orderBy("day_t")
+  }
+
+  /** Hour-of-week seasonality with an exact χ² uniformity test per ISO
+    * weekday — the traffic-shaping readout (when to schedule batch
+    * windows, whether weekday load is flat). χ² against the uniform
+    * 24-hour profile is computed in the cross-multiplied integer form
+    * χ²·10⁴ = (10⁴·(24·Σo² − n²)) div n (algebraically Σ(o−n/24)²
+    * normalized — no per-cell division, no floats); operands ride
+    * DECIMAL(38)/HUGEINT because n² clears 2⁶³ near 3G rows per
+    * weekday. `nonuniform` flags χ² above the df=23, α=0.05 critical
+    * value 35.172. ISO weekday comes from epoch-day arithmetic
+    * (((days+3) mod 7)+1) so both engines share one definition instead
+    * of their differing dayofweek conventions.
+    *
+    * Scale shape: ONE (dow, hour)-keyed aggregate over the scan (168
+    * output rows); the χ² fold and the peak-hour window both run on
+    * that dimension-sized frame. Nothing else touches the data.
+    */
+  private def qEventsSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).cast("long").as("hr"))
+      .select((((datediff(col("day"), lit("1970-01-01").cast("date")) + 3) % 7) + 1)
+        .cast("long").as("iso_dow"), col("hr"))
+      .groupBy(col("iso_dow"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val peak = cells.withColumn("rk", row_number().over(
+        Window.partitionBy(col("iso_dow")).orderBy(col("cnt").desc, col("hr"))))
+      .where(col("rk") === 1)
+      .select(col("iso_dow"), col("hr").as("peak_hour"), col("cnt").as("peak_n"))
+    cells.groupBy(col("iso_dow"))
+      .agg(sum(col("cnt")).as("n_events"),
+        sum(col("cnt") * col("cnt")).cast("decimal(38,0)").as("ss"))
+      .join(peak, "iso_dow")
+      .select(col("iso_dow"), col("n_events"), col("peak_hour"),
+        expr("(10000 * peak_n) div n_events").as("peak_share_bp"),
+        expr("CAST((10000 * (24 * ss - CAST(n_events AS DECIMAL(38,0)) * n_events)) " +
+          "div n_events AS BIGINT)").as("chi2_x10000"))
+      .withColumn("nonuniform", col("chi2_x10000") >= 351720L)
+      .orderBy("iso_dow")
+  }
+
+  /** Per-event-type user concentration — the supplier_hhi readout
+    * turned on the event stream: is a type's volume produced by a
+    * broad base or a handful of users (bot farms, power users,
+    * instrumentation loops)? Shares in bp of the type's events per
+    * user, HHI = Σ share_bp² on the bp² scale with the DOJ-equivalent
+    * flag at 2500·100² = 25,000,000 (same scale discipline as
+    * supplier_hhi), plus the top user's share.
+    *
+    * Scale shape: one (type, user) aggregate over the scan, then
+    * everything runs on that frame — type totals join back broadcast,
+    * the fold is per type. No window over data.
+    */
+  private def qEventsTypeConcentration(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    per.join(broadcast(tot), "event_type")
+      .select(col("event_type"),
+        expr("(10000 * n) div greatest(total, 1)").as("share_bp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("share_bp") * col("share_bp")).as("hhi"),
+        max(col("share_bp")).as("top_share_bp"))
+      .withColumn("concentrated", col("hhi") >= 25000000L)
+      .orderBy("event_type")
+  }
+
+  /** Feature-adoption curves — per event type and day, how many users
+    * performed it for the FIRST time (new adopters) and the running
+    * adopter total: the product-analytics S-curve that tells a launch
+    * review whether usage is still acquiring new users or saturating.
+    *
+    * Scale shape: one (type, user) MIN-day aggregate over the scan,
+    * one (type, day) rollup, then the cumulative sum runs on the
+    * (types × days)-sized frame — the window partitions by type, so
+    * no single-partition exchange, and the frame it orders is bounded
+    * by the date span, not the data.
+    */
+  private def qEventsAdoptionCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("day"))
+    firstDay.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_adopters"))
+      .withColumn("cum_adopters", sum(col("new_adopters")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("event_type", "day")
+  }
+
+  protected def statsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_survival_hazard" -> (qEventsSurvivalHazard _),
+    "events_seasonality" -> (qEventsSeasonality _),
+    "events_type_concentration" -> (qEventsTypeConcentration _),
+    "events_adoption_curve" -> (qEventsAdoptionCurve _),
+  )
+
+  protected def statsExtOracles: Map[String, String] = Map(
+    "events_survival_hazard" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |u AS (SELECT user_id, MIN(day) AS f_day,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS c_day
+        |  FROM ev GROUP BY 1),
+        |l AS (SELECT MAX(day) AS l_day FROM ev),
+        |t AS (SELECT CAST(date_diff('day', f_day, c_day) AS BIGINT) AS t_conv,
+        |    CAST(date_diff('day', f_day, l_day) AS BIGINT) AS t_cens
+        |  FROM u, l),
+        |x AS (SELECT COALESCE(t_conv, t_cens) AS day_t,
+        |    CASE WHEN t_conv IS NOT NULL THEN 1 ELSE 0 END AS died FROM t),
+        |h AS (SELECT day_t, CAST(COUNT(*) AS BIGINT) AS exits,
+        |    CAST(SUM(died) AS BIGINT) AS died FROM x GROUP BY 1),
+        |c AS (SELECT *, CAST(SUM(exits) OVER (ORDER BY day_t) AS BIGINT) AS cum,
+        |    (SELECT CAST(SUM(exits) AS BIGINT) FROM h) AS n_users FROM h)
+        |SELECT day_t, n_users - cum + exits AS at_risk, died,
+        |       exits - died AS censored,
+        |       (10000 * died) // (n_users - cum + exits) AS hazard_bp
+        |FROM c ORDER BY day_t""".stripMargin,
+
+    "events_seasonality" ->
+      """WITH cells AS (SELECT
+        |    ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7) + 1
+        |      AS iso_dow,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |peak AS (SELECT iso_dow, hr AS peak_hour, cnt AS peak_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY iso_dow
+        |      ORDER BY cnt DESC, hr) AS rk FROM cells) WHERE rk = 1),
+        |agg AS (SELECT iso_dow, CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS ss
+        |  FROM cells GROUP BY 1)
+        |SELECT CAST(a.iso_dow AS BIGINT) AS iso_dow, a.n_events, p.peak_hour,
+        |       (10000 * p.peak_n) // a.n_events AS peak_share_bp,
+        |       CAST((10000 * (24 * a.ss - CAST(a.n_events AS HUGEINT) * a.n_events))
+        |         // a.n_events AS BIGINT) AS chi2_x10000,
+        |       CAST((10000 * (24 * a.ss - CAST(a.n_events AS HUGEINT) * a.n_events))
+        |         // a.n_events AS BIGINT) >= 351720 AS nonuniform
+        |FROM agg a JOIN peak p ON a.iso_dow = p.iso_dow
+        |ORDER BY iso_dow""".stripMargin,
+
+    "events_type_concentration" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+        |  FROM per GROUP BY 1),
+        |sh AS (SELECT per.event_type,
+        |    (10000 * n) // greatest(total, 1) AS share_bp
+        |  FROM per JOIN t ON per.event_type = t.event_type)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+        |       CAST(MAX(share_bp) AS BIGINT) AS top_share_bp,
+        |       CAST(SUM(share_bp * share_bp) AS BIGINT) >= 25000000
+        |         AS concentrated
+        |FROM sh GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_adoption_curve" ->
+      """WITH f AS (SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_adopters
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_adopters,
+        |       CAST(SUM(new_adopters) OVER (PARTITION BY event_type
+        |         ORDER BY day) AS BIGINT) AS cum_adopters
+        |FROM d ORDER BY event_type, day""".stripMargin,
+  )
+}

@@ -118,6 +118,65 @@ object Graph {
        |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst
        |) i ON nn.node = i.dst""".stripMargin
 
+  /** Pure power iteration of the row-stochastic transition matrix —
+    * the Markov stationary-distribution estimate (what PageRank is
+    * WITHOUT damping: no teleport mass, so the result is the chain's
+    * own long-run occupancy, the readout behind "where do sessions
+    * settle"). Same [[Scale]] fixed-point arithmetic and plan shape as
+    * [[pageRank]] (pinned edge aggregate, size-gated rank join per
+    * round, plan depth linear in `iters`); per round
+    *   pr'(n) = Σ_in (pr(src)·w) div W(src)  [+ pr(n) if n dangling]
+    * Dangling nodes (no out-edges) keep their own mass — the self-loop
+    * closure — so total mass is conserved up to div truncation and the
+    * iteration cannot leak mass the way a dropped dangling term would.
+    */
+  def markovStationary(edges: DataFrame, iters: Int,
+                       broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val ew = e.join(outW, Seq("src"))
+    // nodes carry the dangling flag once; every round's join reads it
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outW.select(col("src").as("node"), lit(false).as("dangling")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("dangling"), lit(true)).as("dangling"))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    if (nNodes == 0) return nodes.select(col("node"), lit(0L).as("pr"))
+    val hintRank: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeBudget) broadcast else identity
+
+    var rank = nodes.select(col("node"), lit(Scale / nNodes).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(hintRank(rank), col("src") === col("node"))
+        .select(col("dst"),
+          expr("CAST((CAST(pr AS DECIMAL(38,0)) * w) div out_w AS BIGINT)").as("c"))
+      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      rank = nodes.join(hintRank(rank), "node")
+        .join(inSum, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (coalesce(col("in_sum"), lit(0L))
+            + when(col("dangling"), col("pr")).otherwise(0L)).as("pr"))
+    }
+    rank.select(col("node"), col("pr"))
+  }
+
+  /** DuckDB mirror of one [[markovStationary]] update, given the
+    * previous rank CTE `prev(node, pr)`, weighted edges `ew(src, dst,
+    * w, out_w)`, and nodes `nn(node, dangling)`. */
+  def markovStepSql(prev: String): String =
+    s"""SELECT nn.node, nn.dangling,
+       |       COALESCE(i.in_sum, 0)
+       |       + CASE WHEN nn.dangling THEN p.pr ELSE 0 END AS pr
+       |FROM nn JOIN $prev p ON nn.node = p.node
+       |LEFT JOIN (
+       |  SELECT ew.dst,
+       |         SUM(CAST((CAST(q.pr AS HUGEINT) * ew.w) // ew.out_w AS BIGINT)) AS in_sum
+       |  FROM ew JOIN $prev q ON ew.src = q.node GROUP BY ew.dst
+       |) i ON nn.node = i.dst""".stripMargin
+
   /** Personalized PageRank (Haveliwala, WWW 2002; the random surfer
     * teleports ONLY to the seed set, so rank mass measures proximity
     * to the seeds — the recommendation / related-items form of

@@ -238,6 +238,20 @@ class PlanSpec extends SparkSpec {
         s"found $userExchanges:\n${p.take(1500)}")
   }
 
+  test("events_freshness: frontier and readout share the pinned per-type frame, no re-scan") {
+    // the |types|-row aggregate is localCheckpoint'ed at build time;
+    // both consumers (the 1-row frontier max and the readout) must ride
+    // that materialized frame — without the pin the frontier branch
+    // re-ran the full events scan (fixed in r17; this pin keeps it so)
+    val p = planOf("events_freshness")
+    val fileScans = "Scan parquet|FileScan".r.findAllIn(p).length
+    assert(fileScans === 0,
+      s"expected zero parquet scans (both branches read the checkpoint), found $fileScans")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rddScans >= 2,
+      s"expected both branches on the checkpointed frame, found $rddScans RDD scans")
+  }
+
   test("customer_rfm: per-customer frame persisted and reused across passes") {
     // the o_custkey exchange appears once per InMemoryTableScan printout
     // (the cached plan is inlined in toString), so count the SCANS: both
