@@ -608,6 +608,82 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
       .orderBy("o_orderpriority")
   }
 
+  /** Monthly open-order backlog — the operations timeline behind
+    * "are we shipping faster than we book?": an order opens at its
+    * order month and closes at the month of its LAST shipped line, so
+    * backlog at end of month m = opens ≤ m − closes ≤ m. Orders with
+    * no shipped lines stay open (left join keeps them), which is the
+    * honest operational read. The cdc_active_sweep delta idiom on the
+    * orders grain: ±1 deltas per month, one running sum.
+    *
+    * Scale shape: one order-keyed aggregate over lineitem (max ship
+    * date), one keyed join to orders — both fact-sized, correctly a
+    * shuffle join at 100 TB — then everything runs on the MONTH
+    * frame, bounded by the calendar span; the running sum is
+    * [[graft.ops.Linkage.globalRunningSum]]'s two-pass exchange.
+    */
+  private def qOrdersBacklogTimeline(s: SparkSession, dir: String): DataFrame = {
+    val lo = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+      .groupBy(col("l_orderkey")).agg(max(col("ship_d")).as("close_d"))
+    val om = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("open_m"))
+      .join(lo, col("o_orderkey") === col("l_orderkey"), "left")
+    val deltas = om.select(col("open_m").as("month"),
+        lit(1L).as("o"), lit(0L).as("c"))
+      .unionByName(om.where(col("close_d").isNotNull)
+        .select(trunc(col("close_d"), "month").as("month"),
+          lit(0L).as("o"), lit(1L).as("c")))
+    val monthly = deltas.groupBy(col("month"))
+      .agg(sum(col("o")).as("n_opened"), sum(col("c")).as("n_closed"))
+      .withColumn("net", col("n_opened") - col("n_closed"))
+    graft.ops.Linkage.globalRunningSum(monthly, col("net"), col("month"))
+      .select(col("month"), col("n_opened"), col("n_closed"),
+        col("cum").as("backlog_eom"))
+      .orderBy("month")
+  }
+
+  /** One-way ANOVA of line revenue across return-flag classes — the
+    * "is this grouping real money or noise" screen, computed in the
+    * exact sum-of-squares identity on cents: per group n_g, Σx, Σx²;
+    * between-SS = Σ_g (s_g² div n_g) − S² div N, within-SS = Σx² −
+    * Σ_g (s_g² div n_g), F×10⁴ = (10⁴·SSB·(N−k)) div (SSW·(k−1)).
+    * Every operand rides DECIMAL(38)/HUGEINT (s_g² reaches ~10³² at
+    * 10¹⁶ cents of group revenue) and every truncation is the shared
+    * `div`, so the statistic is engine-exact where a float ANOVA is
+    * not. `significant` compares against the df₁=2, df₂→∞ critical
+    * value 2.9957 (×10⁴) — k is 3 by the data dictionary.
+    * SS outputs are normalized per row (div N) so the emitted BIGINTs
+    * stay inside int64 at any SF.
+    *
+    * Scale shape: one flag-keyed aggregate over the scan (3 rows);
+    * the fold and the F arithmetic run on that 3-row frame.
+    */
+  private def qLineitemAnovaReturnflag(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast("decimal(38,0)")).as("s_g"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q_g"))
+      .withColumn("bg", expr("CAST((s_g * s_g) div n_g AS DECIMAL(38,0))"))
+    g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(col("bg")).as("b"))
+      .select(col("k"), col("n"),
+        expr("CAST(b - (s * s) div n AS DECIMAL(38,0))").as("ssb"),
+        expr("CAST(q - b AS DECIMAL(38,0))").as("ssw"))
+      .select(col("k"), col("n"),
+        expr("CAST(ssb div n AS BIGINT)").as("ssb_per_row"),
+        expr("CAST(ssw div n AS BIGINT)").as("ssw_per_row"),
+        expr("CAST((10000 * ssb * (n - k)) div " +
+          "greatest(ssw * (k - 1), 1) AS BIGINT)").as("f_x10000"))
+      .withColumn("significant", col("f_x10000") >= 29957L)
+  }
+
   /** Supplier market concentration per part type — the
     * Herfindahl–Hirschman index every sourcing/risk team reads. The
     * DOJ merger threshold of 2500 is on percent-scale shares; this
@@ -861,6 +937,8 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "multimodal_audio_cert" -> (qMultimodalAudioCert _),
     "lineitem_discount_lift" -> (qLineitemDiscountLift _),
     "supplier_hhi" -> (qSupplierHhi _),
+    "orders_backlog_timeline" -> (qOrdersBacklogTimeline _),
+    "lineitem_anova_returnflag" -> (qLineitemAnovaReturnflag _),
     "orders_fulfillment_lag" -> (qOrdersFulfillmentLag _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frame_sample" -> (qMultimodalFrameSample _),
@@ -1088,6 +1166,44 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |         AS p90_lag_days,
         |       MAX(lag_days) AS max_lag_days
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "orders_backlog_timeline" ->
+      """WITH lo AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+        |  FROM lineitem GROUP BY 1),
+        |om AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS open_m,
+        |    lo.close_d
+        |  FROM orders o LEFT JOIN lo ON o.o_orderkey = lo.l_orderkey),
+        |d AS (SELECT open_m AS month, 1 AS o, 0 AS c FROM om
+        |  UNION ALL
+        |  SELECT date_trunc('month', close_d), 0, 1 FROM om
+        |  WHERE close_d IS NOT NULL),
+        |m AS (SELECT month, CAST(SUM(o) AS BIGINT) AS n_opened,
+        |    CAST(SUM(c) AS BIGINT) AS n_closed FROM d GROUP BY 1)
+        |SELECT CAST(month AS DATE) AS month, n_opened, n_closed,
+        |       CAST(SUM(n_opened - n_closed) OVER (ORDER BY month) AS BIGINT)
+        |         AS backlog_eom
+        |FROM m ORDER BY month""".stripMargin,
+
+    "lineitem_anova_returnflag" ->
+      """WITH x AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s_g,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q_g
+        |  FROM x GROUP BY 1),
+        |gb AS (SELECT *, (s_g * s_g) // n_g AS bg FROM g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS HUGEINT) AS s, CAST(SUM(q_g) AS HUGEINT) AS q,
+        |    CAST(SUM(bg) AS HUGEINT) AS b FROM gb),
+        |ss AS (SELECT k, n, b - (s * s) // n AS ssb, q - b AS ssw FROM t)
+        |SELECT k, n, CAST(ssb // n AS BIGINT) AS ssb_per_row,
+        |       CAST(ssw // n AS BIGINT) AS ssw_per_row,
+        |       CAST((10000 * ssb * (n - k))
+        |         // greatest(ssw * (k - 1), 1) AS BIGINT) AS f_x10000,
+        |       CAST((10000 * ssb * (n - k))
+        |         // greatest(ssw * (k - 1), 1) AS BIGINT) >= 29957 AS significant
+        |FROM ss""".stripMargin,
 
     "supplier_hhi" ->
       """WITH li AS (SELECT l_partkey, l_suppkey,

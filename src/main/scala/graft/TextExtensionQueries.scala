@@ -71,6 +71,56 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
   /** Vocabulary heavy hitters: top-100 tokens by corpus frequency
     * (explode → one keyed agg with map-side partials → global top-k;
     * ties broken by token so the result is total-order deterministic). */
+  /** Tokenizer fertility per source — the tokenization-cost readout a
+    * training-data budget runs first (chars per token ≈ how expensive
+    * a source is to tokenize; tokens per doc ≈ packing granularity).
+    * Exact integer ratios ×100 with the shared div truncation.
+    *
+    * Scale shape: tokenization is scan-stage; ONE source-keyed
+    * aggregate; the ratios run on the |sources|-row frame.
+    */
+  private def qTextFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("tk"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("(100 * n_chars) div greatest(n_tokens, 1)")
+          .as("chars_per_token_x100"),
+        expr("n_tokens div n_docs").as("tokens_per_doc"))
+      .orderBy("source")
+
+  /** Term burstiness (Church & Gale, 1995) for the top-30 corpus
+    * terms: mean occurrences per CONTAINING document (tf/df ×100) next
+    * to the document-frequency share — the statistic that separates
+    * topical terms (bursty: rare docs, many repeats) from function
+    * words (flat: everywhere, once or twice). Top-30 cut and rank are
+    * fully tiebroken (tf DESC, term ASC), so the result is total-order
+    * deterministic on both engines.
+    *
+    * Scale shape: explode + ONE term-keyed aggregate (two-stage
+    * distinct for df); the cut is a TakeOrdered, the ratios and rank
+    * run on the 30-row frame with the 1-row doc total broadcast.
+    */
+  private def qTextTermBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term").asc).limit(30)
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    st.crossJoin(broadcast(nd))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("term").asc)).cast("long"))
+      .select(col("rank"), col("term"), col("tf"), col("df"),
+        expr("(100 * tf) div df").as("burstiness_x100"),
+        expr("(10000 * df) div n_docs").as("df_share_bp"))
+      .orderBy("rank")
+  }
+
   private def qTextVocabTopk(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(Text.tokens(col("text"))).as("token"))
@@ -718,6 +768,8 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
     "text_vocab_growth" -> (qTextVocabGrowth _),
     "text_vocab_topk" -> (qTextVocabTopk _),
     "text_zipf_audit" -> (qTextZipfAudit _),
+    "text_fertility" -> (qTextFertility _),
+    "text_term_burstiness" -> (qTextTermBurstiness _),
   )
 
   protected def textExtOracles: Map[String, String] = Map(
@@ -1092,6 +1144,30 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
          |         AS BIGINT) AS cum_vocab
          |FROM documents d LEFT JOIN n USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "text_fertility" ->
+      s"""WITH t AS (SELECT source, CAST(len($TK) AS BIGINT) AS tk, n_chars
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(tk) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |       (100 * CAST(SUM(n_chars) AS BIGINT))
+         |         // greatest(CAST(SUM(tk) AS BIGINT), 1)
+         |         AS chars_per_token_x100,
+         |       CAST(SUM(tk) AS BIGINT) // COUNT(*) AS tokens_per_doc
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_term_burstiness" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($TK) AS term FROM documents),
+         |st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok GROUP BY 1 ORDER BY tf DESC, term LIMIT 30),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT)
+         |         AS rank,
+         |       term, tf, df, (100 * tf) // df AS burstiness_x100,
+         |       (10000 * df) // n_docs AS df_share_bp
+         |FROM st, nd ORDER BY rank""".stripMargin,
 
     "text_vocab_topk" ->
       s"""WITH t AS (SELECT unnest($TK) AS token FROM documents)

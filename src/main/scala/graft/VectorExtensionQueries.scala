@@ -119,6 +119,63 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
       .orderBy("rank")
   }
 
+  /** Exact range (threshold) similarity search
+    * ([[graft.ops.Similarity.rangeSearch]]): all candidates with
+    * integer dot ≥ 150,000 against each of the 8 query vectors — the
+    * "everything above the similarity bar" retrieval form, where top-k
+    * would either truncate a dense neighborhood or pad a sparse one.
+    * The 150k bar sits near the p90 of the corpus dot distribution,
+    * so the result is selective but never empty.
+    *
+    * Scale shape: the 8-query block broadcasts into one candidate
+    * scan; the dot and the threshold filter run scan-stage inside
+    * whole-stage codegen (`q_dot` is a codegen'd Catalyst expression).
+    * Zero shuffles before the output sort.
+    */
+  private def qSimRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.rangeSearch(emb.where(col("vec_id") >= 8),
+        emb.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+        minDot = 150000L)
+      .orderBy(col("q_vec_id"), col("dot").desc, col("vec_id"))
+  }
+
+  /** Centroid-distance OOD screen — the deployment twin of
+    * emb_outliers: instead of a top-20 rank cut, every vector is
+    * flagged against a data-derived bar (2× the corpus mean of the
+    * exact integer d2 to its assigned seed centroid), and the readout
+    * is the per-label OOD census — which label families drift out of
+    * distribution. The threshold is exact on both engines (integer
+    * mean with identical truncation, then an integer compare).
+    *
+    * Scale shape: assignments are scan-stage against literal centroids
+    * (the shared seedAssignments frame); the threshold is a 1-row
+    * broadcast; the census is one label-keyed aggregate over the
+    * assignment frame. Nothing all-pairs, nothing data-sized collected.
+    */
+  private def qEmbOodCentroid(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val a = graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
+        col("vec_id"), emb.where(col("vec_id") < 4))
+      .select(col("vec_id"), col("d2"))
+    // decimal(38) sum: d2 ≤ ~10⁹ per row, so a BIGINT sum clears 2⁶³
+    // near 10¹⁰ rows — decimal keeps the mean exact at any SF
+    val thr = a.agg(expr(
+      "CAST(2 * (sum(CAST(d2 AS DECIMAL(38,0))) div count(1)) AS BIGINT)")
+      .as("thr"))
+    a.join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .crossJoin(broadcast(thr))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d2") > col("thr"), 1L).otherwise(0L)).as("n_ood"),
+        max(col("d2")).as("max_d2"))
+      .withColumn("ood_share_bp", expr("(10000 * n_ood) div n"))
+      .select(col("label"), col("n"), col("n_ood"), col("ood_share_bp"),
+        col("max_d2"))
+      .orderBy("label")
+  }
+
   /** MMR diversity re-rank over the query-0 retrieval shortlist
     * ([[graft.ops.Similarity.mmrRerank]]): top-20 by exact integer
     * dot, then 5 greedy λ=1/2 MMR picks — the near-dup-suppressing
@@ -615,6 +672,8 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
     "sim_hybrid_rrf" -> (qSimHybridRrf _),
     "sim_mmr_rerank" -> (qSimMmrRerank _),
     "sim_topk_bruteforce" -> (qSimTopkBrute _),
+    "sim_range_search" -> (qSimRangeSearch _),
+    "emb_ood_centroid" -> (qEmbOodCentroid _),
     "sim_knn_classify" -> (qSimKnnClassify _),
     "emb_triplet_mining" -> (qEmbTripletMining _),
     "emb_cell_balance" -> (qEmbCellBalance _),
@@ -938,6 +997,38 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
          |       ORDER BY dot DESC, vec_id ASC) AS rnk FROM scored)
          |SELECT q_vec_id, vec_id, dot, CAST(rnk AS INT) AS rnk FROM r
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |scored AS (SELECT s.vec_id AS q_vec_id, c.vec_id,
+         |       ${Vectors.intDotSql("c.q", "s.q", EMB_DIM)} AS dot
+         |      FROM q c CROSS JOIN q s WHERE c.vec_id >= 8 AND s.vec_id < 8)
+         |SELECT q_vec_id, vec_id, dot FROM scored WHERE dot >= 150000
+         |ORDER BY q_vec_id, dot DESC, vec_id""".stripMargin,
+
+    "emb_ood_centroid" -> {
+      val dim = EMB_DIM
+      s"""WITH q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, q AS cq,
+         |          ${Vectors.intNorm2Sql("q", dim)} AS cn2 FROM q WHERE vec_id < 4),
+         |d1 AS (SELECT v.vec_id, v.label, v.q, s.cid,
+         |       s.cn2 - 2 * ${Vectors.intDotSql("v.q", "s.cq", dim)} AS sc
+         |       FROM q v CROSS JOIN seeds s),
+         |a1 AS (SELECT vec_id, label, q, sc FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY sc, cid) AS rn FROM d1) WHERE rn = 1),
+         |o AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |      ${Vectors.intNorm2Sql("q", dim)} + sc AS d2 FROM a1),
+         |t AS (SELECT CAST(2 * (CAST(SUM(CAST(d2 AS HUGEINT)) AS HUGEINT)
+         |        // COUNT(*)) AS BIGINT) AS thr FROM o)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(CASE WHEN d2 > t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_ood,
+         |       (10000 * CAST(SUM(CASE WHEN d2 > t.thr THEN 1 ELSE 0 END)
+         |         AS BIGINT)) // COUNT(*) AS ood_share_bp,
+         |       CAST(MAX(d2) AS BIGINT) AS max_d2
+         |FROM o, t GROUP BY label ORDER BY label""".stripMargin
+    },
 
     "sim_topk_filtered" ->
       s"""WITH q AS (SELECT vec_id, label, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),

@@ -30,6 +30,25 @@ object Similarity {
         Window.partitionBy(col("q_vec_id")).orderBy(col("dot").desc, col("vec_id").asc)))
       .where(col("rnk") <= k)
 
+  /** Exact threshold (range) search: every (query, candidate) pair
+    * with integer dot ≥ `minDot` — the "all matches above a similarity
+    * bar" form retrieval filters and dedup screens use where top-k's
+    * fixed cut is wrong. Same broadcast-query scan shape as
+    * [[topKBruteForce]]: one pass over the candidates with the query
+    * block broadcast, the threshold filter runs scan-stage inside
+    * codegen, and the output is bounded by the threshold's
+    * selectivity. No shuffle anywhere.
+    */
+  def rangeSearch(candidates: DataFrame, queries: DataFrame,
+                  vecCol: Column, idCol: Column, minDot: Long): DataFrame = {
+    val qdot = GraftFunctions.registerQDot(candidates.sparkSession)
+    val cand = candidates.select(idCol.as("vec_id"), vecCol.as("v"))
+    val qs = queries.select(idCol.as("q_vec_id"), vecCol.as("qv"))
+    cand.crossJoin(broadcast(qs))
+      .select(col("q_vec_id"), col("vec_id"), qdot(col("v"), col("qv")).as("dot"))
+      .where(col("dot") >= minDot)
+  }
+
   /** Exact top-k: every (query, candidate) pair scored. */
   def topKBruteForce(candidates: DataFrame, queries: DataFrame,
                      vecCol: Column, idCol: Column, k: Int): DataFrame = {
