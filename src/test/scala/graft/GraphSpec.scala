@@ -37,6 +37,45 @@ class GraphSpec extends SparkSpec {
     assert(got === fold(edges, 3))
   }
 
+  /** [[Graph.markovStationary]]'s recurrence, folded on the driver:
+    * in-sums plus the dangling self-loop term. */
+  private def foldMarkov(es: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val outW = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(_ -> Graph.Scale / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+        (pr(s) * w) / outW(s)
+      }.sum).toMap
+      pr = nodes.map { nd =>
+        nd -> (in.getOrElse(nd, 0L)
+          + (if (outW.contains(nd)) 0L else pr(nd)))
+      }.toMap
+    }
+    pr
+  }
+
+  test("markovStationary matches the driver-side integer fold exactly") {
+    val got = Graph.markovStationary(edges.toDF("src", "dst", "w"), iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === foldMarkov(edges, 4))
+  }
+
+  test("markovStationary conserves mass up to div truncation; dangling keeps its own") {
+    // d is dangling (only in-edges): its round-k mass must be the
+    // self-kept previous mass plus its in-sum, and the total must
+    // never EXCEED the initial Scale (truncation only loses mass)
+    val es = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "d", 1L))
+    val got = Graph.markovStationary(es.toDF("src", "dst", "w"), iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === foldMarkov(es, 3))
+    val total = got.values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 100L,
+      s"mass drifted: $total vs ${Graph.Scale}")
+    // a dangling sink accumulates (it never emits) — strictly above uniform
+    assert(got("d") > Graph.Scale / 3)
+  }
+
   test("a node with no in-edges holds exactly the teleport share") {
     // d → a: d gets no mass in, so after any iteration pr(d) is the
     // teleport floor
