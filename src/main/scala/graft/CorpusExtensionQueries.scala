@@ -179,6 +179,38 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EMBEDDING-channel contamination — the fourth screen in the
+    * decontamination quartet (shingle near-dup, verbatim n-gram,
+    * Bloom, and now semantic): near-duplicate embedding pairs
+    * (sign-bucket LSH + exact integer-dot cosine ≥ 0.4 — the
+    * dedup_embedding_cos channel verbatim) grouped by the split pair
+    * they straddle. A same-split pair is benign redundancy; a
+    * cross-split pair (`leaked`) is semantic eval leakage that
+    * token-level screens cannot see (a paraphrase shares no
+    * shingles). Splits assign by the same deterministic id hash as
+    * the document splits.
+    *
+    * Scale shape: bucket-keyed self-join (occupancy-scaled LSH bits),
+    * never all-pairs; the split map is a projection of the scan; one
+    * (split_a, split_b) aggregate at the end.
+    */
+  private def qSplitEmbeddingContamination(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Dedup.embeddingNearDups(emb, col("embedding"), col("vec_id"),
+      bucketBits = embeddingLshBits(emb.count()), num = 40, den = 100)
+    val sp = emb.select(col("vec_id"),
+      graft.ops.Sampling.assignSplit(col("vec_id")).as("split"))
+    pairs
+      .join(sp.select(col("vec_id").as("vec_a"), col("split").as("sa")), "vec_a")
+      .join(sp.select(col("vec_id").as("vec_b"), col("split").as("sb")), "vec_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Bloom-filter contamination screen ([[graft.ops.Bloom]]): the test
     * split's content hashes build a 4096-bit filter (ONE bounded
     * aggregation over the SMALL split, ≤128 words collected), and every
@@ -797,6 +829,7 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
     "corpus_weighted_sample" -> (qCorpusWeightedSample _),
     "split_bloom_contamination" -> (qSplitBloomContamination _),
     "split_contamination" -> (qSplitContamination _),
+    "split_embedding_contamination" -> (qSplitEmbeddingContamination _),
     "split_ngram_leakage" -> (qSplitNgramLeakage _),
     "split_ngram_novelty" -> (qSplitNgramNovelty _),
   )
@@ -1171,6 +1204,32 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
          |    ORDER BY ${graft.ops.Sampling.weightedPrioritySql("doc_id", "n_chars")}, doc_id
          |  ) AS BIGINT) AS rk FROM documents)
          |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // the dedup_embedding_cos candidate+verify CTEs verbatim, then the
+    // split map and the (split_a, split_b) census
+    "split_embedding_contamination" ->
+      s"""WITH q AS (SELECT vec_id, ${Vectors.quantizeSql("embedding")} AS q FROM embeddings),
+         |pw AS (SELECT ${Vectors.scaledLshPow2Sql("embeddings", 8, 8)} AS p),
+         |n AS (SELECT vec_id, q, ${Vectors.intNorm2Sql("q", EMB_DIM)} AS n2,
+         |       (${Vectors.signBucketSql("q", 24)}) % (SELECT p FROM pw)
+         |         AS bucket FROM q),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${Vectors.intDotSql("a.q", "b.q", EMB_DIM)} AS dot,
+         |       a.n2 AS n2a, b.n2 AS n2b
+         |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |f AS (SELECT vec_a, vec_b FROM p
+         |      WHERE dot > 0 AND 10000 * CAST(dot AS HUGEINT) * dot
+         |        >= 1600 * CAST(n2a AS HUGEINT) * n2b),
+         |sp AS (SELECT vec_id,
+         |    ${graft.ops.Sampling.assignSplitSql("vec_id")} AS split
+         |  FROM embeddings),
+         |j AS (SELECT least(sa.split, sb.split) AS split_a,
+         |             greatest(sa.split, sb.split) AS split_b
+         |      FROM f JOIN sp sa ON f.vec_a = sa.vec_id
+         |             JOIN sp sb ON f.vec_b = sb.vec_id)
+         |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       split_a <> split_b AS leaked
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "split_bloom_contamination" -> {
       val normExpr = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -608,6 +608,30 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
       .orderBy("o_orderpriority")
   }
 
+  /** Calendar-month seasonality index of order revenue — the demand-
+    * planning readout: each month-of-year's revenue share against the
+    * uniform 1/12 baseline, ×100 (100 = flat, 120 = a 20%-over-index
+    * month). Revenue in cents through the exact decimal path; index =
+    * (12·100·rev_m) div rev_total with the shared truncation.
+    *
+    * Scale shape: ONE month-of-year aggregate over the scan (12 output
+    * rows); the total joins back broadcast. Nothing else touches data.
+    */
+  private def qOrdersSeasonalityIndex(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .select(month(to_date(col("o_orderdate"))).cast("long").as("month_of_year"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("rev_x100"))
+      .groupBy(col("month_of_year"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("rev_x100")).as("rev_x100"))
+    m.crossJoin(broadcast(m.agg(sum(col("rev_x100")).as("total"))))
+      .select(col("month_of_year"), col("n_orders"), col("rev_x100"),
+        // decimal(38): 1200·rev clears 2⁶³ near 10¹⁶ cents of revenue
+        expr("CAST((1200 * CAST(rev_x100 AS DECIMAL(38,0))) div " +
+          "greatest(total, 1) AS BIGINT)").as("seasonal_index_x100"))
+      .orderBy("month_of_year")
+  }
+
   /** Monthly open-order backlog — the operations timeline behind
     * "are we shipping faster than we book?": an order opens at its
     * order month and closes at the month of its LAST shipped line, so
@@ -938,6 +962,7 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "lineitem_discount_lift" -> (qLineitemDiscountLift _),
     "supplier_hhi" -> (qSupplierHhi _),
     "orders_backlog_timeline" -> (qOrdersBacklogTimeline _),
+    "orders_seasonality_index" -> (qOrdersSeasonalityIndex _),
     "lineitem_anova_returnflag" -> (qLineitemAnovaReturnflag _),
     "orders_fulfillment_lag" -> (qOrdersFulfillmentLag _),
     "multimodal_features" -> (qMultimodalFeatures _),
@@ -1166,6 +1191,19 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |         AS p90_lag_days,
         |       MAX(lag_days) AS max_lag_days
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "orders_seasonality_index" ->
+      """WITH m AS (SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      AS month_of_year,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_x100
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_x100) AS BIGINT) AS total FROM m)
+        |SELECT month_of_year, n_orders, rev_x100,
+        |       CAST((1200 * CAST(rev_x100 AS HUGEINT))
+        |         // greatest(total, 1) AS BIGINT) AS seasonal_index_x100
+        |FROM m, t ORDER BY month_of_year""".stripMargin,
 
     "orders_backlog_timeline" ->
       """WITH lo AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d

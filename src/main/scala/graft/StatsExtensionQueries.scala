@@ -150,7 +150,81 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("event_type", "day")
   }
 
+  /** Single-changepoint detection on the daily event series — the
+    * first step of binary segmentation (Scott & Knott; the CUSUM
+    * family's localization half): the split k maximizing the exact
+    * between-segment score (s_l·n_r − s_r·n_l)² div (n_l·n_r·n), i.e.
+    * the scaled two-sample mean gap. All cross-multiplied integers on
+    * DECIMAL(38)/HUGEINT (the squared diff reaches ~10²⁶), identical
+    * truncation, full (score DESC, day ASC) tiebreak — so the argmax
+    * row is engine-exact where a float scan is not.
+    *
+    * Scale shape: one day-keyed aggregate over the scan; rank and
+    * prefix sum are the two-pass exchanges
+    * ([[graft.ops.Linkage.globalRank]]/globalRunningSum) on the
+    * DAY HISTOGRAM (bounded by the calendar span); the final argmax is
+    * a TakeOrdered over that frame.
+    */
+  private def qEventsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
+    val ranked = graft.ops.Linkage.globalRank(hist, col("day"))
+    val cum = graft.ops.Linkage.globalRunningSum(ranked, col("y"), col("day"))
+    val tot = hist.agg(count(lit(1)).as("n_days"), sum(col("y")).as("s_tot"))
+    cum.crossJoin(broadcast(tot))
+      .where(col("rank") < col("n_days"))
+      .select(col("day").as("split_day"), col("rank").as("n_left"),
+        (col("n_days") - col("rank")).as("n_right"),
+        col("cum").as("s_left"), (col("s_tot") - col("cum")).as("s_right"),
+        col("n_days"))
+      .withColumn("score", expr(
+        "CAST(((CAST(s_left AS DECIMAL(38,0)) * n_right - " +
+          "CAST(s_right AS DECIMAL(38,0)) * n_left) * " +
+          "(CAST(s_left AS DECIMAL(38,0)) * n_right - " +
+          "CAST(s_right AS DECIMAL(38,0)) * n_left)) div " +
+          "(CAST(n_left AS DECIMAL(38,0)) * n_right * n_days) AS BIGINT)"))
+      .withColumn("mean_left_x100", expr("(100 * s_left) div n_left"))
+      .withColumn("mean_right_x100", expr("(100 * s_right) div n_right"))
+      .orderBy(col("score").desc, col("split_day").asc).limit(1)
+      .select(col("split_day"), col("n_left"), col("n_right"),
+        col("mean_left_x100"), col("mean_right_x100"), col("score"))
+  }
+
+  /** Peak-day detection — strict local maxima of the daily event
+    * series (above both neighbors), annotated with whether each peak
+    * also clears the series median (rank-picked, exact): the incident/
+    * campaign spike shortlist an on-call review reads.
+    *
+    * Scale shape: one day-keyed aggregate; lag/lead and the median
+    * rank-pick run on the day histogram. The unpartitioned windows are
+    * bounded by the CALENDAR SPAN, not the data (the cdc_active_sweep
+    * precedent), so the single partition holds thousands of rows at
+    * any SF.
+    */
+  private def qEventsPeakDays(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day"))
+    val med = hist
+      .withColumn("rn", row_number().over(Window.orderBy(col("n_events"), col("day"))))
+      .crossJoin(broadcast(hist.agg(count(lit(1)).as("nd"))))
+      .where(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("n_events").as("median_n"))
+    hist
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("next_n", lead(col("n_events"), 1).over(w))
+      .where(col("prev_n").isNotNull && col("next_n").isNotNull &&
+        col("n_events") > col("prev_n") && col("n_events") > col("next_n"))
+      .crossJoin(broadcast(med))
+      .select(col("day"), col("n_events"), col("prev_n"), col("next_n"),
+        (col("n_events") > col("median_n")).as("above_median"))
+      .orderBy("day")
+  }
+
   protected def statsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_changepoint" -> (qEventsChangepoint _),
+    "events_peak_days" -> (qEventsPeakDays _),
     "events_survival_hazard" -> (qEventsSurvivalHazard _),
     "events_seasonality" -> (qEventsSeasonality _),
     "events_type_concentration" -> (qEventsTypeConcentration _),
@@ -158,6 +232,48 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def statsExtOracles: Map[String, String] = Map(
+    "events_changepoint" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, y,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rank,
+        |    CAST(SUM(y) OVER (ORDER BY day) AS BIGINT) AS cum FROM h),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(y) AS BIGINT) AS s_tot FROM h),
+        |c AS (SELECT day AS split_day, rank AS n_left, n_days - rank AS n_right,
+        |    cum AS s_left, s_tot - cum AS s_right, n_days
+        |  FROM r, t WHERE rank < n_days),
+        |sc AS (SELECT split_day, n_left, n_right,
+        |    (100 * s_left) // n_left AS mean_left_x100,
+        |    (100 * s_right) // n_right AS mean_right_x100,
+        |    CAST(((CAST(s_left AS HUGEINT) * n_right
+        |           - CAST(s_right AS HUGEINT) * n_left)
+        |        * (CAST(s_left AS HUGEINT) * n_right
+        |           - CAST(s_right AS HUGEINT) * n_left))
+        |      // (CAST(n_left AS HUGEINT) * n_right * n_days) AS BIGINT)
+        |      AS score
+        |  FROM c)
+        |SELECT split_day, n_left, n_right, mean_left_x100, mean_right_x100,
+        |       score
+        |FROM sc ORDER BY score DESC, split_day LIMIT 1""".stripMargin,
+
+    "events_peak_days" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT n_events AS median_n FROM (
+        |    SELECT n_events, row_number() OVER (ORDER BY n_events, day) AS rn,
+        |           COUNT(*) OVER () AS nd FROM h)
+        |  WHERE rn = (nd + 1) // 2),
+        |x AS (SELECT day, n_events,
+        |    lag(n_events) OVER (ORDER BY day) AS prev_n,
+        |    lead(n_events) OVER (ORDER BY day) AS next_n FROM h)
+        |SELECT day, n_events, prev_n, next_n, n_events > m.median_n AS above_median
+        |FROM x, m
+        |WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+        |  AND n_events > prev_n AND n_events > next_n
+        |ORDER BY day""".stripMargin,
+
     "events_survival_hazard" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
         |  FROM events),

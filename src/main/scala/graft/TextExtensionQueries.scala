@@ -92,6 +92,36 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
         expr("n_tokens div n_docs").as("tokens_per_doc"))
       .orderBy("source")
 
+  /** Unigram-entropy proxy per source in the engine's float-free
+    * idiom: H ≈ Σ_t f_t·(bitlen(N) − bitlen(f_t)) / N — the bit-length
+    * difference is the floor-log2 analog of log(N/f), the same trick
+    * text_bm25_topk's idf rides (Spark and DuckDB `bin()` render
+    * identically, so the statistic is engine-exact where a log-based
+    * entropy is not). Low proxy = repetitive/templated source; high =
+    * diverse vocabulary. Emitted in centibits (×100, shared div).
+    *
+    * Scale shape: explode + ONE (source, term) aggregate, then a
+    * source-keyed fold with the |sources|-row totals broadcast back.
+    */
+  private def qTextEntropyProxy(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("f"))
+    val tot = tf.groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"))
+    tf.join(broadcast(tot), "source")
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (col("f") * (length(bin(col("n_tokens"))) - length(bin(col("f"))))
+          .cast("long")).as("contrib"))
+      .groupBy(col("source"))
+      .agg(max(col("n_tokens")).as("n_tokens"), max(col("vocab")).as("vocab"),
+        sum(col("contrib")).as("contrib"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("(100 * contrib) div n_tokens").as("h_centibits"))
+      .orderBy("source")
+  }
+
   /** Term burstiness (Church & Gale, 1995) for the top-30 corpus
     * terms: mean occurrences per CONTAINING document (tf/df ×100) next
     * to the document-frequency share — the statistic that separates
@@ -770,6 +800,7 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
     "text_zipf_audit" -> (qTextZipfAudit _),
     "text_fertility" -> (qTextFertility _),
     "text_term_burstiness" -> (qTextTermBurstiness _),
+    "text_entropy_proxy" -> (qTextEntropyProxy _),
   )
 
   protected def textExtOracles: Map[String, String] = Map(
@@ -1156,6 +1187,20 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
          |         AS chars_per_token_x100,
          |       CAST(SUM(tk) AS BIGINT) // COUNT(*) AS tokens_per_doc
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_entropy_proxy" ->
+      s"""WITH tok AS (SELECT source, unnest($TK) AS term FROM documents),
+         |tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM tok GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab FROM tf GROUP BY 1),
+         |c AS (SELECT tf.source, t.n_tokens, t.vocab,
+         |    f * (length(bin(t.n_tokens)) - length(bin(f))) AS contrib
+         |  FROM tf JOIN t ON tf.source = t.source)
+         |SELECT source, MAX(n_tokens) AS n_tokens, MAX(vocab) AS vocab,
+         |       (100 * CAST(SUM(contrib) AS BIGINT)) // MAX(n_tokens)
+         |         AS h_centibits
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "text_term_burstiness" ->
       s"""WITH tok AS (SELECT doc_id, unnest($TK) AS term FROM documents),
