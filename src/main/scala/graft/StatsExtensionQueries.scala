@@ -76,11 +76,15 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
     */
   private def qEventsSeasonality(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned: the peak window and the χ² fold both consume this
+    // 168-row frame — unpinned, the second branch re-runs the full
+    // events scan (the PlanSpec pin caught exactly that)
     val cells = Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"), hour(col("ts")).cast("long").as("hr"))
       .select((((datediff(col("day"), lit("1970-01-01").cast("date")) + 3) % 7) + 1)
         .cast("long").as("iso_dow"), col("hr"))
       .groupBy(col("iso_dow"), col("hr")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val peak = cells.withColumn("rk", row_number().over(
         Window.partitionBy(col("iso_dow")).orderBy(col("cnt").desc, col("hr"))))
       .where(col("rk") === 1)

@@ -238,6 +238,39 @@ class PlanSpec extends SparkSpec {
         s"found $userExchanges:\n${p.take(1500)}")
   }
 
+  test("sim_range_search: broadcast query block, no shuffle before the output sort") {
+    // the threshold filter and the codegen'd dot must run scan-stage
+    // against the broadcast 8-query block — a shuffle here would mean
+    // the candidate corpus moved for a model-sized right side
+    val p = planOf("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query block must broadcast")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"expected at most the output-sort exchange, found $exchanges:\n${p.take(1200)}")
+  }
+
+  test("events_seasonality: one aggregate exchange on the 168-cell frame") {
+    // the scan must reduce to (dow, hour) partials map-side; the χ²
+    // fold and peak window run on the dimension-sized frame
+    val p = planOf("events_seasonality")
+    assert("Scan parquet|FileScan".r.findAllIn(p).length === 0,
+      "both branches must read the checkpointed 168-cell frame " +
+        "(the scan is paid once at build time)")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("HashAggregate"), "map-side partials expected")
+  }
+
+  test("orders_backlog_timeline: running sum is the two-pass form, no single-partition window over data") {
+    // the month frame is calendar-bounded, but the running sum must
+    // still be globalRunningSum's range-exchange + broadcast offsets —
+    // a Window.orderBy(month) directly over the DELTAS would drag the
+    // order-grain rows into one task
+    val p = planOf("orders_backlog_timeline")
+    assert(p.contains("rangepartitioning"),
+      "expected the two-pass range exchange of globalRunningSum")
+  }
+
   test("events_freshness: frontier and readout share the pinned per-type frame, no re-scan") {
     // the |types|-row aggregate is localCheckpoint'ed at build time;
     // both consumers (the 1-row frontier max and the readout) must ride
