@@ -453,4 +453,76 @@ object Monitors {
     // dedupBatch layout), so the frame itself carries no batch column
     ud.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
+
+  /** foreachBatch body for STREAMING adoption curves — the continuous
+    * form of `events_adoption_curve`: the presence store holds
+    * (event_type, user_id, day) rows under batchId-keyed partitions
+    * (the [[growthAccountBatch]] store discipline, with the type in
+    * the key), and each micro-batch (re)emits, for exactly the days it
+    * carries, the per-type first-time adopter count and the running
+    * adopter total — both computed against EVERYTHING seen so far, so
+    * the cumulative column needs no read-back of earlier outputs.
+    *
+    * Same contract as growthAccountBatch, and the only one promised:
+    * with day-ordered batches the accumulated output equals the batch
+    * query row-for-row under any day-aligned split
+    * (AdoptionStreamSpec), and replay of the SAME batch is idempotent
+    * (per-day dynamic partition overwrite). A late batch that reopens
+    * a day rewrites that day; later days' cum_adopters go stale until
+    * a backfill (the batch query over the store) recomputes them.
+    *
+    * At scale: the store read prunes to earlier-batch partitions; the
+    * first-seen frame is one (type, user) aggregate; the cum count
+    * joins that frame against only THIS batch's day list (day-ordered
+    * arrival keeps that list a handful of rows), never a global
+    * window.
+    */
+  def adoptionBatch(storeDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+    val prior =
+      try s.read.schema(storeSchema).parquet(storeDir)
+        .where(col("batch") =!= batchId)
+        .select(col("event_type"), col("user_id"), col("day"))
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(storeSchema.dropRight(1)))
+      }
+    val ud = batch.select(col("event_type"),
+        col("user_id").cast("long").as("user_id"),
+        to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true) // read by the union, the day list, the store write
+    val all = prior.unionByName(ud).distinct()
+    val first = all.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .localCheckpoint(true) // read by the new-adopter and cum branches
+    val batchDays = ud.select(col("day")).distinct()
+    val newAd = first.join(batchDays, col("first_day") === col("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_adopters"))
+    val cum = first.crossJoin(broadcast(batchDays))
+      .where(col("first_day") <= col("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cum_adopters"))
+    // inner join: the batch query emits a (type, day) row only when at
+    // least one user adopted that day — the streaming form must match
+    val out = newAd.join(cum, Seq("event_type", "day"))
+      .select(col("event_type"), col("new_adopters"), col("cum_adopters"),
+        col("day").cast("string").as("day"))
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try out.write.mode("overwrite").partitionBy("day").parquet(outDir)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    ud.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
 }
