@@ -74,6 +74,40 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
     * cluster size. The oracle recomputes the same fixpoint with a
     * recursive CTE (min reachable id per node) — an independent
     * formulation of the identical semantics. */
+  /** Per-cluster SOURCE purity — the provenance readout on top of the
+    * shared cluster labels: for every near-dup cluster, how many
+    * distinct sources feed it and what share the majority source
+    * holds. A pure cluster (10⁴ bp) is one source syndicating to
+    * itself; a mixed cluster is cross-source scraping/mirroring — the
+    * per-cluster view that corpus_dup_by_source's source-pair census
+    * aggregates away. Majority pick is (n DESC, source ASC) — total,
+    * so engine-exact.
+    *
+    * Scale shape: rides the memoized component labels; one
+    * (cluster, source) aggregate, the majority window runs on that
+    * cluster-sized frame, never on documents.
+    */
+  private def qDedupClusterSources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = dedupComponents(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("id") === col("doc_id"))
+      .groupBy(col("comp"), col("source")).agg(count(lit(1)).as("n"))
+    val tot = m.groupBy(col("comp"))
+      .agg(sum(col("n")).as("cluster_size"),
+        count(lit(1)).as("n_sources"))
+    val mj = m.withColumn("rk", row_number().over(
+        Window.partitionBy(col("comp")).orderBy(col("n").desc, col("source"))))
+      .where(col("rk") === 1)
+      .select(col("comp"), col("source").as("majority_source"),
+        col("n").as("mj_n"))
+    tot.join(mj, "comp")
+      .select(col("comp").as("cluster_id"), col("cluster_size"),
+        col("n_sources"), col("majority_source"),
+        expr("(10000 * mj_n) div cluster_size").as("majority_share_bp"))
+      .orderBy("cluster_id")
+  }
+
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val comp = dedupComponents(s, dir)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
@@ -233,6 +267,7 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
 
   protected def dedupExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_cluster_sources" -> (qDedupClusterSources _),
     "dedup_clusters_adaptive" -> (qDedupClustersAdaptive _),
     "dedup_clusters_star" -> (qDedupClustersStar _),
     "dedup_containment" -> (qDedupContainment _),
@@ -290,6 +325,21 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
     // dedup_clusters_adaptive: all three operators compute the
     // identical fixpoint, so one oracle gates them all
     "dedup_clusters" -> dedupClustersOracle,
+
+    "dedup_cluster_sources" ->
+      s"""$dedupClustersCtes,
+         |m AS (SELECT cc.comp, d.source, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cc JOIN documents d ON cc.id = d.doc_id GROUP BY 1, 2),
+         |tot AS (SELECT comp, CAST(SUM(n) AS BIGINT) AS cluster_size,
+         |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM m GROUP BY 1),
+         |mj AS (SELECT comp, source AS majority_source, n AS mj_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY comp
+         |      ORDER BY n DESC, source) AS rk FROM m) WHERE rk = 1)
+         |SELECT t.comp AS cluster_id, t.cluster_size, t.n_sources,
+         |       mj.majority_source,
+         |       (10000 * mj.mj_n) // t.cluster_size AS majority_share_bp
+         |FROM tot t JOIN mj ON t.comp = mj.comp
+         |ORDER BY cluster_id""".stripMargin,
 
     "dedup_clusters_adaptive" -> dedupClustersOracle,
 

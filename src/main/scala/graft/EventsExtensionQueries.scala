@@ -51,6 +51,35 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sequential-pattern mining one order up from [[qEventsTransitions]]:
+    * the top-20 ordered event-type TRIGRAMS across all user timelines —
+    * the "what three-step journey is most common" readout (the 3-gram
+    * slice of classic sequence mining, on the same per-user (ts,
+    * event_id)-ordered window as transitions, so tie order is total).
+    * Full (n DESC, trigram ASC) tiebreak keeps the cut engine-stable.
+    *
+    * Scale shape: ONE user-keyed window shuffle (two leads ride it),
+    * one trigram-keyed aggregate with map-side partials, TakeOrdered
+    * top-20; the rank window runs on the 20-row frame.
+    */
+  private def qEventsTypeTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val top = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram").asc).limit(20)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("trigram").asc)).cast("long"))
+      .select(col("rank"), col("trigram"), col("n"))
+      .orderBy("rank")
+  }
+
   /** GK-sketch quantiles (`percentile_approx`) next to their exact rank
     * audit, mirroring events_approx_distinct's sketch-plus-audit
     * pattern: the sketch is the 100 TB form (mergeable bounded state,
@@ -1533,6 +1562,7 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
     "events_session_window" -> (qEventsSessionWindow _),
     "events_sliding_window" -> (qEventsSlidingWindow _),
     "events_transitions" -> (qEventsTransitions _),
+    "events_type_trigrams" -> (qEventsTypeTrigrams _),
     "events_twap" -> (qEventsTwap _),
     "events_user_streaks" -> (qEventsUserStreaks _),
     "events_user_topk" -> (qEventsUserTopk _),
@@ -2135,6 +2165,22 @@ private[graft] trait EventsExtensionQueries extends ExtensionQueriesBase {
         |SELECT from_type, event_type AS to_type, COUNT(*) AS n
         |FROM o WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_type_trigrams" ->
+      """WITH o AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t3
+        |  FROM events),
+        |g AS (SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |  GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram) AS BIGINT)
+        |         AS rank,
+        |       trigram, n
+        |FROM g ORDER BY rank""".stripMargin,
 
     "events_freshness" ->
       """WITH l AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

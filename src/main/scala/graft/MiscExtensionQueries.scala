@@ -608,6 +608,82 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
       .orderBy("o_orderpriority")
   }
 
+  /** Fulfillment-lag TREND per order priority — the SLA trajectory
+    * readout ("is URGENT getting faster quarter over quarter?"): the
+    * exact least-squares slope of the monthly mean ship lag (×100)
+    * against the month index, in the cross-multiplied integer form
+    * slope·10⁴ = (100·(k·Σxy − Σx·Σy)) div (k·Σx² − (Σx)²). Every
+    * operand is bounded by the CALENDAR (month indexes, month count)
+    * and the lag domain — not by data size — so plain BIGINTs hold at
+    * any SF, and both engines truncate identically.
+    *
+    * Scale shape: the fact-fact keyed join feeds ONE (priority, month)
+    * aggregate; the regression folds run on that calendar-sized frame.
+    */
+  private def qOrdersPriorityLagTrend(s: SparkSession, dir: String): DataFrame = {
+    val lags = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_d"),
+            col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (year(col("order_d")) * 12 + month(col("order_d"))).cast("long").as("x"),
+        datediff(col("ship_d"), col("order_d")).cast("long").as("lag_days"))
+    val monthly = lags.groupBy(col("o_orderpriority"), col("x"))
+      .agg(count(lit(1)).as("n"), sum(col("lag_days")).as("s"))
+      .select(col("o_orderpriority"), col("x"),
+        expr("(100 * s) div n").as("y"))
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("k_months"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("o_orderpriority"), col("k_months"),
+        expr("(100 * (k_months * sxy - sx * sy)) div " +
+          "greatest(k_months * sxx - sx * sx, 1)").as("slope_x10000"))
+      .withColumn("improving", col("slope_x10000") < 0L)
+      .orderBy("o_orderpriority")
+  }
+
+  /** Year-over-year customer value-tier migration — the retention
+    * matrix a revenue team reads ("do 4×-mean customers stay 4×?"):
+    * customers tier by their spend's truncated multiple of the YEAR
+    * MEAN (cross-multiplied — sub-mean / 1-2× / 2-4× / 4×+, no ranks,
+    * no percentile windows), and consecutive-year pairs count into the
+    * (from_tier, to_tier) transition matrix.
+    *
+    * Scale shape: one (customer, year) aggregate, year means join back
+    * broadcast (calendar-sized), the year+1 self-join keys on
+    * (customer, year) — nothing data-sized in any window, DECIMAL(38)
+    * on the spend·n_cust cross product (it clears 2⁶³ near 10¹⁹).
+    */
+  private def qOrdersCustomerMigration(s: SparkSession, dir: String): DataFrame = {
+    val cy = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("spend"))
+      .groupBy(col("o_custkey"), col("yr"))
+      .agg(sum(col("spend")).as("spend"))
+    val ym = cy.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("spend")).as("total"))
+    val tiered = cy.join(broadcast(ym), "yr")
+      .select(col("o_custkey"), col("yr"),
+        expr("CAST((CAST(spend AS DECIMAL(38,0)) * n_cust) div " +
+          "greatest(total, 1) AS BIGINT)").as("m"))
+      .select(col("o_custkey"), col("yr"),
+        when(col("m") === 0L, "sub-mean")
+          .when(col("m") < 2L, "1-2x")
+          .when(col("m") < 4L, "2-4x")
+          .otherwise("4x+").as("tier"))
+    tiered.as("a").join(tiered.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("b.yr") === col("a.yr") + 1L)
+      .groupBy(col("a.tier").as("from_tier"), col("b.tier").as("to_tier"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("from_tier", "to_tier")
+  }
+
   /** Calendar-month seasonality index of order revenue — the demand-
     * planning readout: each month-of-year's revenue share against the
     * uniform 1/12 baseline, ×100 (100 = flat, 120 = a 20%-over-index
@@ -963,6 +1039,8 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "supplier_hhi" -> (qSupplierHhi _),
     "orders_backlog_timeline" -> (qOrdersBacklogTimeline _),
     "orders_seasonality_index" -> (qOrdersSeasonalityIndex _),
+    "orders_priority_lag_trend" -> (qOrdersPriorityLagTrend _),
+    "orders_customer_migration" -> (qOrdersCustomerMigration _),
     "lineitem_anova_returnflag" -> (qLineitemAnovaReturnflag _),
     "orders_fulfillment_lag" -> (qOrdersFulfillmentLag _),
     "multimodal_features" -> (qMultimodalFeatures _),
@@ -1191,6 +1269,51 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |         AS p90_lag_days,
         |       MAX(lag_days) AS max_lag_days
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "orders_priority_lag_trend" ->
+      """WITH lags AS (SELECT o.o_orderpriority,
+        |    CAST(year(CAST(o.o_orderdate AS DATE)) * 12
+        |      + month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |m AS (SELECT o_orderpriority, x,
+        |    (100 * CAST(SUM(lag_days) AS BIGINT))
+        |      // CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM lags GROUP BY 1, 2),
+        |f AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS k_months,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM m GROUP BY 1)
+        |SELECT o_orderpriority, k_months,
+        |       (100 * (k_months * sxy - sx * sy))
+        |         // greatest(k_months * sxx - sx * sx, 1) AS slope_x10000,
+        |       (100 * (k_months * sxy - sx * sy))
+        |         // greatest(k_months * sxx - sx * sx, 1) < 0 AS improving
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+    "orders_customer_migration" ->
+      """WITH cy AS (SELECT o_custkey,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |ym AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(spend) AS BIGINT) AS total FROM cy GROUP BY 1),
+        |ti AS (SELECT cy.o_custkey, cy.yr,
+        |    CASE WHEN (CAST(spend AS HUGEINT) * n_cust)
+        |           // greatest(total, 1) = 0 THEN 'sub-mean'
+        |         WHEN (CAST(spend AS HUGEINT) * n_cust)
+        |           // greatest(total, 1) < 2 THEN '1-2x'
+        |         WHEN (CAST(spend AS HUGEINT) * n_cust)
+        |           // greatest(total, 1) < 4 THEN '2-4x'
+        |         ELSE '4x+' END AS tier
+        |  FROM cy JOIN ym ON cy.yr = ym.yr)
+        |SELECT a.tier AS from_tier, b.tier AS to_tier,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM ti a JOIN ti b ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "orders_seasonality_index" ->
       """WITH m AS (SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)
