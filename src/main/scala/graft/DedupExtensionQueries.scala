@@ -68,6 +68,41 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
     Dedup.simhash(Tables.documents(s, dir), col("text"), col("doc_id"))
       .orderBy("doc_id")
 
+  /** Exact-Jaccard HISTOGRAM over the LSH candidate set — the
+    * threshold-tuning readout next to dedup_minhash_estimate's
+    * per-pair calibration and dedup_lsh_recall's recall curve: how the
+    * candidate population distributes across similarity bands (a thick
+    * 0.1–0.3 band means the banding over-generates; mass at 0.5+ is
+    * what the verify keeps). Buckets of 1000 bp, exact intersection
+    * counts, LEFT join so zero-overlap band collisions stay visible in
+    * bucket 0 — the estimator-error population the calibration query
+    * also keeps.
+    *
+    * Scale shape: rides the shared shingle table and the capped banded
+    * candidates (never all-pairs); the histogram is an 11-row fold.
+    */
+  private def qDedupJaccardHistogram(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val cand = Dedup.lshCandidates(Dedup.minhashBandKeys(sh, 8, 4))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(expr("(10000 * coalesce(inter, 0L)) div " +
+        "(na + nb - coalesce(inter, 0L))").as("j_bp"))
+      .select(expr("least(j_bp div 1000, 9)").as("bucket"), col("j_bp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("j_bp")).as("min_bp"),
+        max(col("j_bp")).as("max_bp"))
+      .orderBy("bucket")
+  }
+
   /** Near-dup pairs → dedup CLUSTERS: connected components over the
     * MinHash-LSH pair graph, one row per clustered doc with its
     * canonical survivor (= min doc id in the component) and the
@@ -268,6 +303,7 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
   protected def dedupExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_cluster_sources" -> (qDedupClusterSources _),
+    "dedup_jaccard_histogram" -> (qDedupJaccardHistogram _),
     "dedup_clusters_adaptive" -> (qDedupClustersAdaptive _),
     "dedup_clusters_star" -> (qDedupClustersStar _),
     "dedup_containment" -> (qDedupContainment _),
@@ -289,6 +325,33 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
     // signature/candidate CTEs byte-shared with dedup_minhash_lsh;
     // LEFT JOIN on the intersection: a band collision between docs
     // with zero shared shingles is a legitimate estimator error row
+    // candidate CTEs byte-shared with the estimator; bucket 0 keeps the
+    // zero-overlap band collisions (LEFT join, same as the estimator)
+    "dedup_jaccard_histogram" ->
+      s"""WITH $SHINGLE3,
+         |${Dedup.minhashBandSqlCtes(8, 4)},
+         |ok AS (SELECT doc_id, band, bk FROM (
+         |         SELECT *, COUNT(*) OVER (PARTITION BY band, bk) AS bsz FROM band)
+         |       WHERE bsz <= 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM ok x JOIN ok y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN sh sa ON sa.doc_id = c.doc_a
+         |          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2),
+         |j AS (SELECT CAST((10000 * COALESCE(i.inter, 0)) //
+         |        (ca.n_sh + cb.n_sh - COALESCE(i.inter, 0)) AS BIGINT) AS j_bp
+         |      FROM cand c
+         |      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |      JOIN cnt ca ON ca.doc_id = c.doc_a
+         |      JOIN cnt cb ON cb.doc_id = c.doc_b)
+         |SELECT least(j_bp // 1000, 9) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       MIN(j_bp) AS min_bp, MAX(j_bp) AS max_bp
+         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "dedup_minhash_estimate" ->
       s"""WITH $SHINGLE3,
          |${Dedup.minhashBandSqlCtes(8, 4)},

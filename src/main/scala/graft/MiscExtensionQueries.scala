@@ -608,6 +608,81 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
       .orderBy("o_orderpriority")
   }
 
+  /** Nation revenue-share shift — the geographic-mix readout: per
+    * nation and year, revenue, its share of the year's total in bp,
+    * and the year-over-year share delta (NULL for a nation's first
+    * year — honest, not zero-filled). Shares on DECIMAL(38) so the
+    * 10⁴ cross product never wraps.
+    *
+    * Scale shape: customer and nation are broadcast dimensions into
+    * the orders scan; ONE (nation, year) aggregate; totals and the lag
+    * window run on the calendar×25-row frame.
+    */
+  private def qCustomerNationShift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("spend"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(sum(col("spend")).as("rev_x100"))
+    val yt = rev.groupBy(col("yr")).agg(sum(col("rev_x100")).as("total"))
+    rev.join(broadcast(yt), "yr")
+      .select(col("n_name"), col("yr"), col("rev_x100"),
+        expr("CAST((10000 * CAST(rev_x100 AS DECIMAL(38,0))) div " +
+          "greatest(total, 1) AS BIGINT)").as("share_bp"))
+      .withColumn("share_delta_bp",
+        col("share_bp") - lag(col("share_bp"), 1).over(
+          Window.partitionBy(col("n_name")).orderBy(col("yr"))))
+      .orderBy("n_name", "yr")
+  }
+
+  /** Repeat-purchase cadence — exact p50/p90/max days between a
+    * customer's consecutive orders, per market segment: the
+    * replenishment-cycle readout behind reorder nudges and churn
+    * windows. Rank-picked percentiles (the value AT a rank is
+    * deterministic under ties), counted over repeat customers only.
+    *
+    * Scale shape: one customer-keyed window for the order lag, one
+    * segment-keyed exchange for ranks+counts+picks (the
+    * fulfillment-lag fold); customer is a broadcast dimension.
+    */
+  private def qOrdersRepeatGap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_d"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_d"))
+      .withColumn("prev_d", lag(col("order_d"), 1).over(w))
+      .where(col("prev_d").isNotNull)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        datediff(col("order_d"), col("prev_d")).cast("long").as("gap_days"))
+    val r = gaps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_mktsegment")).orderBy(col("gap_days").asc)))
+      .withColumn("n_gaps",
+        count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    r.groupBy(col("c_mktsegment"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        max(when(col("rn") === expr("(n_gaps + 1) div 2"), col("gap_days")))
+          .as("p50_gap_days"),
+        max(when(col("rn") === expr("(9 * n_gaps + 9) div 10"), col("gap_days")))
+          .as("p90_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Fulfillment-lag TREND per order priority — the SLA trajectory
     * readout ("is URGENT getting faster quarter over quarter?"): the
     * exact least-squares slope of the monthly mean ship lag (×100)
@@ -1041,6 +1116,8 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "orders_seasonality_index" -> (qOrdersSeasonalityIndex _),
     "orders_priority_lag_trend" -> (qOrdersPriorityLagTrend _),
     "orders_customer_migration" -> (qOrdersCustomerMigration _),
+    "customer_nation_shift" -> (qCustomerNationShift _),
+    "orders_repeat_gap" -> (qOrdersRepeatGap _),
     "lineitem_anova_returnflag" -> (qLineitemAnovaReturnflag _),
     "orders_fulfillment_lag" -> (qOrdersFulfillmentLag _),
     "multimodal_features" -> (qMultimodalFeatures _),
@@ -1269,6 +1346,48 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |         AS p90_lag_days,
         |       MAX(lag_days) AS max_lag_days
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "customer_nation_shift" ->
+      """WITH rev AS (SELECT n.n_name,
+        |    CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_x100
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |yt AS (SELECT yr, CAST(SUM(rev_x100) AS BIGINT) AS total
+        |  FROM rev GROUP BY 1),
+        |sh AS (SELECT rev.n_name, rev.yr, rev.rev_x100,
+        |    CAST((10000 * CAST(rev_x100 AS HUGEINT))
+        |      // greatest(total, 1) AS BIGINT) AS share_bp
+        |  FROM rev JOIN yt ON rev.yr = yt.yr)
+        |SELECT n_name, yr, rev_x100, share_bp,
+        |       share_bp - lag(share_bp) OVER (PARTITION BY n_name ORDER BY yr)
+        |         AS share_delta_bp
+        |FROM sh ORDER BY n_name, yr""".stripMargin,
+
+    "orders_repeat_gap" ->
+      """WITH g0 AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_d,
+        |    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+        |  FROM orders),
+        |gaps AS (SELECT c.c_mktsegment,
+        |    CAST(date_diff('day', prev_d, order_d) AS BIGINT) AS gap_days
+        |  FROM g0 JOIN customer c ON g0.o_custkey = c.c_custkey
+        |  WHERE prev_d IS NOT NULL),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY gap_days) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_gaps
+        |  FROM gaps)
+        |SELECT c_mktsegment, CAST(MAX(n_gaps) AS BIGINT) AS n_gaps,
+        |       MAX(CASE WHEN rn = (n_gaps + 1) // 2 THEN gap_days END)
+        |         AS p50_gap_days,
+        |       MAX(CASE WHEN rn = (9 * n_gaps + 9) // 10 THEN gap_days END)
+        |         AS p90_gap_days,
+        |       MAX(gap_days) AS max_gap_days
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "orders_priority_lag_trend" ->
       """WITH lags AS (SELECT o.o_orderpriority,

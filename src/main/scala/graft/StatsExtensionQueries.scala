@@ -226,7 +226,40 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("day")
   }
 
+  /** Dwell-time attribution per event type — the engagement readout
+    * behind "where do users actually spend time": each event owns the
+    * gap to the user's NEXT event, capped at the 30-minute session
+    * bound (the same 1800 s gap events_sessionize breaks on, so an
+    * overnight absence doesn't credit the last page with twelve
+    * hours); a user's final event is open-ended and reported, not
+    * guessed. Mean dwell ×100 via the shared integer truncation.
+    *
+    * Scale shape: ONE user-keyed window shuffle (the lead rides it),
+    * one type-keyed aggregate with map-side partials. Same shape as
+    * events_transitions.
+    */
+  private def qEventsDwellTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      // explicit null guard: Spark's least() SKIPS nulls (returns the
+      // least non-null), so an open-ended row would otherwise be
+      // credited the 1800 s cap instead of nothing
+      .withColumn("gap_s", when(col("next_us").isNotNull,
+        expr("least((next_us - unix_micros(ts)) div 1000000, 1800)")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_open"),
+        sum(coalesce(col("gap_s"), lit(0L))).as("dwell_s"))
+      .withColumn("mean_dwell_s_x100",
+        expr("(100 * dwell_s) div greatest(n_events - n_open, 1)"))
+      .orderBy("event_type")
+  }
+
   protected def statsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dwell_time" -> (qEventsDwellTime _),
     "events_changepoint" -> (qEventsChangepoint _),
     "events_peak_days" -> (qEventsPeakDays _),
     "events_survival_hazard" -> (qEventsSurvivalHazard _),
@@ -236,6 +269,26 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def statsExtOracles: Map[String, String] = Map(
+    "events_dwell_time" ->
+      """WITH o AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    CASE WHEN next_us IS NULL THEN NULL
+        |         ELSE least((next_us - us) // 1000000, 1800) END AS gap_s,
+        |    CASE WHEN next_us IS NULL THEN 1 ELSE 0 END AS open
+        |  FROM o)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(open) AS BIGINT) AS n_open,
+        |       CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS dwell_s,
+        |       (100 * CAST(COALESCE(SUM(gap_s), 0) AS BIGINT))
+        |         // greatest(COUNT(*) - CAST(SUM(open) AS BIGINT), 1)
+        |         AS mean_dwell_s_x100
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "events_changepoint" ->
       """WITH h AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
         |  FROM events GROUP BY 1),
