@@ -85,6 +85,39 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
       .orderBy("stage_ord")
   }
 
+  /** Dedup SAVINGS by source — the funnel's cost readout: per source,
+    * how many docs (and how many characters) the combined exact+near
+    * dedup decision removes, and the byte-savings share in bp. The
+    * survivor rule is the funnel's verbatim (exact min-fp winner that
+    * is also its own near-dup component rep or untouched by any
+    * component), so the three dedup readouts — funnel stages, pair
+    * attribution, per-source savings — can never disagree.
+    *
+    * Scale shape: rides the memoized component labels; one fp-keyed
+    * aggregate for exact winners, one survivor join, one source fold.
+    */
+  private def qCorpusDedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Text.fingerprint(col("text")).as("fp"))
+    val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val comp = dedupComponents(s, dir)
+    val survivors = keepers.join(comp, keepers("doc_id") === comp("id"), "left")
+      .where(col("id").isNull || col("comp") === keepers("doc_id"))
+      .select(keepers("doc_id"), lit(1L).as("kept"))
+    docs.join(survivors, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("kept").isNull, col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .withColumn("savings_bp",
+        expr("(10000 * chars_dropped) div greatest(chars_total, 1)"))
+      .orderBy("source")
+  }
+
   private def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val quality = docs.select(col("doc_id"), col("text"))
@@ -811,6 +844,7 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
     "corpus_datacard" -> (qCorpusDatacard _),
     "corpus_dedup_keep_best" -> (qCorpusDedupKeepBest _),
     "corpus_dedup_funnel" -> (qCorpusDedupFunnel _),
+    "corpus_dedup_savings" -> (qCorpusDedupSavings _),
     "corpus_folded_packing" -> (qCorpusFoldedPacking _),
     "corpus_golden_record" -> (qCorpusGoldenRecord _),
     "corpus_importance_resample" -> (qCorpusImportanceResample _),
@@ -1204,6 +1238,28 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
          |    ORDER BY ${graft.ops.Sampling.weightedPrioritySql("doc_id", "n_chars")}, doc_id
          |  ) AS BIGINT) AS rk FROM documents)
          |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // cluster CTEs shared with dedup_clusters; survivor rule = the
+    // funnel's verbatim (exact min-fp winner AND own component rep)
+    "corpus_dedup_savings" ->
+      s"""$dedupClustersCtes,
+         |fp0 AS (SELECT doc_id, source, n_chars,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |ek AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY fp),
+         |sv AS (SELECT ek.doc_id FROM ek LEFT JOIN cc ON ek.doc_id = cc.id
+         |       WHERE cc.id IS NULL OR cc.comp = ek.doc_id)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN sv.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+         |  CAST(SUM(CASE WHEN sv.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+         |    AS BIGINT) AS chars_dropped,
+         |  (10000 * CAST(SUM(CASE WHEN sv.doc_id IS NULL THEN d.n_chars
+         |    ELSE 0 END) AS BIGINT))
+         |    // greatest(CAST(SUM(d.n_chars) AS BIGINT), 1) AS savings_bp
+         |FROM fp0 d LEFT JOIN sv ON d.doc_id = sv.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the dedup_embedding_cos candidate+verify CTEs verbatim, then the
     // split map and the (split_a, split_b) census

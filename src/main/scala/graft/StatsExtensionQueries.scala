@@ -258,7 +258,70 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
       .orderBy("event_type")
   }
 
+  /** POSITIONAL (U-shaped) multi-touch attribution — the third member
+    * of the attribution family (first-touch and last-touch already
+    * ship): each purchase's revenue splits 40/20/40 across its touch
+    * path (the touches since the user's previous purchase), with exact
+    * integer credits — first = rev·4000 div 10⁴, each middle =
+    * (rev·2000 div 10⁴) div (k−2), and the LAST touch takes the
+    * remainder, so per-purchase credits sum to the revenue EXACTLY
+    * (single-touch paths take it all; two-touch paths split 50/50 with
+    * the remainder on the last). Purchases with no touch path report
+    * as 'direct'.
+    *
+    * Scale shape: ONE user-keyed window pass builds the purchase
+    * segments (running purchase count) and path ranks; one
+    * (user, segment) aggregate sizes each path; the credit arithmetic
+    * is scan-stage; the final fold is per touch type. No self-joins
+    * over raw events.
+    */
+  private def qEventsAttributionPosition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        // coalesce: a NULL-value purchase still converts its path, it
+        // just carries zero revenue to split
+        coalesce((col("value").cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+          .as("rev"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1L).otherwise(0L))
+      // seg BEFORE this row: touches in segment s convert at purchase s+1
+      .withColumn("seg", coalesce(sum(col("is_p")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true) // touches, purchases, and path sizes all read it
+    val touches = ev
+      .where(col("event_type").isin("click", "view", "signup"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("seg"))
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+    val paths = touches.groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("k"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("seg"), col("rev"))
+    val joined = purchases.join(paths, Seq("user_id", "seg"), "left")
+    val direct = joined.where(col("k").isNull)
+      .groupBy(lit("direct").as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("rev")).as("credit_x100"))
+    val credited = joined.where(col("k").isNotNull)
+      .join(touches.select(col("user_id"), col("seg"), col("event_type"), col("rn")),
+        Seq("user_id", "seg"))
+      .withColumn("first_c",
+        expr("CASE WHEN k = 1 THEN rev WHEN k = 2 THEN (rev * 5000) div 10000 " +
+          "ELSE (rev * 4000) div 10000 END"))
+      .withColumn("mid_c",
+        expr("CASE WHEN k > 2 THEN ((rev * 2000) div 10000) div (k - 2) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("credit", expr(
+        "CASE WHEN rn = 1 THEN first_c " +
+          "WHEN rn = k THEN rev - first_c - (k - 2) * mid_c " +
+          "ELSE mid_c END"))
+      .groupBy(col("event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("credit_x100"))
+    credited.unionByName(direct).orderBy("touch_type")
+  }
+
   protected def statsExtQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution_position" -> (qEventsAttributionPosition _),
     "events_dwell_time" -> (qEventsDwellTime _),
     "events_changepoint" -> (qEventsChangepoint _),
     "events_peak_days" -> (qEventsPeakDays _),
@@ -269,6 +332,52 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
   )
 
   protected def statsExtOracles: Map[String, String] = Map(
+    "events_attribution_position" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type,
+        |    COALESCE(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0)
+        |      AS rev,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |  FROM events),
+        |sg AS (SELECT *, CAST(COALESCE(SUM(is_p) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS seg FROM ev),
+        |tch AS (SELECT user_id, seg, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM sg WHERE event_type IN ('click', 'view', 'signup')),
+        |pth AS (SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM tch GROUP BY 1, 2),
+        |pur AS (SELECT user_id, seg, rev FROM sg
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.seg, p.rev, pth.k
+        |  FROM pur p LEFT JOIN pth ON p.user_id = pth.user_id
+        |    AND p.seg = pth.seg),
+        |direct AS (SELECT 'direct' AS touch_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |    CAST(SUM(rev) AS BIGINT) AS credit_x100
+        |  FROM j WHERE k IS NULL),
+        |cr AS (SELECT t.event_type AS touch_type, t.rn, j.k, j.rev,
+        |    CASE WHEN j.k = 1 THEN j.rev
+        |         WHEN j.k = 2 THEN (j.rev * 5000) // 10000
+        |         ELSE (j.rev * 4000) // 10000 END AS first_c,
+        |    CASE WHEN j.k > 2 THEN ((j.rev * 2000) // 10000) // (j.k - 2)
+        |         ELSE 0 END AS mid_c
+        |  FROM j JOIN tch t ON j.user_id = t.user_id AND j.seg = t.seg
+        |  WHERE j.k IS NOT NULL),
+        |cred AS (SELECT touch_type,
+        |    CASE WHEN rn = 1 THEN first_c
+        |         WHEN rn = k THEN rev - first_c - (k - 2) * mid_c
+        |         ELSE mid_c END AS credit
+        |  FROM cr)
+        |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |       CAST(SUM(credit) AS BIGINT) AS credit_x100
+        |FROM cred GROUP BY 1
+        |UNION ALL
+        |SELECT * FROM direct WHERE n_credits > 0
+        |ORDER BY touch_type""".stripMargin,
+
     "events_dwell_time" ->
       """WITH o AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -122,6 +122,31 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
       .orderBy("source")
   }
 
+  /** Hapax-legomena profile per source — the vocabulary-health signal
+    * beside the entropy proxy: the share of a source's vocabulary
+    * occurring exactly once (hapax) and at most twice (dis), in bp. A
+    * natural corpus runs ~40-60% hapax (Zipf); templated/boilerplate
+    * sources collapse toward zero, OCR noise inflates past it — both
+    * failure modes a mixture review wants flagged.
+    *
+    * Scale shape: explode + ONE (source, term) aggregate, then a
+    * source-keyed fold of the frequency-class counts. Same shape as
+    * the entropy proxy, no second scan.
+    */
+  private def qTextHapaxRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("f") <= 2L, 1L).otherwise(0L)).as("dis"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        expr("(10000 * hapax) div vocab").as("hapax_bp"),
+        expr("(10000 * dis) div vocab").as("dis_bp"))
+      .orderBy("source")
+
   /** Term burstiness (Church & Gale, 1995) for the top-30 corpus
     * terms: mean occurrences per CONTAINING document (tf/df ×100) next
     * to the document-frequency share — the statistic that separates
@@ -801,6 +826,7 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
     "text_fertility" -> (qTextFertility _),
     "text_term_burstiness" -> (qTextTermBurstiness _),
     "text_entropy_proxy" -> (qTextEntropyProxy _),
+    "text_hapax_ratio" -> (qTextHapaxRatio _),
   )
 
   protected def textExtOracles: Map[String, String] = Map(
@@ -1187,6 +1213,18 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
          |         AS chars_per_token_x100,
          |       CAST(SUM(tk) AS BIGINT) // COUNT(*) AS tokens_per_doc
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_hapax_ratio" ->
+      s"""WITH tok AS (SELECT source, unnest($TK) AS term FROM documents),
+         |tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM tok GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+         |       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |       (10000 * CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         |         // COUNT(*) AS hapax_bp,
+         |       (10000 * CAST(SUM(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS BIGINT))
+         |         // COUNT(*) AS dis_bp
+         |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_entropy_proxy" ->
       s"""WITH tok AS (SELECT source, unnest($TK) AS term FROM documents),
