@@ -608,6 +608,38 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
       .orderBy("o_orderpriority")
   }
 
+  /** Retail-price dispersion per part type — the pricing-consistency
+    * readout (a high coefficient of variation inside one type means
+    * the catalog mixes incomparable goods or mispriced rows): exact
+    * integer mean, truncated-mean variance (the SF-independent
+    * emb_dim_variance form), integer sqrt with the ±1 adjustment
+    * against the exact square (the power-analysis isqrt idiom — float
+    * sqrt rounding cannot split the engines), CV in bp.
+    *
+    * Scale shape: ONE type-keyed aggregate over the part scan; all the
+    * statistic arithmetic runs on the |types|-row frame.
+    */
+  private def qPartPriceDispersion(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_type"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("x"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s1"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"))
+      .withColumn("mean_x100", expr("CAST(s1 div n AS BIGINT)"))
+      .withColumn("var_c2", expr(
+        "CAST(greatest(s2 div n - (s1 div n) * (s1 div n), 0) AS BIGINT)"))
+      .withColumn("r0", floor(sqrt(col("var_c2"))).cast("long"))
+      .withColumn("sd_x100", expr(
+        """CASE WHEN (r0 + 1) * (r0 + 1) <= var_c2 THEN r0 + 1
+          |     WHEN r0 * r0 > var_c2 THEN r0 - 1 ELSE r0 END""".stripMargin))
+      .withColumn("cv_bp", expr("(10000 * sd_x100) div greatest(mean_x100, 1)"))
+      .select(col("p_type"), col("n"), col("mean_x100"), col("sd_x100"),
+        col("cv_bp"))
+      .orderBy("p_type")
+
   /** Nation revenue-share shift — the geographic-mix readout: per
     * nation and year, revenue, its share of the year's total in bp,
     * and the year-over-year share delta (NULL for a nation's first
@@ -1118,6 +1150,7 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
     "orders_customer_migration" -> (qOrdersCustomerMigration _),
     "customer_nation_shift" -> (qCustomerNationShift _),
     "orders_repeat_gap" -> (qOrdersRepeatGap _),
+    "part_price_dispersion" -> (qPartPriceDispersion _),
     "lineitem_anova_returnflag" -> (qLineitemAnovaReturnflag _),
     "orders_fulfillment_lag" -> (qOrdersFulfillmentLag _),
     "multimodal_features" -> (qMultimodalFeatures _),
@@ -1346,6 +1379,28 @@ private[graft] trait MiscExtensionQueries extends ExtensionQueriesBase {
         |         AS p90_lag_days,
         |       MAX(lag_days) AS max_lag_days
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "part_price_dispersion" ->
+      """WITH x AS (SELECT p_type,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM part),
+        |g AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+        |  FROM x GROUP BY 1),
+        |v AS (SELECT p_type, n, CAST(s1 // n AS BIGINT) AS mean_x100,
+        |    CAST(greatest(s2 // n - (s1 // n) * (s1 // n), 0) AS BIGINT)
+        |      AS var_c2
+        |  FROM g),
+        |r AS (SELECT *, CAST(floor(sqrt(CAST(var_c2 AS DOUBLE))) AS BIGINT)
+        |        AS r0 FROM v),
+        |sd AS (SELECT p_type, n, mean_x100,
+        |    CASE WHEN (r0 + 1) * (r0 + 1) <= var_c2 THEN r0 + 1
+        |         WHEN r0 * r0 > var_c2 THEN r0 - 1 ELSE r0 END AS sd_x100
+        |  FROM r)
+        |SELECT p_type, n, mean_x100, sd_x100,
+        |       (10000 * sd_x100) // greatest(mean_x100, 1) AS cv_bp
+        |FROM sd ORDER BY p_type""".stripMargin,
 
     "customer_nation_shift" ->
       """WITH rev AS (SELECT n.n_name,
