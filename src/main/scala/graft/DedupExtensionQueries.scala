@@ -128,6 +128,9 @@ private[graft] trait DedupExtensionQueries extends ExtensionQueriesBase {
       .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
         col("id") === col("doc_id"))
       .groupBy(col("comp"), col("source")).agg(count(lit(1)).as("n"))
+      // pinned: the size fold and the majority window both read this
+      // cluster-sized frame — unpinned, each re-runs the documents join
+      .localCheckpoint(true)
     val tot = m.groupBy(col("comp"))
       .agg(sum(col("n")).as("cluster_size"),
         count(lit(1)).as("n_sources"))

@@ -75,6 +75,32 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("plans")) {
+      // plan-shape audit: for each named query (or everything), execute
+      // at the dev SF and print the physical-plan red-flag counters —
+      // parquet scans (re-scan smell), exchanges, and WindowExec nodes
+      // with an empty partition spec over more than a bounded frame
+      // (the single-partition-window smell; calendar/dimension frames
+      // are fine and documented per query). Human sweep; PlanSpec holds
+      // the hard pins.
+      for (name <- args.drop(1).toSeq match {
+          case Nil => SparkEntry.queries.keys.toSeq.sorted
+          case xs => xs
+        }) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.count()
+        val p = df.queryExecution.executedPlan.toString
+        val scans = "Scan parquet|FileScan".r.findAllIn(p).length
+        val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+        val single = "Exchange SinglePartition".r.findAllIn(p).length
+        val windows = "\\bWindow\\b|WindowExec".r.findAllIn(p).length
+        println(f"== plan $name%-32s scans=$scans%2d exch=$exchanges%2d " +
+          f"singlePart=$single%2d windows=$windows%2d")
+        spark.catalog.clearCache()
+        graft.ops.AnnCache.clear()
+      }
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
     for (name <- names; i <- 1 to 3) {
       val t0 = System.nanoTime()

@@ -35,12 +35,16 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
     * 1-row broadcasts.
     */
   private def qEventsSurvivalHazard(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // one scan: the frontier derives from the per-user frame's own max
+    // day instead of a second pass over events (plan-audited r18)
+    val u = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
-    val u = ev.groupBy(col("user_id"))
+      .groupBy(col("user_id"))
       .agg(min(col("day")).as("f_day"),
-        min(when(col("event_type") === "purchase", col("day"))).as("c_day"))
-    val frontier = ev.agg(max(col("day")).as("l_day"))
+        min(when(col("event_type") === "purchase", col("day"))).as("c_day"),
+        max(col("day")).as("m_day"))
+      .localCheckpoint(true) // read by the frontier fold and the lifetimes
+    val frontier = u.agg(max(col("m_day")).as("l_day"))
     val t = u.crossJoin(broadcast(frontier))
       .select(datediff(col("c_day"), col("f_day")).cast("long").as("t_conv"),
         datediff(col("l_day"), col("f_day")).cast("long").as("t_cens"))
@@ -114,9 +118,12 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
     * the fold is per type. No window over data.
     */
   private def qEventsTypeConcentration(s: SparkSession, dir: String): DataFrame = {
+    // pinned: the type totals and the share join both consume this
+    // (type, user) frame — unpinned, each branch re-scans events
     val per = Tables.events(s, dir)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = per.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
     per.join(broadcast(tot), "event_type")
       .select(col("event_type"),
@@ -207,8 +214,11 @@ private[graft] trait StatsExtensionQueries extends ExtensionQueriesBase {
     */
   private def qEventsPeakDays(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned: the median rank-pick and the neighbor windows both read
+    // this day histogram — unpinned, each branch re-scans events
     val hist = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true)
     val w = Window.orderBy(col("day"))
     val med = hist
       .withColumn("rn", row_number().over(Window.orderBy(col("n_events"), col("day"))))

@@ -104,10 +104,13 @@ private[graft] trait TextExtensionQueries extends ExtensionQueriesBase {
     * source-keyed fold with the |sources|-row totals broadcast back.
     */
   private def qTextEntropyProxy(s: SparkSession, dir: String): DataFrame = {
+    // pinned: the totals fold and the contribution join both read this
+    // vocab-sized frame — unpinned, each branch re-tokenizes the corpus
     val tf = Tables.documents(s, dir)
       .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
     val tot = tf.groupBy(col("source"))
       .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"))
     tf.join(broadcast(tot), "source")
