@@ -71,6 +71,10 @@ object Bench {
     def stageSnap(): Array[Long] = Array.tabulate(5)(stageStats.get)
     val rt = Runtime.getRuntime
     def once(name: String): Double = {
+      // attribution for any [memo-build] line this run triggers: shared
+      // memo frames are paid by the first toucher in bench name order,
+      // and the log must say who that was (r18 drift adjudication)
+      graft.ops.AnnCache.setContext(name)
       val t0 = System.nanoTime()
       // NonFatal only: a dying JVM (OOM, stack overflow) must crash the
       // bench loudly, not masquerade as one failed query and pollute

@@ -60,6 +60,7 @@ object Dev {
       // (the board convention is TIMESTAMP_NTZ; OutputTypeContractSpec
       // is the hard gate, this probe is the human-readable sweep)
       for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+        graft.ops.AnnCache.setContext(name)
         val df = SparkEntry.queries(name)(spark, dir)
         val cols = df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}")
         val flagged = df.schema.fields.filter { f =>
@@ -87,6 +88,7 @@ object Dev {
           case Nil => SparkEntry.queries.keys.toSeq.sorted
           case xs => xs
         }) {
+        graft.ops.AnnCache.setContext(name)
         val df = SparkEntry.queries(name)(spark, dir)
         df.count()
         val p = df.queryExecution.executedPlan.toString
@@ -103,6 +105,7 @@ object Dev {
     }
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
     for (name <- names; i <- 1 to 3) {
+      graft.ops.AnnCache.setContext(name)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       val n = df.count()

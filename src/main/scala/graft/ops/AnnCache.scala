@@ -28,6 +28,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AnnCache {
   private val cache = new ConcurrentHashMap[String, AnyRef]()
 
+  /** Query name currently executing, set by the harness mains (Bench/
+    * Dev/Verify) before each run. Build cost under a shared memo key
+    * lands on whichever query touches it FIRST in run order, so a memo
+    * refactor silently shifts seconds between queries and a
+    * round-over-round bench diff reads an attribution change as a
+    * regression (the r18 `dedup_containment_prefix` +71% exec-s
+    * adjudication). The [memo-build] stderr line names the payer so
+    * that diagnosis is one look at the bench log, not a re-measurement
+    * campaign. Volatile suffices: the bench harnesses run queries
+    * sequentially; a concurrent double-build (documented below) at
+    * worst logs two payers, both true. */
+  @volatile private var currentQuery: String = "?"
+
+  /** Record which query is about to run (harness attribution only —
+    * has no effect on caching semantics). */
+  def setContext(name: String): Unit = currentQuery = name
+
   /** Memoize a built index under `key`; the first caller builds.
     * Entries keyed by OTHER applicationIds are evicted on the way in:
     * only one SparkContext is active per JVM, so a different prefix
@@ -49,7 +66,11 @@ object AnnCache {
     val existing = cache.get(k)
     if (existing != null) existing.asInstanceOf[T]
     else {
+      val t0 = System.nanoTime()
       val built = build
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[memo-build] key=%s paidBy=%s buildMs=%.0f",
+        key, currentQuery, Double.box((System.nanoTime() - t0) / 1e6)))
       val prev = cache.putIfAbsent(k, built)
       (if (prev != null) prev else built).asInstanceOf[T]
     }

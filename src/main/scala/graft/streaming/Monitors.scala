@@ -525,4 +525,96 @@ object Monitors {
     finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     ud.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
+
+  /** foreachBatch body for STREAMING cohort retention — the continuous
+    * form of `events_retention`: two batchId-partitioned parquet
+    * stores (weekly presence `(user_id, week)` and per-user earliest
+    * signup week), and each micro-batch recomputes EXACTLY the
+    * retention-matrix cells its rows can have changed — the cells its
+    * own (user, week) pairs land in, plus every cell of a user whose
+    * cohort week became defined in this batch (their pre-signup weekly
+    * presence within the cohort window was invisible until the signup
+    * arrived). Cell values are exact `countDistinct` over everything
+    * seen so far, so the accumulated output equals the batch query
+    * row-for-row under any day-aligned split, and replay of the SAME
+    * batch is idempotent (per-cell dynamic partition overwrite, prior
+    * reads exclude the replaying batch's own partition) —
+    * RetentionStreamSpec pins both, the GrowthStreamSpec contract
+    * shape.
+    *
+    * All calendar math runs on DATEs: `date_trunc` is monotone, so
+    * week-of-min-signup-ts equals min-of-signup-weeks and the store
+    * never needs the raw timestamps. Day-ordered arrival makes a
+    * user's cohort week write-once (the first signup seen is the
+    * earliest), which is what bounds the recompute set; out-of-order
+    * signup arrival needs the batch query over the stores (backfill),
+    * exactly like growthAccountBatch's late-day caveat.
+    *
+    * At scale: the recompute prunes to the touched cohorts — the
+    * presence-side join reads only users whose cohort week appears in
+    * the touched-cell list (a left-semi through the cohort map), so a
+    * steady-state daily batch re-aggregates the active cohorts'
+    * presence rows, not the store's full history; both stores prune
+    * to earlier-batch partitions on read.
+    */
+  def retentionBatch(storeDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import org.apache.spark.sql.types._
+    def prior(sub: String, dataFields: Seq[StructField]): DataFrame = {
+      val withBatch = StructType(dataFields :+ StructField("batch", LongType))
+      try s.read.schema(withBatch).parquet(s"$storeDir/$sub")
+        .where(col("batch") =!= batchId)
+        .select(dataFields.map(f => col(f.name)): _*)
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(dataFields))
+      }
+    }
+    val presF = Seq(StructField("user_id", LongType), StructField("week", DateType))
+    val sigF = Seq(StructField("user_id", LongType), StructField("sig_week", DateType))
+    // this batch's facts: weekly presence over ALL event types, and the
+    // earliest signup week per user (min over dates = week of min ts)
+    val udB = batch.select(col("user_id").cast("long").as("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+      .localCheckpoint(true) // read by cells, the presence union, the store write
+    val sigB = batch.where(col("event_type") === "signup")
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(min(to_date(date_trunc("week", col("ts")))).as("sig_week"))
+      .localCheckpoint(true) // read by newCoh, the cohort union, the store write
+    val priorSig = prior("signup", sigF).localCheckpoint(true) // newCoh + cohort map
+    val cohort = priorSig.unionByName(sigB)
+      .groupBy(col("user_id")).agg(min(col("sig_week")).as("cohort_week"))
+    val allPres = prior("presence", presF).unionByName(udB).distinct()
+      .localCheckpoint(true) // read by the newCoh backfill and the recompute
+    // users first cohorted by THIS batch: all their presence enters the
+    // matrix at once (activity weeks seen before the signup arrived)
+    val newCoh = sigB.join(priorSig, Seq("user_id"), "left_anti").select(col("user_id"))
+    val touched = udB.unionByName(allPres.join(newCoh, Seq("user_id"), "left_semi"))
+    val off = floor(datediff(col("week"), col("cohort_week")) / 7)
+      .cast("long").as("week_offset")
+    val cells = touched.join(cohort, "user_id")
+      .where(col("week") >= col("cohort_week"))
+      .select(col("cohort_week"), off).distinct()
+      .localCheckpoint(true) // read by the cohort prune and the cell semi-join
+    // exact recompute of exactly the touched cells, pruned cohort-first
+    val cohTouched = cohort.join(
+      cells.select(col("cohort_week")).distinct(), Seq("cohort_week"), "left_semi")
+    val out = allPres.join(cohTouched, "user_id")
+      .where(col("week") >= col("cohort_week"))
+      .select(col("cohort_week"), off, col("user_id"))
+      .join(cells, Seq("cohort_week", "week_offset"), "left_semi")
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("n_users"), col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"))
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try out.write.mode("overwrite")
+      .partitionBy("cohort_week", "week_offset").parquet(outDir)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    udB.write.mode("overwrite").parquet(s"$storeDir/presence/batch=$batchId")
+    sigB.write.mode("overwrite").parquet(s"$storeDir/signup/batch=$batchId")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Monitors
+
+/** Streaming cohort retention ([[Monitors.retentionBatch]]):
+  * day-ordered replay must reproduce the `events_retention` batch
+  * query exactly, under any day-aligned batch split, and crash-replay
+  * of a batch must be idempotent — the GrowthStreamSpec /
+  * AdoptionStreamSpec contract shape. The one retention-specific
+  * wrinkle the one-day split exercises for real: a user's weekly
+  * activity often arrives BEFORE their signup event (same week,
+  * earlier day), so the incremental sink must backfill the
+  * newly-cohorted user's already-seen presence into the matrix — a
+  * cell-recompute path the adoption twin doesn't have.
+  */
+class RetentionStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val events = Tables.events(spark, dir)
+    .select(col("event_type"), col("user_id"), col("ts"),
+      to_date(col("ts")).as("d"))
+    .localCheckpoint(true)
+  private lazy val days: Seq[java.sql.Date] =
+    events.select(col("d")).distinct().orderBy("d")
+      .as[java.sql.Date].collect().toSeq
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-reten-$name").toString
+
+  private def outRows(outDir: String): Set[(String, Long, Long)] =
+    spark.read.parquet(outDir)
+      .select(col("cohort_week").cast("string"),
+        col("week_offset").cast("long"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+
+  private lazy val batchTruth: Set[(String, Long, Long)] =
+    SparkEntry.queries("events_retention")(spark, dir)
+      .select(col("cohort_week").cast("date").cast("string"),
+        col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+
+  test("one-day-per-batch replay equals the batch query row for row") {
+    val (store, out) = (tmp("a") + "/store", tmp("a") + "/out")
+    days.zipWithIndex.foreach { case (d, i) =>
+      Monitors.retentionBatch(store, out)(
+        events.where(col("d") === d), i.toLong)
+    }
+    val got = outRows(out)
+    assert(got === batchTruth)
+    // the matrix is genuinely a matrix: some cohort retains users past
+    // its signup week, and offset-0 rows exist for every cohort
+    assert(got.nonEmpty && got.forall(_._3 > 0))
+    assert(got.exists(_._2 > 0))
+    val cohorts = got.map(_._1)
+    assert(cohorts.forall(c => got.exists(t => t._1 == c && t._2 == 0L)))
+  }
+
+  test("week-spanning mega-batches produce the same accumulated output") {
+    val (store, out) = (tmp("b") + "/store", tmp("b") + "/out")
+    days.grouped(10).zipWithIndex.foreach { case (grp, i) =>
+      Monitors.retentionBatch(store, out)(
+        events.where(col("d").isin(grp.map(_.toString): _*)), i.toLong)
+    }
+    assert(outRows(out) === batchTruth)
+  }
+
+  test("crash-replay of the last batch is idempotent") {
+    val (store, out) = (tmp("c") + "/store", tmp("c") + "/out")
+    days.zipWithIndex.foreach { case (d, i) =>
+      Monitors.retentionBatch(store, out)(
+        events.where(col("d") === d), i.toLong)
+    }
+    val before = outRows(out)
+    assert(before === batchTruth)
+    Monitors.retentionBatch(store, out)(
+      events.where(col("d") === days.last), (days.size - 1).toLong)
+    assert(outRows(out) === before)
+  }
+}
