@@ -457,10 +457,14 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
     * cheaper pre-filter when eval ≪ train. */
   private def qSplitNgramLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val splits = docs.select(col("doc_id"),
-      graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    // split is a pure function of doc_id — derived in place (no second
+    // docs scan, no join), and the shingle frame is pinned because
+    // THREE consumers read it (train set, leak semi-join, eval totals):
+    // unpinned, each re-ran the 5-gram explode over the corpus
+    // (r19 sweep: 6 scans -> 0)
     val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 5)
-      .join(splits, "doc_id")
+      .withColumn("split", graft.ops.Sampling.assignSplit(col("doc_id")))
+      .localCheckpoint(true)
     val trainSh = sh.where(col("split") === "train").select("shingle").distinct()
     val evalSh = sh.where(col("split") =!= "train")
     val leaked = evalSh.join(trainSh, Seq("shingle"), "left_semi")
@@ -481,10 +485,11 @@ private[graft] trait CorpusExtensionQueries extends ExtensionQueriesBase {
     * a real corpus vocabulary never broadcasts or collects. */
   private def qSplitNgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val splits = docs.select(col("doc_id"),
-      graft.ops.Sampling.assignSplit(col("doc_id")).as("split"))
+    // same shape as split_ngram_leakage: split derived in place, the
+    // bigram frame pinned for its three consumers (r19 sweep: 6 -> 0)
     val sh = Text.distinctShingles(docs, col("text"), col("doc_id"), 2)
-      .join(splits, "doc_id")
+      .withColumn("split", graft.ops.Sampling.assignSplit(col("doc_id")))
+      .localCheckpoint(true)
     val trainSh = sh.where(col("split") === "train").select("shingle").distinct()
     val evalSh = sh.where(col("split") =!= "train")
     val novel = evalSh.join(trainSh, Seq("shingle"), "left_anti")

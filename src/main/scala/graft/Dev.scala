@@ -96,8 +96,13 @@ object Dev {
         val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
         val single = "Exchange SinglePartition".r.findAllIn(p).length
         val windows = "\\bWindow\\b|WindowExec".r.findAllIn(p).length
+        // a persisted frame's plan STRING embeds its build plan inside
+        // InMemoryRelation, so its FileScans count once per reader in
+        // `scans` without re-executing — inmem>0 says discount those
+        // (r19 adjudication: customer_rfm's "8 scans" are 2 real)
+        val inmem = "InMemoryTableScan".r.findAllIn(p).length
         println(f"== plan $name%-32s scans=$scans%2d exch=$exchanges%2d " +
-          f"singlePart=$single%2d windows=$windows%2d")
+          f"singlePart=$single%2d windows=$windows%2d inmem=$inmem%2d")
         spark.catalog.clearCache()
         graft.ops.AnnCache.clear()
       }

@@ -185,6 +185,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "INTERSECT must plan as a left-semi join")
     assert(p.contains("LeftAnti"), "EXCEPT must plan as a left-anti join")
     assert(!p.contains("CartesianProduct"))
+    // each day's user set feeds three set-ops — pinned at build time so
+    // events is scanned once per day, not once per consumer (the r19
+    // sweep measured 6 scans unpinned)
+    val fileScans = "Scan parquet|FileScan".r.findAllIn(p).length
+    assert(fileScans === 0,
+      s"expected zero parquet scans (all set-ops read the pinned day sets), found $fileScans")
+  }
+
+  test("q11_important_stock: threshold scalar and output share the pinned per-part frame") {
+    // the per-part stock-value aggregate is localCheckpoint'ed: both the
+    // 1-row threshold scalar and the filtered output must ride the
+    // materialized frame — unpinned, each branch re-ran the whole
+    // partsupp⋈supplier⋈nation⋈region tree (r19 sweep: 10 scans → 0)
+    val p = planOf("q11_important_stock")
+    val fileScans = "Scan parquet|FileScan".r.findAllIn(p).length
+    assert(fileScans === 0,
+      s"expected zero parquet scans (both branches read the checkpoint), found $fileScans")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rddScans >= 2,
+      s"expected both branches on the checkpointed frame, found $rddScans RDD scans")
+  }
+
+  test("split ngram screens: shingle+split frame pinned, split derived in place") {
+    // the (doc_id, shingle, split) frame feeds three consumers (train
+    // set, leak/novelty join, eval totals) and split is a pure function
+    // of doc_id — pinned and derived in place, the corpus explode runs
+    // once and no splits join exists (r19 sweep: 6 scans → 0 each)
+    for (q <- Seq("split_ngram_leakage", "split_ngram_novelty")) {
+      val p = planOf(q)
+      val fileScans = "Scan parquet|FileScan".r.findAllIn(p).length
+      assert(fileScans === 0,
+        s"$q: expected zero parquet scans (consumers read the pinned shingles), found $fileScans")
+      val rddScans = "Scan ExistingRDD".r.findAllIn(p).length
+      assert(rddScans >= 3,
+        s"$q: expected all three consumers on the checkpointed frame, found $rddScans")
+    }
+  }
+
+  test("text_trigram_backoff: uni/bigram count tables pinned, one probe each per join") {
+    // uni and big each feed two backoff probes — pinned so the train
+    // corpus tokenize+explode+aggregate runs once per table (r19 sweep:
+    // 7 scans → 3: trigram counts, eval positions, corpus total)
+    val p = planOf("text_trigram_backoff")
+    val fileScans = "Scan parquet|FileScan".r.findAllIn(p).length
+    assert(fileScans <= 3,
+      s"expected ≤3 parquet scans (tri, eval, total; uni/big pinned), found $fileScans")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rddScans >= 4,
+      s"expected the four backoff probes on checkpointed tables, found $rddScans RDD scans")
   }
 
   test("dedup_edit_distance: banded Levenshtein evaluates inside the join, after the cheap guards") {
