@@ -90,8 +90,19 @@ object Dev {
         }) {
         graft.ops.AnnCache.setContext(name)
         val df = SparkEntry.queries(name)(spark, dir)
-        df.count()
+        // execute THIS QueryExecution's RDD (df.count() builds a sibling
+        // QueryExecution and leaves this plan un-finalized) so AQE
+        // runtime artifacts — ReusedQueryStage, skew splits — appear in
+        // the printed plan; otherwise an exchange the runtime actually
+        // reused still prints as a second full subtree and the scan
+        // counter overstates (r19: pre-pin q11 printed 10 scans while
+        // executing ~5 through a ReusedQueryStage)
+        df.queryExecution.toRdd.count()
+        // a finalized AdaptiveSparkPlan prints BOTH the final and the
+        // initial plan — count only the final section or every node
+        // doubles
         val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
         val scans = "Scan parquet|FileScan".r.findAllIn(p).length
         val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
         val single = "Exchange SinglePartition".r.findAllIn(p).length
@@ -101,8 +112,12 @@ object Dev {
         // `scans` without re-executing — inmem>0 says discount those
         // (r19 adjudication: customer_rfm's "8 scans" are 2 real)
         val inmem = "InMemoryTableScan".r.findAllIn(p).length
+        // runtime-reused stages: each one is a subtree the counters
+        // above counted that did NOT re-execute — discount accordingly
+        val reuse = "ReusedQueryStage|ReusedExchange".r.findAllIn(p).length
         println(f"== plan $name%-32s scans=$scans%2d exch=$exchanges%2d " +
-          f"singlePart=$single%2d windows=$windows%2d inmem=$inmem%2d")
+          f"singlePart=$single%2d windows=$windows%2d inmem=$inmem%2d " +
+          f"reuse=$reuse%2d")
         spark.catalog.clearCache()
         graft.ops.AnnCache.clear()
       }

@@ -617,4 +617,117 @@ object Monitors {
     udB.write.mode("overwrite").parquet(s"$storeDir/presence/batch=$batchId")
     sigB.write.mode("overwrite").parquet(s"$storeDir/signup/batch=$batchId")
   }
+
+  /** foreachBatch body for the STREAMING signup→click→purchase funnel —
+    * the continuous form of `events_funnel`. Unlike the presence-store
+    * twins, the state here is a per-user SUFFICIENT STATISTIC, not raw
+    * history: the chained conditional-min triple (t_signup, t_click ≥
+    * t_signup, t_purchase ≥ t_click). Under day-ordered arrival each
+    * component is write-once (t_signup is the first signup seen; a
+    * later batch can never supply an earlier timestamp), which makes
+    * the triple lossless for the chain: an old click other than
+    * t_click either WAS the chain min or sits below t_signup forever,
+    * and an old purchase predating a click that only arrives in a
+    * later batch is below that t_click by arrival order — so folding
+    * the stored triple (as three virtual events) with the new batch
+    * reproduces the full-history chain exactly. FunnelStreamSpec pins
+    * batch-equivalence under two split shapes and replay idempotence.
+    *
+    * Stores: `state/batch=N` holds the touched users' updated triples
+    * (write-once components ⇒ the merged view is a per-component MIN
+    * across partitions, no argmax-by-batch needed); `delta/batch=N`
+    * holds ONE row of stage-flip counts (a user entering a stage this
+    * batch). The emitted 3-row funnel is the running SUM of the
+    * deltas — never an aggregate over the user store — so the
+    * per-batch output cost is O(touched users + n_batches), and the
+    * whole-output overwrite makes replay idempotent without partition
+    * surgery.
+    *
+    * At scale: the state read prunes to earlier-batch partitions and
+    * semi-joins down to THIS batch's users before anything heavy; the
+    * chain itself is the batch query's three user-keyed aggregates
+    * over (touched triples ∪ batch events). A user's state rows
+    * accumulate one per touching batch; the production compaction is
+    * a periodic rewrite of the min-merged view (exactly what `prior`
+    * computes), same note as the presence stores.
+    */
+  def funnelBatch(storeDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import org.apache.spark.sql.types._
+    val stateF = Seq(StructField("user_id", LongType),
+      StructField("t_signup", TimestampNTZType),
+      StructField("t_click", TimestampNTZType),
+      StructField("t_purchase", TimestampNTZType))
+    val deltaF = Seq(StructField("d_signup", LongType),
+      StructField("d_click", LongType), StructField("d_purchase", LongType))
+    def prior(sub: String, dataFields: Seq[StructField]): DataFrame = {
+      val withBatch = StructType(dataFields :+ StructField("batch", LongType))
+      try s.read.schema(withBatch).parquet(s"$storeDir/$sub")
+        .where(col("batch") =!= batchId)
+        .select(dataFields.map(f => col(f.name)): _*)
+      catch { case e: Exception with org.apache.spark.SparkThrowable
+        if e.getCondition == "PATH_NOT_FOUND" =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(dataFields))
+      }
+    }
+    val evB = batch
+      .where(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+      .localCheckpoint(true) // read by the user list and the chain fold
+    val users = evB.select(col("user_id")).distinct()
+    // write-once components ⇒ the merged state is a per-component min;
+    // pruned to this batch's users BEFORE the fold
+    val oldTouched = prior("state", stateF)
+      .join(users, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(min(col("t_signup")).as("t_signup"), min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
+      .localCheckpoint(true) // read by the virtual events and the flip count
+    // the stored triple re-enters the chain as three virtual events
+    val virtual = Seq(("t_signup", "signup"), ("t_click", "click"),
+        ("t_purchase", "purchase")).map { case (c, t) =>
+      oldTouched.where(col(c).isNotNull)
+        .select(col("user_id"), lit(t).as("event_type"), col(c).as("ts"))
+    }.reduce(_.unionByName(_))
+    val ev = evB.unionByName(virtual)
+    // the batch query's chained conditional mins, verbatim, over the
+    // touched slice (EventsExtensionQueries.qEventsFunnel)
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("t_signup"),
+        col("ts"))).as("t_click"))
+    val triples = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+        col("ts"))).as("t_purchase"))
+      .localCheckpoint(true) // read by the state write and the flip count
+    triples.write.mode("overwrite").parquet(s"$storeDir/state/batch=$batchId")
+    // stage flips: users whose component went null→set THIS batch
+    def flips(c: String) = sum(when(col(c).isNotNull && col(s"old_$c").isNull,
+      1L).otherwise(0L))
+    val delta = triples.join(
+        oldTouched.select(col("user_id"), col("t_signup").as("old_t_signup"),
+          col("t_click").as("old_t_click"), col("t_purchase").as("old_t_purchase")),
+        Seq("user_id"), "left")
+      .agg(flips("t_signup").as("d_signup"), flips("t_click").as("d_click"),
+        flips("t_purchase").as("d_purchase"))
+      .na.fill(0L, Seq("d_signup", "d_click", "d_purchase"))
+    delta.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/delta/batch=$batchId")
+    // running funnel = Σ deltas (including this batch's, read back so
+    // the sum sees exactly the partitions on disk); 3-row stack, whole
+    // overwrite — replay rewrites the same rows
+    val cum = s.read.schema(StructType(deltaF :+ StructField("batch", LongType)))
+      .parquet(s"$storeDir/delta")
+      .agg(sum(col("d_signup")).as("n_signup"), sum(col("d_click")).as("n_click"),
+        sum(col("d_purchase")).as("n_purchase"))
+      .select(expr("stack(3, 'signup', n_signup, 'click_after', n_click, " +
+        "'purchase_after', n_purchase) as (stage, n_users)"))
+    cum.coalesce(1).write.mode("overwrite").parquet(outDir)
+  }
 }
