@@ -730,4 +730,78 @@ object Monitors {
         "'purchase_after', n_purchase) as (stage, n_users)"))
     cum.coalesce(1).write.mode("overwrite").parquet(outDir)
   }
+
+  /** Long-horizon maintenance for the batchId-partitioned stores every
+    * foreachBatch twin appends to ([[growthAccountBatch]],
+    * [[adoptionBatch]], [[retentionBatch]], [[funnelBatch]]): rewrite
+    * the partitions `batch ≤ upTo` as ONE merged partition at
+    * `batch=upTo` and drop the rest, so the per-batch `prior` read
+    * stops paying one partition per historical batch. `merge` is the
+    * store's own read-side fold — `distinct()` for the presence
+    * stores, the per-key component-MIN for funnel state, the global
+    * SUM for the delta store — which is what makes the operation
+    * crash-safe WITHOUT a transaction: every reader already absorbs
+    * duplicated rows across partitions (a crash after the merged
+    * write but before the old-partition deletes leaves each fact
+    * present twice, which the same fold collapses), and re-running
+    * the compaction converges.
+    *
+    * Contract: `upTo` must be a batch the streaming checkpoint has
+    * COMMITTED — a replay of batch N reads `batch =!= N`, so a batch
+    * that could still replay must keep its own partition (folding it
+    * into another id would make its rows visible to its own replay).
+    * foreachBatch replays only the latest uncommitted batch, so
+    * `upTo = latestBatchId - 1` is always safe mid-stream.
+    * StoreCompactionSpec pins output-invariance mid-stream, replay
+    * idempotence after compaction, convergence under double-compact,
+    * and the partition-count shrink.
+    *
+    * Commit order: the merged view is written to a DOT-PREFIXED dir
+    * (hidden from every parquet reader), then swapped into
+    * `batch=upTo` by two directory renames, then the source
+    * partitions are deleted. A crash before the swap leaves the store
+    * untouched (plus an invisible tmp a re-run overwrites); a crash
+    * after it leaves duplicates the read-side fold absorbs; the
+    * residual window is the rename pair itself — two same-FS metadata
+    * ops. A real deployment closes even that with a manifest commit
+    * (Delta-style); this is the single-JVM analog, same note as the
+    * stores' localCheckpoint pins.
+    *
+    * At scale this is one read+shuffle+write over the merged view —
+    * the same cost as a single batch's `prior` fold — scheduled like
+    * any table-maintenance job.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      upTo: Long)(merge: DataFrame => DataFrame): Unit = {
+    val root = new java.io.File(storeDir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("batch=").toLong)
+        .toOption.map(_ -> f))
+      .filter { case (b, _) => b <= upTo }
+    if (parts.isEmpty) return
+    // read schema comes from the files themselves (each store's writer
+    // fixed it); the batch value is a directory-name fact, so the
+    // merged rows carry no batch column — exactly the per-partition
+    // file layout the stores write
+    val merged = merge(
+      spark.read.parquet(parts.map(_._2.getPath): _*))
+      // materialized BEFORE any rewrite: the merged frame's lineage
+      // reads the very partitions the swap below replaces
+      .localCheckpoint(true)
+    val tmp = new java.io.File(root, ".compact-tmp")
+    val trash = new java.io.File(root, ".compact-old")
+    rm(tmp); rm(trash)
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    val target = new java.io.File(root, s"batch=$upTo")
+    // the swap: hide the old target, promote the merged view
+    if (target.exists) { val _ = target.renameTo(trash) }
+    require(tmp.renameTo(target), s"compaction swap failed for $target")
+    rm(trash)
+    parts.collect { case (b, f) if b != upTo => f }.foreach(rm)
+  }
 }
