@@ -731,6 +731,53 @@ object Monitors {
     cum.coalesce(1).write.mode("overwrite").parquet(outDir)
   }
 
+  /** foreachBatch body for STREAMING approximate distinct users per
+    * event type — the MERGEABLE-SKETCH store pattern, the third store
+    * shape after raw presence (growth/adoption/retention) and the
+    * sufficient-statistic triple (funnel): the store holds one
+    * Datasketches HLL sketch per (event_type, batch), and the emitted
+    * count reads `hll_union_agg` over the partials. HLL registers
+    * merge by elementwise MAX, so the union of per-batch sketches is
+    * STATE-IDENTICAL to a single-shot sketch over the concatenated
+    * stream — not approximately equal, the same bytes-in-registers —
+    * which DistinctStreamSpec pins against the batch single-shot
+    * under two split shapes, plus replay idempotence and the ±2%
+    * audit versus the exact count (the events_approx_distinct
+    * certificate bound at lgK=12).
+    *
+    * Unlike the presence stores, NOTHING here scales with history:
+    * a batch writes |types| sketch rows (≤ 4 KB each), the readout
+    * unions |types|·|batches| rows, and [[compactStore]] with the
+    * `hll_union_agg` fold collapses the history to |types| rows —
+    * the sketch store is the one whose compaction changes the READ
+    * cost, not just the partition count. This is the streaming form
+    * of the engine's partial-state mergeability contract
+    * (`events_rollup_merge` pins the batch form).
+    */
+  def distinctCountBatch(storeDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val part = batch
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id").cast("long"), lit(12)).as("sk"))
+    part.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/batch=$batchId")
+    // readout over exactly the partitions on disk (own batch included
+    // via its just-written partition, so replay reads its own rewrite)
+    val est = s.read.parquet(storeDir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_approx"))
+    est.coalesce(1).write.mode("overwrite").parquet(outDir)
+  }
+
+  /** The sketch store's [[compactStore]] fold: union the per-batch
+    * HLL partials per type (further-mergeable — a union result is
+    * itself a sketch). */
+  def hllFold(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+
   /** Long-horizon maintenance for the batchId-partitioned stores every
     * foreachBatch twin appends to ([[growthAccountBatch]],
     * [[adoptionBatch]], [[retentionBatch]], [[funnelBatch]]): rewrite
