@@ -66,6 +66,26 @@ class RetentionStreamSpec extends SparkSpec {
     assert(outRows(out) === batchTruth)
   }
 
+  test("three seeded random day-aligned splits all reproduce the batch truth") {
+    // same hardening as FunnelStreamSpec: the irregular middle between
+    // the one-day and ten-day shapes, seeded for reproducibility — and
+    // for retention specifically, random cuts vary WHERE in a week the
+    // signup/activity boundary lands, exercising the newly-cohorted
+    // backfill at arbitrary offsets
+    val rnd = new scala.util.Random(19L)
+    for (trial <- 1 to 3) {
+      val (store, out) = (tmp(s"r$trial") + "/store", tmp(s"r$trial") + "/out")
+      val cuts = days.indices.tail.filter(_ => rnd.nextBoolean())
+      val groups = (Seq(0) ++ cuts :+ days.size).sliding(2).toSeq
+        .map { case Seq(a, b) => days.slice(a, b) }.filter(_.nonEmpty)
+      groups.zipWithIndex.foreach { case (grp, i) =>
+        Monitors.retentionBatch(store, out)(
+          events.where(col("d").isin(grp.map(_.toString): _*)), i.toLong)
+      }
+      assert(outRows(out) === batchTruth, s"trial $trial groups=${groups.map(_.size)}")
+    }
+  }
+
   test("crash-replay of the last batch is idempotent") {
     val (store, out) = (tmp("c") + "/store", tmp("c") + "/out")
     days.zipWithIndex.foreach { case (d, i) =>
