@@ -454,6 +454,49 @@ object Monitors {
     ud.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
+  /** The LATE-DATA recovery path [[growthAccountBatch]]'s scaladoc
+    * prescribes, as a real API instead of a doc note: recompute the
+    * full growth decomposition from the presence store's (user_id,
+    * day) rows — exactly the `events_growth_accounting` batch query,
+    * parameterized by the presence frame instead of the events table.
+    * After out-of-order arrival has staled neighboring day rows (a
+    * late batch rewrites only its own days), overwriting the output
+    * with this frame restores batch-exactness, because the store
+    * itself is append-complete regardless of arrival order
+    * (GrowthStreamSpec's late-arrival test pins the full scenario:
+    * withhold → stale → backfill → exact).
+    *
+    * At scale this is the batch query's cost — one user-keyed
+    * distinct + two keyed joins over the store — run as a scheduled
+    * repair job, not per batch.
+    */
+  def growthBackfill(presence: DataFrame): DataFrame = {
+    val ud = presence.select(col("user_id"), col("day")).distinct()
+      .localCheckpoint(true) // four consumers below ride one distinct
+    val firstD = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val prevShift = ud.select(col("user_id"), date_add(col("day"), 1).as("day"))
+    val labeled = ud.join(firstD, "user_id")
+      .join(prevShift.withColumn("had_prev", lit(1L)).distinct(),
+        Seq("user_id", "day"), "left")
+      .select(col("day"),
+        when(col("day") === col("first_day"), "new")
+          .when(col("had_prev").isNotNull, "returning")
+          .otherwise("resurrected").as("kind"))
+    val perDay = labeled.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "returning", 1L).otherwise(0L))
+          .as("n_returning"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churned = prevShift.join(ud, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    perDay.join(churned, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"), col("n_active"),
+        col("n_new"), col("n_returning"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** foreachBatch body for STREAMING adoption curves — the continuous
     * form of `events_adoption_curve`: the presence store holds
     * (event_type, user_id, day) rows under batchId-keyed partitions

@@ -55,6 +55,34 @@ class GrowthStreamSpec extends SparkSpec {
     assert(outRows(out) === batchTruth)
   }
 
+  test("late arrival stales neighbors; growthBackfill over the store repairs to exact") {
+    // the scaladoc's documented failure + recovery, end to end:
+    // one third of a middle day's users arrive AFTER the last day
+    val (store, out) = (tmp("late") + "/store", tmp("late") + "/out")
+    val lateDay = days(days.size / 2)
+    val isLate = col("d") === lateDay && col("user_id") % 3 === 0
+    days.zipWithIndex.foreach { case (d, i) =>
+      Monitors.growthAccountBatch(store, out)(
+        events.where(col("d") === d && !isLate), i.toLong)
+    }
+    Monitors.growthAccountBatch(store, out)(
+      events.where(isLate), days.size.toLong)
+    // the late batch rewrote ONLY its own day — neighbors are stale
+    // (the fixture has daily-active users, so withholding a third of a
+    // day genuinely moves the neighbor labels)
+    val stale = outRows(out)
+    assert(stale !== batchTruth, "fixture too sparse to stale a neighbor")
+    // the repair: the batch query over the store's presence rows, which
+    // are append-complete regardless of arrival order
+    val presence = spark.read.parquet(store).select(col("user_id"), col("day"))
+    val repaired = Monitors.growthBackfill(presence)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try repaired.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    assert(outRows(out) === batchTruth)
+  }
+
   test("crash-replay of the last batch is idempotent") {
     val (store, out) = (tmp("c") + "/store", tmp("c") + "/out")
     days.zipWithIndex.foreach { case (d, i) =>
