@@ -569,6 +569,31 @@ object Monitors {
     ud.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
+  /** [[retentionBatch]]'s late-data recovery, the [[growthBackfill]]
+    * counterpart: the full retention matrix from the two stores'
+    * rows. The incremental path is exact even for a signup arriving
+    * AFTER its user's activity (the newly-cohorted backfill), but not
+    * for a signup that moves an already-known cohort EARLIER — the
+    * user's previously-emitted cells keep their old week_offset and
+    * only a recompute from the append-complete stores repairs them
+    * (RetentionStreamSpec's late-signup test drives the scenario).
+    * Output in the store twin's layout: (n_users, cohort_week string,
+    * week_offset).
+    */
+  def retentionBackfill(presence: DataFrame, signup: DataFrame): DataFrame = {
+    val cohort = signup.groupBy(col("user_id"))
+      .agg(min(col("sig_week")).as("cohort_week"))
+    presence.select(col("user_id"), col("week")).distinct()
+      .join(cohort, "user_id")
+      .where(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("n_users"), col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"))
+  }
+
   /** foreachBatch body for STREAMING cohort retention — the continuous
     * form of `events_retention`: two batchId-partitioned parquet
     * stores (weekly presence `(user_id, week)` and per-user earliest
@@ -675,6 +700,15 @@ object Monitors {
     * the stored triple (as three virtual events) with the new batch
     * reproduces the full-history chain exactly. FunnelStreamSpec pins
     * batch-equivalence under two split shapes and replay idempotence.
+    *
+    * Late data: unlike the presence-store twins, there is NO
+    * store-only backfill — the triple is intentionally LOSSY (clicks
+    * below t_signup and purchases below t_click are discarded), which
+    * is exactly what makes the state O(users). An out-of-order signup
+    * with an earlier timestamp can validate discarded events, so
+    * recovery from true late arrival is the batch query over the raw
+    * events, not over this store. The watermark upstream is what
+    * makes day-ordered arrival the normal case.
     *
     * Stores: `state/batch=N` holds the touched users' updated triples
     * (write-once components ⇒ the merged view is a per-component MIN

@@ -86,6 +86,33 @@ class RetentionStreamSpec extends SparkSpec {
     }
   }
 
+  test("late signup moves a cohort earlier; retentionBackfill repairs to exact") {
+    // the one arrival-order violation the incremental path can NOT
+    // absorb: a user already cohorted by a later signup gains an
+    // EARLIER one — their emitted cells keep the old week_offset. The
+    // fixture has 15 users with signups in ≥2 distinct weeks, so
+    // withholding the first week's signups genuinely moves cohorts.
+    val (store, out) = (tmp("late") + "/store", tmp("late") + "/out")
+    val cutoff = days(math.min(7, days.size - 1))
+    val isLate = col("event_type") === "signup" && col("d") < cutoff
+    days.zipWithIndex.foreach { case (d, i) =>
+      Monitors.retentionBatch(store, out)(
+        events.where(col("d") === d && !isLate), i.toLong)
+    }
+    Monitors.retentionBatch(store, out)(
+      events.where(isLate), days.size.toLong)
+    val stale = outRows(out)
+    assert(stale !== batchTruth,
+      "fixture produced no moved-earlier cohort — tune the cutoff")
+    val presence = spark.read.parquet(s"$store/presence")
+      .select(col("user_id"), col("week"))
+    val signup = spark.read.parquet(s"$store/signup")
+      .select(col("user_id"), col("sig_week"))
+    Monitors.retentionBackfill(presence, signup)
+      .write.mode("overwrite").parquet(out)
+    assert(outRows(out) === batchTruth)
+  }
+
   test("crash-replay of the last batch is idempotent") {
     val (store, out) = (tmp("c") + "/store", tmp("c") + "/out")
     days.zipWithIndex.foreach { case (d, i) =>
