@@ -113,6 +113,41 @@ class RetentionStreamSpec extends SparkSpec {
     assert(outRows(out) === batchTruth)
   }
 
+  test("driven by a real StreamingQuery: checkpointed restart mid-stream stays exact") {
+    // the other tests call the foreachBatch body directly with manual
+    // batch ids; this one wires it through an actual MemoryStream →
+    // writeStream.foreachBatch query, stops it halfway, restarts a NEW
+    // query from the same checkpoint (which may re-fire the last
+    // uncommitted batch — the idempotence contract under the engine's
+    // own replay), and feeds the rest
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val base = tmp("q")
+    val (store, out, ckpt) = (base + "/store", base + "/out", base + "/ckpt")
+    val byDay: Map[java.sql.Date, Seq[(String, Long, java.sql.Timestamp)]] =
+      events.select(col("event_type"), col("user_id"),
+          col("ts").cast("timestamp"), col("d"))
+        .as[(String, Long, java.sql.Timestamp, java.sql.Date)]
+        .collect().toSeq.groupBy(_._4)
+        .view.mapValues(_.map(t => (t._1, t._2, t._3))).toMap
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    def startQ() = input.toDF().toDF("event_type", "user_id", "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Monitors.retentionBatch(store, out) _)
+      .start()
+    val (firstHalf, secondHalf) = days.splitAt(days.size / 2)
+    var q = startQ()
+    firstHalf.foreach { d => input.addData(byDay(d)); q.processAllAvailable() }
+    q.stop()
+    q = startQ()
+    secondHalf.foreach { d => input.addData(byDay(d)); q.processAllAvailable() }
+    q.processAllAvailable()
+    q.stop()
+    assert(outRows(out) === batchTruth)
+  }
+
   test("crash-replay of the last batch is idempotent") {
     val (store, out) = (tmp("c") + "/store", tmp("c") + "/out")
     days.zipWithIndex.foreach { case (d, i) =>
