@@ -386,17 +386,24 @@ object Graph {
     * that survives a 10⁹-node graph because the frontier, not the
     * graph, drives each join.
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val (sym, bf) = relaxEdges(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"))), "a",
+      broadcastNodeBudget)
     var visited = seeds.select(col("v")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = visited.select(col("v"))
     for (h <- 1 to maxHops) {
+      val f = if (bf) broadcast(frontier) else frontier
+      // visited ≤ one row per node, so it rides the same budget the
+      // frontier hint was picked by
+      val vis = if (bf) broadcast(visited) else visited
       val next = sym
-        .join(frontier.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(f.select(col("v").as("a")), Seq("a"), "left_semi")
         .select(col("b").as("v")).distinct()
-        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .join(vis.select(col("v")), Seq("v"), "left_anti")
         .withColumn("dist", lit(h.toLong))
         .localCheckpoint(true)
       visited = visited.unionAll(next)
@@ -469,12 +476,97 @@ object Graph {
     * node's relaxations were all applied the round it last improved,
     * so the delta frontier reaches the same ≤ h-hop fixed point as
     * full relaxation (which the SQL mirrors use). */
-  private def boundedRelax(init: DataFrame, maxHops: Int)(
+  /** Pin a (symmetrized) edge frame hash-partitioned AND sorted on its
+    * join key, so every relaxation round's frontier join reuses the ONE
+    * exchange+sort paid here instead of re-shuffling the full edge set
+    * per round. `localCheckpoint` preserves the physical plan's
+    * outputPartitioning/outputOrdering on the resulting LogicalRDD, so
+    * EnsureRequirements sees a side that already satisfies the
+    * sort-merge join's distribution and ordering — the per-round plan
+    * exchanges only the frontier (|frontier| rows, not |E|). The
+    * partition count is pinned to the session's shuffle partitions
+    * (REPARTITION_BY_NUM, which AQE will not coalesce — a coalesced
+    * layout would stop matching the frontier exchange and silently
+    * reintroduce the per-round edge shuffle this exists to remove).
+    * Before this pin the 3-round reach family re-shuffled+re-sorted
+    * the edges every round: ~32 exec-s for events_temporal_reach at
+    * sf0.1, the registry's heaviest CPU (r19 verdict, task 3).
+    *
+    * The pin is `persist()`, NOT the codebase's usual localCheckpoint:
+    * measured on this build (Spark 4.1 + AQE), `Dataset.localCheckpoint`
+    * yields a LogicalRDD with `UnknownPartitioning(0)` — the layout is
+    * physically there but invisible to EnsureRequirements, so every
+    * round re-exchanges anyway (probed: the r20 first attempt shipped
+    * exactly that and shuffle-write ROSE 66.7→79.2 MB — the repartition
+    * added a 4th full-edge shuffle instead of removing three). An
+    * InMemoryRelation's scan, by contrast, REPORTS the cached plan's
+    * partitioning+ordering, so the round joins plan as exchange-free
+    * sort-merge on the edge side — or, when AQE sees a small frontier
+    * at runtime, as a broadcast-hash join with the cached edges
+    * streaming shuffle-free. Single materialization keeps the same
+    * determinism guarantee the checkpoint pin gives. */
+  private def pinEdgesByKey(edges: DataFrame, key: String): DataFrame = {
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    edges.repartition(parts, col(key)).sortWithinPartitions(key).persist()
+  }
+
+  /** Rows-per-task target for the checkpointed edge scan on the
+    * broadcast-frontier path: each relaxation round re-reads the full
+    * edge set, and at fixture scale a 32-way layout pays ~32 × the
+    * per-task fixed cost to move ~85k rows per task (measured on this
+    * host: 32 trivial tasks ≈ 4.2 exec-s, ONE task scanning all 2.7M
+    * temporal edges ≈ 0.34 exec-s — task overhead, not data, was the
+    * reach family's entire CPU bill). Sizing partitions to the data
+    * keeps small fixtures on a handful of tasks while a 10⁹-row edge
+    * set still fans out to the parent layout's full width. */
+  private val RelaxEdgeRowsPerTask = 2000000L
+
+  /** Strategy pick for the bounded-relaxation family, mirroring
+    * [[pageRank]]'s node-budget dispatch: pin the symmetrized edge set
+    * once, count its distinct endpoints (one bounded driver-side
+    * scalar — the same count pageRank documents), and
+    *
+    *  - `nodes ≤ [[BroadcastNodeBudget]]`: every frontier (≤ one row
+    *    per node) is broadcast-hinted, so each round is a map-side
+    *    hash join STREAMING the checkpointed edges — zero edge
+    *    exchanges, zero edge sorts, for the whole run. The edge scan
+    *    is coalesced to [[RelaxEdgeRowsPerTask]]-sized tasks (no
+    *    shuffle — LogicalRDD partition merge), which is what actually
+    *    cut the family's exec-s: the r20 first attempt pre-partitioned
+    *    + cached the edges for exchange-free sort-merge rounds and
+    *    exec time did NOT move, because the cost was never the shuffle
+    *    — it was ~20 stages × 32 tasks × fixed per-task overhead on
+    *    data small enough for 2 tasks.
+    *  - above the budget (a frontier too big to ship to every
+    *    executor): [[pinEdgesByKey]] — ONE edge shuffle+sort into a
+    *    persisted layout whose InMemoryRelation REPORTS its
+    *    partitioning (a localCheckpoint's LogicalRDD comes back
+    *    `UnknownPartitioning` on this build, probed r20), so every
+    *    round's sort-merge join exchanges only the frontier.
+    *
+    * Returns (edges-to-join, broadcast-the-frontier?). */
+  private def relaxEdges(symRaw: DataFrame, key: String,
+      broadcastNodeBudget: Long): (DataFrame, Boolean) = {
+    val sym = symRaw.localCheckpoint(true)
+    // sym is symmetrized, so `key` alone covers every endpoint
+    val nNodes = sym.select(col(key)).distinct().count()
+    if (nNodes <= broadcastNodeBudget) {
+      val cur = sym.rdd.getNumPartitions
+      val cnt = sym.count() // cheap: bare scan of the checkpointed RDD
+      val parts = math.max(1L, math.min(cur.toLong,
+        cnt / RelaxEdgeRowsPerTask + 1L)).toInt
+      (sym.coalesce(parts), true)
+    } else (pinEdgesByKey(sym, key), false)
+  }
+
+  private def boundedRelax(init: DataFrame, maxHops: Int,
+      broadcastFrontier: Boolean)(
       cand: DataFrame => DataFrame): DataFrame = {
     var best = init.localCheckpoint(true)
     var frontier = best
     for (_ <- 1 to maxHops) {
-      val merged = best.join(cand(frontier), Seq("v"), "full_outer")
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      val merged = best.join(cand(f), Seq("v"), "full_outer")
         .select(col("v"), col("best"), col("cand"),
           least(coalesce(col("best"), col("cand")),
             coalesce(col("cand"), col("best"))).as("next"))
@@ -488,13 +580,15 @@ object Graph {
     best
   }
 
-  def temporalReach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def temporalReach(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                    broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
     val e = edges.select(col("a"), col("b"), col("t")).localCheckpoint(true)
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("t")))
-      .localCheckpoint(true)
+    val (sym, bf) = relaxEdges(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("t"))), "a",
+      broadcastNodeBudget)
     val init = seeds.select(col("v"), col("t0").as("best"))
       .groupBy(col("v")).agg(min(col("best")).as("best"))
-    boundedRelax(init, maxHops) { frontier =>
+    boundedRelax(init, maxHops, bf) { frontier =>
       sym.join(frontier.select(col("v").as("a"), col("best").as("fa")), Seq("a"))
         .where(col("t") >= col("fa"))
         .groupBy(col("b")).agg(min(col("t")).as("cand"))
@@ -519,12 +613,14 @@ object Graph {
     * full-outer merge; per-round work is Σ deg(frontier), state is
     * one (node, dist) row per node, never per path.
     */
-  def cheapestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def cheapestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                    broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
     val e = edges.select(col("a"), col("b"), col("w")).localCheckpoint(true)
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))
-      .localCheckpoint(true)
+    val (sym, bf) = relaxEdges(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w"))), "a",
+      broadcastNodeBudget)
     val init = seeds.select(col("v")).distinct().withColumn("best", lit(0L))
-    boundedRelax(init, maxHops) { frontier =>
+    boundedRelax(init, maxHops, bf) { frontier =>
       sym.join(frontier.select(col("v").as("a"), col("best").as("fd")), Seq("a"))
         .groupBy(col("b")).agg(min(col("fd") + col("w")).as("cand"))
         .select(col("b").as("v"), col("cand"))
