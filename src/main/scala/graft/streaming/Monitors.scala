@@ -863,12 +863,7 @@ object Monitors {
     * stops paying one partition per historical batch. `merge` is the
     * store's own read-side fold — `distinct()` for the presence
     * stores, the per-key component-MIN for funnel state, the global
-    * SUM for the delta store — which is what makes the operation
-    * crash-safe WITHOUT a transaction: every reader already absorbs
-    * duplicated rows across partitions (a crash after the merged
-    * write but before the old-partition deletes leaves each fact
-    * present twice, which the same fold collapses), and re-running
-    * the compaction converges.
+    * SUM for the delta store.
     *
     * Contract: `upTo` must be a batch the streaming checkpoint has
     * COMMITTED — a replay of batch N reads `batch =!= N`, so a batch
@@ -878,18 +873,40 @@ object Monitors {
     * `upTo = latestBatchId - 1` is always safe mid-stream.
     * StoreCompactionSpec pins output-invariance mid-stream, replay
     * idempotence after compaction, convergence under double-compact,
-    * and the partition-count shrink.
+    * the partition-count shrink, and re-run convergence from every
+    * crash window below.
     *
-    * Commit order: the merged view is written to a DOT-PREFIXED dir
-    * (hidden from every parquet reader), then swapped into
-    * `batch=upTo` by two directory renames, then the source
-    * partitions are deleted. A crash before the swap leaves the store
-    * untouched (plus an invisible tmp a re-run overwrites); a crash
-    * after it leaves duplicates the read-side fold absorbs; the
-    * residual window is the rename pair itself — two same-FS metadata
-    * ops. A real deployment closes even that with a manifest commit
-    * (Delta-style); this is the single-JVM analog, same note as the
-    * stores' localCheckpoint pins.
+    * Crash-safety is a MANIFEST COMMIT, not fold idempotence (the r19
+    * form relied on the read-side fold absorbing duplicates, which is
+    * true for distinct/min/hll-union but FALSE for the delta store's
+    * global SUM — a crash between its swap and its source deletes
+    * would double-count, and a re-run would bake the double count in).
+    * Order of operations:
+    *
+    *  1. fold the sources into a DOT-PREFIXED `.compact-tmp` dir
+    *     (hidden from every parquet reader), then atomically publish
+    *     `.compact-manifest` naming `upTo` and the exact source
+    *     partitions folded (write-then-rename). The manifest is the
+    *     commit point: before it, a re-run rebuilds from the intact
+    *     sources; after it, a re-run NEVER re-reads sources (they may
+    *     be partially deleted) and resumes from the recorded list.
+    *  2. delete every recorded source — including the old
+    *     `batch=upTo` — BEFORE the merged view becomes readable. This
+    *     ordering is what makes SUM folds exactly-once: at no point do
+    *     a source row and its folded copy coexist in readable
+    *     partitions, so no crash point can double-count.
+    *  3. rename `.compact-tmp` → `batch=upTo`, then drop the manifest.
+    *     A manifest with no tmp means a previous run already promoted
+    *     (rename-then-crash): the leftover manifest is just deleted.
+    *
+    * The window between 2 and 3 (sources gone, merged still hidden) is
+    * NOT readable-consistent — acceptable because compaction is a
+    * maintenance job on a quiesced store (the single-JVM analog of a
+    * table-maintenance lock) and a crash there recovers exactly via
+    * the manifest; it is never silent loss. Deletions are CHECKED
+    * (`rm` raises on a surviving file instead of silently leaving a
+    * double-count source behind — the r19 form discarded
+    * File.delete()'s result).
     *
     * At scale this is one read+shuffle+write over the merged view —
     * the same cost as a single batch's `prior` fold — scheduled like
@@ -900,8 +917,35 @@ object Monitors {
     val root = new java.io.File(storeDir)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
+      if (f.exists() && !f.delete())
+        throw new java.io.IOException(s"compaction could not delete $f")
     }
+    val tmp = new java.io.File(root, ".compact-tmp")
+    val manifest = new java.io.File(root, ".compact-manifest")
+
+    def promote(srcNames: Seq[String]): Unit = {
+      // sources first (see scaladoc: SUM exactly-once needs the folded
+      // copy unreadable until every source row is gone)
+      srcNames.foreach(n => rm(new java.io.File(root, n)))
+      val target = new java.io.File(root, s"batch=$upTo")
+      require(tmp.renameTo(target), s"compaction swap failed for $target")
+      rm(manifest)
+    }
+
+    if (manifest.exists()) {
+      // resume a crashed run: the manifest is the commit point, so the
+      // sources may be partially deleted — NEVER rebuild from them
+      val src = scala.io.Source.fromFile(manifest)
+      val lines = try src.getLines().toList finally src.close()
+      val recordedUpTo = lines.head.stripPrefix("upTo=").toLong
+      require(recordedUpTo == upTo,
+        s"pending compaction to batch=$recordedUpTo must finish first " +
+          s"(re-run compactStore with upTo=$recordedUpTo)")
+      if (tmp.exists()) promote(lines.tail)
+      else rm(manifest) // promoted already; only the manifest survived
+      return
+    }
+
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .flatMap(f => scala.util.Try(f.getName.stripPrefix("batch=").toLong)
@@ -915,17 +959,16 @@ object Monitors {
     val merged = merge(
       spark.read.parquet(parts.map(_._2.getPath): _*))
       // materialized BEFORE any rewrite: the merged frame's lineage
-      // reads the very partitions the swap below replaces
+      // reads the very partitions the fold below replaces
       .localCheckpoint(true)
-    val tmp = new java.io.File(root, ".compact-tmp")
-    val trash = new java.io.File(root, ".compact-old")
-    rm(tmp); rm(trash)
+    rm(tmp)
     merged.write.mode("overwrite").parquet(tmp.getPath)
-    val target = new java.io.File(root, s"batch=$upTo")
-    // the swap: hide the old target, promote the merged view
-    if (target.exists) { val _ = target.renameTo(trash) }
-    require(tmp.renameTo(target), s"compaction swap failed for $target")
-    rm(trash)
-    parts.collect { case (b, f) if b != upTo => f }.foreach(rm)
+    // commit point: manifest published atomically (write-then-rename)
+    val mTmp = new java.io.File(root, ".compact-manifest.tmp")
+    val w = new java.io.PrintWriter(mTmp)
+    try { w.println(s"upTo=$upTo"); parts.foreach(p => w.println(p._2.getName)) }
+    finally w.close()
+    require(mTmp.renameTo(manifest), s"manifest publish failed in $root")
+    promote(parts.map(_._2.getName).toSeq)
   }
 }

@@ -110,4 +110,79 @@ class StoreCompactionSpec extends SparkSpec {
     // and the already-emitted output is untouched by any of it
     assert(growthRows(o) === rows)
   }
+
+  // --- crash-window recovery for a SUM-folded store (the delta-store
+  // shape the r19 fold-absorbs-duplicates argument was FALSE for: a
+  // SUM cannot absorb a duplicated source partition, so correctness
+  // rides entirely on the manifest protocol below) ---
+
+  private def sumStore(): String = {
+    val s = tmp("crash") + "/store"
+    (0 to 3).foreach { b =>
+      Seq(("k", 1L)).toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$s/batch=$b")
+    }
+    s
+  }
+  private val sumMerge: DataFrame => DataFrame =
+    df => df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+  private def storeSum(s: String): Long =
+    spark.read.parquet(s).agg(sum(col("v"))).head.getLong(0)
+
+  /** Manufacture the post-commit crash state: a COMPLETE `.compact-tmp`
+    * holding the fold of batches 0..2 plus the published manifest. */
+  private def plantCommit(s: String): Unit = {
+    sumMerge(spark.read.parquet(s"$s/batch=0", s"$s/batch=1", s"$s/batch=2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$s/.compact-tmp")
+    val w = new java.io.PrintWriter(s"$s/.compact-manifest")
+    try { w.println("upTo=2"); (0 to 2).foreach(b => w.println(s"batch=$b")) }
+    finally w.close()
+  }
+
+  test("SUM store: crash after manifest commit, before deletes — re-run is exact") {
+    val s = sumStore()
+    plantCommit(s)
+    Monitors.compactStore(spark, s, 2L)(sumMerge)
+    assert(partitions(s) === Seq("batch=2", "batch=3"))
+    assert(storeSum(s) === 4L, "fold must appear exactly once, never doubled")
+  }
+
+  test("SUM store: crash mid-source-deletes — re-run is exact") {
+    val s = sumStore()
+    plantCommit(s)
+    // the crashed run already deleted one recorded source
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$s/batch=0"))
+    Monitors.compactStore(spark, s, 2L)(sumMerge)
+    assert(partitions(s) === Seq("batch=2", "batch=3"))
+    assert(storeSum(s) === 4L,
+      "resume must replay the recorded deletes, not re-fold partial sources")
+  }
+
+  test("SUM store: crash after promote with a stale manifest — re-run just clears it") {
+    val s = sumStore()
+    plantCommit(s)
+    Monitors.compactStore(spark, s, 2L)(sumMerge) // completes the plant
+    // re-plant ONLY the manifest (promotion already happened, no tmp)
+    val w = new java.io.PrintWriter(s"$s/.compact-manifest")
+    try { w.println("upTo=2"); (0 to 2).foreach(b => w.println(s"batch=$b")) }
+    finally w.close()
+    Monitors.compactStore(spark, s, 2L)(sumMerge)
+    assert(!new java.io.File(s"$s/.compact-manifest").exists())
+    assert(storeSum(s) === 4L)
+  }
+
+  test("pending compaction to a different upTo fails loudly") {
+    val s = sumStore()
+    plantCommit(s)
+    val e = intercept[IllegalArgumentException] {
+      Monitors.compactStore(spark, s, 3L)(sumMerge)
+    }
+    assert(e.getMessage.contains("batch=2"))
+    // and the prescribed re-run finishes the pending work
+    Monitors.compactStore(spark, s, 2L)(sumMerge)
+    assert(storeSum(s) === 4L)
+  }
 }
