@@ -59,6 +59,9 @@ object Dev {
       // classes: any decimal (incl. nested) and session-TZ TIMESTAMP
       // (the board convention is TIMESTAMP_NTZ; OutputTypeContractSpec
       // is the hard gate, this probe is the human-readable sweep)
+      // schema-only sweep: lazy pins, so an eager-checkpointed query
+      // builder doesn't execute its full plan just to expose df.schema
+      graft.ops.AnnCache.eagerPins = false
       for (name <- SparkEntry.queries.keys.toSeq.sorted) {
         graft.ops.AnnCache.setContext(name)
         val df = SparkEntry.queries(name)(spark, dir)

@@ -76,9 +76,25 @@ object AnnCache {
     }
   }
 
+  /** Schema-only consumers (the `Dev schemas` sweep) flip this off so
+    * building a query's DataFrame stops EXECUTING it: an eager
+    * localCheckpoint pin materializes at construction time, which
+    * turned the human-readable schema sweep into a full benchmark-cost
+    * run per pinned query (r19 advice). Lazy pins keep the identical
+    * plan and single-materialization guarantee — the checkpoint just
+    * happens at the first ACTION instead of at build — so execution
+    * paths (driver, bench, tests) leave this at the eager default,
+    * where construction-time materialization keeps per-query cost
+    * attribution honest. */
+  @volatile var eagerPins: Boolean = true
+
   /** Materialize an index component so it survives inter-query cache
     * hygiene and carries no training lineage. */
-  def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = eagerPins)
+
+  /** The query builders' shared-frame pin (`.transform(AnnCache
+    * .pinQuery)`): same gate as [[pin]], usable mid-chain. */
+  def pinQuery(df: DataFrame): DataFrame = df.localCheckpoint(eager = eagerPins)
 
   /** Drop every cached index (test hygiene). */
   def clear(): Unit = cache.clear()
