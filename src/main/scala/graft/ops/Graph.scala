@@ -320,7 +320,7 @@ object Graph {
     * n_triangles).
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e = pinEdgesColumnar(edges.select(col("a"), col("b")))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val oriented = e
@@ -388,7 +388,7 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
               broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e = pinEdgesColumnar(edges.select(col("a"), col("b")))
     val (sym, bf) = relaxEdges(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"))), "a",
       broadcastNodeBudget)
@@ -510,7 +510,7 @@ object Graph {
     edges.repartition(parts, col(key)).sortWithinPartitions(key).persist()
   }
 
-  /** Rows-per-task target for the checkpointed edge scan on the
+  /** Rows-per-task target for the cached edge scan on the
     * broadcast-frontier path: each relaxation round re-reads the full
     * edge set, and at fixture scale a 32-way layout pays ~32 × the
     * per-task fixed cost to move ~85k rows per task (measured on this
@@ -521,6 +521,25 @@ object Graph {
     * set still fans out to the parent layout's full width. */
   private val RelaxEdgeRowsPerTask = 2000000L
 
+  /** Pin the reach family's ONE-DIRECTIONAL edge frame as a COLUMNAR
+    * cache (`persist`), never an eager `localCheckpoint`: the r20 sf1
+    * sweep caught the checkpoint form at exponent 1.49 (57.8 s wall,
+    * 1487 exec-s for events_temporal_reach on the 27M-edge replica) and
+    * per-stage attribution put ~460 of those exec-s in edge PREP — an
+    * RDD-object checkpoint stores one Java UnsafeRow object per edge,
+    * so pinning `e` AND its symmetrized union held ~55M row objects
+    * (multi-GB of heap) and the resulting GC stalls inflated every
+    * downstream stage (gcMs 20 875 in the worst run). InMemoryRelation
+    * stores compressed column batches (~10× smaller), and only the
+    * ONE-directional frame is cached — symmetrization is a narrow
+    * union of two cached scans, re-derived per round for free instead
+    * of materialized as a second full copy. Re-measured after the
+    * switch: the same sf1 run drops to the pinned-path level with flat
+    * GC. Single materialization (and thus the family's determinism
+    * guarantee) is unchanged — a cache hit is as stable as a
+    * checkpoint for the deterministic builders this library feeds. */
+  private def pinEdgesColumnar(e: DataFrame): DataFrame = e.persist()
+
   /** Strategy pick for the bounded-relaxation family, mirroring
     * [[pageRank]]'s node-budget dispatch: pin the symmetrized edge set
     * once, count its distinct endpoints (one bounded driver-side
@@ -528,7 +547,7 @@ object Graph {
     *
     *  - `nodes ≤ [[BroadcastNodeBudget]]`: every frontier (≤ one row
     *    per node) is broadcast-hinted, so each round is a map-side
-    *    hash join STREAMING the checkpointed edges — zero edge
+    *    hash join STREAMING the cached edges — zero edge
     *    exchanges, zero edge sorts, for the whole run. The edge scan
     *    is coalesced to [[RelaxEdgeRowsPerTask]]-sized tasks (no
     *    shuffle — LogicalRDD partition merge), which is what actually
@@ -547,16 +566,18 @@ object Graph {
     * Returns (edges-to-join, broadcast-the-frontier?). */
   private def relaxEdges(symRaw: DataFrame, key: String,
       broadcastNodeBudget: Long): (DataFrame, Boolean) = {
-    val sym = symRaw.localCheckpoint(true)
+    // symRaw is the union of two scans of a [[pinEdgesColumnar]] cache;
+    // this count materializes that cache and is the only full-edge
+    // action the dispatch pays
+    val cnt = symRaw.count()
     // sym is symmetrized, so `key` alone covers every endpoint
-    val nNodes = sym.select(col(key)).distinct().count()
+    val nNodes = symRaw.select(col(key)).distinct().count()
     if (nNodes <= broadcastNodeBudget) {
-      val cur = sym.rdd.getNumPartitions
-      val cnt = sym.count() // cheap: bare scan of the checkpointed RDD
+      val cur = symRaw.rdd.getNumPartitions
       val parts = math.max(1L, math.min(cur.toLong,
         cnt / RelaxEdgeRowsPerTask + 1L)).toInt
-      (sym.coalesce(parts), true)
-    } else (pinEdgesByKey(sym, key), false)
+      (symRaw.coalesce(parts), true)
+    } else (pinEdgesByKey(symRaw, key), false)
   }
 
   private def boundedRelax(init: DataFrame, maxHops: Int,
@@ -582,7 +603,7 @@ object Graph {
 
   def temporalReach(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                     broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
-    val e = edges.select(col("a"), col("b"), col("t")).localCheckpoint(true)
+    val e = pinEdgesColumnar(edges.select(col("a"), col("b"), col("t")))
     val (sym, bf) = relaxEdges(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("t"))), "a",
       broadcastNodeBudget)
@@ -615,7 +636,7 @@ object Graph {
     */
   def cheapestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                     broadcastNodeBudget: Long = BroadcastNodeBudget): DataFrame = {
-    val e = edges.select(col("a"), col("b"), col("w")).localCheckpoint(true)
+    val e = pinEdgesColumnar(edges.select(col("a"), col("b"), col("w")))
     val (sym, bf) = relaxEdges(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w"))), "a",
       broadcastNodeBudget)
