@@ -67,7 +67,26 @@ private[graft] trait VectorExtensionQueries extends ExtensionQueriesBase {
     val a = graft.ops.SemanticCluster.seedAssignments(emb, col("embedding"),
         col("vec_id"), emb.where(col("vec_id") < k))
       .withColumn("n2", qdot(col("v"), col("v")))
-    val pairs = a.as("x").join(a.as("y"),
+    // The within-cell pair join is the query's quadratic-per-cell term
+    // (Σ|cell|² ≈ n·cellTarget q_dot probes) and MUST parallelize by
+    // cell: the checkpointed assignment frame inherits the INPUT FILE
+    // layout, and the r20 sf1 probe caught the whole join running as
+    // ONE task (33 of the query's 35 exec-s serial on a single-file
+    // replica — wall grew 10× on 10× data with flat per-core work).
+    // One narrow n-row repartition on the cell key fans the join out
+    // to the shuffle width regardless of how few files the scan read;
+    // both join sides read the SAME exchange (self-join), so it costs
+    // one small shuffle, and k = n div 500 cells keep every partition
+    // occupied at any corpus size. The count is PINNED
+    // (REPARTITION_BY_NUM): the shuffled rows are only ~n·(dim+3)
+    // longs, and AQE's advisory-size coalescing judges by THOSE bytes
+    // — it re-merged the keyed layout to 2 partitions and kept the
+    // |cell|²-heavy join nearly serial (measured 15.3 s vs 5.8 s at
+    // sf1; the bytes-per-row vs work-per-row mismatch is inherent to
+    // a quadratic-per-group operator).
+    val ap = a.repartition(
+      s.conf.get("spark.sql.shuffle.partitions").toInt, col("cl"))
+    val pairs = ap.as("x").join(ap.as("y"),
         col("x.cl") === col("y.cl") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.cl").as("cell"),
         col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

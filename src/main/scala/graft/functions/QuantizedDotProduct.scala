@@ -318,6 +318,122 @@ case class AHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd argmin-over-seed-centroids kernel — the exact k-means
+  * assignment loop ([[graft.ops.SemanticCluster.seedAssignments]]):
+  * for a quantized row vector `q` (array<long>) and k centroids held
+  * as flat driver-side arrays, returns struct(sc, id) where
+  * `sc = min_s (‖c_s‖² − 2·q·c_s)` and `id` is the LOWEST seed id
+  * attaining it (ids are sorted ascending and the loop keeps the
+  * first strict minimum — the same tie-break as the SQL oracle's
+  * `ORDER BY sc, cid` row_number pick).
+  *
+  * Semantically identical to the composable HOF form
+  * `array_min(transform(seeds, s -> struct(s.cn2 − 2·Σ q·s.cq, s.id)))`
+  * (equivalence property-pinned in QuantizedDotSpec), but higher-order
+  * functions are CodegenFallback — evaluated per element through boxed
+  * lambda dispatch — and this kernel runs n·k times per assignment
+  * pass with k corpus-scaled (SemDeDup's k = n div 500). The r20 sf1
+  * sweep measured the difference directly: ~30 s of emb_semdedup's
+  * 35 s at n = 200k, k = 400 was interpreted scoring (both the
+  * literal-unrolled and HOF forms), against ~2 s for the same
+  * n·k·dim multiply-adds in this generated loop. Null elements of `q`
+  * contribute nothing (the q_dot convention). The centroid matrix
+  * rides into generated code as a referenced long[] — expression-tree
+  * size is O(1) in k, where the unrolled form carried k·dim literal
+  * nodes and stopped compiling at corpus-scaled k.
+  */
+case class SeedArgmin(child: Expression, ids: Array[Long],
+    flat: Array[Long], dim: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  require(ids.nonEmpty, "seed_argmin requires at least one seed")
+  require(dim > 0 && flat.length == ids.length * dim,
+    s"seed_argmin: flat centroid matrix has ${flat.length} elements, " +
+      s"expected ${ids.length} seeds x $dim dims")
+  require(ids.zip(ids.tail).forall { case (a, b) => a < b },
+    "seed_argmin: seed ids must be strictly ascending (the tie-break " +
+      "contract: first strict minimum = lowest id)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sc", LongType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  override def prettyName: String = "seed_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"seed_argmin requires an array<long> argument, got $t")
+  }
+
+  /** ‖c_s‖² per seed, derived from the matrix once. */
+  private lazy val norms: Array[Long] = Array.tabulate(ids.length) { s =>
+    var acc = 0L
+    var i = s * dim
+    val end = i + dim
+    while (i < end) { acc += flat(i) * flat(i); i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = math.min(q.numElements(), dim)
+    val qa = new Array[Long](n)
+    var i = 0
+    while (i < n) { qa(i) = if (q.isNullAt(i)) 0L else q.getLong(i); i += 1 }
+    var bestSc = Long.MaxValue
+    var bestId = -1L
+    var s = 0
+    while (s < ids.length) {
+      var dot = 0L
+      val off = s * dim
+      i = 0
+      while (i < n) { dot += qa(i) * flat(off + i); i += 1 }
+      val sc = norms(s) - 2L * dot
+      if (sc < bestSc) { bestSc = sc; bestId = ids(s) }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSc, bestId))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, qv => {
+      val idsRef = ctx.addReferenceObj("seedIds", ids, "long[]")
+      val flatRef = ctx.addReferenceObj("seedFlat", flat, "long[]")
+      val normsRef = ctx.addReferenceObj("seedNorms", norms, "long[]")
+      val n = ctx.freshName("n")
+      val qa = ctx.freshName("qa")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val sc = ctx.freshName("sc")
+      val bestSc = ctx.freshName("bestSc")
+      val bestId = ctx.freshName("bestId")
+      s"""
+         |int $n = java.lang.Math.min($qv.numElements(), $dim);
+         |long[] $qa = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $qa[$i] = $qv.isNullAt($i) ? 0L : $qv.getLong($i);
+         |}
+         |long $bestSc = Long.MAX_VALUE;
+         |long $bestId = -1L;
+         |for (int $s = 0; $s < $idsRef.length; $s++) {
+         |  long $dot = 0L;
+         |  int $off = $s * $dim;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $qa[$i] * $flatRef[$off + $i]; }
+         |  long $sc = $normsRef[$s] - 2L * $dot;
+         |  if ($sc < $bestSc) { $bestSc = $sc; $bestId = $idsRef[$s]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ (Object) $bestSc, (Object) $bestId });
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object AHash60 {
   /** Largest input length whose threshold products provably fit a
     * signed long: need n·65535·(⌈n/60⌉) < 2^63, i.e. n ≲ 9.19e7;
@@ -373,5 +489,41 @@ object GraftFunctions {
     (codes: Column, tbl: Column, k: Int) =>
       org.apache.spark.sql.functions.call_function("adc_sum", codes, tbl,
         org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Shared SQL builder for `seed_argmin(q, ids, flat, dim)`: the seed
+    * arrays and dim must be foldable literals (they become referenced
+    * long[]s in the generated kernel, never per-row expressions). */
+  private[graft] def seedArgminBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 4,
+      s"seed_argmin requires exactly 4 arguments (q, ids, flat, dim), " +
+        s"got ${exprs.length}")
+    def longs(e: org.apache.spark.sql.catalyst.expressions.Expression,
+              what: String): Array[Long] = {
+      require(e.foldable,
+        s"seed_argmin's $what argument must be a foldable array<long> literal")
+      e.eval().asInstanceOf[ArrayData].toLongArray()
+    }
+    val dimE = exprs(3)
+    require(dimE.foldable &&
+      dimE.dataType == org.apache.spark.sql.types.IntegerType,
+      s"seed_argmin's dim argument must be a foldable INT literal, got $dimE")
+    SeedArgmin(exprs(0), longs(exprs(1), "ids"), longs(exprs(2), "flat"),
+      dimE.eval().asInstanceOf[Int])
+  }
+
+  /** Idempotently register `seed_argmin(q, ids, flat, dim)` and return
+    * a Column builder taking the driver-side seed arrays directly. */
+  def registerSeedArgmin(spark: SparkSession)
+      : (Column, Array[Long], Array[Long], Int) => Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "seed_argmin", seedArgminBuilder, "built-in")
+    (q: Column, ids: Array[Long], flat: Array[Long], dim: Int) =>
+      org.apache.spark.sql.functions.call_function("seed_argmin", q,
+        org.apache.spark.sql.functions.lit(ids),
+        org.apache.spark.sql.functions.lit(flat),
+        org.apache.spark.sql.functions.lit(dim))
   }
 }

@@ -139,21 +139,37 @@ object SemanticCluster {
     val seedRows = seeds.select(idCol.cast("long").as("id"),
         Vectors.quantize(vecCol).as("q"))
       .orderBy("id").collect()
-    val seedVecs: Seq[Seq[Long]] = seedRows.map(_.getSeq[Long](1).toSeq).toSeq
-    val seedIds = array(seedRows.map(r => lit(r.getLong(0))): _*)
-    def seedScore(c: Seq[Long]): Column = {
-      val cn2 = c.map(x => x * x).sum
-      lit(cn2) - lit(2L) * Vectors.intDot(col("q"), array(c.map(lit): _*))
-    }
-    val scores = seedVecs.map(seedScore)
+    // Scoring runs in the codegen'd [[graft.functions.SeedArgmin]]
+    // kernel: the centroids ride into generated code as referenced
+    // long[]s, so the expression tree is O(1) in k and the n·k·dim
+    // multiply-adds run as one primitive loop. The previous form
+    // unrolled k separate ‖c‖²−2·x·c column expressions carrying k·dim
+    // literals EACH — at SemDeDup's corpus-scaled k = n div 500 that
+    // tree held ~10⁵ literal nodes and made the assignment scan the
+    // registry's one truly superlinear term (r20 sf1 sweep: exponent
+    // 1.05, ~30 of emb_semdedup's 35 s in this projection; an
+    // intermediate HOF rewrite measured IDENTICAL — higher-order
+    // functions are CodegenFallback, boxed lambda dispatch per
+    // element). The n·k op COUNT is the operator's own contract (every
+    // vector scores every seed; SemDeDup scales k with the corpus) —
+    // see SCALE.md for where that contract stops and IVF-style
+    // assignment has to take over.
+    val ids = seedRows.map(_.getLong(0))
+    val dims = seedRows.map(_.getSeq[Long](1).length).distinct
+    require(dims.length <= 1, s"seed vectors disagree on dimension: $dims")
+    val dim = dims.headOption.getOrElse(0)
+    val flat = seedRows.flatMap(_.getSeq[Long](1)).toArray
+    val seedArgmin =
+      graft.functions.GraftFunctions.registerSeedArgmin(emb.sparkSession)
     // d2 = ‖x‖² + min score = the exact squared distance to the
     // ASSIGNED centroid (assignment IS the score argmin) — rides along
     // for outlier screens; scan-stage like the assignment itself
     emb.select(idCol.cast("long").as("vec_id"), vecCol.as("v"),
         Vectors.quantize(vecCol).as("q"))
-      .withColumn("cl",
-        element_at(seedIds, argmin(scores).cast("int")))
-      .withColumn("d2", Vectors.intNorm2(col("q")) + scores.reduce(least(_, _)))
+      .withColumn("b", seedArgmin(col("q"), ids, flat, dim))
+      .withColumn("cl", col("b.id"))
+      .withColumn("d2", Vectors.intNorm2(col("q")) + col("b.sc"))
+      .drop("b")
       .localCheckpoint(true)
   }
 

@@ -96,6 +96,43 @@ class QuantizedDotSpec extends SparkSpec {
     assert(cmp.where(col("fast") =!= col("hof")).count() === 0)
   }
 
+  test("seed_argmin == HOF array_min/transform formulation on random seeds") {
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val k = 37
+    // quantized integer seeds with sorted ascending ids (the kernel's
+    // tie-break contract); magnitudes mixed so scores cross zero
+    val seeds = (0 until k).map(s =>
+      (s.toLong * 3 + 1, Seq.fill(dim)((rnd.nextInt(2001) - 1000).toLong)))
+    val ids = seeds.map(_._1).toArray
+    val flat = seeds.flatMap(_._2).toArray
+    val rows = (0 until 800).map { i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextInt(2001) - 1000).toLong))
+    }
+    val df = rows.toDF("id", "q")
+    val sa = GraftFunctions.registerSeedArgmin(spark)
+    val seedArr = typedLit(seeds.map { case (id, c) =>
+      (id, c, c.map(x => x * x).sum)
+    })
+    val hof = array_min(transform(seedArr, s =>
+      struct(
+        (s.getField("_3") - lit(2L) * aggregate(
+          zip_with(col("q"), s.getField("_2"), (x, c) => x * c),
+          lit(0L), (a, y) => a + y)).as("sc"),
+        s.getField("_1").as("id"))))
+    val cmp = df.select(
+      sa(col("q"), ids, flat, dim).as("fused"), hof.as("composed"))
+    assert(cmp.where(col("fused.sc") =!= col("composed.sc") ||
+      col("fused.id") =!= col("composed.id")).count() === 0)
+    // planted tie: two identical seeds — the LOWEST id must win (the
+    // struct-min lexicographic tie-break both forms share)
+    val tids = Array(5L, 9L)
+    val tflat = Array(100L, 200L, 100L, 200L)
+    val tie = Seq((1L, Seq(100L, 200L))).toDF("id", "q")
+      .select(sa(col("q"), tids, tflat, 2).as("b")).collect().head
+    assert(tie.getStruct(0).getLong(1) === 5L)
+  }
+
   test("SQL surface: q_dot callable from spark.sql") {
     GraftFunctions.registerQDot(spark)
     val r = spark.sql(
