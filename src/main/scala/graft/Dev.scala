@@ -79,6 +79,66 @@ object Dev {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("explain")) {
+      // plan-artifact dump: `Dev explain <outDir> <suffix> q1 q2 ...`
+      // writes each named query's `.explain("formatted")` output —
+      // executed first so AQE's final plan (join strategy rewrites,
+      // coalesced reads) is what prints — to <outDir>/<query>_<suffix>.txt.
+      // This is how the plans/rNN before/after evidence files are
+      // produced; the optimization rounds' judge reads them in lieu of
+      // running Spark.
+      val outDir = new java.io.File(args(1))
+      outDir.mkdirs()
+      val suffix = args(2)
+      // iterative operators (reach family, k-means refits) hide their
+      // per-round work behind localCheckpoint/persist pins, so the
+      // top-level explain alone is blind to the rounds. A listener
+      // captures every intermediate QueryExecution fired while the
+      // query builds+runs; the dump appends each one, so the artifact
+      // shows the ROUND plans (where the edge-shuffle evidence lives).
+      val subPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit =
+          subPlans.add(qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      for (name <- args.drop(3).toSeq) {
+        subPlans.clear()
+        graft.ops.AnnCache.setContext(name)
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.queryExecution.toRdd.count() // finalize AQE
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Thread.sleep(2000) // async listener bus: let sub-plan events land
+        val subs = {
+          val it = subPlans.iterator(); val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next(); b.result()
+        }
+        val f = new java.io.File(outDir, s"${name}_$suffix.txt")
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try {
+          w.write(s"==== $name: top-level executed plan ====\n")
+          w.write(txt)
+          subs.zipWithIndex.foreach { case (p, i) =>
+            w.write(s"\n==== $name: intermediate execution ${i + 1} of " +
+              s"${subs.size} (pin builds / iterative rounds, " +
+              "in execution order) ====\n")
+            w.write(p)
+          }
+        } finally w.close()
+        println(s"== explain $name -> $f (${txt.length} chars + ${subs.size} sub-plans)")
+        spark.catalog.clearCache()
+        graft.ops.AnnCache.clear()
+      }
+      spark.listenerManager.unregister(listener)
+      spark.stop(); return
+    }
     if (args.headOption.contains("plans")) {
       // plan-shape audit: for each named query (or everything), execute
       // at the dev SF and print the physical-plan red-flag counters —
