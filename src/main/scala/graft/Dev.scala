@@ -139,6 +139,55 @@ object Dev {
       spark.listenerManager.unregister(listener)
       spark.stop(); return
     }
+    if (args.headOption.contains("profile")) {
+      // per-stage parallelism audit: `Dev profile q1 q2 ...` runs each
+      // query 3× (codegen/JIT warm-up) and prints, for the LAST run,
+      // every stage's task count, summed executor ms, and max task ms —
+      // the table that separates "stage-latency bound" (many tiny
+      // stages) from "serial-stage bound" (one task owns the wall),
+      // which wall/execSec alone cannot do (guide §1.3: find the
+      // dominant stage before touching anything).
+      case class St(id: Int, name: String, tasks: Int, execMs: Long,
+                    inRows: Long, sRdRows: Long, sWrRows: Long)
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val m = si.taskMetrics
+            if (m != null) stages.add(St(si.stageId,
+              si.name.takeWhile(_ != '\n').take(60), si.numTasks,
+              m.executorRunTime, m.inputMetrics.recordsRead,
+              m.shuffleReadMetrics.recordsRead,
+              m.shuffleWriteMetrics.recordsWritten))
+          }
+        })
+      for (name <- args.drop(1).toSeq) {
+        graft.ops.AnnCache.setContext(name)
+        var wall = 0.0
+        for (i <- 1 to 3) {
+          if (i == 3) { Thread.sleep(500); stages.clear() }
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          wall = (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(1000) // async listener bus
+        val ss = {
+          val it = stages.iterator(); val b = Seq.newBuilder[St]
+          while (it.hasNext) b += it.next(); b.result()
+        }.sortBy(-_.execMs)
+        println(f"== profile $name wall=$wall%.2fs stages=${ss.size} " +
+          f"execMs=${ss.map(_.execMs).sum}")
+        ss.take(12).foreach { s =>
+          println(f"   stage ${s.id}%4d tasks=${s.tasks}%3d execMs=${s.execMs}%6d " +
+            f"inRows=${s.inRows}%8d shufRd=${s.sRdRows}%8d shufWr=${s.sWrRows}%8d  ${s.name}")
+        }
+        spark.catalog.clearCache()
+        graft.ops.AnnCache.clear()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("plans")) {
       // plan-shape audit: for each named query (or everything), execute
       // at the dev SF and print the physical-plan red-flag counters —

@@ -50,8 +50,19 @@ private[graft] trait ExtensionQueriesBase {
     * `clearCache` hygiene Verify/Bench run. */
   protected def docShingles(s: SparkSession, dir: String): DataFrame =
     graft.ops.AnnCache.memo(s, s"shingles3:$dir") {
-      graft.ops.AnnCache.pin(
-        Text.distinctShingles(Tables.documents(s, dir), col("text"), col("doc_id"), 3))
+      // pinned LAYOUT, not just pinned blocks: distinctShingles is
+      // map-only, so the checkpoint would inherit the raw scan's file
+      // layout (ONE partition on the single-file driver fixtures) and
+      // serialize the map side of every consumer in the family. One
+      // doc-keyed fanout at build time (cost lands in the build, which
+      // the per-query steady state excludes) hands all consumers a
+      // parallel, doc-clustered frame — the doc-keyed aggregations
+      // (signature wide-min, per-doc counts) and the verify joins'
+      // doc-keyed sides then need no exchange of their own. Same
+      // discipline as emb_semdedup's cell layout (see Dedup.fanout).
+      graft.ops.AnnCache.pin(graft.ops.Dedup.fanout(
+        Text.distinctShingles(Tables.documents(s, dir), col("text"), col("doc_id"), 3),
+        col("doc_id")))
     }
 
   /** Memoized rarest-first ranking scaffold over [[docShingles]]
@@ -62,7 +73,14 @@ private[graft] trait ExtensionQueriesBase {
     * pass. */
   protected def docShinglesRanked(s: SparkSession, dir: String): DataFrame =
     graft.ops.AnnCache.memo(s, s"shingles3-ranked:$dir") {
-      graft.ops.AnnCache.pin(Dedup.rankShingles(docShingles(s, dir)))
+      // same pinned-layout rationale as [[docShingles]]: the rank
+      // window ends on an AQE-coalesced doc-keyed exchange (1-2
+      // partitions at fixture byte sizes), which the checkpoint would
+      // freeze; re-fanning on doc_id keeps the frame doc-clustered
+      // (the prefix channels' pfxCapped group-by reads it
+      // exchange-free) at the session's full width.
+      graft.ops.AnnCache.pin(graft.ops.Dedup.fanout(
+        Dedup.rankShingles(docShingles(s, dir)), col("doc_id")))
     }
 
   /** Memoized connected-component labels over [[dedupPairs]]

@@ -203,15 +203,40 @@ object Dedup {
        |band AS ($bandSelects)""".stripMargin
   }
 
+  /** Pinned-count keyed fanout for the quadratic-per-group stages.
+    *
+    * The pair-join/verify stages do O(bucket²) work on SKINNY rows, so
+    * AQE's advisory-size coalescing — which judges by shuffled BYTES —
+    * re-merges their exchanges to 1-2 partitions at any scale where
+    * the keys are small (measured: dedup_prefix_filter's whole
+    * self-join+verify ran as ONE 1.4 s task behind a 124 k-row
+    * sub-megabyte exchange on a 32-core session). Bytes-per-row and
+    * work-per-row diverge on every quadratic operator — the same
+    * reason emb_semdedup pins its cell layout — so these stages hash
+    * on their join key with the partition count PINNED
+    * (REPARTITION_BY_NUM, which AQE honors as user-specified) to the
+    * session's shuffle parallelism. Scale-adaptive by construction:
+    * the count follows `spark.sql.shuffle.partitions`, not a constant
+    * tuned for either local mode or a cluster. */
+  private[graft] def fanout(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, keys: _*)
+
   /** Shared bucketed self-join core: cap hot buckets (strictly larger
     * than `maxBucket` are dropped before the join — a hot band key,
     * e.g. the signature shared by thousands of boilerplate docs, would
     * otherwise go quadratic inside its bucket), then pair each bucket's
     * docs (a < b), carrying optional per-doc `payload` columns through
-    * for the verify step. */
+    * for the verify step.
+    *
+    * The [[fanout]] sits BELOW the sizing window: hash(keyCols, N)
+    * satisfies the window's clustered-distribution requirement, so the
+    * planner adds no second exchange, the window and the self-join both
+    * run at the pinned width, and ReuseExchange lets the x/y sides read
+    * the one shuffle. */
   private[ops] def cappedPairJoin(keyed: DataFrame, keyCols: Seq[String],
                                   maxBucket: Int, payload: Seq[String] = Nil): DataFrame = {
-    val sized = keyed
+    val sized = fanout(keyed, keyCols.map(col): _*)
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
       .where(col("bsz") <= maxBucket)
@@ -271,7 +296,22 @@ object Dedup {
 
   /** Shared verify core: exact shingle-intersection size plus both set
     * sizes per candidate pair. Cost is proportional to candidate pairs
-    * (the shingle-equijoin groups by pair). */
+    * (the shingle-equijoin groups by pair).
+    *
+    * Join strategy, adjudicated r20: at fixture scale the planner
+    * broadcasts the SHINGLE side of both joins (the pinned memo leaf
+    * inherits the pre-explode parquet estimate, a few hundred KB, so
+    * the 260 k-row frame reads as broadcastable) — a serial 16-40 MiB
+    * driver-side hash build per join that stage metrics never show.
+    * Forcing the scale-shaped alternative (`shuffle_hash` built on the
+    * candidate side) was MEASURED SLOWER here (dedup_prefix_filter
+    * 2.3 → 3.3 s, containment_prefix 2.7 → 4.2 s, same-noise-regime
+    * subset bench): two extra corpus-keyed exchanges of the shingle
+    * side cost more than the serial builds they replace. Left as
+    * planner's choice: the mis-estimate is a FIXTURE artifact — at
+    * real scale the shingle leaf's stats are corpus-sized, no
+    * threshold admits them, and the planner lands on the shuffled
+    * join unprompted. */
   private def pairOverlap(candidates: DataFrame, shingles: DataFrame): DataFrame = {
     val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates

@@ -49,7 +49,17 @@ object Spans {
   def sharedSpans(docs: DataFrame, textCol: Column, idCol: Column,
                   n: Int = 8, minTokens: Int = 20,
                   maxGramOcc: Int = 50): DataFrame = {
-    val grams = positionedGrams(docs, textCol, idCol, n)
+    // One pinned-count fanout on the join key right after the gram
+    // build, BEFORE the freq/join fork: the tokenize+posexplode
+    // pipeline above it is scan-stage work (serial when the input is
+    // few files), and without the exchange each of the three consumers
+    // below (freq group-by, both join sides) re-runs it — measured
+    // 0.6 s × 2 serial gram builds at sf0.1. With it, ReuseExchange
+    // shares ONE gram materialization and the group-by, the join, and
+    // the islands window all run at the pinned width instead of the
+    // 1-2 partitions AQE's byte-judged coalescing would pick for the
+    // skinny (doc_id, pos, gh) rows (see [[Dedup.fanout]]).
+    val grams = Dedup.fanout(positionedGrams(docs, textCol, idCol, n), col("gh"))
     // hot-gram cap: one aggregation, then only surviving grams join
     val freq = grams.groupBy("gh")
       .agg(count(lit(1)).as("nf"))

@@ -533,6 +533,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Exchange hashpartitioning(gh"),
       "the candidate join must key on the gram hash")
+    // r20: the gram build fans out on gh with a PINNED count below the
+    // freq/join fork — AQE must not re-coalesce the quadratic pair
+    // stage by its (tiny) byte size, and ReuseExchange must share the
+    // one gram materialization across the fork's consumers (the serial
+    // tokenize+posexplode otherwise runs once per consumer)
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "gram fanout must pin its partition count against AQE coalescing")
+    val fin = finalizedPlanOf("dedup_substring_span")
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      "freq and join sides must share one gram exchange at runtime")
+  }
+
+  /** Plan with AQE actually finalized: `df.count()` executes a SIBLING
+    * QueryExecution and leaves this one un-finalized, so runtime
+    * artifacts (ReusedQueryStage, coalesced reads) never print —
+    * executing THIS plan's RDD is what finalizes it (same trick as
+    * `Dev plans`). */
+  private def finalizedPlanOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("capped pair joins fan out on the bucket key at the pinned width") {
+    // r20: cappedPairJoin (LSH bands, simhash bands) fans out on its
+    // bucket keys with a pinned count BELOW the sizing window, so the
+    // window needs no exchange of its own and the quadratic
+    // within-bucket pairing cannot be serialized by AQE's byte-judged
+    // coalescing (measured: the whole join ran as ONE 1.4 s task
+    // behind a sub-MB exchange before the pin)
+    val p = finalizedPlanOf("dedup_simhash_pairs")
+      .split("== Initial Plan ==").head // final section only, or every node doubles
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "bucket fanout must pin its partition count")
+    assert("""Exchange hashpartitioning\(band""".r.findAllIn(p).nonEmpty,
+      "the sizing window must ride the pinned band fanout, not its own " +
+        "ENSURE_REQUIREMENTS exchange")
+    // the join itself may legitimately flip to broadcast when AQE sees
+    // a tiny materialized side (it does at this spec's sf0.001) — the
+    // pin's job is only that the windowed pairing width never
+    // re-coalesces below the session parallelism on the shuffle path
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("text_bm25_topk: scoring is one scan, stats broadcast, heap-based top-k") {
